@@ -1,0 +1,182 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.ops.{EventOps, Exact}
+import graft.tables.Tables.load
+
+/** Scalar-function families (SURVEY §2.7), flatten/explode generators
+  * (SURVEY §2.3 F1-F3), JSON extraction (X5/P3) and the event-time window
+  * surface (SURVEY §2.8) in oracle-checkable batch form.
+  */
+object FunctionQueries extends Catalog {
+
+  private def cents(x: String) = s"CAST(round($x * 100) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // P2/P5/P6 + string family of §2.7 (substring=truncate, regexp_replace=
+    // prefix strip, concat, case, trim, length).
+    Q("fn_string_suite",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          regexp_replace(col("p_type"), "^STANDARD ", "").as("type_stripped"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          upper(col("p_brand")).as("brand_upper"),
+          lower(col("p_name")).as("name_lower"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, substring(p_name, 1, 10) AS name10,
+             |regexp_replace(p_type, '^STANDARD ', '') AS type_stripped,
+             |concat_ws('-', p_brand, p_type) AS brand_type,
+             |upper(p_brand) AS brand_upper, lower(p_name) AS name_lower,
+             |length(p_name)::BIGINT AS name_len
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // date/time family of §2.7: extraction + formatting (the reference's
+    // strftime run-ids, etl/pipeline.py:326 → date_format).
+    Q("fn_datetime_suite",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dollars(sum(Exact.cents(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("y"), col("m")),
+      Some(s"""SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+             |strftime(o_orderdate, '%Y-%m') AS ym,
+             |count(*) AS n_orders,
+             |sum(${cents("o_totalprice")})::DOUBLE / 100.0 AS sum_price
+             |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m""".stripMargin)),
+
+    // conditional family (P4): CASE WHEN buckets + coalesce/nullif defaults.
+    Q("fn_conditional_coalesce",
+      (s, dir) => load(s, dir, "customer")
+        .select(
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("tier"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("segment"))
+        .groupBy(col("tier"), col("segment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("tier"), col("segment")),
+      Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+             |  WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+             |coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS segment,
+             |count(*) AS n
+             |FROM customer GROUP BY 1, 2 ORDER BY tier, segment""".stripMargin)),
+
+    // X5 + P3: declared-schema JSON parse, struct dot access, then exact agg.
+    Q("json_props_extract",
+      (s, dir) => EventOps.withProps(load(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("prop_k")).as("sum_k"),
+          Exact.avgOf(sum(col("prop_k")), count(lit(1))).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, sum(k)::BIGINT AS sum_k,
+             |sum(k)::DOUBLE / count(*) AS avg_k, count(*) AS n FROM (
+             |  SELECT event_type, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k
+             |  FROM events) t
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // F1: one row per array element, parent columns carried along
+    // (reference agent→abilities denormalization, etl/pipeline.py:160-175).
+    Q("explode_structs",
+      (s, dir) => load(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("lang").as("doc_lang"),
+          explode(split(col("text"), " ")).as("token"))
+        .orderBy(col("doc_id"), col("token")),
+      Some("""SELECT doc_id, lang AS doc_lang, unnest(string_split(text, ' ')) AS token
+             |FROM documents WHERE doc_id < 20
+             |ORDER BY doc_id, token""".stripMargin)),
+
+    // F2: positional explode — the reference's range_index
+    // (etl/pipeline.py:201-205) as a declarative generator.
+    Q("posexplode_indexed",
+      (s, dir) => load(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, i AS pos, l[i + 1] AS token
+             |FROM (SELECT doc_id, string_split(text, ' ') AS l
+             |      FROM documents WHERE doc_id < 20) t,
+             |  (SELECT unnest(range(len(l))) AS i) r
+             |ORDER BY doc_id, pos""".stripMargin)),
+
+    // P7/A3: array length as scalar (size(null-safe) — reference
+    // num_callouts, etl/pipeline.py:216,221).
+    Q("array_len_scalar",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(coalesce(split(col("text"), " "), array())).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // §2.8 event-time windows, batch form (streaming variant in
+    // graft.streaming.StreamOps over identical functions).
+    Q("window_tumbling",
+      (s, dir) => EventOps.tumblingCounts(load(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT AS window_start,
+             |event_type, count(*) AS n_events,
+             |sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("window_sliding",
+      (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT epoch(ws)::BIGINT AS window_start, event_type,
+             |count(*) AS n_events,
+             |sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_value
+             |FROM (SELECT e.*,
+             |    time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS ws
+             |  FROM events e, (SELECT unnest([0, 1]) AS k) r) t
+             |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    Q("window_session",
+      (s, dir) => EventOps.sessionize(load(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |grouped AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id,
+             |  epoch(date_trunc('second', min(ts)))::BIGINT AS session_start,
+             |  epoch(date_trunc('second', max(ts) + INTERVAL '30 minutes'))::BIGINT AS session_end,
+             |  count(*) AS n_events,
+             |  sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_value
+             |FROM grouped GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    Q("stream_dedup_earliest",
+      (s, dir) => EventOps.dedupEarliest(load(s, dir, "events"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_epoch"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, event_id,
+             |epoch(date_trunc('second', ts))::BIGINT AS ts_epoch
+             |FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+             |  ORDER BY ts, event_id) = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("pivot_event_counts",
+      (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |count(*) FILTER (WHERE event_type = 'click') AS click,
+             |count(*) FILTER (WHERE event_type = 'error') AS error,
+             |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |count(*) FILTER (WHERE event_type = 'view') AS "view"
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+  )
+}

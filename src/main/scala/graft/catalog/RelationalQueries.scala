@@ -1,0 +1,390 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Exact, Relational}
+import graft.tables.Tables.load
+
+/** The relational query surface: scans, filters, projections, the full join
+  * family, aggregation (incl. rollup/cube/grouping sets), windows, sorts and
+  * set ops — SURVEY §2.2, §2.4-2.6. Names follow SURVEY §2's operator keys.
+  *
+  * Scale notes inline per query; the common ones: joins against `region` /
+  * `nation` / a VALUES bucket table are explicitly `broadcast()` (no shuffle
+  * of the fact side), aggregates are partial+final by construction, and
+  * filters/projections sit directly on the scan so Catalyst pushes them into
+  * the Parquet reader. All money aggregation uses `graft.ops.Exact` cent
+  * arithmetic — order-independent and bit-identical to the DuckDB oracle.
+  */
+object RelationalQueries extends Catalog {
+
+  // Oracle-SQL textual twins of graft.ops.Exact (kept here, next to use).
+  private val C = "CAST(round(%s * 100) AS BIGINT)" // cents(x)
+  private def cents(x: String) = C.format(x)
+  private val RevUnits = s"(${cents("l_extendedprice")} * (100 - ${cents("l_discount")}))"
+
+  /** Flagship: revenue per region — scan → 4 joins (dims broadcast) → agg →
+    * sort. The plan to check at scale: lineitem never shuffles until the
+    * final groupBy on 5 region names; AQE coalesces the tiny aggregate.
+    */
+  def regionalRevenue(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(Exact.revenueDollars(
+          sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  val all: Seq[Q] = Seq(
+
+    Q("filter_predicate",
+      (s, dir) => load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_quantity
+             |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("project_rename",
+      (s, dir) => load(s, dir, "part")
+        .select(col("p_partkey").as("part_id"), upper(col("p_brand")).as("brand"),
+          col("p_type").as("category"), col("p_retailprice").as("price"))
+        .orderBy(col("part_id")),
+      Some("""SELECT p_partkey AS part_id, upper(p_brand) AS brand,
+             |p_type AS category, p_retailprice AS price
+             |FROM part ORDER BY part_id""".stripMargin)),
+
+    Q("agg_pricing_summary",
+      (s, dir) => load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(Exact.asLong(col("l_quantity"))).as("sum_qty"),
+          Exact.dollars(sum(Exact.cents(col("l_extendedprice")))).as("sum_base_price"),
+          Exact.revenueDollars(
+            sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+          Exact.avgOf(sum(Exact.asLong(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          Exact.avgOf(sum(Exact.cents(col("l_discount"))), count(lit(1))).as("avg_disc_pct"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+             |sum(${cents("l_extendedprice")})::DOUBLE / 100.0 AS sum_base_price,
+             |sum($RevUnits)::DOUBLE / 10000.0 AS sum_disc_price,
+             |sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE / count(*) AS avg_qty,
+             |sum(${cents("l_discount")})::DOUBLE / count(*) AS avg_disc_pct,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("join_inner_equi",
+      (s, dir) => load(s, dir, "customer")
+        .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(load(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.revenueDollars(
+            sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name")),
+      Some(s"""SELECT n_name,
+             |sum($RevUnits)::DOUBLE / 10000.0 AS revenue,
+             |count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("join_broadcast",
+      (s, dir) => load(s, dir, "customer")
+        .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.dollars(sum(Exact.cents(col("c_acctbal")))).as("sum_acctbal"))
+        .orderBy(col("r_name")),
+      Some(s"""SELECT r_name, count(*) AS n_customers,
+             |sum(${cents("c_acctbal")})::DOUBLE / 100.0 AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("join_left_outer",
+      (s, dir) => load(s, dir, "customer")
+        .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    Q("join_semi",
+      (s, dir) => load(s, dir, "customer")
+        .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_anti",
+      (s, dir) => load(s, dir, "customer")
+        .join(load(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("join_theta_range",
+      (s, dir) => {
+        import s.implicits._
+        val buckets = Seq(("small", 0.0, 10.0), ("mid", 10.0, 25.0), ("large", 25.0, 60.0))
+          .toDF("bucket", "lo", "hi")
+        Relational.rangeBucketJoin(load(s, dir, "lineitem"), buckets, col("l_quantity"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.revenueDollars(
+              sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""SELECT bucket, count(*) AS n_items,
+             |sum($RevUnits)::DOUBLE / 10000.0 AS revenue
+             |FROM lineitem JOIN (VALUES ('small', 0, 10), ('mid', 10, 25), ('large', 25, 60))
+             |  b(bucket, lo, hi) ON l_quantity >= lo AND l_quantity < hi
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("agg_count_rows",
+      (s, dir) => Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
+        .map(t => load(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
+        .reduce(_ unionByName _).orderBy(col("tbl")),
+      Some("""SELECT 'customer' AS tbl, count(*) AS n FROM customer
+             |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+             |UNION ALL SELECT 'nation', count(*) FROM nation
+             |UNION ALL SELECT 'orders', count(*) FROM orders
+             |UNION ALL SELECT 'part', count(*) FROM part
+             |UNION ALL SELECT 'region', count(*) FROM region
+             |UNION ALL SELECT 'supplier', count(*) FROM supplier
+             |ORDER BY tbl""".stripMargin)),
+
+    Q("agg_count_distinct",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+             |count(*) AS n_orders
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // HLL sketch differs across engines by design → rows-only check.
+    Q("agg_approx_distinct",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .orderBy(col("o_orderstatus")),
+      None),
+
+    Q("agg_rollup",
+      (s, dir) => load(s, dir, "customer")
+        .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          Exact.dollars(sum(Exact.cents(col("c_acctbal")))).as("sum_acctbal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some(s"""SELECT r_name, n_name, count(*) AS n_customers,
+             |sum(${cents("c_acctbal")})::DOUBLE / 100.0 AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+
+    Q("agg_cube",
+      (s, dir) => load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dollars(sum(Exact.cents(col("o_totalprice")))).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+             |sum(${cents("o_totalprice")})::DOUBLE / 100.0 AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("agg_grouping_sets",
+      (s, dir) => {
+        load(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("agg_collect_list",
+      (s, dir) => load(s, dir, "nation")
+        .join(broadcast(load(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name")),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("sort_topk_limit",
+      (s, dir) => load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("window_rank_rownum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        load(s, dir, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderstatus"), col("rn"), col("rnk"), col("drnk"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderstatus"), col("rn"))
+      },
+      Some("""SELECT o_orderstatus, rn, rnk, drnk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)) t
+             |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin)),
+
+    Q("window_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        load(s, dir, "orders")
+          .withColumn("cents", Exact.cents(col("o_totalprice")))
+          .withColumn("prev_price", Exact.dollars(lag(col("cents"), 1).over(w)))
+          .withColumn("next_price", Exact.dollars(lead(col("cents"), 1).over(w)))
+          .withColumn("delta", Exact.dollars(col("cents") - lag(col("cents"), 1).over(w)))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("prev_price"), col("next_price"), col("delta"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  (lag(cents, 1) OVER w)::DOUBLE / 100.0 AS prev_price,
+             |  (lead(cents, 1) OVER w)::DOUBLE / 100.0 AS next_price,
+             |  (cents - lag(cents, 1) OVER w)::DOUBLE / 100.0 AS delta
+             |FROM (SELECT *, ${cents("o_totalprice")} AS cents FROM orders) t
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("window_frame_agg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        load(s, dir, "orders")
+          .withColumn("running_total",
+            Exact.dollars(sum(Exact.cents(col("o_totalprice"))).over(w)))
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            col("running_total"))
+          .orderBy(col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |  (sum(${cents("o_totalprice")}) OVER (PARTITION BY o_orderstatus
+             |    ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / 100.0
+             |    AS running_total
+             |FROM orders ORDER BY o_orderstatus, o_orderdate, o_orderkey""".stripMargin)),
+
+    Q("set_union_all",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), lit("urgent").as("src"))
+          .unionByName(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), lit("fstatus").as("src")))
+          .orderBy(col("src"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION ALL
+             |SELECT o_orderkey, 'fstatus' AS src FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY src, o_orderkey""".stripMargin)),
+
+    Q("set_intersect_except",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val fstat = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        urgent.intersect(fstat).select(lit("both").as("op"), col("o_custkey"))
+          .unionByName(urgent.except(fstat).select(lit("only_urgent").as("op"), col("o_custkey")))
+          .orderBy(col("op"), col("o_custkey"))
+      },
+      Some("""SELECT 'both' AS op, o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+             |UNION ALL
+             |SELECT 'only_urgent' AS op, o_custkey FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') b
+             |ORDER BY op, o_custkey""".stripMargin)),
+
+    Q("dedup_distinct",
+      (s, dir) => load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+        .dropDuplicates()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    Q("sink_upsert_keyed",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val base = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("base").as("src"))
+        val updates = o.filter(col("o_orderkey") % 6 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            lit("update").as("src"))
+        Relational.upsertByKey(base, updates, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_totalprice, 'base' AS src FROM orders WHERE o_orderkey % 3 = 0),
+             |updates AS (
+             |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'update' AS src
+             |  FROM orders WHERE o_orderkey % 6 = 0)
+             |SELECT * FROM (
+             |  SELECT b.* FROM base b WHERE NOT EXISTS (
+             |    SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+             |  UNION ALL SELECT * FROM updates) t
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sink_lineage_cols",
+      (s, dir) => load(s, dir, "region")
+        .withColumn("_etl_run_id", lit("run_00000001"))
+        .withColumn("_etl_loaded_at", lit("2026-01-01T00:00:00+00:00"))
+        .orderBy(col("r_regionkey")),
+      Some("""SELECT r_regionkey, r_name, 'run_00000001' AS _etl_run_id,
+             |'2026-01-01T00:00:00+00:00' AS _etl_loaded_at
+             |FROM region ORDER BY r_regionkey""".stripMargin)),
+  )
+}

@@ -1,0 +1,189 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Exact, Text}
+import graft.tables.Tables.load
+
+/** Text-analysis + document-dedup query surface over `documents` (north-star
+  * extension operators; SURVEY §2.9). Every hash here is md5, so the DuckDB
+  * oracle recomputes signatures/fingerprints bit-identically — the oracle
+  * checks the ALGORITHM (candidate generation included), not just row counts.
+  */
+object TextQueries extends Catalog {
+
+  // Textual twins of graft.ops.Text/Dedup used in the oracle SQL.
+  private val Toks = "string_split(text, ' ')"
+  private val TokSet = s"list_sort(list_distinct($Toks))"
+  private val EnStop = Text.Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Seq[Q] = Seq(
+
+    // X1: corpus word counts (explode + two-phase aggregate), top 20.
+    Q("text_tokenize_counts",
+      (s, dir) => Text.tokenCounts(load(s, dir, "documents"))
+        .orderBy(col("cnt").desc, col("token")).limit(20),
+      Some(s"""SELECT token, count(*) AS cnt
+             |FROM (SELECT unnest($Toks) AS token FROM documents) t
+             |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
+    // X6: per-language/source aggregates (exact integer sums).
+    Q("text_lang_stats",
+      (s, dir) => load(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          Exact.avgOf(sum(col("n_chars")), count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+             |sum(n_chars)::DOUBLE / count(*) AS avg_chars
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    // Quality scoring: ratio metrics as floor-scaled basis points
+    // (deterministic across engines — no rounding-tie rule; ops.Exact).
+    Q("text_quality_score",
+      (s, dir) => {
+        val d = Text.qualityMetrics(load(s, dir, "documents"))
+        d.select(col("doc_id"), col("n_tokens"), col("distinct_bp"),
+            col("avg_token_len_bp"), col("stopword_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, len(l)::BIGINT AS n_tokens,
+             |CAST(floor(len(list_distinct(l))::DOUBLE * 10000 / len(l)) AS BIGINT) AS distinct_bp,
+             |CAST(floor(list_sum(list_transform(l, t -> length(t)))::DOUBLE * 10000 / len(l))
+             |  AS BIGINT) AS avg_token_len_bp,
+             |CAST(floor(len(list_filter(l, t -> list_contains($EnStop, t)))::DOUBLE * 10000
+             |  / len(l)) AS BIGINT) AS stopword_bp
+             |FROM (SELECT doc_id, $Toks AS l FROM documents) t ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID: lexicon-overlap argmax (first language attaining the max
+    // wins, in Lexicons order) — confusion matrix against the labeled lang.
+    Q("text_langid_ngram",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("lang"), Text.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted")),
+      Some {
+        val scores = Text.Lexicons.map { case (lang, lex) =>
+          s"len(list_intersect(ts, ${lex.map(w => s"'$w'").mkString("[", ", ", "]")})) AS s_$lang"
+        }.mkString(",\n")
+        val langs = Text.Lexicons.map(_._1)
+        val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val caseChain = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+        s"""SELECT lang, predicted, count(*) AS n FROM (
+           |  SELECT lang, CASE $caseChain END AS predicted FROM (
+           |    SELECT lang, $m AS m, * FROM (
+           |      SELECT lang, $scores FROM (
+           |        SELECT lang, $TokSet AS ts FROM documents) t0) t1) t2) t3
+           |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+      }),
+
+    // BPE-ish regex token counting per language.
+    Q("text_token_count_bpe",
+      (s, dir) => load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(Text.regexTokenCount(col("text")).cast("long")).as("sum_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang,
+             |sum(len(regexp_extract_all(text, '${Text.TokenRegex}')))::BIGINT AS sum_tokens,
+             |count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Order/repetition-insensitive content fingerprint (md5 of sorted
+    // distinct token set) — the cheap near-dup collision detector.
+    Q("doc_fingerprint",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, md5(array_to_string($TokSet, ' ')) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X2: exact dedup by content hash — survivor id + multiplicity per
+    // distinct content (shuffle carries 16-byte digests, not documents).
+    Q("dedup_exact",
+      (s, dir) => Dedup.exactByContent(load(s, dir, "documents"))
+        .select(col("doc_id"), col("n_copies"), col("content_hash"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies, md5(text) AS content_hash
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin)),
+
+    // X3a: MinHash-LSH near-dup pairs over 3-gram shingles (16 hashes,
+    // 8 bands × 2) verified by exact Jaccard ≥ 0.5. The oracle replays
+    // signature construction, band bucketing AND verification —
+    // full-algorithm equivalence, not a rows-only check.
+    Q("dedup_minhash",
+      (s, dir) => Dedup.minHashNearDupPairs(load(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |toks AS (
+             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+             |  FROM t),
+             |sigs AS (
+             |  SELECT doc_id, list_transform(range(16), s ->
+             |    list_min(list_transform(ts, t -> md5(s::VARCHAR || ':' || t)))) AS sig
+             |  FROM toks),
+             |bands AS (
+             |  SELECT doc_id, b AS band,
+             |    md5(array_to_string(sig[b * 2 + 1 : b * 2 + 2], '|')) AS band_key
+             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+             |pairs AS (
+             |  SELECT i AS doc_a, j AS doc_b,
+             |    round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+             |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
+             |  FROM cand JOIN toks x ON cand.i = x.doc_id JOIN toks y ON cand.j = y.doc_id)
+             |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // X3b: SimHash 32-bit fingerprints (per-nibble-high-bit of md5 votes).
+    Q("dedup_simhash",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simHashBits(Text.tokenSet(col("text"))).as("simhash"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |array_to_string(list_transform(range(1, 33), i ->
+             |  CASE WHEN list_sum(list_transform(hs, h ->
+             |    CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |  THEN '1' ELSE '0' END), '') AS simhash
+             |FROM (SELECT doc_id, list_transform($TokSet, t -> md5(t)) AS hs
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // X3c: exact n-gram (3-shingle) Jaccard pairs with PPJoin-style blocking
+    // on (lang, min token) — the O(n²) scan becomes one equi-join shuffle.
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(load(s, dir, "documents"), 3, 0.6)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id AS id, lang, $TokSet AS ts, $Toks AS l FROM documents),
+             |sh AS (
+             |  SELECT id, lang, ts[1] AS blk,
+             |    CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+             |      ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+             |        i -> array_to_string(l[i : i + 2], ' ')))) END AS sh
+             |  FROM t)
+             |SELECT doc_a, doc_b, jaccard FROM (
+             |  SELECT a.id AS doc_a, b.id AS doc_b,
+             |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.blk = b.blk AND a.id < b.id) p
+             |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary column + typed metadata — byte
+    // length and content digest computed on the BINARY value (SURVEY §2.9
+    // note; decode stubs live in graft.ops.Multimodal).
+    Q("multimodal_binary_meta",
+      (s, dir) => load(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"), expr("octet_length(blob)").cast("long").as("n_bytes"),
+          md5(col("blob")).as("content_md5"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+             |md5(text) AS content_md5, n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

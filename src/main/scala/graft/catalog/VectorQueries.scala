@@ -1,0 +1,107 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.ops.Vectors
+import graft.tables.Tables.load
+
+/** Similarity-search query surface over `embeddings(vec_id, embedding
+  * ARRAY<FLOAT>, label)` — SURVEY §2.9 X4 + north-star ANN extension.
+  *
+  * Determinism across engines: all math is double (float→double conversion
+  * is exact), dot products are element-ordered folds on both sides, cosines
+  * are rounded to 6dp before ranking, and ties break on the neighbor id.
+  */
+object VectorQueries extends Catalog {
+
+  // Oracle-SQL fragments: explicit-formula cosine between DOUBLE[] a and b.
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def cosSql(a: String, b: String) =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+
+  val all: Seq[Q] = Seq(
+
+    // X4: brute-force cosine top-k — the correctness baseline. Query set is
+    // broadcast; corpus is scanned once, shuffle carries only k rows/query.
+    Q("sim_cosine_topk",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        Vectors.cosineTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |s AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    ${cosSql("q.e", "c.e")} AS cosine
+             |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, rank, neighbor_id, cosine FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Embedding-space near-dup pairs: all pairs with cosine ≥ 0.4 (the data's
+    // max inter-vector cosine is ~0.51, so this yields a small, real set).
+    Q("dedup_embedding_cosine",
+      (s, dir) => Vectors.cosineNearDupPairs(load(s, dir, "embeddings"), 0.4)
+        .orderBy(col("vec_a"), col("vec_b")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT vec_a, vec_b, cosine FROM (
+             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |    ${cosSql("a.e", "b.e")} AS cosine
+             |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+             |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ANN: sign-random-projection LSH buckets (md5-derived hyperplanes, so
+    // the oracle rebuilds the identical ±1 matrix), then top-k among
+    // bucket-mates only — the 100 TB-shaped variant: equi-join on an 8-bit
+    // bucket key instead of a cross join.
+    Q("sim_ann_lsh",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        Vectors.annTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |signs AS (
+             |  SELECT list(CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+             |    THEN 1.0 ELSE -1.0 END ORDER BY p * 64 + d) AS m
+             |  FROM (SELECT unnest(range(8)) AS p) pp, (SELECT unnest(range(64)) AS d) dd),
+             |b AS (
+             |  SELECT vec_id, e,
+             |    array_to_string(list_transform(range(8), p ->
+             |      CASE WHEN list_sum(list_transform(range(1, 65), i -> e[i] * m[p * 64 + i])) > 0
+             |      THEN '1' ELSE '0' END), '') AS bucket
+             |  FROM v, signs),
+             |s AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    ${cosSql("q.e", "c.e")} AS cosine
+             |  FROM b q JOIN b c ON q.bucket = c.bucket
+             |    AND q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+             |SELECT query_id, rank, neighbor_id, cosine FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Label-centroid stats: per-label mean vector norm — groupBy over array
+    // columns with exact element-ordered folds. Rows-only oracle is NOT
+    // needed: norms are deterministic, but per-label mean of doubles is
+    // order-dependent → keep count + a deterministic extremum instead.
+    Q("vector_label_stats",
+      (s, dir) => load(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          round(Vectors.norm(col("embedding")), 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"), max(col("nrm")).as("max_norm"),
+          min(col("nrm")).as("min_norm"))
+        .orderBy(col("label")),
+      Some(s"""SELECT label::BIGINT AS label, count(*) AS n_vectors,
+             |max(nrm) AS max_norm, min(nrm) AS min_norm
+             |FROM (SELECT label, round(sqrt(${dotSql("e", "e")}), 6) AS nrm
+             |  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) v) t
+             |GROUP BY label ORDER BY label""".stripMargin)),
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Exact
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Event-stream operators over `events(event_id, ts, user_id, event_type,
+  * value, props)` — the engine's time-series/streaming capability surface
+  * (SURVEY §2.8). The reference's "streaming" is a 6-hour sleep loop
+  * (`/root/reference/etl/pipeline.py:379-384`); the real upgrade is
+  * event-time windowing, which these functions provide in BATCH form.
+  * `graft.streaming.StreamOps` applies the same functions to `readStream`
+  * inputs — one definition, two execution modes.
+  *
+  * All window aggregations are two-phase (partial map-side combine, then one
+  * shuffle keyed by (window, key)) — the shape that scales: shuffle volume is
+  * O(groups), not O(events).
+  */
+object EventOps {
+
+  /** Schema of the `props` JSON column — declared, not inferred (SURVEY §1.3:
+    * production paths use explicit schemas).
+    */
+  val PropsSchema: StructType = StructType(Seq(StructField("k", LongType)))
+
+  /** Typed extraction from the JSON `props` string (SURVEY X5 + P3: nested
+    * field access on the parsed struct).
+    */
+  def withProps(events: DataFrame): DataFrame =
+    events.withColumn("p", from_json(col("props"), PropsSchema))
+      .withColumn("prop_k", col("p.k"))
+      .drop("p")
+
+  /** Tumbling event-time window aggregate: (window_start, event_type) →
+    * count + sum(value).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dollars(sum(Exact.cents(col("value")))).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding event-time window aggregate (width > slide ⇒ each event lands in
+    * width/slide windows; Spark's `window` generator emits them all).
+    */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dollars(sum(Exact.cents(col("value")))).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session. Uses the native `session_window` generator (works in batch and
+    * streaming). Emits (user_id, session_start, session_end, n_events).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), Exact.dollars(sum(Exact.cents(col("value")))).as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Deterministic stream-style dedup: earliest event per (user_id,
+    * event_type) — the batch shape of `dropDuplicates` with a defined
+    * survivor (streaming keeps the first arrival; batch must pin order).
+    */
+  def dedupEarliest(events: DataFrame): DataFrame =
+    Relational.firstPerKey(events, Seq("user_id", "event_type"),
+      Seq(col("ts").asc, col("event_id").asc))
+
+  /** Pivot event counts to one column per event type (fixed domain ⇒ no
+    * pivot-values discovery job; at scale always pass the domain).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def pivotCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the engine exposes beyond raw DataFrame calls.
+  *
+  * The reference (`/root/reference/etl/pipeline.py`) has no joins, windows or
+  * set ops (SURVEY.md §2.4-2.6) — relationship traversal is pre-materialized by
+  * denormalization. A relational store with "the same query capabilities"
+  * still needs the full surface, so these are first-class here. Everything is
+  * declarative DataFrame API: Catalyst picks broadcast-hash vs sort-merge,
+  * pushes predicates, prunes columns; AQE re-plans skew at runtime.
+  */
+object Relational {
+
+  /** Top-k rows per group, deterministic under ties via `tieBreak`.
+    * Declarative `row_number` window → Spark plans a partial top-k
+    * (`WindowGroupLimit` pushes the limit before the full sort at scale).
+    * Reference analogue: `range_index` positional ordering
+    * (`etl/pipeline.py:201-205`) generalized.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Keyed upsert: rows of `updates` replace same-key rows of `base`
+    * (reference `INSERT OR REPLACE`, `etl/pipeline.py:286-296`, SURVEY K3).
+    * Anti-join + union — the scalable MERGE building block on immutable
+    * storage: one shuffle on the key, no driver-side state. Both inputs must
+    * share a schema (enforced by `unionByName`).
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Keep the first row per key under `orderCols` — deterministic dedup
+    * (contrast `dropDuplicates`, which keeps an arbitrary row). Used for both
+    * batch dedup and the batch shape of streaming `dropDuplicates`.
+    */
+  def firstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
+    topKPerGroup(df, keys.map(col), orderCols, 1).drop("rn")
+
+  /** Bucket rows of `fact` by a range (theta) join against a tiny `buckets`
+    * relation `(name, lo, hi)` — plans as BroadcastNestedLoopJoin, which is
+    * exactly right when the build side is a handful of rows (SURVEY J5).
+    */
+  def rangeBucketJoin(fact: DataFrame, buckets: DataFrame, value: Column): DataFrame =
+    fact.join(broadcast(buckets), value >= buckets("lo") && value < buckets("hi"))
+}

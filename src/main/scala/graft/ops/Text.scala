@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-style data pipelines (SURVEY §2.9 X1/X6 +
+  * north-star extensions): tokenization, language ID, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / transform / aggregate / regexp) — no Scala UDFs — so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with
+  * partitions: per-document work only, no shuffle except final aggregations.
+  */
+object Text {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct sorted tokens — the canonical "token set" used by dedup ops. */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Word counts over a corpus: explode + groupBy — the classic two-phase
+    * (partial map-side + final) aggregation; shuffle volume is O(distinct
+    * tokens), not O(corpus). SURVEY X1.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** BPE-ish regex token count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs. Mirrors the common pre-tokenizer split rule.
+    */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(TokenRegex))
+
+  /** Language-ID lexicons: tiny per-language stopword lists. Deterministic
+    * n-gram/stopword-overlap heuristic — the classic cheap langid signal for
+    * corpus filtering. Tie-break: first language in `Lexicons` order wins.
+    */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "row", "fast"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "que", "les", "des"),
+    "es" -> Seq("el", "la", "y", "de", "un", "es", "que", "los", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "nicht", "mit", "den"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "you", "ta", "zhe"))
+
+  /** Predicted language = argmax over lexicon-overlap scores.
+    * `array_intersect` on the token set keeps it one pass per lexicon.
+    */
+  def langIdScore(text: Column, lexicon: Seq[String]): Column =
+    size(array_intersect(tokenSet(text), array(lexicon.map(lit): _*))).cast("long")
+
+  def langId(text: Column): Column = {
+    // fold: keep (bestScore, bestLang); strict > keeps first-wins tie-break
+    val first = Lexicons.head
+    Lexicons.tail.foldLeft(
+      struct(langIdScore(text, first._2).as("s"), lit(first._1).as("l"))
+    ) { case (acc, (lang, lex)) =>
+      val s = langIdScore(text, lex)
+      when(s > acc("s"), struct(s.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }.getField("l")
+  }
+
+  /** Quality metrics per document: token count, distinct-token ratio, mean
+    * token length, stopword ratio — the standard cheap quality signals used
+    * to filter pretraining corpora. Ratios are emitted as floor-scaled basis
+    * points (`Exact.ratioBp`): deterministic across engines, no rounding-tie
+    * rule (SURVEY §7.4 float-determinism note).
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val stop = array(Lexicons.head._2.map(lit): _*)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("distinct_bp",
+        Exact.ratioBp(size(array_distinct(toks)).cast("long"), nTok))
+      .withColumn("avg_token_len_bp",
+        Exact.ratioBp(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), nTok))
+      .withColumn("stopword_bp",
+        Exact.ratioBp(size(filter(toks, t => array_contains(stop, t))).cast("long"), nTok))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — order- and
+    * repetition-insensitive, so token-permuted copies collide (the cheap
+    * "bag-of-words identical" near-dup detector; md5 is portable across
+    * engines, unlike murmur/xxhash).
+    */
+  def fingerprint(text: Column): Column = md5(to_binary(array_join(tokenSet(text), " "), lit("utf-8")))
+}

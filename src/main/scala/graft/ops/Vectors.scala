@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding/similarity-search operators (north star: "similarity search" —
+  * /root/repo/BASELINE.json; SURVEY §2.9 X4). Operates on
+  * `embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`.
+  *
+  * All math runs in DOUBLE via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — strictly sequential left-to-right folds, so
+  * results are bit-reproducible and mirrorable by the DuckDB oracle. No UDFs.
+  *
+  * Scale design: brute-force top-k is the correctness baseline (broadcast the
+  * query set — it is small by construction — so candidate scoring is a
+  * map-side-only pass over the corpus; the only shuffle is the final
+  * per-query top-k, k rows per query). The LSH variant bounds the scored
+  * candidates per query by bucketing both sides on a sign-random-projection
+  * key — the standard route when the corpus side is 100 TB.
+  */
+object Vectors {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product of two numeric array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, explicit formula (dot / (|a|·|b|)). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` by cosine (ties broken by candidate id — deterministic).
+    * `queries` is broadcast; scoring is a single narrow pass over `corpus`.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
+  }
+
+  /** All pairs with cosine ≥ threshold — embedding-space near-dup detection.
+    * Quadratic by definition; at scale, run on top of `annBucket` blocking.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic ±1 sign matrix for `planes` random hyperplanes over `dims`
+    * dimensions, derived from md5("p:d") (first hex nibble high bit) — the
+    * same construction the DuckDB oracle can replay. Computed once at plan
+    * time on the driver and embedded as literals: zero per-row hashing.
+    */
+  def hyperplaneSigns(planes: Int, dims: Int): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      val hex = mdt.digest(s"$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) >= '8') 1.0 else -1.0
+    }
+  }
+
+  /** Sign-random-projection LSH bucket key: one bit per hyperplane (sign of
+    * the projection), concatenated to a bit-string. Vectors in the same
+    * bucket are ANN candidates. Narrow per-row computation, codegen'd.
+    */
+  def annBucket(vec: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val signs = hyperplaneSigns(planes, dims)
+    concat((0 until planes).map { p =>
+      val plane = array(signs(p).map(lit): _*)
+      when(dot(vec, plane) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
+  /** ANN top-k: score only bucket-mates (same sign-projection key). Recall
+    * trades against bucket size via `planes`; the shuffle is an equi-join on
+    * the bucket key instead of a cross join.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      annBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      annBucket(col(vecCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
+  }
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local pre-verification harness (dev tool only — mimics the driver's t2
+check; NOT part of the shipped library). Runs after `sbt "runMain
+graft.Verify <sfDir> <outDir>"`:
+for each query output parquet, executes the matching oracle SQL in DuckDB
+over the same testdata parquet tables and compares schema-sorted values.
+"""
+import sys, json, glob, os
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+
+ok = bad = skip = 0
+for name in names:
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"NOOUT  {name}"); bad += 1; continue
+    mine = con.sql(f"SELECT * FROM '{files[0]}'")
+    if name not in oracle:
+        print(f"SKIP   {name} (rows-only: {mine.shape[0]} rows)"); skip += 1; continue
+    try:
+        ref = con.sql(oracle[name])
+    except Exception as e:
+        print(f"SQLERR {name}: {str(e).splitlines()[0][:160]}"); bad += 1; continue
+    mc, rc = sorted(mine.columns), sorted(ref.columns)
+    if mc != rc:
+        print(f"COLS   {name}: mine={mc} ref={rc}"); bad += 1; continue
+    a = mine.df()[mc]
+    b = ref.df()[rc]
+    if a.shape != b.shape:
+        print(f"SHAPE  {name}: mine={a.shape} ref={b.shape}"); bad += 1; continue
+    # exact value compare, row order as produced
+    mism = []
+    for c in mc:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x != y and not (x is None and y is None) and str(x) != str(y):
+                if not (isinstance(x, float) and isinstance(y, float) and x != x and y != y):
+                    mism.append((c, i, x, y))
+                    if len(mism) > 2: break
+        if len(mism) > 2: break
+    if mism:
+        print(f"VAL    {name}: {mism[:3]} ({a.shape[0]} rows)"); bad += 1
+    else:
+        print(f"OK     {name} ({a.shape[0]} rows)"); ok += 1
+
+print(f"\n{ok} ok, {bad} bad, {skip} rows-only, {len(oracle)} oracles")
+sys.exit(1 if bad else 0)
