@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+/** Load layer — reference parity for `etl/pipeline.py:239-310` (K1-K5,
+  * A1-A2), re-targeted from SQLite to Parquet tables under a warehouse
+  * directory (one subdir per table).
+  *
+  * Scale notes: full refresh is an atomic-enough `SaveMode.Overwrite`; the
+  * keyed upsert is anti-join + union (one shuffle on the key — the MERGE
+  * building block on immutable storage); lineage columns are constants per
+  * run, stamped once at plan time (NOT per-row current_timestamp()).
+  */
+final class Load(warehouse: String) {
+
+  def tablePath(name: String): String = s"$warehouse/$name"
+
+  /** K4: audit columns appended to every row (pipeline.py:277-279). */
+  def withLineage(df: DataFrame, runId: String, loadedAt: String): DataFrame =
+    df.withColumn("_etl_run_id", lit(runId))
+      .withColumn("_etl_loaded_at", lit(loadedAt))
+
+  /** K1+K2: full-refresh write, skipping (and reporting) empty inputs
+    * (pipeline.py:273-280). Returns rows written.
+    */
+  def fullRefresh(df: DataFrame, name: String): Long = {
+    val n = df.count()
+    if (n == 0) 0L
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+      n
+    }
+  }
+
+  /** K3: INSERT-OR-REPLACE one keyed row into a table (pipeline.py:286-296),
+    * creating it if absent (K5's CREATE IF NOT EXISTS).
+    */
+  def upsertRow(spark: SparkSession, name: String, keys: Seq[String],
+                row: DataFrame): Unit = {
+    val path = tablePath(name)
+    val exists = new java.io.File(path).exists()
+    val merged =
+      if (exists) Relational.upsertByKey(spark.read.parquet(path), row, keys)
+      else row
+    // Parquet has no in-place merge: stage the merged result, then swap.
+    val staged = s"$path.staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    spark.read.parquet(staged).write.mode(SaveMode.Overwrite).parquet(path)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** A2: one etl_runs metrics row (pipeline.py:286-297 success /
+    * 302-308 failure), shaped by Schemas.EtlRuns.
+    */
+  def metricsRow(spark: SparkSession, runId: String, startedAt: String,
+                 completedAt: String, status: String, tablesLoaded: Int,
+                 totalRows: Long, durationSeconds: Double): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(runId, startedAt, completedAt, status,
+        tablesLoaded, totalRows, durationSeconds)),
+      Schemas.EtlRuns)
+
+  /** Load every transformed table (K1/K2/K4) and return per-table rows
+    * written (A1 — pipeline.py:269-284).
+    */
+  def loadAll(tables: Map[String, DataFrame], runId: String,
+              loadedAt: String): Map[String, Long] =
+    tables.map { case (name, df) =>
+      name -> fullRefresh(withLineage(df, runId, loadedAt), name)
+    }
+}

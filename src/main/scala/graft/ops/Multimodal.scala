@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north star: "multimodal columns" —
+  * /root/repo/BASELINE.json). Media payloads are opaque BINARY columns with
+  * typed metadata structs; decode/feature-extraction runs as BATCHED
+  * per-partition inference (`mapPartitions` with an explicit micro-batch
+  * size — the Scala twin of a Pandas-UDF `mapInPandas` loop).
+  *
+  * The actual codec is a STUB (this container ships no image/audio libs —
+  * builder-prompt note): `StubCodec` produces deterministic fake features.
+  * Everything around it — schema, batching shape, partitioning, lineage of
+  * bytes → features — is real, tested, and is exactly what a production
+  * codec would drop into.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + declared metadata (never inferred). */
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Extracted features: fixed-dim embedding + basic decode metadata. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 width: Int, height: Int, features: Array[Float])
+
+  /** The decode/inference seam. Implementations MUST be batch-oriented:
+    * real codecs and models amortize setup per batch, not per record.
+    */
+  trait Codec extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic fake decode: "dimensions" from payload length, features
+    * from a rolling byte hash. Stands in for image resize / audio frame
+    * sample / model forward-pass.
+    */
+  final class StubCodec(dim: Int = 8) extends Codec {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val n = r.payload.length
+        val feats = Array.tabulate(dim) { i =>
+          var acc = i + 1
+          var j = i
+          while (j < n) { acc = acc * 31 + (r.payload(j) & 0xff); j += dim }
+          (acc & 0xffff).toFloat / 0xffff
+        }
+        MediaFeatures(r.media_id, r.kind, n, n % 640, n % 480, feats)
+      }
+  }
+
+  /** Batched feature extraction: one codec instance per PARTITION (setup
+    * amortized), records grouped into `batchSize` micro-batches inside each
+    * partition. Narrow transformation — no shuffle; scales with partitions.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], codec: Codec,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => codec.decodeBatch(b.toSeq))
+    }
+  }
+
+  /** Lift any table with a binary column into MediaRecords. */
+  def asMedia(df: DataFrame, idCol: String, kindCol: String,
+              payloadCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(kindCol).as("kind"), col(payloadCol).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end demo pipeline over the documents table: text bytes stand in
+    * for media payloads; returns features keyed by media_id.
+    */
+  def documentFeatures(spark: SparkSession, docs: DataFrame,
+                       batchSize: Int = 64): Dataset[MediaFeatures] =
+    extractFeatures(
+      asMedia(docs, "doc_id", "lang", "text"), new StubCodec(), batchSize)
+}
