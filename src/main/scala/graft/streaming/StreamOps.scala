@@ -20,11 +20,14 @@ object StreamOps {
   /** File-source stream of events rows (schema = the events table). At scale
     * this is the drop-in for a Kafka source — same downstream plan.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
-      .json(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dir)
+  }
 
   /** Tumbling window counts with a watermark: state for a window is dropped
     * once the watermark passes its end — bounded state at any scale.

@@ -1,0 +1,114 @@
+package graft.etl
+
+import graft.SparkSpec
+import scala.util.{Failure, Success, Try}
+
+/** K1-K5, A1-A2 and the run lifecycle (reference etl/pipeline.py:239-354). */
+class LoadPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("K1: full refresh replaces prior table contents") {
+    val load = new Load(tmpDir("wh"))
+    assert(load.fullRefresh(Seq(1, 2, 3).toDF("n"), "t") == 3L)
+    assert(load.fullRefresh(Seq(9).toDF("n"), "t") == 1L)
+    assert(spark.read.parquet(load.tablePath("t")).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("K2: empty DataFrame skipped, no table created") {
+    val load = new Load(tmpDir("wh"))
+    assert(load.fullRefresh(Seq.empty[Int].toDF("n"), "empty") == 0L)
+    assert(!new java.io.File(load.tablePath("empty")).exists())
+  }
+
+  test("K4: lineage columns constant per run") {
+    val load = new Load(tmpDir("wh"))
+    val rows = load.withLineage(Seq(1, 2).toDF("n"), "run1", "2026-08-12T00:00:00Z")
+      .collect()
+    assert(rows.forall(_.getAs[String]("_etl_run_id") == "run1"))
+    assert(rows.forall(_.getAs[String]("_etl_loaded_at") == "2026-08-12T00:00:00Z"))
+  }
+
+  test("K3+K5: upsertRow creates table if absent, then replaces by key") {
+    val load = new Load(tmpDir("wh"))
+    def row(id: String, status: String) =
+      load.metricsRow(spark, id, "s", "c", status, 6, 239L, 0.07)
+    load.upsertRow(spark, "etl_runs", Seq("run_id"), row("r1", "Success"))
+    load.upsertRow(spark, "etl_runs", Seq("run_id"), row("r2", "Success"))
+    load.upsertRow(spark, "etl_runs", Seq("run_id"), row("r1", "Failed: x"))
+    val out = spark.read.parquet(load.tablePath("etl_runs"))
+      .select("run_id", "status").as[(String, String)].collect().toMap
+    assert(out == Map("r1" -> "Failed: x", "r2" -> "Success"))
+  }
+
+  private val fixtureBodies = Map(
+    "agents" ->
+      """{"status":200,"data":[
+         {"uuid":"u1","displayName":"Gekko","isPlayableCharacter":true,
+          "role":{"displayName":"Initiator"},
+          "abilities":[{"slot":"A1","displayName":"Wingman"}]}]}""",
+    "weapons" ->
+      """{"status":200,"data":[
+         {"uuid":"w1","displayName":"Vandal",
+          "category":"EEquippableCategory::Rifle",
+          "weaponStats":{"damageRanges":[
+            {"rangeStartMeters":0,"rangeEndMeters":30,"headDamage":160.0,
+             "bodyDamage":40,"legDamage":34.0}]}}]}""",
+    "maps" -> """{"status":200,"data":[{"uuid":"m1","displayName":"Ascent"}]}""",
+    "gamemodes" -> """{"status":200,"data":[{"uuid":"g1","displayName":"Std"}]}""",
+    "competitivetiers" -> """{"status":200,"data":[{"uuid":"c1"}]}"""
+  ).map { case (k, v) => k -> v.replaceAll("\n\\s*", "") }
+
+  private def fixtureTransport: Extract.Transport = new Extract.Transport {
+    def fetch(url: String): Try[String] = {
+      val ep = url.split("/").last.takeWhile(_ != '?')
+      fixtureBodies.get(ep).map(Success(_))
+        .getOrElse(Failure(new RuntimeException(s"no fixture $ep")))
+    }
+  }
+
+  test("pipeline run: success path loads 5 tables + etl_runs metrics row") {
+    val cfg = PipelineConfig(warehouse = tmpDir("wh"), requestDelayMs = 0)
+    val clock = java.time.Instant.parse("2026-08-12T06:00:00Z")
+    val result = new Pipeline(spark, cfg, fixtureTransport, () => clock).run()
+    assert(result.status == "Success")
+    assert(result.runId == "20260812_060000")
+    assert(result.rowsByTable == Map("agents" -> 1L, "abilities" -> 1L,
+      "weapons" -> 1L, "weapon_damage" -> 1L, "maps" -> 1L, "gamemodes" -> 1L))
+    assert(result.totalRows == 6L)
+    val runs = spark.read.parquet(s"${cfg.warehouse}/etl_runs").collect()
+    assert(runs.length == 1)
+    assert(runs.head.getAs[String]("status") == "Success")
+    assert(runs.head.getAs[Int]("tables_loaded") == 6)
+    assert(runs.head.getAs[Long]("total_rows") == 6L)
+    // loaded tables carry lineage columns
+    val agents = spark.read.parquet(s"${cfg.warehouse}/agents")
+    assert(agents.columns.contains("_etl_run_id"))
+    assert(agents.head.getAs[String]("_etl_run_id") == "20260812_060000")
+  }
+
+  test("pipeline run: extraction failure degrades to empty tables, still Success") {
+    val downTransport = new Extract.Transport {
+      def fetch(url: String): Try[String] = Failure(new RuntimeException("down"))
+    }
+    val cfg = PipelineConfig(warehouse = tmpDir("wh"), requestDelayMs = 0,
+      retryAttempts = 1)
+    val result = new Pipeline(spark, cfg, downTransport).run()
+    assert(result.status == "Success") // reference degrades, doesn't abort
+    assert(result.totalRows == 0L)
+    val runs = spark.read.parquet(s"${cfg.warehouse}/etl_runs").collect()
+    assert(runs.head.getAs[Int]("tables_loaded") == 0)
+  }
+
+  test("runScheduled: run_on_start + interval sleeps between runs") {
+    val cfg = PipelineConfig(warehouse = tmpDir("wh"), requestDelayMs = 0,
+      intervalHours = 6)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ticks = Iterator.iterate(java.time.Instant.parse("2026-08-12T06:00:00Z"))(
+      _.plusSeconds(1))
+    val results = new Pipeline(spark, cfg, fixtureTransport, () => ticks.next())
+      .runScheduled(2, sleeps += _)
+    assert(results.map(_.status) == Seq("Success", "Success"))
+    assert(sleeps.toSeq == Seq(6L * 3600 * 1000))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Multimodal binary-column plumbing: batching shape, determinism, and the
+  * DataFrame lift (north-star extension; see ops/Multimodal.scala).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("extractFeatures: deterministic features regardless of batch size / partitioning") {
+    val media = (1L to 50L).map(i =>
+      Multimodal.MediaRecord(i, "image", Array.tabulate(i.toInt * 3)(_.toByte)))
+    def run(parts: Int, batch: Int) =
+      Multimodal.extractFeatures(
+        spark.createDataset(media).repartition(parts),
+        new Multimodal.StubCodec(), batch)
+        .collect().sortBy(_.media_id)
+        .map(f => (f.media_id, f.n_bytes, f.features.toSeq)).toSeq
+    val a = run(1, 64)
+    val b = run(7, 3)
+    assert(a == b)
+    assert(a.map(_._1) == (1L to 50L))
+  }
+
+  test("codec sees micro-batches bounded by batchSize, one codec per partition") {
+    val sizes = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val counting = new Multimodal.Codec {
+      private val inner = new Multimodal.StubCodec()
+      def decodeBatch(batch: Seq[Multimodal.MediaRecord]) = {
+        sizes.add(batch.size)
+        inner.decodeBatch(batch)
+      }
+    }
+    val media = (1L to 20L).map(i => Multimodal.MediaRecord(i, "audio", Array(i.toByte)))
+    Multimodal.extractFeatures(
+      spark.createDataset(media).repartition(2), counting, batchSize = 4).count()
+    import scala.jdk.CollectionConverters._
+    val observed = sizes.value.asScala.toSeq
+    assert(observed.forall(_ <= 4))
+    assert(observed.sum == 20)
+  }
+
+  test("asMedia lifts any table's binary column; documentFeatures runs end-to-end") {
+    val docs = Seq((10L, "en", "hello world"), (11L, "de", "hallo"))
+      .toDF("doc_id", "lang", "text")
+    val feats = Multimodal.documentFeatures(spark, docs).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq(10L, 11L))
+    assert(feats(0).n_bytes == 11)
+    assert(feats(0).features.length == 8)
+    assert(feats.forall(_.features.forall(f => f >= 0f && f <= 1f)))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.EventOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming twins of the batch event operators: a file-source
+  * stream processed with Trigger.AvailableNow into a memory sink must agree
+  * with the batch form on the same data (one definition, two modes).
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val eventsJsonDir: String = {
+    val dir = tmpDir("events-stream")
+    val rows = Seq(
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.5,"props":"{}"}""",
+      """{"event_id":2,"ts":"2026-01-01T00:04:00Z","user_id":1,"event_type":"click","value":2.0,"props":"{}"}""",
+      """{"event_id":3,"ts":"2026-01-01T00:12:00Z","user_id":1,"event_type":"view","value":0.25,"props":"{}"}""",
+      """{"event_id":4,"ts":"2026-01-01T01:00:00Z","user_id":2,"event_type":"click","value":4.0,"props":"{}"}""",
+      """{"event_id":5,"ts":"2026-01-01T01:05:00Z","user_id":2,"event_type":"click","value":1.0,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part1.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    // A later sentinel event in a SECOND file: with maxFilesPerTrigger=1 it
+    // forms a second micro-batch whose arrival advances the watermark past
+    // every real window, flushing append-mode aggregate state. Its own
+    // window stays open (correct) — assertions exclude event_type=sentinel.
+    Thread.sleep(5) // distinct mtime so the file source orders part1 first
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part2.json"),
+      """{"event_id":99,"ts":"2026-01-01T09:00:00Z","user_id":9,"event_type":"sentinel","value":0.0,"props":"{}"}"""
+        .getBytes("UTF-8"))
+    dir
+  }
+
+  private def readStreamBatched: DataFrame =
+    StreamOps.readEventStream(spark, eventsJsonDir, maxFilesPerTrigger = Some(1))
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink and return the materialized result.
+    */
+  private def runToMemory(df: DataFrame, name: String,
+                          outputMode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", tmpDir(s"ckpt-$name"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def batchEvents: DataFrame =
+    spark.read.schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING").json(eventsJsonDir)
+
+  test("tumblingCounts: streaming result equals the batch twin") {
+    val streamed = runToMemory(
+      StreamOps.tumblingCounts(readStreamBatched), "tumbling", "append")
+      .filter("event_type <> 'sentinel'")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventOps.tumblingCounts(
+      batchEvents.filter("event_type <> 'sentinel'"))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3) // (00:00 click), (00:10 view), (01:00 click)
+  }
+
+  test("sessionize: 30-min-gap sessions close at watermark, match expectations") {
+    val out = runToMemory(
+      StreamOps.sessionize(readStreamBatched), "sessions", "append")
+      .filter("user_id <> 9")
+      .orderBy("user_id", "session_start").collect()
+    // user 1: events at 00:01/00:04/00:12 → one session; user 2: 01:00/01:05
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Long]("n_events") == 3L)
+    assert(out(1).getAs[Long]("n_events") == 2L)
+  }
+
+  test("dedupFirstArrival: one survivor per (user_id, event_type)") {
+    val out = runToMemory(
+      StreamOps.dedupFirstArrival(readStreamBatched), "dedup", "append")
+      .filter("event_type <> 'sentinel'")
+    assert(out.count() == 3) // (1,click),(1,view),(2,click)
+  }
+
+  test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
+    val out = runToMemory(
+      StreamOps.runningUserCounts(spark, readStreamBatched),
+      "running", "update")
+      .filter("user_id <> 9")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      .toSeq == Seq((1L, 3L), (2L, 2L)))
+  }
+}
