@@ -119,13 +119,19 @@ object TextQueries extends Catalog {
              |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
              |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
              |  FROM t),
+             |hv AS (
+             |  SELECT doc_id, ts, list_transform(ts,
+             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+             |  FROM toks),
              |sigs AS (
              |  SELECT doc_id, list_transform(range(16), s ->
-             |    list_min(list_transform(ts, t -> md5(s::VARCHAR || ':' || t)))) AS sig
-             |  FROM toks),
+             |    list_min(list_transform(hv,
+             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+             |  FROM hv),
              |bands AS (
              |  SELECT doc_id, b AS band,
-             |    md5(array_to_string(sig[b * 2 + 1 : b * 2 + 2], '|')) AS band_key
+             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+             |      x -> x::VARCHAR), ':') AS band_key
              |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
              |cand AS (
              |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
@@ -153,24 +159,25 @@ object TextQueries extends Catalog {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
-    // X3c: exact n-gram (3-shingle) Jaccard pairs with PPJoin-style blocking
-    // on (lang, min token) — the O(n²) scan becomes one equi-join shuffle.
+    // X3c: exact n-gram (3-shingle) Jaccard pairs ≥ 0.6 per language.
+    // The Spark side prunes the O(n²) scan with LOSSLESS PPJoin prefix
+    // filtering (rarest ⌊0.4·n⌋+1 shingles); the oracle is the plain
+    // quadratic DEFINITION — the hash match proves the pruning drops
+    // nothing.
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(load(s, dir, "documents"), 3, 0.6)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH t AS (
-             |  SELECT doc_id AS id, lang, $TokSet AS ts, $Toks AS l FROM documents),
-             |sh AS (
-             |  SELECT id, lang, ts[1] AS blk,
-             |    CASE WHEN len(l) < 3 THEN []::VARCHAR[]
-             |      ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
-             |        i -> array_to_string(l[i : i + 2], ' ')))) END AS sh
-             |  FROM t)
+             |  SELECT doc_id AS id, lang,
+             |    CASE WHEN len($Toks) < 3 THEN []::VARCHAR[]
+             |      ELSE list_sort(list_distinct(list_transform(range(1, len($Toks) - 1),
+             |        i -> array_to_string(($Toks)[i : i + 2], ' ')))) END AS sh
+             |  FROM documents)
              |SELECT doc_a, doc_b, jaccard FROM (
              |  SELECT a.id AS doc_a, b.id AS doc_b,
              |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
              |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-             |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.blk = b.blk AND a.id < b.id) p
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Multimodal plumbing: opaque binary column + typed metadata — byte

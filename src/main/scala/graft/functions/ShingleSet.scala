@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sorted distinct word-n-gram (shingle) set of a token array.
+  *
+  * Semantically identical to the HOF composition
+  * `array_sort(array_distinct(transform(sequence(1, m-n+1),
+  * i -> concat_ws(" ", slice(toks, i, n)))))` but built in ONE compiled
+  * pass: the interpreted chain walks five lambda layers and allocates a
+  * sliced array per window, which made shingling itself the hottest stage
+  * of every text-dedup pipeline. Order matches `array_sort`'s binary
+  * UTF8 comparison (= DuckDB's default collation on this corpus).
+  */
+object ShingleSetHelper {
+  private val Sep = UTF8String.fromString(" ")
+
+  def build(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i + n <= m) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var j = 0
+      while (j < n) {
+        val t = tokens.getUTF8String(i + j)
+        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        if (j < n - 1) parts(2 * j + 1) = Sep
+        j += 1
+      }
+      set.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+  }
+}
+
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_set requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleSetHelper.build(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSetHelper.build($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_set"
+}
+
+object ShingleSet {
+  def apply(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(tokens), n))
+}

@@ -34,26 +34,26 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** MinHash signature of a token set: for seed s, min over tokens of
-    * md5(s:token). Lexicographic min over hex digests is a valid uniform
-    * permutation proxy (any total order on a uniform hash works), and —
-    * unlike murmur3 — md5 is bit-identical in every engine, so the oracle
-    * can recompute signatures. Nested higher-order functions: the outer
-    * `transform` runs per seed, the inner per token; all codegen, no shuffle.
+  /** 28-bit integer hash of a token: first 7 hex chars of md5, parsed as an
+    * int. md5 — unlike murmur3 — is bit-identical in every engine, and hex
+    * parsing is too (`conv(...,16,10)` here ≡ `('0x'||...)::BIGINT` in the
+    * oracle), so signatures are cross-engine reproducible.
     */
-  def minHashSignature(tokenSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(tokenSet,
-        t => md5(concat(s.cast("string"), lit(":"), t).cast("binary")))))
+  def tokenHash28(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long")
 
-  /** LSH band keys: signature split into `bands` rows of `rowsPerBand`,
-    * each band hashed to one key. Docs sharing any band key are candidates.
+  /** Prime modulus for the permutation family (largest prime < 2^28). */
+  val MinHashPrime = 268435399L
+
+  /** Seed-s permutation of a 28-bit token hash: `((2s+3)·h + 12289·s + 1)
+    * mod P` — exact in 64-bit for every engine (max product ≈ 2^33), so the
+    * oracle replays it verbatim. One md5 per token total; per seed only
+    * integer arithmetic — versus numHashes md5 calls per token for the
+    * textbook md5(seed:token) form.
     */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))
-          .cast("binary")).as("band_key")))
+  def minHashPerm(seed: Int, h: Column): Column =
+    (lit(2L * seed + 3L) * h + lit(12289L * seed + 1L)) % MinHashPrime
+
 
   /** Exact Jaccard similarity of two token-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -67,9 +67,12 @@ object Dedup {
     * encode local order and separate true near-dups from topical overlap.
     *
     * Plan shape (the part that must survive 100 TB):
-    *   1. per-doc signature + band keys — narrow, codegen, no shuffle;
-    *   2. explode band keys → self-equi-join on (band, band_key) — ONE
-    *      shuffle keyed by a 16-byte band key; bucket sizes are the only
+    *   1. shingle-explode → row-level 28-bit hash → `groupBy(doc).agg(min
+    *      per seed)`: entirely whole-stage codegen (no interpreted
+    *      higher-order functions), with map-side partial min, so the ONE
+    *      shuffle carries numHashes longs per doc — not tokens, not text;
+    *   2. band keys from the signature → self-equi-join on (band, band_key)
+    *      — one shuffle keyed by a short string; bucket sizes are the only
     *      quadratic term and LSH keeps them small;
     *   3. distinct candidate pairs → join back to shingle sets → exact
     *      Jaccard filter.
@@ -85,9 +88,18 @@ object Dedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val toks = docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("ts"))
-    val banded = toks
-      .withColumn("sig", minHashSignature(col("ts"), numHashes))
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val sigCols = (0 until numHashes).map(s =>
+      min(minHashPerm(s, col("h"))).as(s"s$s"))
+    val sigs = toks
+      .select(col("id"), explode(col("ts")).as("t"))
+      .select(col("id"), tokenHash28(col("t")).as("h"))
+      .groupBy(col("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col(s"s${b * rowsPerBand + r}").cast("string")): _*).as("band_key"))
+      }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -127,31 +139,51 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Token n-gram (shingle) set of a text column — distinct, sorted.
-    * Guarded: texts shorter than n tokens yield an EMPTY set (Spark's
-    * `sequence(1, 0)` would count DOWN, not produce nothing).
+    * Texts shorter than n tokens yield an EMPTY set. Native single-pass
+    * expression (`graft.functions.ShingleSet`); the equivalent HOF chain
+    * (`transform(sequence…)` + `array_distinct` + `array_sort`) computes the
+    * same value but dominated every dedup pipeline's runtime.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = Text.tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_sort(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.ShingleSet(Text.tokens(text), n)
 
-  /** Exact n-gram-Jaccard near-dup pairs with min-token blocking: candidate
-    * pairs must share language AND the lexicographically smallest token
-    * (prefix-filtering — a PPJoin-style block that turns the O(n²) scan into
-    * a self-equi-join; one shuffle on the block key).
+  /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering
+    * (Xiao et al., WWW'08 — public algorithm): under any global total order
+    * on shingles, two sets with Jaccard ≥ t MUST share an element within the
+    * first ⌊(1−t)·|set|⌋+1 shingles of each. Ordering by ascending document
+    * frequency makes those prefix shingles the RAREST ones, so candidate
+    * blocks are tiny, and the filter is LOSSLESS: output is provably
+    * identical to the full quadratic scan (the oracle runs the quadratic
+    * definition — the match proves it).
+    *
+    * Plan shape at scale: shingle-explode → df count (shuffle on shingle,
+    * partial aggs) → per-doc rank (shuffle on doc) → prefix self-equi-join
+    * on (lang, shingle) — every stage is a standard distributed shuffle on
+    * a small key; nothing is quadratic except within prefix-shingle blocks,
+    * which df-ordering keeps near-singleton.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id").as("id"), col("lang"),
-      Text.tokenSet(col("text")).as("ts"), shingles(col("text"), n).as("sh"))
-      .withColumn("blk", col("ts").getItem(0))
-    t.as("a").join(t.as("b"),
-        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+      shingles(col("text"), n).as("sh"))
+    val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
+      size(col("sh")).as("n"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .select(col("id"), col("lang"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cand
+      .join(t.select(col("id").as("i"), col("sh").as("sh_a")), "i")
+      .join(t.select(col("id").as("j"), col("sh").as("sh_b")), "j")
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * /root/repo/BASELINE.json; SURVEY §2.9 X4). Operates on
   * `embeddings(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)`.
   *
-  * All math runs in DOUBLE via codegen'd higher-order functions
-  * (`zip_with` + `aggregate`) — strictly sequential left-to-right folds, so
-  * results are bit-reproducible and mirrorable by the DuckDB oracle. No UDFs.
+  * All math runs in DOUBLE as strictly sequential left-to-right folds, so
+  * results are bit-reproducible and mirrorable by the DuckDB oracle. The
+  * fold is a native codegen expression (`graft.functions.DotProduct`) —
+  * the higher-order-function form (`aggregate(zip_with(...))`) computes the
+  * identical value but allocates an intermediate array per row-pair, which
+  * dominates runtime inside pairwise similarity joins.
   *
   * Scale design: brute-force top-k is the correctness baseline (broadcast the
   * query set — it is small by construction — so candidate scoring is a
@@ -20,11 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  private def asDouble(v: Column): Column = v.cast("array<double>")
-
-  /** Dot product of two numeric array columns, computed in double. */
+  /** Dot product of two numeric array columns, computed in double
+    * (native codegen; same sequential accumulation as the HOF fold).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+    graft.functions.ArrayMath.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,11 +40,13 @@ object Vectors {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
@@ -51,11 +56,19 @@ object Vectors {
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+    // Norms precomputed per VECTOR, not per pair — sqrt(dot(v,v)) is the
+    // same IEEE value either way, but inside the pair join it would run
+    // O(n²) times instead of O(n).
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    // Both predicates live in the join condition ON PURPOSE, id-order first:
+    // left alone, Catalyst pushes the later cosine filter into the join
+    // AHEAD of the cheap id comparison, doubling the dot-product work
+    // (the condition short-circuits left-to-right).
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id") && cos >= threshold)
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        cos.as("cosine"))
   }
 
   /** Deterministic ±1 sign matrix for `planes` random hyperplanes over `dims`
@@ -92,12 +105,12 @@ object Vectors {
               planes: Int = 8, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      annBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("qn"), annBucket(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      annBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("cn"), annBucket(col(vecCol), planes).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
