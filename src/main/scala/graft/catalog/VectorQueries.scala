@@ -86,6 +86,44 @@ object VectorQueries extends Catalog {
              |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // ANN, IVF-Flat shape: deterministic coarse centroids (every 50th id),
+    // nearest-centroid assignment = inverted-list cell, queries probe their
+    // 2 nearest cells and score only those lists. The oracle replays index
+    // build, probe selection AND scoring. At scale the corpus is written
+    // bucketed by cell, so a probe reads nprobe/cells of the data.
+    Q("sim_ann_ivf",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        Vectors.ivfTopK(emb, emb.filter(col("vec_id") % 100 === 0), 5,
+            centroidEvery = 50, nprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
+             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+             |asg AS (
+             |  SELECT vec_id, cell, e, nrm FROM (
+             |    SELECT n.vec_id, c.cid AS cell, n.e, n.nrm,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+             |    FROM n, c) t WHERE crk = 1),
+             |probes AS (
+             |  SELECT query_id, cell, e, nrm FROM (
+             |    SELECT n.vec_id AS query_id, c.cid AS cell, n.e, n.nrm,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+             |    FROM n, c WHERE n.vec_id % 100 = 0) t WHERE crk <= 2),
+             |s AS (
+             |  SELECT p.query_id, a.vec_id AS neighbor_id,
+             |    round(${dotSql("p.e", "a.e")} / (p.nrm * a.nrm), 6) AS cosine
+             |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)
+             |SELECT query_id, rank, neighbor_id, cosine FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Label-centroid stats: per-label mean vector norm — groupBy over array
     // columns with exact element-ordered folds. Rows-only oracle is NOT
     // needed: norms are deterministic, but per-label mean of doubles is

@@ -97,6 +97,46 @@ object Vectors {
     }: _*)
   }
 
+  /** IVF-Flat ANN: coarse quantization + inverted lists — the other
+    * standard scale path besides LSH (`annTopK`).
+    *
+    * Centroids are chosen by a deterministic rule (every `centroidEvery`-th
+    * corpus id) so the oracle can replay the exact index build; a production
+    * build would k-means them, which changes only the centroid table. Every
+    * corpus vector is assigned to its nearest centroid (cosine, ties to the
+    * smaller centroid id) — the cell id IS the inverted-list key. A query
+    * probes its `nprobe` nearest cells and scores only their members.
+    *
+    * Scale shape: the centroid table is tiny and BROADCAST, so assignment is
+    * a narrow map pass over the corpus (at 100 TB: write the corpus
+    * partitioned/bucketed by cell once, then probes touch nprobe/cells of
+    * the data); scoring shuffles on the cell key only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroidEvery: Int = 50, nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def normed(df: DataFrame, prefix: String) =
+      df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"),
+        norm(col(vecCol)).as(s"${prefix}n"))
+    val cents = broadcast(normed(corpus.filter(col(idCol) % centroidEvery === 0), "c"))
+    def nearestCells(src: DataFrame, p: String, keep: Int) =
+      src.join(cents, lit(true))
+        .withColumn("c_cos", dot(col(s"${p}v"), col("cv")) / (col(s"${p}n") * col("cn")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col(s"${p}id")).orderBy(col("c_cos").desc, col("cid").asc)))
+        .filter(col("crk") <= keep)
+        .select(col("cid").as("cell"), col(s"${p}id"), col(s"${p}v"), col(s"${p}n"))
+    val lists = nearestCells(normed(corpus, "x"), "x", 1)
+    val probes = nearestCells(normed(queries, "q"), "q", nprobe)
+    val scored = probes.join(lists, "cell")
+      .filter(col("qid") =!= col("xid"))
+      .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
+        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
+  }
+
   /** ANN top-k: score only bucket-mates (same sign-projection key). Recall
     * trades against bucket size via `planes`; the shuffle is an equi-join on
     * the bucket key instead of a cross join.
