@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.etl.{Schemas, Transforms}
+import graft.ops.Dedup
+
+/** Property-based invariants (SURVEY §5): transforms tolerate arbitrary
+  * null/missing shapes without throwing, and the accelerated operators are
+  * equivalent to their naive definitions on random inputs.
+  *
+  * Uses ScalaCheck generators with a small deterministic sampler (each case
+  * runs Spark jobs, so we keep case counts low and seeds fixed instead of
+  * pulling in the scalatest-plus bridge).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forAll[T](gen: Gen[T], cases: Int = 8)(body: T => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val genStr = Gen.option(Gen.alphaNumStr.map(_.take(30)))
+  private val genAbility: Gen[Row] = for {
+    slot <- genStr; name <- genStr; desc <- genStr
+  } yield Row(slot.orNull, name.orNull, desc.orNull)
+
+  private val genAgent: Gen[Row] = for {
+    uuid <- genStr; name <- genStr
+    desc <- Gen.option(Gen.listOfN(600, Gen.alphaChar).map(_.mkString))
+    icon <- genStr
+    playable <- Gen.option(Gen.oneOf(true, false))
+    role <- Gen.option(genStr.map(r => Row(r.orNull)))
+    abilities <- Gen.option(Gen.listOf(genAbility).map(_.take(5)))
+  } yield Row(uuid.orNull, name.orNull, desc.orNull, icon.orNull,
+    playable.map(Boolean.box).orNull, role.orNull, abilities.orNull)
+
+  test("agents/abilities transforms never throw and hold invariants on arbitrary null shapes") {
+    forAll(Gen.listOf(genAgent).map(_.take(12))) { rows =>
+      val raw = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), Schemas.Agent)
+      val agents = Transforms.agents(raw).collect()
+      val abilities = Transforms.abilities(raw).collect()
+      val playable = rows.count(r => r.get(4) == java.lang.Boolean.TRUE)
+      assert(agents.length == playable)
+      assert(agents.forall(_.getAs[String]("description").length <= 500))
+      assert(agents.forall(!_.isNullAt(0))) // null-default fills applied
+      val expectedAbilities = rows.filter(_.get(4) == java.lang.Boolean.TRUE)
+        .map(r => Option(r.get(6)).map(_.asInstanceOf[Seq[_]].size).getOrElse(0)).sum
+      assert(abilities.length == expectedAbilities)
+    }
+  }
+
+  private val genWeapon: Gen[Row] = for {
+    uuid <- genStr; name <- genStr; cat <- genStr; icon <- genStr
+    cost <- Gen.option(Gen.choose(0L, 9000L))
+    nRanges <- Gen.choose(0, 4)
+    stats <- Gen.option(Gen.listOfN(nRanges, Gen.choose(0.0, 200.0)).map { ds =>
+      Row(9.0, 25L, 2.5, 1.0, 0.25, "EWallPenetrationDisplayType::Medium",
+        ds.map(d => Row(0.0, 30.0, d, d, d)))
+    })
+    shop <- Gen.option(cost.map(c => Row(c)).getOrElse(Row(null)))
+  } yield Row(uuid.orNull, name.orNull, cat.orNull, icon.orNull,
+    shop.orNull, stats.orNull)
+
+  test("weapon transforms: damage rows = Σ ranges over weapons with stats; no throw") {
+    forAll(Gen.listOf(genWeapon).map(_.take(10))) { rows =>
+      val raw = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), Schemas.Weapon)
+      val weapons = Transforms.weapons(raw).collect()
+      val damage = Transforms.weaponDamage(raw).collect()
+      assert(weapons.length == rows.size)
+      val expected = rows.map(r => Option(r.get(5))
+        .map(_.asInstanceOf[Row].getSeq[Row](6).size).getOrElse(0)).sum
+      assert(damage.length == expected)
+      assert(damage.forall(_.getAs[Int]("range_index") >= 0))
+    }
+  }
+
+  test("native DotProduct is bit-identical to the HOF fold it replaced") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
+    forAll(Gen.listOfN(20, Gen.zip(genVec, genVec))) { pairs =>
+      whenever(pairs.nonEmpty) {
+        val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }
+          .toDF("a", "b")
+        val both = df.select(
+          graft.functions.ArrayMath.dotNative(col("a"), col("b")).as("native"),
+          aggregate(zip_with(col("a").cast("array<double>"),
+            col("b").cast("array<double>"), _ * _), lit(0.0), _ + _).as("hof"))
+          .collect()
+        both.foreach { r =>
+          assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        }
+      }
+    }
+  }
+
+  test("native ShingleSet equals the HOF composition it replaced") {
+    import spark.implicits._
+    val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+      .map(_.take(12).mkString(" "))
+    forAll(Gen.listOfN(15, genDoc)) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("text")
+        val toks = split(col("text"), " ")
+        val hof = when(size(toks) < 3, array().cast("array<string>"))
+          .otherwise(array_sort(array_distinct(
+            transform(sequence(lit(1), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i, lit(3)))))))
+        val rows = df.select(
+          graft.functions.ShingleSet(toks, 3).as("native"), hof.as("hof"))
+          .collect()
+        rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+      }
+    }
+  }
+
+  test("prefix-filtered ngramJaccardPairs equals the brute-force quadratic definition") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // corpus with deliberate near-dups: small random edits of a base doc
+    val genDoc = for {
+      drop <- Gen.choose(0, 3)
+      extra <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma")).map(_.take(3))
+    } yield (base.split(" ").drop(drop) ++ extra).mkString(" ")
+    forAll(Gen.listOfN(25, genDoc)) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, "en", t) }
+          .toDF("doc_id", "lang", "text")
+        val fast = Dedup.ngramJaccardPairs(docs, 3, 0.6)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        // brute force in plain Scala over the same shingle definition
+        def sh(t: String): Set[String] =
+          t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+            .map(_.mkString(" ")).toSet
+        val shs = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+        val slow = (for {
+          (ia, sa) <- shs; (ib, sb) <- shs if ia < ib
+          inter = (sa & sb).size; uni = (sa | sb).size
+          if uni > 0 && inter.toDouble / uni >= 0.6
+        } yield (ia, ib)).toSet
+        assert(fast == slow)
+      }
+    }
+  }
+}
