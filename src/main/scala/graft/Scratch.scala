@@ -39,13 +39,12 @@ object Scratch {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
 
-    time("warm ngram")(Dedup.ngramJaccardPairs(docs, 3, 0.6).count())
-    val emb = graft.tables.Tables.load(spark, dir, "embeddings")
-    val pairs = graft.ops.Vectors.cosineNearDupPairs(emb, 0.4)
-    pairs.explain("formatted")
-    time("emb cosine 1")(pairs.count())
-    time("emb cosine 2")(pairs.count())
-    time("emb cosine 3")(pairs.count())
+    println("=== ENTRY PLAN ===")
+    SparkEntry.entry(spark).explain("formatted")
+    println("=== PRUNING: quality over documents (text needed) ===")
+    SparkEntry.queries("text_lang_stats")(spark, dir).explain("formatted")
+    println("=== JOIN: inner equi ===")
+    SparkEntry.queries("join_inner_equi")(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -50,4 +50,25 @@ object Relational {
     */
   def rangeBucketJoin(fact: DataFrame, buckets: DataFrame, value: Column): DataFrame =
     fact.join(broadcast(buckets), value >= buckets("lo") && value < buckets("hi"))
+
+  /** Skew-resistant equi-join: salt the (skewed) left side into `salts`
+    * sub-keys and replicate the right side across all salts, so one hot key
+    * spreads over `salts` reducers instead of melting one. The salt is a
+    * deterministic content hash, never `rand()` — task retries must land
+    * rows on the same salt or results change under failure.
+    *
+    * Result is EXACTLY the plain inner equi-join (the right side is
+    * replicated to every salt, so no pair is lost or duplicated) — use when
+    * AQE's runtime skew splitting isn't available (e.g. the skewed join
+    * feeds a co-partitioned downstream op) or key skew is known up front.
+    */
+  def saltedEquiJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                     salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val left = skewed.withColumn("_salt",
+      pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val right = other.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    left.join(right, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -81,6 +81,58 @@ object StreamOps {
       .toDF("user_id", "n_events", "last_ts")
   }
 
+  /** Stream-stream interval join: each `click` joined to the same user's
+    * `signup` that happened at most `horizon` earlier. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so join
+    * state is dropped once the watermark passes — bounded state, the
+    * canonical streaming enrichment shape.
+    */
+  def clicksAfterSignup(events: DataFrame, horizon: String = "1 hour",
+                        watermark: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    clicks.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("click_ts") >= col("signup_ts") &&
+        col("click_ts") <= col("signup_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"),
+        unix_timestamp(col("signup_ts")).as("signup_epoch"),
+        unix_timestamp(col("click_ts")).as("click_epoch"))
+  }
+
+  /** Keyed-upsert sink via foreachBatch: each micro-batch MERGEs into a
+    * Parquet table by key (latest event per key wins within the batch via
+    * deterministic ordering). The streaming twin of the reference's
+    * `INSERT OR REPLACE` run-metadata sink (K3) — exactly-once per key given
+    * checkpointed batch ids.
+    */
+  def upsertSink(df: DataFrame, path: String, checkpoint: String,
+                 keys: Seq[String], orderCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val latest = graft.ops.Relational.firstPerKey(
+          batch, keys, orderCols.map(c => col(c).desc))
+        val merged =
+          if (new java.io.File(path).exists())
+            graft.ops.Relational.upsertByKey(
+              spark.read.parquet(path), latest, keys)
+          else latest
+        val staged = s"$path.staging"
+        merged.write.mode("overwrite").parquet(staged)
+        spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(staged), true)
+        ()
+      }
+
   /** Sink helper: append to Parquet with checkpointing (exactly-once file
     * sink semantics).
     */

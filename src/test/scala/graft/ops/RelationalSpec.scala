@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Relational utilities not covered by the oracle catalog. */
+class RelationalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedEquiJoin equals the plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (1 to 500).map(i => (if (i % 10 == 0) i.toLong else 7L, s"v$i"))
+      .toDF("k", "payload")
+    val right = (1L to 60L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Relational.saltedEquiJoin(left, right, Seq("k"), salts = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedEquiJoin spreads a hot key across salt partitions") {
+    val left = (1 to 400).map(i => (7L, s"v$i")).toDF("k", "payload")
+    val salts = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .select("_salt").distinct().count()
+    assert(salts > 4) // content-hash salt actually disperses the hot key
+  }
+
+  test("firstPerKey keeps the deterministic survivor") {
+    val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
+      .toDF("id", "tag", "v")
+    val out = Relational.firstPerKey(df, Seq("id"), Seq(col("tag").asc))
+      .select("id", "tag").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "c")))
+  }
+}

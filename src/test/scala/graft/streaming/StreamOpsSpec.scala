@@ -86,6 +86,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 3) // (1,click),(1,view),(2,click)
   }
 
+  test("clicksAfterSignup: stream-stream interval join matches the batch join") {
+    val dir = tmpDir("events-join")
+    val rows = Seq(
+      """{"event_id":10,"ts":"2026-01-01T00:00:30Z","user_id":1,"event_type":"signup","value":0,"props":"{}"}""",
+      """{"event_id":11,"ts":"2026-01-01T00:05:00Z","user_id":1,"event_type":"click","value":1,"props":"{}"}""",
+      """{"event_id":12,"ts":"2026-01-01T02:00:00Z","user_id":1,"event_type":"click","value":1,"props":"{}"}""",
+      """{"event_id":13,"ts":"2026-01-01T00:10:00Z","user_id":2,"event_type":"click","value":1,"props":"{}"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p1.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+    val out = runToMemory(
+      StreamOps.clicksAfterSignup(StreamOps.readEventStream(spark, dir)),
+      "ssjoin", "append").collect()
+    // only click 11 is within 1h of user 1's signup; 12 is too late, user 2
+    // never signed up
+    assert(out.map(_.getAs[Long]("click_id")).toSeq == Seq(11L))
+    val batch = spark.read.schema("event_id BIGINT, ts TIMESTAMP, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE, props STRING").json(dir)
+    val batchOut = StreamOps.clicksAfterSignup(batch).collect()
+    assert(out.map(_.toSeq).toSet == batchOut.map(_.toSeq).toSet)
+  }
+
+  test("upsertSink: foreachBatch keyed merge keeps latest event per key across batches") {
+    val path = tmpDir("upsert-out") + "/state"
+    val q = StreamOps.upsertSink(
+      readStreamBatched.selectExpr("user_id", "event_type", "event_id", "ts"),
+      path, tmpDir("ckpt-upsert"), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.read.parquet(path)
+      .select("user_id", "event_type", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "click", 2L), (1L, "view", 3L),
+      (2L, "click", 5L), (9L, "sentinel", 99L)))
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
