@@ -192,5 +192,21 @@ object TextQueries extends Catalog {
       Some("""SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
              |md5(text) AS content_md5, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal decode path: batched per-partition feature extraction
+    // behind the pluggable codec seam (stub codec — container ships no
+    // image/audio libs; the Spark plumbing is the deliverable). The codec
+    // output is not ANSI-SQL-expressible → deliberately NO oracle entry;
+    // the driver records a rows-only check, and MultimodalSpec pins the
+    // batching/determinism semantics.
+    Q("multimodal_features",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        graft.ops.Multimodal.documentFeatures(s, load(s, dir, "documents"))
+          .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+            col("width"), col("height"), col("features"))
+          .orderBy(col("media_id"))
+      },
+      None),
   )
 }
