@@ -246,6 +246,19 @@ object RelationalQueries extends Catalog {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // collect_set twin: per-customer distinct order priorities (sorted for
+    // determinism — set iteration order is engine-local).
+    Q("agg_collect_set",
+      (s, dir) => load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+             |array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             |  AS priorities
+             |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
     Q("sort_topk_limit",
       (s, dir) => load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
