@@ -34,6 +34,32 @@ final class Load(warehouse: String) {
     }
   }
 
+  /** K1 at scale: full refresh of a PARTITIONED table. Rows land in one
+    * directory per partition value (`part=.../`), so downstream readers
+    * get partition pruning for free and a reload of one partition value
+    * never rewrites the others (dynamic overwrite). `targetPartitions`
+    * repartitions by the partition columns first — one shuffle that both
+    * co-locates writers (one file per partition dir per task, not one per
+    * task × partition: the small-files killer at 100 TB) and bounds file
+    * count.
+    */
+  def fullRefreshPartitioned(df: DataFrame, name: String,
+                             partitionCols: Seq[String],
+                             targetPartitions: Int = 0): Long = {
+    val n = df.count()
+    if (n == 0) 0L
+    else {
+      val arranged =
+        if (targetPartitions > 0)
+          df.repartition(targetPartitions, partitionCols.map(df(_)): _*)
+        else df.repartition(partitionCols.map(df(_)): _*)
+      arranged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(tablePath(name))
+      n
+    }
+  }
+
   /** K3: INSERT-OR-REPLACE one keyed row into a table (pipeline.py:286-296),
     * creating it if absent (K5's CREATE IF NOT EXISTS).
     */

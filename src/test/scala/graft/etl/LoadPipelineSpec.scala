@@ -29,6 +29,28 @@ class LoadPipelineSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("_etl_loaded_at") == "2026-08-12T00:00:00Z"))
   }
 
+  test("partitioned full refresh: partition dirs, pruning-ready layout, dynamic overwrite") {
+    val load = new Load(tmpDir("wh"))
+    val v1 = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("part", "v")
+    assert(load.fullRefreshPartitioned(v1, "t", Seq("part"), 2) == 3L)
+    val root = new java.io.File(load.tablePath("t"))
+    assert(root.listFiles().map(_.getName).toSet.filter(_.startsWith("part="))
+      == Set("part=a", "part=b"))
+    // dynamic overwrite: rewriting only part=a leaves part=b intact
+    val v2 = Seq(("a", 9)).toDF("part", "v")
+    load.fullRefreshPartitioned(v2, "t", Seq("part"))
+    val out = spark.read.parquet(load.tablePath("t"))
+      .select("part", "v").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 9), ("b", 3)))
+  }
+
+  test("envelope unwrap survives malformed payloads (corrupt body → empty, not throw)") {
+    assert(Extract.unwrapEnvelope(spark, "agents", "not json at all").count() == 0)
+    assert(Extract.unwrapEnvelope(spark, "agents", """{"status":200}""").count() == 0)
+    assert(Extract.unwrapEnvelope(spark, "agents",
+      """{"status":200,"data":"oops-not-an-array"}""").count() == 0)
+  }
+
   test("K3+K5: upsertRow creates table if absent, then replaces by key") {
     val load = new Load(tmpDir("wh"))
     def row(id: String, status: String) =
