@@ -66,7 +66,9 @@ final class Load(warehouse: String) {
   def upsertRow(spark: SparkSession, name: String, keys: Seq[String],
                 row: DataFrame): Unit = {
     val path = tablePath(name)
-    val exists = new java.io.File(path).exists()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val merged =
       if (exists) Relational.upsertByKey(spark.read.parquet(path), row, keys)
       else row

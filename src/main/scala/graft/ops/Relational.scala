@@ -65,6 +65,8 @@ object Relational {
   def saltedEquiJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                      salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    require(!skewed.columns.contains("_salt") && !other.columns.contains("_salt"),
+      "inputs must not already have a _salt column")
     val left = skewed.withColumn("_salt",
       pmod(xxhash64(skewed.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val right = other.withColumn("_salt",

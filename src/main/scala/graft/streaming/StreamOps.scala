@@ -119,8 +119,10 @@ object StreamOps {
         val spark = batch.sparkSession
         val latest = graft.ops.Relational.firstPerKey(
           batch, keys, orderCols.map(c => col(c).desc))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(path).exists())
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
             graft.ops.Relational.upsertByKey(
               spark.read.parquet(path), latest, keys)
           else latest
