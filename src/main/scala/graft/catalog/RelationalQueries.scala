@@ -129,6 +129,44 @@ object RelationalQueries extends Catalog {
              |  GROUP BY c_custkey) t
              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // AS-OF join (no native Spark operator): each click enriched with the
+    // user's most recent purchase value at or before the click. Implemented
+    // as UNION + running last_value (one shuffle on the key, O(n) work —
+    // see Relational.asofJoin); the oracle mirrors the same construction,
+    // so the match covers ties and no-prior-purchase nulls too.
+    Q("join_asof",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+            Seq("value"), rightTie = Seq("p_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"),
+            col("value").as("last_purchase"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS event_id,
+             |    value, event_id AS tie
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 1 AS side, event_id,
+             |    NULL::DOUBLE AS value, NULL::BIGINT AS tie
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *, last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id
+             |          ORDER BY ts, side, tie ASC NULLS FIRST
+             |          ROWS UNBOUNDED PRECEDING) AS last_purchase
+             |  FROM u)
+             |SELECT event_id, user_id,
+             |  epoch(date_trunc('second', ts))::BIGINT AS ts_epoch, last_purchase
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
     Q("join_semi",
       (s, dir) => load(s, dir, "customer")
         .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),

@@ -51,6 +51,48 @@ object Relational {
   def rangeBucketJoin(fact: DataFrame, buckets: DataFrame, value: Column): DataFrame =
     fact.join(broadcast(buckets), value >= buckets("lo") && value < buckets("hi"))
 
+  /** AS-OF join — for each left row, the single most recent right row with
+    * `rightTs <= leftTs` on the same key (the time-series enrichment join
+    * Spark has no native operator for).
+    *
+    * Implemented with the UNION + running-last-value technique rather than a
+    * range join: tag both sides, sort within key by (ts, side, tiebreak),
+    * carry right-side values forward with `last(..., ignoreNulls)` over an
+    * unbounded-preceding frame, keep left rows. ONE shuffle on the key and
+    * O(n) total work — a theta join `l.ts >= r.ts` would explode to
+    * O(|l|·|r|) pairs per key before picking the max. Right rows sort before
+    * left rows at equal ts, so an exactly-simultaneous right row IS matched.
+    *
+    * Output: all left columns plus `rightVals` (null when no right row
+    * precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightVals: Seq[String],
+               rightTie: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
+    val l = left.select(
+      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
+        leftCols.map(col) ++
+        rightCarry.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val r = right.select(
+      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCarry.map(col): _*)
+    // rightTie makes the pick deterministic when several right rows share
+    // (key, ts) — the greatest tie value wins (last in ascending order).
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_ts").asc +: col("_side").asc +: rightTie.map(col(_).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++
+        leftCols.map(col) ++ rightVals.map(col): _*)
+  }
+
   /** Skew-resistant equi-join: salt the (skewed) left side into `salts`
     * sub-keys and replicate the right side across all salts, so one hot key
     * spreads over `salts` reducers instead of melting one. The salt is a

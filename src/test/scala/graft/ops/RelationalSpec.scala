@@ -29,6 +29,21 @@ class RelationalSpec extends SparkSpec {
     assert(salts > 4) // content-hash salt actually disperses the hot key
   }
 
+  test("asofJoin: latest right row at or before each left ts; null when none") {
+    val left = Seq((1L, 10L, "c1"), (1L, 20L, "c2"), (1L, 5L, "c0"), (2L, 50L, "c3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0, 1L), (1L, 10L, 200.0, 2L), (1L, 15L, 300.0, 3L))
+      .toDF("k", "t", "v", "rid")
+    val out = Relational.asofJoin(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightTie = Seq("rid"))
+      .select("tag", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c0").isEmpty)          // before any right row
+    assert(out("c1").contains(200.0))  // simultaneous right row matches; tie → rid 2
+    assert(out("c2").contains(300.0))  // most recent, not first
+    assert(out("c3").isEmpty)          // key with no right rows
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
