@@ -180,6 +180,20 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Canonical normalization (lowercase / punct→space / collapse / trim) +
+    // the normalized-content dedup key it exists for.
+    Q("text_normalize",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), Text.normalize(col("text")).as("norm_text"))
+        .withColumn("norm_hash", md5(col("norm_text").cast("binary")))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |  ' +', ' ', 'g')) AS norm_text,
+             |md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |  ' +', ' ', 'g'))) AS norm_hash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Multimodal plumbing: opaque binary column + typed metadata — byte
     // length and content digest computed on the BINARY value (SURVEY §2.9
     // note; decode stubs live in graft.ops.Multimodal).

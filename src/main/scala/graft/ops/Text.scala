@@ -88,4 +88,15 @@ object Text {
     * engines, unlike murmur/xxhash).
     */
   def fingerprint(text: Column): Column = md5(to_binary(array_join(tokenSet(text), " "), lit("utf-8")))
+
+  /** Canonical text normalization for dedup/training corpora: lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed. Regex stays
+    * in the `[a-z0-9 ]` ASCII subset on purpose — portable across engines
+    * (Java vs RE2-style classes like `\\p{Punct}` diverge) and exactly the
+    * normalization the md5-based dedup keys assume. Narrow, codegen'd,
+    * per-row — free at any scale.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }
