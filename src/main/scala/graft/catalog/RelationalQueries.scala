@@ -297,6 +297,40 @@ object RelationalQueries extends Catalog {
              |  AS priorities
              |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
+    // Nearest-rank percentiles over exact cents — integer rank selection,
+    // no interpolation formula to diverge cross-engine (Relational.
+    // nearestRankPercentiles; cumulative window runs over the bounded
+    // distinct-value domain, not row count).
+    Q("agg_percentiles",
+      (s, dir) => Relational.nearestRankPercentiles(
+          load(s, dir, "orders"), Exact.cents(col("o_totalprice")),
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("quantile"), Exact.dollars(col("value")).as("price")),
+      Some(s"""WITH f AS (
+             |  SELECT ${cents("o_totalprice")} AS v, count(*) AS c
+             |  FROM orders GROUP BY 1),
+             |cum AS (
+             |  SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+             |  FROM f),
+             |r AS (
+             |  SELECT q, floor(q * (n - 1))::BIGINT + 1 AS rk
+             |  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) qs,
+             |       (SELECT count(*) AS n FROM orders) nn)
+             |SELECT q AS quantile, v::DOUBLE / 100.0 AS price
+             |FROM r JOIN cum ON cum.hi >= r.rk AND cum.hi - cum.c < r.rk
+             |ORDER BY quantile""".stripMargin)),
+
+    // Value histogram: fixed-width buckets over exact cents ($5000/bucket).
+    Q("agg_histogram",
+      (s, dir) => load(s, dir, "lineitem")
+        .select(floor(Exact.cents(col("l_extendedprice")) / lit(500000.0))
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some(s"""SELECT floor(${cents("l_extendedprice")} / 500000.0)::BIGINT AS bucket,
+             |count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     Q("sort_topk_limit",
       (s, dir) => load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))

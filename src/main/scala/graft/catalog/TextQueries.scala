@@ -180,6 +180,23 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Top distinctive terms per doc: tf-idf ordering without ln (integer
+    // (tf desc, df asc) ranking — bit-equal across engines, unlike libm ln).
+    Q("text_top_terms",
+      (s, dir) => Text.topTermsPerDoc(load(s, dir, "documents"), 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some(s"""WITH tf AS (
+             |  SELECT doc_id, token, count(*) AS tf FROM (
+             |    SELECT doc_id, unnest($Toks) AS token FROM documents) t
+             |  GROUP BY doc_id, token),
+             |d AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+             |SELECT doc_id, rank, token, tf, df FROM (
+             |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, d.df ASC, tf.token) AS rank
+             |  FROM tf JOIN d USING (token)) t
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Canonical normalization (lowercase / punct→space / collapse / trim) +
     // the normalized-content dedup key it exists for.
     Q("text_normalize",

@@ -51,6 +51,37 @@ object Relational {
   def rangeBucketJoin(fact: DataFrame, buckets: DataFrame, value: Column): DataFrame =
     fact.join(broadcast(buckets), value >= buckets("lo") && value < buckets("hi"))
 
+  /** Nearest-rank percentiles of a numeric column: the value holding 1-based
+    * rank `floor(q·(n−1))+1` in sort order, per quantile. Pure integer rank
+    * selection — no interpolation, so no engine-specific float formula can
+    * diverge (Spark's `percentile` and DuckDB's `quantile_cont` interpolate
+    * with arithmetic that is not guaranteed bit-equal cross-engine).
+    *
+    * Scale shape: one groupBy shuffle onto DISTINCT VALUES, then a
+    * cumulative count over that (the unpartitioned window runs over the
+    * value domain — bounded by the data's value range, e.g. price cents,
+    * NOT by row count), then a broadcast join of the k requested ranks
+    * against the unique covering bucket `lo < rank ≤ hi`.
+    */
+  def nearestRankPercentiles(df: DataFrame, value: Column,
+                             quantiles: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val freq = df.select(value.as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = freq.withColumn("hi", sum(col("c")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = df.count()
+    import spark.implicits._
+    val ranks = quantiles
+      .map(q => q -> (math.floor(q * (n - 1)).toLong + 1L))
+      .toDF("quantile", "rk")
+    cum.join(broadcast(ranks),
+        col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
+      .select(col("quantile"), col("v").as("value"))
+      .orderBy(col("quantile"))
+  }
+
   /** AS-OF join — for each left row, the single most recent right row with
     * `rightTs <= leftTs` on the same key (the time-series enrichment join
     * Spark has no native operator for).

@@ -89,6 +89,23 @@ object Text {
     */
   def fingerprint(text: Column): Column = md5(to_binary(array_join(tokenSet(text), " "), lit("utf-8")))
 
+  /** Most distinctive terms per document: tokens ranked by (tf desc,
+    * df asc, token asc), top k — tf-idf ORDERING without idf's `ln` (whose
+    * libm rounding is not guaranteed bit-equal across engines; the integer
+    * ordering is, and for ranking that is all idf contributes). Two
+    * two-phase aggregations (per-doc tf, corpus df) + a window top-k;
+    * shuffle volume is O(distinct (doc, token)).
+    */
+  def topTermsPerDoc(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    Relational.topKPerGroup(tf.join(dfreq, "token"), Seq(col("doc_id")),
+      Seq(col("tf").desc, col("df").asc, col("token").asc), k, rankCol = "rank")
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"))
+  }
+
   /** Canonical text normalization for dedup/training corpora: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed. Regex stays
     * in the `[a-z0-9 ]` ASCII subset on purpose — portable across engines
