@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed-correctness properties for the dedup/similarity family:
+  * results must not depend on physical partitioning (the property a single
+  * local oracle run cannot observe).
+  */
+class DedupVectorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(parts: Int): DataFrame = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "en", "the quick brown fox jumps over the lazy dog today"),
+    (3L, "en", "completely different text about spark engines at scale"),
+    (4L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+    (5L, "de", "der schnelle braune fuchs springt heute abend"),
+    (6L, "en", "short text")
+  ).toDF("doc_id", "lang", "text").repartition(parts)
+
+  private def collectPairs(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("ngramJaccardPairs invariant under partitioning; finds exact and near dups") {
+    val one = collectPairs(Dedup.ngramJaccardPairs(docs(1), 3, 0.6))
+    val many = collectPairs(Dedup.ngramJaccardPairs(docs(7), 3, 0.6))
+    assert(one == many)
+    val ids = one.map(r => (r(0), r(1)))
+    assert(ids.contains((1L, 4L))) // identical docs
+    assert(ids.contains((1L, 2L)) && ids.contains((2L, 4L))) // near dups
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc
+  }
+
+  test("minHashNearDupPairs invariant under partitioning; catches the exact dup") {
+    val one = collectPairs(Dedup.minHashNearDupPairs(docs(1), 0.5))
+    val many = collectPairs(Dedup.minHashNearDupPairs(docs(5), 0.5))
+    assert(one == many)
+    assert(one.map(r => (r(0), r(1))).contains((1L, 4L)))
+  }
+
+  test("exactByContent groups identical content, deterministic survivor") {
+    val out = Dedup.exactByContent(docs(3)).select("doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L) // docs 1 and 4 share content; min id survives
+    assert(out.values.sum == 6L)
+  }
+
+  test("simHash near-identical docs within small hamming distance; invariant to partitioning") {
+    val bits = docs(4)
+      .select(col("doc_id"), Dedup.simHashBits(Text.tokenSet(col("text"))).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(bits(1L) == bits(4L)) // identical content → identical fingerprint
+    val d12 = bits(1L).zip(bits(2L)).count { case (x, y) => x != y }
+    assert(d12 <= 8) // near-dup → close fingerprints (32-bit)
+  }
+
+  test("cosineNearDupPairs and ivfTopK invariant under partitioning") {
+    def vecs(parts: Int) = (1L to 60L)
+      .map(i => (i, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat)))
+      .toDF("vec_id", "embedding").repartition(parts)
+    assert(collectPairs(Vectors.cosineNearDupPairs(vecs(1), 0.5)) ==
+      collectPairs(Vectors.cosineNearDupPairs(vecs(6), 0.5)))
+    def ivf(parts: Int) = Vectors.ivfTopK(
+      vecs(parts), vecs(parts).filter(col("vec_id") % 10 === 0), 3,
+      centroidEvery = 15, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id")
+    assert(collectPairs(ivf(1)) == collectPairs(ivf(6)))
+  }
+}
