@@ -180,6 +180,46 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // End-to-end corpus-cleaning pipeline — the composition the operators
+    // exist for: normalize → exact-dedup on normalized content (min doc_id
+    // survives) → quality gate (length + distinct-token ratio) → per-language
+    // corpus stats. One lazy plan; Catalyst fuses the narrow stages and the
+    // only shuffles are the dedup key and the final groupBy.
+    Q("pipeline_corpus_clean",
+      (s, dir) => {
+        val n = load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), Text.normalize(col("text")).as("nm"))
+        val deduped = graft.ops.Relational.firstPerKey(
+          n.withColumn("k", md5(col("nm").cast("binary"))),
+          Seq("k"), Seq(col("doc_id").asc)).drop("k")
+        val toks = split(col("nm"), " ")
+        deduped
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("distinct_bp",
+            graft.ops.Exact.ratioBp(size(array_distinct(toks)).cast("long"),
+              col("n_tokens")))
+          .filter(col("n_tokens") >= 30 && col("distinct_bp") >= 4000)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |      ' +', ' ', 'g')) AS nm
+             |  FROM documents),
+             |d AS (
+             |  SELECT *, row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id) AS rn
+             |  FROM n),
+             |k AS (
+             |  SELECT lang, len(string_split(nm, ' ')) AS nt,
+             |    floor(len(list_distinct(string_split(nm, ' '))) * 10000.0 /
+             |          len(string_split(nm, ' ')))::BIGINT AS dbp
+             |  FROM d WHERE rn = 1)
+             |SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
+             |FROM k WHERE nt >= 30 AND dbp >= 4000
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Top distinctive terms per doc: tf-idf ordering without ln (integer
     // (tf desc, df asc) ranking — bit-equal across engines, unlike libm ln).
     Q("text_top_terms",
