@@ -34,18 +34,23 @@ final class Load(warehouse: String) {
     }
   }
 
-  /** K1 at scale: full refresh of a PARTITIONED table. Rows land in one
-    * directory per partition value (`part=.../`), so downstream readers
-    * get partition pruning for free and a reload of one partition value
-    * never rewrites the others (dynamic overwrite). `targetPartitions`
-    * repartitions by the partition columns first — one shuffle that both
-    * co-locates writers (one file per partition dir per task, not one per
-    * task × partition: the small-files killer at 100 TB) and bounds file
-    * count.
+  /** K1 at scale: refresh of a PARTITIONED table. Rows land in one
+    * directory per partition value (`part=.../`), so downstream readers get
+    * partition pruning for free. `targetPartitions` repartitions by the
+    * partition columns first — one shuffle that both co-locates writers
+    * (one file per partition dir per task, not one per task × partition:
+    * the small-files killer at 100 TB) and bounds file count.
+    *
+    * Default is a TRUE full refresh (static overwrite — partition values
+    * absent from this load are removed, never served stale).
+    * `onlyTouchedPartitions = true` switches to dynamic overwrite for
+    * incremental reloads: only the partition values present in `df` are
+    * rewritten, everything else is intentionally left as loaded before.
     */
   def fullRefreshPartitioned(df: DataFrame, name: String,
                              partitionCols: Seq[String],
-                             targetPartitions: Int = 0): Long = {
+                             targetPartitions: Int = 0,
+                             onlyTouchedPartitions: Boolean = false): Long = {
     val n = df.count()
     if (n == 0) 0L
     else {
@@ -54,7 +59,8 @@ final class Load(warehouse: String) {
           df.repartition(targetPartitions, partitionCols.map(df(_)): _*)
         else df.repartition(partitionCols.map(df(_)): _*)
       arranged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
+        .option("partitionOverwriteMode",
+          if (onlyTouchedPartitions) "dynamic" else "static")
         .partitionBy(partitionCols: _*).parquet(tablePath(name))
       n
     }
@@ -66,18 +72,12 @@ final class Load(warehouse: String) {
   def upsertRow(spark: SparkSession, name: String, keys: Seq[String],
                 row: DataFrame): Unit = {
     val path = tablePath(name)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val fs = Load.fsFor(spark, path)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
     val merged =
       if (exists) Relational.upsertByKey(spark.read.parquet(path), row, keys)
       else row
-    // Parquet has no in-place merge: stage the merged result, then swap.
-    val staged = s"$path.staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staged)
-    spark.read.parquet(staged).write.mode(SaveMode.Overwrite).parquet(path)
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(staged), true)
+    Load.replaceTable(spark, merged, path)
   }
 
   /** A2: one etl_runs metrics row (pipeline.py:286-297 success /
@@ -99,4 +99,31 @@ final class Load(warehouse: String) {
     tables.map { case (name, df) =>
       name -> fullRefresh(withLineage(df, runId, loadedAt), name)
     }
+}
+
+object Load {
+
+  /** FileSystem for `path`'s own scheme — FileSystem.get(conf) alone
+    * resolves the DEFAULT filesystem and throws "Wrong FS" the moment the
+    * warehouse lives on s3a://, hdfs://, ... while defaultFS differs.
+    */
+  def fsFor(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Replace the table at `path` with `df` via stage-then-rename. Parquet
+    * has no in-place merge; writing straight over `path` (delete + full
+    * second write) leaves the table missing for the whole rewrite. Staging
+    * the new data first and swapping with a RENAME shrinks the unprotected
+    * window to one metadata operation and writes the data exactly once.
+    */
+  def replaceTable(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val staged = s"$path.staging"
+    df.write.mode(SaveMode.Overwrite).parquet(staged)
+    val fs = fsFor(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    fs.delete(target, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), target))
+      sys.error(s"rename $staged -> $path failed")
+  }
 }

@@ -52,7 +52,12 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
       val raw = Extract.extractAll(spark, transport, config.baseUrl,
         config.endpoints, config.requestDelayMs, config.retryAttempts)
       val transformed = Transforms.transformAll(raw)
-      val rows = load.loadAll(transformed, runId, nowIso())
+      val rows =
+        try load.loadAll(transformed, runId, nowIso())
+        // transformAll caches fan-out endpoints (agents/weapons feed two
+        // tables each); release them so scheduled runs don't accumulate
+        // dead cache entries. unpersist on a never-cached frame is a no-op.
+        finally raw.values.foreach(_.unpersist())
       val total = rows.values.sum
       val duration = math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100
       load.upsertRow(spark, "etl_runs", Seq("run_id"),

@@ -43,14 +43,21 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private val supportedElems: Set[DataType] =
+    Set(DoubleType, FloatType, LongType, IntegerType, ShortType, ByteType)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // Whitelist exactly what eval/codegen handle — DecimalType is a
+    // NumericType too but has no primitive accessor here, and must be
+    // rejected at ANALYSIS time, not with a runtime crash.
     val ok = Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(t, _) => t.isInstanceOf[NumericType]
+      case ArrayType(t, _) => supportedElems.contains(t)
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"dot_product requires two numeric arrays, got ${left.dataType} / ${right.dataType}")
+      s"dot_product requires two arrays of primitive numeric type " +
+        s"(no decimals), got ${left.dataType} / ${right.dataType}")
   }
 
   private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {

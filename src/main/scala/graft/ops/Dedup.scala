@@ -169,10 +169,16 @@ object Dedup {
     val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
       size(col("sh")).as("n"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // Lossless prefix bound is n − ⌈t·n⌉ + 1 in REAL arithmetic. Computed
+    // in doubles, (1−t)·n can land one ulp below an integer (e.g. t=0.9,
+    // n=10 → 0.9999999999999998) and floor() would then under-shoot the
+    // bound, silently dropping qualifying pairs. The +2 keeps the bound
+    // conservative under any sub-integer float error — at worst one extra
+    // prefix shingle per doc, never a lost pair.
     val prefix = ex.join(dfreq, "s")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 1)
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
       .select(col("id"), col("lang"), col("s"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&

@@ -103,6 +103,12 @@ object Relational {
     val keyCols = keys.map(col)
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
+    val reserved = Seq("_ts", "_side")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"inputs must not already have ${reserved.mkString("/")} columns")
+    require(leftCols.intersect(rightCarry).isEmpty,
+      s"left columns ${leftCols.intersect(rightCarry).mkString(", ")} collide " +
+        "with right value/tie columns — rename one side first")
     val l = left.select(
       keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
         leftCols.map(col) ++

@@ -30,25 +30,20 @@ object StreamOps {
   }
 
   /** Tumbling window counts with a watermark: state for a window is dropped
-    * once the watermark passes its end — bounded state at any scale.
+    * once the watermark passes its end — bounded state at any scale. The
+    * aggregation itself IS `EventOps.tumblingCounts` — one definition, so
+    * the batch form the DuckDB oracle certifies is exactly what streams.
     */
   def tumblingCounts(events: DataFrame, width: String = "10 minutes",
                      watermark: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        Exact.dollars(sum(Exact.cents(col("value")))).as("sum_value"))
-      .select(unix_timestamp(col("w.start")).as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+    EventOps.tumblingCounts(events.withWatermark("ts", watermark), width)
 
-  /** Session windows per user with watermark-bounded state. */
+  /** Session windows per user with watermark-bounded state — delegates to
+    * the oracle-checked batch definition (`EventOps.sessionize`).
+    */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  watermark: String = "30 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
-        unix_timestamp(col("w.end")).as("session_end"), col("n_events"))
+    EventOps.sessionize(events.withWatermark("ts", watermark), gap)
 
   /** Streaming dedup: first arrival per (user_id, event_type) wins, with
     * watermark-bounded dedup state — the streaming twin of
@@ -119,19 +114,13 @@ object StreamOps {
         val spark = batch.sparkSession
         val latest = graft.ops.Relational.firstPerKey(
           batch, keys, orderCols.map(c => col(c).desc))
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+        val fs = graft.etl.Load.fsFor(spark, path)
         val merged =
           if (fs.exists(new org.apache.hadoop.fs.Path(path)))
             graft.ops.Relational.upsertByKey(
               spark.read.parquet(path), latest, keys)
           else latest
-        val staged = s"$path.staging"
-        merged.write.mode("overwrite").parquet(staged)
-        spark.read.parquet(staged).write.mode("overwrite").parquet(path)
-        org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(staged), true)
+        graft.etl.Load.replaceTable(spark, merged, path)
         ()
       }
 

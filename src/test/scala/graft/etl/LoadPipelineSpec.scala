@@ -36,12 +36,18 @@ class LoadPipelineSpec extends SparkSpec {
     val root = new java.io.File(load.tablePath("t"))
     assert(root.listFiles().map(_.getName).toSet.filter(_.startsWith("part="))
       == Set("part=a", "part=b"))
-    // dynamic overwrite: rewriting only part=a leaves part=b intact
+    // incremental mode: rewriting only part=a leaves part=b intact
     val v2 = Seq(("a", 9)).toDF("part", "v")
-    load.fullRefreshPartitioned(v2, "t", Seq("part"))
+    load.fullRefreshPartitioned(v2, "t", Seq("part"), onlyTouchedPartitions = true)
     val out = spark.read.parquet(load.tablePath("t"))
       .select("part", "v").as[(String, Int)].collect().toSet
     assert(out == Set(("a", 9), ("b", 3)))
+    // default = TRUE full refresh: absent partition values are removed,
+    // not served stale
+    load.fullRefreshPartitioned(v2, "t", Seq("part"))
+    val out2 = spark.read.parquet(load.tablePath("t"))
+      .select("part", "v").as[(String, Int)].collect().toSet
+    assert(out2 == Set(("a", 9)))
   }
 
   test("envelope unwrap survives malformed payloads (corrupt body → empty, not throw)") {
