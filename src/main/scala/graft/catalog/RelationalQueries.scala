@@ -320,6 +320,29 @@ object RelationalQueries extends Catalog {
              |FROM r JOIN cum ON cum.hi >= r.rk AND cum.hi - cum.c < r.rk
              |ORDER BY quantile""".stripMargin)),
 
+    // Grouped percentiles: same integer rank selection, partitioned per
+    // order priority.
+    Q("agg_percentiles_by",
+      (s, dir) => Relational.nearestRankPercentilesBy(
+          load(s, dir, "orders"), Seq("o_orderpriority"),
+          Exact.cents(col("o_totalprice")), Seq(0.5, 0.9))
+        .select(col("o_orderpriority"), col("quantile"),
+          Exact.dollars(col("value")).as("price")),
+      Some(s"""WITH f AS (
+             |  SELECT o_orderpriority, ${cents("o_totalprice")} AS v, count(*) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT o_orderpriority, v, c,
+             |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+             |  FROM f)
+             |SELECT o_orderpriority, q AS quantile, v::DOUBLE / 100.0 AS price
+             |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
+             |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+             |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
+             |ORDER BY o_orderpriority, quantile""".stripMargin)),
+
     // Value histogram: fixed-width buckets over exact cents ($5000/bucket).
     Q("agg_histogram",
       (s, dir) => load(s, dir, "lineitem")

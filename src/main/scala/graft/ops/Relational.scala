@@ -82,6 +82,32 @@ object Relational {
       .orderBy(col("quantile"))
   }
 
+  /** Per-group nearest-rank percentiles: `nearestRankPercentiles` with the
+    * cumulative count partitioned by `groupCols` and each group's own row
+    * count from a partition-wide window — still one groupBy shuffle onto
+    * distinct (group, value) pairs plus a broadcast of the quantile list.
+    */
+  def nearestRankPercentilesBy(df: DataFrame, groupCols: Seq[String],
+                               value: Column,
+                               quantiles: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val freq = df.select(g :+ value.as("v"): _*)
+      .groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("c"))
+    val byGroup = Window.partitionBy(g: _*)
+    val cum = freq
+      .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byGroup))
+    import spark.implicits._
+    val qs = quantiles.toDF("quantile")
+    cum.join(broadcast(qs), lit(true))
+      .withColumn("rk", floor(col("quantile") * (col("n") - 1)) + 1)
+      .filter(col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
+      .select(g ++ Seq(col("quantile"), col("v").as("value")): _*)
+      .orderBy(g :+ col("quantile"): _*)
+  }
+
   /** AS-OF join — for each left row, the single most recent right row with
     * `rightTs <= leftTs` on the same key (the time-series enrichment join
     * Spark has no native operator for).
