@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans of flagship queries to stdout
+  * (captured into PLANS.md) — the pushdown / broadcast / codegen evidence
+  * for the scale-design claims in README.md.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val picks = Seq("join_broadcast", "text_lang_stats", "dedup_minhash",
+      "sim_ann_ivf", "window_tumbling")
+    println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
+    println("```")
+    println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
+    println("```")
+    picks.foreach { name =>
+      println(s"## $name")
+      println("```")
+      println(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString)
+      println("```")
+    }
+    spark.stop()
+  }
+}
