@@ -145,6 +145,56 @@ object TextQueries extends Catalog {
              |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // X3a': near-dup CLUSTERS — connected components over the verified
+    // MinHash pair graph, min-id representative per component (the dedup
+    // survivor policy). Oracle recomputes the same components by recursive
+    // transitive closure; components are small by construction, so the
+    // closure stays tiny even though pairwise near-dup is not transitive.
+    Q("dedup_clusters",
+      (s, dir) => Dedup.nearDupClusters(load(s, dir, "documents"), 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |toks AS (
+             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+             |  FROM t),
+             |hv AS (
+             |  SELECT doc_id, ts, list_transform(ts,
+             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+             |  FROM toks),
+             |sigs AS (
+             |  SELECT doc_id, list_transform(range(16), s ->
+             |    list_min(list_transform(hv,
+             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+             |  FROM hv),
+             |bands AS (
+             |  SELECT doc_id, b AS band,
+             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+             |      x -> x::VARCHAR), ':') AS band_key
+             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+             |pairs AS (
+             |  SELECT i AS a, j AS b FROM (
+             |    SELECT i, j,
+             |      round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+             |            len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jac
+             |    FROM cand JOIN toks x ON cand.i = x.doc_id
+             |              JOIN toks y ON cand.j = y.doc_id) v
+             |  WHERE jac >= 0.5),
+             |edges AS (
+             |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+             |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             |SELECT a AS doc_id, min(b) AS cluster_rep
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // X3b: SimHash 32-bit fingerprints (per-nibble-high-bit of md5 votes).
     Q("dedup_simhash",
       (s, dir) => load(s, dir, "documents")

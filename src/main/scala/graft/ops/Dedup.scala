@@ -115,6 +115,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * near-dup pair graph, each doc labeled with its component's minimum
+    * doc id (the canonical survivor). This is the step an LSH dedup
+    * pipeline needs after pair generation — near-dup is not transitive,
+    * but dedup policy treats components as one group.
+    *
+    * Distributed shape: iterative min-label propagation — each round is one
+    * join + aggregation over the edge list (the standard Spark route for
+    * connected components when clusters are small, as dup clusters are;
+    * rounds needed = component diameter). The driver loop only counts
+    * changed labels; all data stays distributed.
+    */
+  def nearDupClusters(docs: DataFrame, threshold: Double,
+                      maxIters: Int = 10): DataFrame = {
+    val pairs = minHashNearDupPairs(docs, threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // undirected edges + self-loops over the docs that appear in any pair
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    val edges = pairs
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .union(nodes.select(col("id").as("a"), col("id").as("b")))
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("rep")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val next = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id2"))
+        .agg(min(col("rep")).as("rep2"))
+        .select(col("id2").as("id"), col("rep2").as("rep"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 32-bit SimHash fingerprint as a '0'/'1' string. Bit i is the sign of

@@ -86,6 +86,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.count() == 3) // (1,click),(1,view),(2,click)
   }
 
+  test("late data beyond the watermark is dropped from windowed aggregation") {
+    val dir = tmpDir("events-late")
+    def write(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5) // distinct mtimes → deterministic batch order
+    }
+    write("b1.json", Seq(
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}""",
+      """{"event_id":2,"ts":"2026-01-01T02:00:00Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}"""))
+    // batch 2 (watermark now 01:30): in-time filler; window 00:00's state
+    // is emitted and EVICTED at the end of this batch
+    write("b2.json", Seq(
+      """{"event_id":3,"ts":"2026-01-01T02:20:00Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}"""))
+    // batch 3: event 28 min behind the watermark, for an already-evicted
+    // window → must be dropped (a late row arriving while its window's
+    // state is still live would instead be merged — eviction is the cutoff)
+    write("b3.json", Seq(
+      """{"event_id":4,"ts":"2026-01-01T00:02:00Z","user_id":1,"event_type":"click","value":99.0,"props":"{}"}"""))
+    // sentinel advances the watermark past every real window so state flushes
+    write("b4.json", Seq(
+      """{"event_id":5,"ts":"2026-01-01T09:00:00Z","user_id":9,"event_type":"sentinel","value":0.0,"props":"{}"}"""))
+    val out = runToMemory(
+      StreamOps.tumblingCounts(
+        StreamOps.readEventStream(spark, dir, maxFilesPerTrigger = Some(1))),
+      "late", "append")
+      .filter("event_type = 'click'")
+      .orderBy("window_start").collect()
+    val byWindow = out.map(r =>
+      r.getAs[Long]("window_start") -> (r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"))).toMap
+    val w0 = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    // the late event 4 (value 99.0) must NOT appear anywhere
+    assert(byWindow(w0) == (1L, 1.0))
+    assert(byWindow(w0 + 7200) == (1L, 1.0))
+    assert(byWindow(w0 + 8400) == (1L, 1.0))
+    assert(!out.exists(_.getAs[Double]("sum_value") == 99.0))
+  }
+
   test("clicksAfterSignup: stream-stream interval join matches the batch join") {
     val dir = tmpDir("events-join")
     val rows = Seq(
