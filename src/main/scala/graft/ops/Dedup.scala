@@ -128,32 +128,83 @@ object Dedup {
     * changed labels; all data stays distributed.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double,
-                      maxIters: Int = 10): DataFrame = {
+                      maxIters: Int = 12,
+                      driverMaxPairs: Long = 5000000L): DataFrame = {
+    // The expensive part is pair generation — cache the PAIR LIST (tiny:
+    // one row per verified near-dup pair), not the lineage back through
+    // the MinHash pipeline, so nodes/edges/labels all reuse one
+    // materialization.
     val pairs = minHashNearDupPairs(docs, threshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    // Materialize the cache NOW: the edge union below references `pairs`
+    // five times, and those branches run concurrently inside one job — if
+    // the cache is still cold, each branch recomputes the whole MinHash
+    // pipeline in parallel before any of them can populate it.
+    val nPairs = pairs.count()
+    // Size-based strategy switch, same spirit as broadcast-vs-shuffle
+    // joins: the pair list is O(duplicates), orders of magnitude smaller
+    // than the corpus. Below the threshold, union-find on the driver is
+    // milliseconds and ONE job; the iterative distributed loop below
+    // remains the path for genuinely huge duplicate graphs.
+    if (nPairs <= driverMaxPairs) {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → rep = the component's min id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      pairs.unpersist()
+      return out.toDF("doc_id", "cluster_rep")
+    }
+    // Size the iteration partitioning from the MEASURED pair count: the
+    // label-propagation joins run over O(pairs) rows, not O(corpus) — one
+    // partition locally, thousands on a billion-pair corpus. Without this
+    // the tiny iteration stages inherit the full shuffle-partition count
+    // and the loop is pure scheduling overhead.
+    val nParts = math.max(1L, nPairs / 500000L).toInt
     // undirected edges + self-loops over the docs that appear in any pair
     val nodes = pairs.select(col("a").as("id"))
       .union(pairs.select(col("b").as("id"))).distinct()
     val edges = pairs
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("id").as("a"), col("id").as("b")))
+      .repartition(nParts, col("b"))
       .cache()
+    def propagate(l: DataFrame): DataFrame =
+      edges.join(l.repartition(nParts, col("id")), edges("b") === l("id"))
+        .groupBy(edges("a").as("id2"))
+        .agg(min(col("rep")).as("rep2"))
+        .select(col("id2").as("id"), col("rep2").as("rep"))
+    // Dup components are shallow (diameter ≈ 2–3), so chain STEPS rounds
+    // lazily between convergence checks — one Spark job per check instead
+    // of one per round.
+    val Steps = 3
     var labels = nodes.select(col("id"), col("id").as("rep")).cache()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id2"))
-        .agg(min(col("rep")).as("rep2"))
-        .select(col("id2").as("id"), col("rep2").as("rep"))
-        .cache()
+      val next = (1 to Steps).foldLeft(labels)((l, _) => propagate(l)).cache()
       val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") =!= col("old")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
-      iter += 1
+      iter += Steps
     }
+    pairs.unpersist()
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }

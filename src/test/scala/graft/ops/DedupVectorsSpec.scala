@@ -57,6 +57,18 @@ class DedupVectorsSpec extends SparkSpec {
     assert(d12 <= 8) // near-dup → close fingerprints (32-bit)
   }
 
+  test("nearDupClusters: distributed propagation path equals driver union-find path") {
+    val viaDriver = Dedup.nearDupClusters(docs(3), 0.5)
+      .collect().map(_.toSeq).toSet
+    val viaCluster = Dedup.nearDupClusters(docs(3), 0.5, driverMaxPairs = 0)
+      .collect().map(_.toSeq).toSet
+    assert(viaDriver == viaCluster)
+    assert(viaDriver.nonEmpty)
+    // docs 1, 2, 4 form one near-dup component; min id 1 is the rep
+    val reps = viaDriver.map(r => r(0) -> r(1)).toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L && reps(4L) == 1L)
+  }
+
   test("cosineNearDupPairs and ivfTopK invariant under partitioning") {
     def vecs(parts: Int) = (1L to 60L)
       .map(i => (i, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat)))
