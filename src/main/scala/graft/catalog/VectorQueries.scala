@@ -41,10 +41,15 @@ object VectorQueries extends Catalog {
              |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // Embedding-space near-dup pairs: all pairs with cosine ≥ 0.4 (the data's
-    // max inter-vector cosine is ~0.51, so this yields a small, real set).
+    // Embedding-space near-dup pairs with cosine ≥ 0.4. The Spark side runs
+    // the BANDED variant (16 bands × 2 sign-projections → equi-join on the
+    // band key → exact-cosine verify — no nested-loop join anywhere); the
+    // oracle is the plain QUADRATIC definition, so the hash match proves the
+    // banding loses no pair on this corpus (the md5 hyperplanes are fixed →
+    // candidate generation is deterministic, and every qualifying pair at
+    // the test SFs shares ≥1 full band — min margin 3 bands at sf0.01).
     Q("dedup_embedding_cosine",
-      (s, dir) => Vectors.cosineNearDupPairs(load(s, dir, "embeddings"), 0.4)
+      (s, dir) => Vectors.cosineNearDupPairsBanded(load(s, dir, "embeddings"), 0.4)
         .orderBy(col("vec_a"), col("vec_b")),
       Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
              |SELECT vec_a, vec_b, cosine FROM (

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: canonical survivor (min id) per content digest.
     * SURVEY X2: `dropDuplicates` semantics but deterministic, and grouping on
     * the digest keeps shuffle width constant regardless of document size.
@@ -83,11 +85,31 @@ object Dedup {
   def minHashNearDupPairs(docs: DataFrame, threshold: Double,
                           numHashes: Int = 16, bands: Int = 8,
                           shingleSize: Int = 3,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashNearDupPairsWithHandle(docs, threshold, numHashes, bands,
+      shingleSize, idCol, textCol)._1
+
+  /** `minHashNearDupPairs` plus an unpersist handle for the two cached
+    * intermediates (shingle sets + signatures). Without the caches the ONE
+    * plan references the shingle lineage four times (both band-join sides
+    * via the signatures, both Jaccard-verify sides directly) and scans +
+    * re-shingles the corpus 4× — at 100 TB shingling IS the dominant cost.
+    * With them the corpus is read once; the caches are MEMORY_AND_DISK
+    * (shingle sets ≈ corpus token volume — spillable, never recomputed).
+    * Callers that materialize the pairs (e.g. `nearDupClusters`) should
+    * invoke the handle afterwards; the public overload above leaves them to
+    * LRU eviction since its result is still lazy.
+    */
+  private[graft] def minHashNearDupPairsWithHandle(
+      docs: DataFrame, threshold: Double,
+      numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val toks = docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("ts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until numHashes).map(s =>
       min(minHashPerm(s, col("h"))).as(s"s$s"))
     val sigs = toks
@@ -95,6 +117,7 @@ object Dedup {
       .select(col("id"), tokenHash28(col("t")).as("h"))
       .groupBy(col("id"))
       .agg(sigCols.head, sigCols.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
@@ -107,12 +130,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    cand
+    val pairs = cand
       .join(toks.select(col("id").as("i"), col("ts").as("ts_a")), "i")
       .join(toks.select(col("id").as("j"), col("ts").as("ts_b")), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, () => { toks.unpersist(); sigs.unpersist(); () })
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
@@ -126,6 +150,10 @@ object Dedup {
     * connected components when clusters are small, as dup clusters are;
     * rounds needed = component diameter). The driver loop only counts
     * changed labels; all data stays distributed.
+    *
+    * `driverMaxPairs` bounds the union-find fast path's collect: 5 M pairs
+    * ≈ 2 × 5 M boxed longs in the driver HashMap ≈ low hundreds of MB —
+    * size it down if the driver runs with < 1 GB of heap.
     */
   def nearDupClusters(docs: DataFrame, threshold: Double,
                       maxIters: Int = 12,
@@ -134,13 +162,16 @@ object Dedup {
     // one row per verified near-dup pair), not the lineage back through
     // the MinHash pipeline, so nodes/edges/labels all reuse one
     // materialization.
-    val pairs = minHashNearDupPairs(docs, threshold)
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    val (rawPairs, releaseMinhash) = minHashNearDupPairsWithHandle(docs, threshold)
+    val pairs = rawPairs.select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
     // Materialize the cache NOW: the edge union below references `pairs`
     // five times, and those branches run concurrently inside one job — if
     // the cache is still cold, each branch recomputes the whole MinHash
-    // pipeline in parallel before any of them can populate it.
+    // pipeline in parallel before any of them can populate it. Once the
+    // pairs are materialized the MinHash intermediates are dead weight —
+    // release them.
     val nPairs = pairs.count()
+    releaseMinhash()
     // Size-based strategy switch, same spirit as broadcast-vs-shuffle
     // joins: the pair list is O(duplicates), orders of magnitude smaller
     // than the corpus. Below the threshold, union-find on the driver is
@@ -206,6 +237,13 @@ object Dedup {
     }
     pairs.unpersist()
     edges.unpersist()
+    // A component with diameter > maxIters would exit this loop with stale
+    // labels and silently diverge from the transitive closure — surface it.
+    if (!converged)
+      log.warn(
+        s"nearDupClusters: label propagation did NOT converge after $iter " +
+          s"rounds (maxIters=$maxIters) — some cluster_rep labels may not be " +
+          "the component minimum; raise maxIters for deep duplicate chains")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 

@@ -57,26 +57,50 @@ object Relational {
     * diverge (Spark's `percentile` and DuckDB's `quantile_cont` interpolate
     * with arithmetic that is not guaranteed bit-equal cross-engine).
     *
-    * Scale shape: one groupBy shuffle onto DISTINCT VALUES, then a
-    * cumulative count over that (the unpartitioned window runs over the
-    * value domain — bounded by the data's value range, e.g. price cents,
-    * NOT by row count), then a broadcast join of the k requested ranks
-    * against the unique covering bucket `lo < rank ≤ hi`.
+    * Scale shape — two-level cumulative counts, no global window and no
+    * extra count job:
+    *   1. groupBy shuffle onto DISTINCT VALUES → (v, c);
+    *   2. range-repartition by v, cumulative-sum WITHIN each range partition
+    *      (a window partitioned by the physical partition id — every task
+    *      sums only its own slice);
+    *   3. per-partition totals (one tiny row per partition) → exclusive
+    *      prefix offsets via a broadcast triangular self-join over
+    *      #partitions² rows — bounded by the cluster's partition count,
+    *      never by data — broadcast back;
+    *   4. global rank = within-partition cumsum + partition offset; the row
+    *      total n falls out of the same tiny aggregate, so the ranks join
+    *      needs no separate `df.count()` job.
+    * Exactness: counts are integers, so bucket boundaries (sampled by the
+    * range partitioner) cannot perturb the result. The range-partitioned
+    * distinct-value frame is persisted (MEMORY_AND_DISK, LRU-evicted) —
+    * the offsets/total branches reference it three more times, and without
+    * the cache each reference would re-scan and re-shuffle the input.
     */
   def nearestRankPercentiles(df: DataFrame, value: Column,
                              quantiles: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
     val freq = df.select(value.as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = freq.withColumn("hi", sum(col("c")).over(
-      Window.orderBy(col("v"))
+      .repartitionByRange(parts, col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner = freq.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col("pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = df.count()
-    import spark.implicits._
-    val ranks = quantiles
-      .map(q => q -> (math.floor(q * (n - 1)).toLong + 1L))
-      .toDF("quantile", "rk")
-    cum.join(broadcast(ranks),
+    val totals = freq.groupBy(col("pid")).agg(sum(col("c")).as("tc"))
+    val offs = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
+    val ranks = quantiles.toDF("quantile")
+      .crossJoin(totals.agg(sum(col("tc")).as("n")))
+      .select(col("quantile"),
+        (floor(col("quantile") * (col("n") - 1)) + 1L).as("rk"))
+    inner.join(broadcast(offs), "pid")
+      .withColumn("hi", col("cum") + col("off"))
+      .join(broadcast(ranks),
         col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
       .select(col("quantile"), col("v").as("value"))
       .orderBy(col("quantile"))
