@@ -205,6 +205,27 @@ object RelationalQueries extends Catalog {
              |  b(bucket, lo, hi) ON l_quantity >= lo AND l_quantity < hi
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Skew-resistant salted join, proven IDENTICAL to the plain inner join:
+    // the oracle is the unsalted join, so the hash match is the proof that
+    // salting (deterministic content-hash salt on the skewed side, right
+    // side replicated across all salts) neither loses nor duplicates rows.
+    Q("join_salted_skew",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        val supp = load(s, dir, "supplier")
+          .withColumnRenamed("s_suppkey", "l_suppkey")
+        Relational.saltedEquiJoin(li, supp, Seq("l_suppkey"), salts = 8)
+          .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.revenueDollars(
+              sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+          .orderBy(col("nationkey"))
+      },
+      Some(s"""SELECT s_nationkey::BIGINT AS nationkey, count(*) AS n_items,
+             |sum($RevUnits)::DOUBLE / 10000.0 AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin)),
+
     Q("agg_count_rows",
       (s, dir) => Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
         .map(t => load(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))

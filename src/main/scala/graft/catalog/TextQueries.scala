@@ -211,9 +211,10 @@ object TextQueries extends Catalog {
 
     // X3c: exact n-gram (3-shingle) Jaccard pairs ≥ 0.6 per language.
     // The Spark side prunes the O(n²) scan with LOSSLESS PPJoin prefix
-    // filtering (rarest ⌊0.4·n⌋+1 shingles); the oracle is the plain
-    // quadratic DEFINITION — the hash match proves the pruning drops
-    // nothing.
+    // filtering (rarest ⌊0.4·n⌋+2 shingles — the +2, not the textbook +1,
+    // absorbs float-ulp undershoot of (1−t)·n; see Dedup.ngramJaccardPairs);
+    // the oracle is the plain quadratic DEFINITION — the hash match proves
+    // the pruning drops nothing.
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(load(s, dir, "documents"), 3, 0.6)
         .orderBy(col("doc_a"), col("doc_b")),

@@ -4,21 +4,6 @@ import org.apache.spark.sql.SparkSession
 import java.time.{Instant, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
-/** Pipeline configuration — reference `config/pipeline_config.json`
-  * (loaded with path fallback, pipeline.py:27-37; here a plain case class —
-  * S6 is a driver-side concern, not a Spark one).
-  */
-final case class PipelineConfig(
-    baseUrl: String = "https://valorant-api.com/v1",
-    endpoints: Seq[String] =
-      Seq("agents", "weapons", "maps", "gamemodes", "competitivetiers"),
-    requestDelayMs: Long = 500,
-    timeoutSeconds: Int = 30,
-    retryAttempts: Int = 3,
-    warehouse: String = "data/warehouse",
-    intervalHours: Int = 6,
-    runOnStart: Boolean = true)
-
 /** Run lifecycle — reference parity for `ETLPipeline.run`
   * (etl/pipeline.py:314-354): run-id stamp → extract → transform → load →
   * metrics row; failures record a `Failed: <msg>` row and re-raise.
@@ -31,7 +16,8 @@ final case class RunResult(runId: String, status: String,
 
 final class Pipeline(spark: SparkSession, config: PipelineConfig,
                      transport: Extract.Transport,
-                     clock: () => Instant = () => Instant.now()) {
+                     clock: () => Instant = () => Instant.now(),
+                     logger: RunLogger = new RunLogger()) {
 
   private val iso = DateTimeFormatter.ISO_OFFSET_DATE_TIME.withZone(ZoneOffset.UTC)
   private def nowIso(): String = iso.format(clock())
@@ -48,26 +34,39 @@ final class Pipeline(spark: SparkSession, config: PipelineConfig,
     val runId = newRunId()
     val startedAt = nowIso()
     val t0 = System.nanoTime()
+    logger.info(s"Starting ETL run $runId")
     try {
       val raw = Extract.extractAll(spark, transport, config.baseUrl,
         config.endpoints, config.requestDelayMs, config.retryAttempts)
+      // rows per endpoint are deliberately NOT counted here — extract →
+      // transform → load is one lazy plan, and counting now would run it
+      // twice; the per-table counts come back from the load actions below.
+      logger.info(s"Extract complete: ${raw.size}/${config.endpoints.size} " +
+        s"endpoints responded (${raw.keys.toSeq.sorted.mkString(", ")})")
       val transformed = Transforms.transformAll(raw)
+      logger.info(s"Transform complete: ${transformed.size} tables mapped")
       val rows =
         try load.loadAll(transformed, runId, nowIso())
         // transformAll caches fan-out endpoints (agents/weapons feed two
         // tables each); release them so scheduled runs don't accumulate
         // dead cache entries. unpersist on a never-cached frame is a no-op.
         finally raw.values.foreach(_.unpersist())
+      rows.toSeq.sortBy(_._1).foreach { case (table, n) =>
+        logger.info(s"Loaded $table: $n rows")
+      }
       val total = rows.values.sum
       val duration = math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100
       load.upsertRow(spark, "etl_runs", Seq("run_id"),
         load.metricsRow(spark, runId, startedAt, nowIso(), "Success",
           rows.count(_._2 > 0), total, duration))
+      logger.info(s"ETL run $runId completed: Success, " +
+        s"${rows.count(_._2 > 0)} tables, $total rows, ${duration}s")
       RunResult(runId, "Success", rows, total)
     } catch {
       case e: Throwable =>
         val duration = math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100
         val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        logger.error(s"ETL run $runId failed after ${duration}s: $msg")
         load.upsertRow(spark, "etl_runs", Seq("run_id"),
           load.metricsRow(spark, runId, startedAt, nowIso(),
             s"Failed: $msg", 0, 0L, duration))

@@ -20,7 +20,12 @@ import org.apache.spark.sql.types._
   * Determinism: accumulation is strictly sequential (i = 0..n-1), matching
   * both the higher-order-function fold it replaces and the DuckDB oracle's
   * `list_sum(list_transform(...))`, so results stay bit-identical
-  * cross-engine (see `graft.ops.Exact` for why that matters).
+  * cross-engine (see `graft.ops.Exact` for why that matters) — for arrays
+  * WITHOUT null elements, which is what every embedding column here
+  * guarantees. On a null ELEMENT the semantics intentionally diverge: the
+  * HOF fold returns NULL for the whole product, this expression skips the
+  * element (contributes 0) so one bad slot doesn't null out a similarity
+  * score. PropertySpec pins both behaviors.
   */
 object ArrayMath {
 

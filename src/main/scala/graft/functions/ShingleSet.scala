@@ -17,6 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * sliced array per window, which made shingling itself the hottest stage
   * of every text-dedup pipeline. Order matches `array_sort`'s binary
   * UTF8 comparison (= DuckDB's default collation on this corpus).
+  *
+  * The equivalence claim is scoped to token arrays WITHOUT null elements
+  * (all tokenizers here guarantee that): on a null token this expression
+  * substitutes the empty string, where `concat_ws` would skip the token
+  * and produce a shorter shingle.
   */
 object ShingleSetHelper {
   private val Sep = UTF8String.fromString(" ")

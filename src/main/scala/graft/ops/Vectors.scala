@@ -188,18 +188,45 @@ object Vectors {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
 
-  /** ANN top-k: score only bucket-mates (same sign-projection key). Recall
-    * trades against bucket size via `planes`; the shuffle is an equi-join on
-    * the bucket key instead of a cross join.
+  /** ANN top-k via MULTI-BAND sign-LSH: a corpus vector is a candidate for a
+    * query when they share at least one full band of `planesPerBand`
+    * projection signs; candidates are deduped, exactly scored, and ranked.
+    * Single-band bucketing (the naive LSH) is the `bands = 1` special case —
+    * measured on the near-orthogonal test corpus it has recall@5 ≈ 0.02
+    * ("silently useless buckets"), which is why multi-band is the default:
+    * r=3 × b=12 measures recall@5 = 0.98 there (DedupVectorsSpec pins a
+    * ≥ 0.8 floor). On realistically CLUSTERED embeddings the same structure
+    * both prunes hard and keeps recall; isotropic data is the worst case
+    * (see `cosineNearDupPairsBanded` for the math).
+    *
+    * Scale shape: explode(bands) on both sides → equi-join on (band, key) →
+    * distinct candidate ids → broadcast-join the (small) query set + one
+    * keyed join to the corpus for scoring → per-query top-k. No cross join
+    * anywhere.
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              planesPerBand: Int = 3, bands: Int = 12, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = hyperplaneSigns(planesPerBand * bands, dims)
+    def banded(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out), col(vecCol).as("v0"))
+        .select(col(out), explode(array((0 until bands).map { bd =>
+          struct(lit(bd).as("band"),
+            concat((0 until planesPerBand).map { i =>
+              val plane = array(signs(bd * planesPerBand + i).map(lit): _*)
+              when(dot(col("v0"), plane) > 0, lit("1")).otherwise(lit("0"))
+            }: _*).as("key"))
+        }: _*)).as("bk"))
+        .select(col(out), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"),
+        Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), annBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"), annBucket(col(vecCol), planes).as("bucket"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      norm(col(vecCol)).as("cn"))
+    val scored = cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),

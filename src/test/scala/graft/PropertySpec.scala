@@ -81,7 +81,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("native DotProduct is bit-identical to the HOF fold it replaced") {
+  test("native DotProduct is bit-identical to the HOF fold it replaced (null-free arrays)") {
     import spark.implicits._
     val genVec = Gen.listOfN(16, Gen.chooseNum(-10f, 10f))
     forAll(Gen.listOfN(20, Gen.zip(genVec, genVec))) { pairs =>
@@ -99,6 +99,21 @@ class PropertySpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("DotProduct null ELEMENT skips as zero — intentionally diverging from the HOF's NULL") {
+    val df = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a, " +
+        "array(2.0D, 5.0D, 4.0D) AS b")
+    val r = df.select(
+      graft.functions.ArrayMath.dotNative(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("hof"),
+      graft.functions.ArrayMath.dotNative(
+        lit(null).cast("array<double>"), col("b")).as("nullarr"))
+      .collect().head
+    assert(r.getDouble(0) == 14.0) // 1*2 + 3*4 — the null slot contributes 0
+    assert(r.isNullAt(1)) // the HOF fold nulls the entire product instead
+    assert(r.isNullAt(2)) // a null ARRAY (vs element) is still null overall
   }
 
   test("native ShingleSet equals the HOF composition it replaced") {

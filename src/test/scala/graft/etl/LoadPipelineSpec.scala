@@ -128,6 +128,86 @@ class LoadPipelineSpec extends SparkSpec {
     assert(runs.head.getAs[Int]("tables_loaded") == 0)
   }
 
+  test("S6: config file in the reference's JSON shape loads with path fallback") {
+    val dir = tmpDir("cfg")
+    val path = s"$dir/pipeline_config.json"
+    val json =
+      """{
+        |  "api": {
+        |    "base_url": "https://example.test/v1",
+        |    "endpoints": ["agents", "maps"],
+        |    "request_delay_seconds": 0.25,
+        |    "timeout_seconds": 7
+        |  },
+        |  "database": {"path": "/app/data/x.db", "local_path": "data/local-wh"},
+        |  "schedule": {"interval_hours": 12, "run_on_start": false},
+        |  "logging": {"level": "DEBUG",
+        |    "log_file": "/app/data/etl.log", "local_log_file": "data/etl.log"}
+        |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes("UTF-8"))
+    // appRoot points at a nonexistent dir → "not in a container" → the
+    // local_* path variants win (reference pipeline.py:46-48)
+    val cfg = PipelineConfig.load(Seq(s"$dir/nope.json", path),
+      appRoot = s"$dir/no-such-app")
+    assert(cfg.baseUrl == "https://example.test/v1")
+    assert(cfg.endpoints == Seq("agents", "maps"))
+    assert(cfg.requestDelayMs == 250L)
+    assert(cfg.timeoutSeconds == 7)
+    assert(cfg.warehouse == "data/local-wh")
+    assert(cfg.logFile.contains("data/etl.log"))
+    // appRoot exists → container paths win
+    val inApp = PipelineConfig.fromFile(path, appRoot = dir)
+    assert(inApp.warehouse == "/app/data/x.db")
+    assert(inApp.logFile.contains("/app/data/etl.log"))
+    assert(cfg.logLevel == "DEBUG")
+    assert(cfg.intervalHours == 12)
+    assert(!cfg.runOnStart)
+    // partial config keeps compiled defaults for everything absent
+    val partialPath = s"$dir/partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(partialPath),
+      """{"api": {"base_url": "https://partial.test"}}""".getBytes("UTF-8"))
+    val partial = PipelineConfig.fromFile(partialPath)
+    assert(partial.baseUrl == "https://partial.test")
+    assert(partial.endpoints == PipelineConfig().endpoints)
+    assert(partial.intervalHours == PipelineConfig().intervalHours)
+    // no path exists → error like the reference; lenient variant → defaults
+    intercept[java.io.FileNotFoundException] {
+      PipelineConfig.load(Seq(s"$dir/a.json", s"$dir/b.json"))
+    }
+    assert(PipelineConfig.loadOrDefaults(Seq(s"$dir/a.json")) == PipelineConfig())
+  }
+
+  test("run lifecycle logs per-stage lines + summary to the configured file") {
+    val dir = tmpDir("log")
+    val logPath = s"$dir/etl.log"
+    val cfg = PipelineConfig(warehouse = tmpDir("wh"), requestDelayMs = 0)
+    val logger = new RunLogger(Some(logPath))
+    try {
+      val clock = java.time.Instant.parse("2026-08-12T06:00:00Z")
+      new Pipeline(spark, cfg, fixtureTransport, () => clock, logger).run()
+    } finally logger.close()
+    val lines = scala.io.Source.fromFile(logPath).getLines().toSeq
+    assert(lines.exists(_.contains("Starting ETL run 20260812_060000")))
+    assert(lines.exists(_.contains("Extract complete: 5/5 endpoints")))
+    assert(lines.exists(_.contains("Loaded agents: 1 rows")))
+    assert(lines.exists(_.contains(
+      "ETL run 20260812_060000 completed: Success, 6 tables, 6 rows")))
+    // reference line format: 'YYYY-MM-DD HH:MM:SS [LEVEL] message'
+    assert(lines.forall(_.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \[\w+\] .*""")))
+  }
+
+  test("RunLogger level threshold filters below-level lines") {
+    val dir = tmpDir("log2")
+    val logPath = s"$dir/etl.log"
+    val logger = new RunLogger(Some(logPath), level = "ERROR")
+    try {
+      logger.info("hidden info")
+      logger.error("visible error")
+    } finally logger.close()
+    val lines = scala.io.Source.fromFile(logPath).getLines().toSeq
+    assert(lines.length == 1 && lines.head.contains("visible error"))
+  }
+
   test("runScheduled: run_on_start + interval sleeps between runs") {
     val cfg = PipelineConfig(warehouse = tmpDir("wh"), requestDelayMs = 0,
       intervalHours = 6)

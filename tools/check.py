@@ -44,7 +44,12 @@ for name in names:
     for c in mc:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if x != y and not (x is None and y is None) and str(x) != str(y):
+            # str() fallback only for SAME-type values (covers e.g. numpy
+            # array repr equality) — a cross-type coincidence like int 1 vs
+            # string '1' must stay a mismatch, as it is in the driver's
+            # hash compare.
+            if x != y and not (x is None and y is None) \
+                    and not (type(x) is type(y) and str(x) == str(y)):
                 if not (isinstance(x, float) and isinstance(y, float) and x != x and y != y):
                     mism.append((c, i, x, y))
                     if len(mism) > 2: break
