@@ -12,7 +12,8 @@ import graft.catalog._
 object SparkEntry {
 
   private val catalogs: Seq[Catalog] =
-    Seq(RelationalQueries, FunctionQueries, TextQueries, VectorQueries)
+    Seq(RelationalQueries, FunctionQueries, TextQueries, VectorQueries,
+      CurateQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue per region — scan → 4 joins (dims broadcast) → agg → sort.

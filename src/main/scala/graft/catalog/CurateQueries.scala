@@ -1,0 +1,90 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curate
+import graft.tables.Tables.load
+
+/** Corpus-curation query surface (SURVEY §2.9 extension): deterministic
+  * split/sample by key hash, benchmark decontamination, PII redaction.
+  * The split/sample oracles replay the md5 unit-hash bit-for-bit, so the
+  * hash match proves per-ROW assignment equality, not just counts.
+  */
+object CurateQueries extends Catalog {
+
+  // DuckDB twin of Curate.unitHash(doc_id)
+  private val UnitHash =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT / 268435456.0)"
+  // DuckDB twin of Dedup.shingles(text, 3) (same macro as dedup_ngram_jaccard)
+  private val Toks = "string_split(text, ' ')"
+  private val Sh3 =
+    s"""CASE WHEN len($Toks) < 3 THEN []::VARCHAR[]
+       |      ELSE list_sort(list_distinct(list_transform(range(1, len($Toks) - 1),
+       |        i -> array_to_string(($Toks)[i : i + 2], ' ')))) END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Deterministic train/val/test split: membership is a pure function of
+    // md5(doc_id) — stable across runs, engines, and data growth (unlike
+    // seeded randomSplit, which depends on partition order). Per-row
+    // assignment is oracle-proven, and the summary counts ride along.
+    Q("curate_hash_split",
+      (s, dir) => Curate.hashSplit(load(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |CASE WHEN $UnitHash < 0.8 THEN 'train'
+             |     WHEN $UnitHash < 0.9 THEN 'val'
+             |     ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic 20% sample by the same unit hash: re-running or adding
+    // documents never changes which existing rows are in the sample.
+    Q("curate_hash_sample",
+      (s, dir) => Curate.hashSample(load(s, dir, "documents"), col("doc_id"), 0.2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE $UnitHash < 0.2 ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing ≥ 3 word 3-gram
+    // shingles with any "benchmark" doc (every 100th doc stands in for a
+    // held-out eval set). The benchmark side is tiny → broadcast join on the
+    // shingle key; the corpus is exploded but never shuffled.
+    Q("curate_decontaminate",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Curate.benchmarkOverlap(
+            docs.filter(col("doc_id") % 100 =!= 0),
+            docs.filter(col("doc_id") % 100 === 0),
+            n = 3, minShared = 3)
+          .orderBy(col("doc_id"), col("bench_id"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, unnest($Sh3) AS s FROM documents)
+             |SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+             |  count(*) AS n_shared
+             |FROM sh a JOIN sh b ON a.s = b.s
+             |WHERE a.doc_id % 100 <> 0 AND b.doc_id % 100 = 0
+             |GROUP BY a.doc_id, b.doc_id
+             |HAVING count(*) >= 3
+             |ORDER BY doc_id, bench_id""".stripMargin)),
+
+    // PII redaction: mask email-like tokens and ≥6-digit runs before text
+    // persists anywhere. Patterns use only constructs Java regex and RE2
+    // interpret identically, proven by the hash match on the full text.
+    Q("curate_redact_pii",
+      (s, dir) => load(s, dir, "documents")
+        .select(col("doc_id"), Curate.redactPii(col("text")).as("clean_text"),
+          (Curate.redactPii(col("text")) =!= col("text"))
+            .cast("int").cast("long").as("changed"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |regexp_replace(regexp_replace(text,
+             |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+             |(regexp_replace(regexp_replace(text,
+             |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |  '[0-9]{6,}', '<NUM>', 'g') <> text)::INT::BIGINT AS changed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

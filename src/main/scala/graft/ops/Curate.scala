@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs around the
+  * dedup/quality core (SURVEY §2.9 extension surface): deterministic
+  * splitting and sampling, benchmark decontamination, PII redaction.
+  *
+  * Everything is a narrow, codegen'd per-row computation or a keyed
+  * shuffle — no RNG anywhere. Splits and samples hash the ROW KEY with md5
+  * (bit-identical in every engine, replayable by the DuckDB oracle), so
+  * membership is a pure function of the key: re-runs, retries, and
+  * cross-engine replays agree row-for-row, and adding data never reshuffles
+  * existing assignments — the property `DataFrame.randomSplit` (seeded,
+  * partition-order-sensitive) cannot give at 100 TB.
+  */
+object Curate {
+
+  /** Uniform [0,1) hash of a key column: the first 7 md5 hex chars as a
+    * 28-bit integer, scaled. Same construction as `Dedup.tokenHash28`, so
+    * the oracle replays it with `('0x' || substr(md5(k), 1, 7))::BIGINT`.
+    */
+  def unitHash(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 7), 16, 10)
+      .cast("double") / (1 << 28).toDouble
+
+  /** Deterministic named split (train/val/test …): each row lands in the
+    * split whose cumulative-fraction interval contains `unitHash(key)`.
+    * Fractions must sum to 1 (the last split absorbs the remainder).
+    */
+  def hashSplit(df: DataFrame, key: Column,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = unitHash(key)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val first: Column = when(u < cum.head, lit(splits.head._1))
+    val expr = splits.tail.zip(cum.tail).dropRight(1)
+      .foldLeft(first) { case (acc, ((name, _), hi)) =>
+        acc.when(u < hi, lit(name))
+      }
+    df.withColumn("split",
+      if (splits.size == 1) lit(splits.head._1)
+      else expr.otherwise(lit(splits.last._1)))
+  }
+
+  /** Deterministic `rate`-fraction sample by key hash — membership is a pure
+    * function of the key (stable under re-runs and data growth).
+    */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(unitHash(key) < rate)
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` word n-gram shingles with any benchmark doc — the standard
+    * guard against test-set leakage into training corpora.
+    *
+    * Scale shape: shingle both sides (narrow), explode, equi-join on the
+    * shingle string — the benchmark side is tiny by construction, so the
+    * join broadcasts and the corpus is never shuffled; then one partial+final
+    * count per (doc, bench) pair. Returns one row per contaminated
+    * (doc_id, bench_id) pair with the shared-shingle count.
+    */
+  def benchmarkOverlap(docs: DataFrame, benchmark: DataFrame, n: Int,
+                       minShared: Long,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def shingled(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out), Dedup.shingles(col(textCol), n).as("sh"))
+        .select(col(out), explode(col("sh")).as("s"))
+    shingled(docs, "doc_id_")
+      .join(broadcast(shingled(benchmark, "bench_id")), "s")
+      .groupBy(col("doc_id_").as("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** PII redaction: mask email-like tokens and long digit runs — the
+    * narrow scrubbing pass that runs before anything persists raw text.
+    * Pure `regexp_replace` (codegen'd, no UDF); patterns deliberately use
+    * only portable regex constructs (character classes + bounded repeats)
+    * so the DuckDB oracle applies the identical expressions.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
+  }
+}

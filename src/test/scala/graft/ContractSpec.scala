@@ -7,7 +7,8 @@ import graft.catalog._
 class ContractSpec extends SparkSpec {
 
   private val catalogs: Seq[Catalog] =
-    Seq(RelationalQueries, FunctionQueries, TextQueries, VectorQueries)
+    Seq(RelationalQueries, FunctionQueries, TextQueries, VectorQueries,
+      CurateQueries)
 
   test("query names are unique across catalogs (toMap would silently drop dups)") {
     val names = catalogs.flatMap(_.queries).map(_._1)
