@@ -19,7 +19,8 @@ object Scratch {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
 
     val picks = Seq("agg_percentiles", "dedup_embedding_cosine",
-      "dedup_minhash", "dedup_clusters", "pipeline_corpus_clean")
+      "dedup_minhash", "dedup_clusters", "pipeline_corpus_clean",
+      "dedup_ngram_jaccard", "sim_ann_lsh", "curate_decontaminate")
     // untimed warmup at sf0.001 — session/codegen costs out of the numbers
     picks.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()

@@ -94,6 +94,47 @@ object Vectors {
     * the catalog proves exact equality against the quadratic oracle on the
     * test corpus.
     */
+  /** All projection signs of one vector packed into a single long: bit p =
+    * sign of the p-th hyperplane projection. One narrow pass; band keys and
+    * band-match tests below are pure bit arithmetic on this value.
+    */
+  private def packedSignBits(vec: Column, signs: Array[Array[Double]]): Column = {
+    require(signs.length <= 62, s"at most 62 planes fit a packed long signature")
+    signs.indices.map { p =>
+      val plane = array(signs(p).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** (id, sig, bkey) with one row per band: bkey = band index in the high
+    * bits, that band's `r` sign bits in the low bits — a single INT join
+    * key instead of a (band, bit-string) pair.
+    */
+  private def bandExplode(df: DataFrame, sig: Column, r: Int, bands: Int): DataFrame =
+    df.withColumn("sig", sig)
+      .select(col("*"), explode(array((0 until bands).map { k =>
+        lit(k.toLong << r).bitwiseOR(
+          shiftright(col("sig"), k * r).bitwiseAND(lit((1L << r) - 1)))
+      }: _*)).as("bkey"))
+
+  /** TRUE only on the FIRST band (lowest index) where the two packed
+    * signatures agree — so an equi-join on bkey emits every candidate pair
+    * exactly once and needs NO distinct/dedup shuffle afterwards. Bit
+    * logic: x = sigA^sigB has an all-zero r-bit group exactly at matching
+    * bands; `probe` collapses each group to one bit; the filter demands no
+    * matching band strictly below this row's band (bkey >> r).
+    */
+  private def firstMatchingBand(sigA: Column, sigB: Column, bkey: Column,
+                                r: Int, bands: Int): Column = {
+    val x = sigA.bitwiseXOR(sigB)
+    val collapsed = (1 until r).foldLeft(x)((acc, s) => acc.bitwiseOR(shiftright(x, s)))
+    val groupBitMask = (0 until bands).map(k => 1L << (k * r)).reduce(_ | _)
+    val probe = collapsed.bitwiseXOR(lit(-1L)).bitwiseAND(lit(groupBitMask))
+    val earlierMask =
+      call_function("shiftleft", lit(1L), shiftright(bkey, r) * lit(r)) - 1
+    probe.bitwiseAND(earlierMask) === 0
+  }
+
   def cosineNearDupPairsBanded(vectors: DataFrame, threshold: Double,
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
@@ -101,19 +142,14 @@ object Vectors {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
-    val banded = v.select(col("id"), explode(array((0 until bands).map { k =>
-        struct(lit(k).as("band"),
-          concat((0 until planesPerBand).map { i =>
-            val plane = array(signs(k * planesPerBand + i).map(lit): _*)
-            when(dot(col("v"), plane) > 0, lit("1")).otherwise(lit("0"))
-          }: _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandExplode(v.select(col("id"), col("v")),
+        packedSignBits(col("v"), signs), planesPerBand, bands)
+      .select(col("id"), col("sig"), col("bkey"))
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
+            planesPerBand, bands))
       .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
     val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
     cand
       .join(v.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
@@ -209,19 +245,16 @@ object Vectors {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     def banded(df: DataFrame, out: String) =
-      df.select(col(idCol).as(out), col(vecCol).as("v0"))
-        .select(col(out), explode(array((0 until bands).map { bd =>
-          struct(lit(bd).as("band"),
-            concat((0 until planesPerBand).map { i =>
-              val plane = array(signs(bd * planesPerBand + i).map(lit): _*)
-              when(dot(col("v0"), plane) > 0, lit("1")).otherwise(lit("0"))
-            }: _*).as("key"))
-        }: _*)).as("bk"))
-        .select(col(out), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded(queries, "query_id").join(banded(corpus, "neighbor_id"),
-        Seq("band", "key"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id")).distinct()
+      bandExplode(df.select(col(idCol).as(out), col(vecCol).as("v0")),
+        packedSignBits(col("v0"), signs), planesPerBand, bands)
+        .select(col(out), col("sig"), col("bkey"))
+    val cand = banded(queries, "query_id").as("q")
+      .join(banded(corpus, "neighbor_id").as("c"),
+        col("q.bkey") === col("c.bkey") &&
+          col("query_id") =!= col("neighbor_id") &&
+          firstMatchingBand(col("q.sig"), col("c.sig"), col("q.bkey"),
+            planesPerBand, bands))
+      .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
