@@ -69,6 +69,53 @@ object CurateQueries extends Catalog {
              |HAVING count(*) >= 3
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    // Token-budget sequence packing: docs ordered by id within each language
+    // are assigned to packs by START OFFSET in the running token count —
+    // pack_id = floor(tokens_before / budget). The standard scalable
+    // approximation of greedy bin packing (a pack may overflow by less than
+    // one document; exact greedy closing is inherently sequential). The
+    // window partitions by language — never a global single-task sort.
+    Q("curate_pack_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("pack_id",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens"))
+              .cast("double") / 2000.0).cast("long"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, lang, len($Toks)::BIGINT AS n_tokens,
+             |CAST(floor((sum(len($Toks)) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS UNBOUNDED PRECEDING) - len($Toks)) / 2000.0) AS BIGINT) AS pack_id
+             |FROM documents ORDER BY lang, doc_id""".stripMargin)),
+
+    // Per-group quota cap: at most 20 docs per language, preferring higher
+    // distinct-token ratio (integer basis points — no float tie ambiguity),
+    // ties to the smaller doc_id. The standard "domain cap" shape that stops
+    // one source from dominating a training mix; WindowGroupLimit pushes the
+    // limit below the sort at scale.
+    Q("curate_lang_cap",
+      (s, dir) => graft.ops.Relational.topKPerGroup(
+          graft.ops.Text.qualityMetrics(load(s, dir, "documents")),
+          Seq(col("lang")),
+          Seq(col("distinct_bp").desc, col("doc_id").asc), 20, rankCol = "rank")
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("distinct_bp"))
+        .orderBy(col("lang"), col("rank")),
+      Some(s"""SELECT lang, rank, doc_id, distinct_bp FROM (
+             |  SELECT lang, doc_id, distinct_bp,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY distinct_bp DESC, doc_id) AS rank
+             |  FROM (SELECT lang, doc_id,
+             |      CAST(floor(len(list_distinct($Toks))::DOUBLE * 10000 / len($Toks))
+             |        AS BIGINT) AS distinct_bp
+             |    FROM documents) m) t
+             |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin)),
+
     // PII redaction: mask email-like tokens and ≥6-digit runs before text
     // persists anywhere. Patterns use only constructs Java regex and RE2
     // interpret identically, proven by the hash match on the full text.

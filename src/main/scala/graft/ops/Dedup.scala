@@ -296,8 +296,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Persisted for the same reason as minHashNearDupPairs' shingle cache:
+    // the plan references the shingle frame four times (document-frequency
+    // branch, prefix branch, both Jaccard-verify join-backs) and would
+    // otherwise scan + re-shingle the corpus 4×. MEMORY_AND_DISK, left to
+    // LRU eviction — the result is lazy, so there is no point to unpersist.
     val t = docs.select(col("doc_id").as("id"), col("lang"),
       shingles(col("text"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
       size(col("sh")).as("n"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
