@@ -238,17 +238,22 @@ object TextQueries extends Catalog {
     // only shuffles are the dedup key and the final groupBy.
     Q("pipeline_corpus_clean",
       (s, dir) => {
+        // Projection structure is deliberate: `nm` (two regex passes) and
+        // `toks` (split) are each defined in their own projection and then
+        // referenced MULTIPLE times by the next one — CollapseProject only
+        // inlines non-cheap expressions with a single reference, so each is
+        // computed once per row instead of once per downstream use (the
+        // round-1 shape re-ran the normalize chain ~4× per row).
         val n = load(s, dir, "documents")
           .select(col("doc_id"), col("lang"), Text.normalize(col("text")).as("nm"))
-        val deduped = graft.ops.Relational.firstPerKey(
-          n.withColumn("k", md5(col("nm").cast("binary"))),
-          Seq("k"), Seq(col("doc_id").asc)).drop("k")
-        val toks = split(col("nm"), " ")
-        deduped
-          .withColumn("n_tokens", size(toks).cast("long"))
-          .withColumn("distinct_bp",
-            graft.ops.Exact.ratioBp(size(array_distinct(toks)).cast("long"),
-              col("n_tokens")))
+        val t = n.select(col("doc_id"), col("lang"), col("nm"),
+          split(col("nm"), " ").as("toks"))
+        val m = t.select(col("doc_id"), col("lang"),
+          md5(col("nm").cast("binary")).as("k"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          graft.ops.Exact.ratioBp(size(array_distinct(col("toks"))).cast("long"),
+            size(col("toks")).cast("long")).as("distinct_bp"))
+        graft.ops.Relational.firstPerKey(m, Seq("k"), Seq(col("doc_id").asc))
           .filter(col("n_tokens") >= 30 && col("distinct_bp") >= 4000)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
