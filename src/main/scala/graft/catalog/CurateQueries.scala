@@ -69,6 +69,21 @@ object CurateQueries extends Catalog {
              |HAVING count(*) >= 3
              |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    // Exactly-N-per-stratum deterministic reservoir: 10 docs per language,
+    // ranked by the unit hash — quota guaranteed even for tiny strata, and
+    // the chosen set is a pure function of the ids present.
+    Q("curate_stratified_n",
+      (s, dir) => Curate.stratifiedSampleN(load(s, dir, "documents"),
+          Seq(col("lang")), col("doc_id"), 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some(s"""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY $UnitHash, doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 10 ORDER BY lang, doc_id""".stripMargin)),
+
     // Token-budget sequence packing: docs ordered by id within each language
     // are assigned to packs by START OFFSET in the running token count —
     // pack_id = floor(tokens_before / budget). The standard scalable

@@ -133,6 +133,28 @@ object VectorQueries extends Catalog {
              |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Symmetric int8 quantization — the storage path for 100 TB embedding
+    // tables (4× smaller ANN-candidate vectors). floor() quantization, not
+    // round(): floor has no tie rule to diverge across engines. The scale
+    // is the exact float max-|component| widened to double (lossless), and
+    // the int vector is serialized to CSV for the hash compare.
+    Q("vector_quantize_int8",
+      (s, dir) => {
+        import graft.ops.Curate
+        load(s, dir, "embeddings")
+          .withColumn("qz", Curate.quantizeInt8(col("embedding")))
+          .select(col("vec_id"), col("qz.scale").cast("double").as("scale"),
+            array_join(transform(col("qz.q"), x => x.cast("string")), ",").as("q_csv"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id, scale, array_to_string(
+             |  list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+             |    ELSE floor(x * 127.0 / scale)::INT END), ',') AS q_csv
+             |FROM (SELECT vec_id, e,
+             |    list_max(list_transform(e, x -> abs(x))) AS scale
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v) t
+             |ORDER BY vec_id""".stripMargin)),
+
     // Label-centroid stats: per-label mean vector norm — groupBy over array
     // columns with exact element-ordered folds. Rows-only oracle is NOT
     // needed: norms are deterministic, but per-label mean of doubles is

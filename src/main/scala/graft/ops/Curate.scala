@@ -75,6 +75,38 @@ object Curate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exactly-N-per-stratum sample: within each stratum, rows are ranked by
+    * the unit hash (ties by key) and the first `n` kept — a deterministic
+    * reservoir. Unlike rate-based sampling this guarantees the quota even
+    * for small strata, and the chosen set only changes when higher-ranked
+    * rows ARRIVE (never on re-runs or partitioning changes). One shuffle,
+    * partitioned BY STRATUM; `WindowGroupLimit` pushes the limit below the
+    * per-stratum sort at scale.
+    */
+  def stratifiedSampleN(df: DataFrame, strata: Seq[Column], key: Column,
+                        n: Int): DataFrame =
+    Relational.topKPerGroup(df.withColumn("_u", unitHash(key)),
+        strata, Seq(col("_u").asc, key.asc), n, rankCol = "_rk")
+      .drop("_u", "_rk")
+
+  /** Symmetric int8 quantization of an embedding column: scale = the
+    * vector's max |component| (as a float, mirroring float32 storage), each
+    * component mapped to floor(127·v/scale). Floor, not round — round's
+    * tie rule differs across engines, floor never does. 4× smaller storage
+    * for ANN-candidate embeddings; narrow per-row codegen.
+    * Returns a struct (scale FLOAT, q ARRAY<INT>); dequantize as
+    * q·scale/127.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = aggregate(vec, lit(0.0f),
+      (acc, x) => greatest(acc, abs(x).cast("float")))
+    struct(scale.as("scale"),
+      transform(vec, x =>
+        when(scale === 0.0f, lit(0))
+          .otherwise(floor(x.cast("double") * 127.0 / scale.cast("double"))
+            .cast("int"))).as("q"))
+  }
+
   /** PII redaction: mask email-like tokens and long digit runs — the
     * narrow scrubbing pass that runs before anything persists raw text.
     * Pure `regexp_replace` (codegen'd, no UDF); patterns deliberately use

@@ -62,6 +62,43 @@ class CurateSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, 5L))) // 5 shared 3-grams; doc 3 shares only 1
   }
 
+  test("stratifiedSampleN: exact quota per stratum, partition-invariant") {
+    val df = (1L to 500L).map(i => (i, if (i % 10 == 0) "rare" else "common"))
+      .toDF("doc_id", "lang")
+    def pick(parts: Int): Map[String, Set[Long]] =
+      Curate.stratifiedSampleN(df.repartition(parts), Seq(col("lang")),
+          col("doc_id"), 15)
+        .select("lang", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val p1 = pick(1)
+    assert(p1("common").size == 15 && p1("rare").size == 15)
+    assert(pick(9) == p1)
+    // a stratum smaller than the quota is kept whole
+    val tiny = Curate.stratifiedSampleN(df.filter(col("doc_id") <= 25),
+      Seq(col("lang")), col("doc_id"), 15)
+    assert(tiny.filter(col("lang") === "rare").count() == 2) // ids 10, 20
+  }
+
+  test("quantizeInt8: dequantization error bounded by one step; zero vector safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.25f, 0.0f, 1.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"), col("embedding"),
+        Curate.quantizeInt8(col("embedding")).as("qz"))
+      .select(col("vec_id"), col("embedding"), col("qz.scale"), col("qz.q"))
+      .as[(Long, Array[Float], Float, Array[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val (v1, s1, q1) = rows(1L)
+    assert(s1 == 1.25f)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    v1.zip(q1).foreach { case (v, q) =>
+      assert(math.abs(q * s1 / 127.0 - v) <= s1 / 127.0 + 1e-9)
+    }
+    val (_, s2, q2) = rows(2L)
+    assert(s2 == 0.0f && q2.forall(_ == 0))
+  }
+
   test("redactPii masks emails and long digit runs, leaves the rest") {
     val out = Seq("contact me at jane.doe+x@mail.example.org or call 5551234567 ext 42")
       .toDF("text").select(Curate.redactPii(col("text"))).as[String].head()
