@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+
+/** Co-located joins via bucketing — the pre-shuffle that makes repeated
+  * large-table equi-joins shuffle-free at 100 TB: both sides written
+  * `bucketBy(k, key)`, so the join reads matching buckets directly and the
+  * plan contains NO shuffle exchange (SortMergeJoin over bucketed scans).
+  */
+class BucketingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // AQE final plans hide subtrees inside QueryStageExec LEAF nodes
+  // (ResultQueryStage / ShuffleQueryStage), so plain collect() sees nothing —
+  // descend into each stage's plan explicitly.
+  private def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p match {
+      case _: ShuffleQueryStageExec => 1
+      case _: ShuffleExchangeLike => 1
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case q: QueryStageExec => countShuffles(q.plan)
+      case other => other.children.map(countShuffles).sum
+    }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE to finalize the executed plan
+    countShuffles(df.queryExecution.executedPlan)
+  }
+
+  test("bucketed-by-key tables join with zero shuffle exchanges") {
+    val wh = tmpDir("bucket-wh")
+    val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "lv")
+    val right = (1L to 500L).map(i => (i % 100, -i)).toDF("k", "rv")
+    left.write.bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/t_left").mode("overwrite").saveAsTable("bkt_left")
+    right.write.bucketBy(8, "k").sortBy("k")
+      .option("path", s"$wh/t_right").mode("overwrite").saveAsTable("bkt_right")
+    // broadcast would make ANY small join exchange-free — disable it so the
+    // zero-shuffle result below is attributable to bucketing alone
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_left")
+        .join(spark.table("bkt_right"), "k")
+      assert(shuffleCount(joined) == 0,
+        "bucketed join must read matching buckets directly, not re-shuffle")
+      // and an aggregation on the bucket key needs no exchange either
+      val agged = spark.table("bkt_left").groupBy("k").agg(sum("lv"))
+      assert(shuffleCount(agged) == 0)
+      // correctness: identical to the plain (shuffling) join
+      val plain = left.join(right, "k")
+      assert(joined.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+      assert(shuffleCount(plain) > 0) // the unbucketed baseline DOES shuffle
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+}
