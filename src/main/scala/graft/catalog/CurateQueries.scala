@@ -131,6 +131,72 @@ object CurateQueries extends Catalog {
              |    FROM documents) m) t
              |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin)),
 
+    // Mixture-weighted sampling: per-language keep-rates reweight the
+    // training mix (downsample the dominant language, keep the rare ones) —
+    // deterministic per row, so the oracle replays membership exactly.
+    Q("curate_mixture_rates",
+      (s, dir) => Curate.mixtureSample(load(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang FROM documents
+             |WHERE $UnitHash < (CASE lang WHEN 'en' THEN 0.5
+             |  WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0 ELSE 0.25 END)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // The flagship curation composition — what the operator family exists
+    // for, as ONE lazy plan: PII-redact → normalize → exact-dedup on the
+    // normalized hash (min doc_id survives) → quality gate → deterministic
+    // train/val/test split → per-(split, lang) corpus stats. Shuffles: the
+    // dedup window key and the final groupBy — nothing else.
+    Q("pipeline_training_mix",
+      (s, dir) => {
+        import graft.ops.{Curate, Text}
+        // same CollapseProject discipline as pipeline_corpus_clean: nm and
+        // toks each materialize once (multi-referenced by the next select)
+        val n = load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            Text.normalize(Curate.redactPii(col("text"))).as("nm"))
+        val t = n.select(col("doc_id"), col("lang"), col("nm"),
+          split(col("nm"), " ").as("toks"))
+        val m = t.select(col("doc_id"), col("lang"),
+          md5(col("nm").cast("binary")).as("k"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          graft.ops.Exact.ratioBp(size(array_distinct(col("toks"))).cast("long"),
+            size(col("toks")).cast("long")).as("distinct_bp"))
+        val gated = graft.ops.Relational.firstPerKey(m, Seq("k"), Seq(col("doc_id").asc))
+          .filter(col("n_tokens") >= 30 && col("distinct_bp") >= 4000)
+        Curate.hashSplit(gated, col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""WITH r AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(lower(
+             |      regexp_replace(regexp_replace(text,
+             |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |        '[0-9]{6,}', '<NUM>', 'g')),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm
+             |  FROM documents),
+             |d AS (
+             |  SELECT *, row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id) AS rn
+             |  FROM r),
+             |g AS (
+             |  SELECT doc_id, lang, len(string_split(nm, ' ')) AS nt,
+             |    floor(len(list_distinct(string_split(nm, ' '))) * 10000.0 /
+             |          len(string_split(nm, ' ')))::BIGINT AS dbp
+             |  FROM d WHERE rn = 1),
+             |sp AS (
+             |  SELECT lang, nt,
+             |    CASE WHEN $UnitHash < 0.9 THEN 'train'
+             |         WHEN $UnitHash < 0.95 THEN 'val' ELSE 'test' END AS split
+             |  FROM g WHERE nt >= 30 AND dbp >= 4000)
+             |SELECT split, lang, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
+             |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin)),
+
     // PII redaction: mask email-like tokens and ≥6-digit runs before text
     // persists anywhere. Patterns use only constructs Java regex and RE2
     // interpret identically, proven by the hash match on the full text.

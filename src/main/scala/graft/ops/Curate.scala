@@ -75,6 +75,22 @@ object Curate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Mixture-weighted sampling: keep a row iff `unitHash(key) < rate` where
+    * the rate depends on the row's stratum — the standard way to reweight a
+    * training mix (e.g. upsample rare languages, downsample a crawl that
+    * dominates). Rates compile to a literal when-chain: narrow, codegen'd,
+    * no join. Deterministic and growth-stable like every hash-based sample
+    * here.
+    */
+  def mixtureSample(df: DataFrame, key: Column, stratum: Column,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(unitHash(key) < rate)
+  }
+
   /** Exactly-N-per-stratum sample: within each stratum, rows are ranked by
     * the unit hash (ties by key) and the first `n` kept — a deterministic
     * reservoir. Unlike rate-based sampling this guarantees the quota even
