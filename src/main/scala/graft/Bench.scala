@@ -34,12 +34,16 @@ object Bench {
       graft.ops.Dedup.minHashNearDupPairs(docs, 0.5).count()
       val emb = graft.tables.Tables.load(spark, sfDir, "embeddings").limit(500)
       graft.ops.Vectors.cosineNearDupPairsBanded(emb, 0.4).count()
-      // window + regex codegen shapes (the other heavy first-compile hits)
-      docs.select(graft.ops.Text.normalize(col("text"))).count()
+      // window + regex codegen shapes (the other heavy first-compile hits).
+      // The warmup expressions must be OBSERVED by the action — a bare
+      // count() lets column pruning delete an unreferenced projection or
+      // window and nothing compiles.
+      docs.select(graft.ops.Text.normalize(col("text")).as("n"))
+        .agg(max(length(col("n")))).collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(256)
         .withColumn("rn", row_number().over(
           W.partitionBy("l_returnflag").orderBy("l_extendedprice")))
-        .count()
+        .filter(col("rn") === 1).count()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

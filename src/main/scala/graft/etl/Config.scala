@@ -77,6 +77,8 @@ object PipelineConfig {
         .map(n => (n.asDouble() * 1000).toLong).getOrElse(d.requestDelayMs),
       timeoutSeconds = node("api", "timeout_seconds")
         .map(_.asInt()).getOrElse(d.timeoutSeconds),
+      retryAttempts = node("api", "retry_attempts")
+        .map(_.asInt()).getOrElse(d.retryAttempts),
       // The engine's store is a parquet warehouse directory, so the
       // reference's SQLite `database.path` maps to the warehouse root.
       warehouse = pathFor("database", "path", "local_path").getOrElse(d.warehouse),
@@ -98,8 +100,16 @@ object PipelineConfig {
 final class RunLogger(logFile: Option[String] = None,
                       level: String = "INFO") extends AutoCloseable {
   private val slf = org.slf4j.LoggerFactory.getLogger("graft.etl.pipeline")
-  private val levels = Seq("DEBUG", "INFO", "WARNING", "ERROR")
-  private val threshold = math.max(0, levels.indexOf(level.toUpperCase))
+  // WARN and WARNING are synonyms (log4j vs Python spelling); an
+  // unrecognized level falls back to INFO — loudly, not to DEBUG silently.
+  private val rank = Map("DEBUG" -> 0, "INFO" -> 1, "WARNING" -> 2,
+    "WARN" -> 2, "ERROR" -> 3)
+  private val threshold = rank.get(level.trim.toUpperCase) match {
+    case Some(t) => t
+    case None =>
+      slf.warn(s"unknown log level '$level', defaulting to INFO")
+      1
+  }
   private val writer = logFile.map { f =>
     val file = new File(f)
     Option(file.getParentFile).foreach(_.mkdirs())
@@ -108,7 +118,7 @@ final class RunLogger(logFile: Option[String] = None,
   private val fmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
   private def emit(lvl: String, msg: String): Unit = synchronized {
-    if (levels.indexOf(lvl) >= threshold)
+    if (rank(lvl) >= threshold)
       writer.foreach { w =>
         w.println(s"${fmt.format(java.time.Instant.now())} [$lvl] $msg")
         w.flush()

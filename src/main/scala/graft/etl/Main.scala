@@ -42,7 +42,9 @@ object Main {
     try {
       if (once) {
         val r = pipeline.run()
-        logger.info(s"run ${r.runId}: ${r.status}, " +
+        // stdout on purpose, not just the logger: the default session runs
+        // at WARN with no log file, and scripts parse this line
+        println(s"run ${r.runId}: ${r.status}, " +
           s"${r.rowsByTable.size} tables, ${r.totalRows} rows")
       } else {
         val runs = argOf("--runs").map(_.toInt).getOrElse(Int.MaxValue)

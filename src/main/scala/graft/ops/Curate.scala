@@ -113,15 +113,18 @@ object Curate {
     * Returns a struct (scale FLOAT, q ARRAY<INT>); dequantize as
     * q·scale/127.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = aggregate(vec, lit(0.0f),
-      (acc, x) => greatest(acc, abs(x).cast("float")))
-    struct(scale.as("scale"),
-      transform(vec, x =>
-        when(scale === 0.0f, lit(0))
-          .otherwise(floor(x.cast("double") * 127.0 / scale.cast("double"))
-            .cast("int"))).as("q"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // The max-|x| fold runs ONCE because the quantized array is built in
+    // aggregate's finish lambda, where the accumulated scale is a lambda
+    // VARIABLE — embedding the fold expression inside transform's lambda
+    // instead would re-evaluate it per element (O(d²) per row).
+    aggregate(vec, lit(0.0f),
+      (acc, x) => greatest(acc, abs(x).cast("float")),
+      scale => struct(scale.as("scale"),
+        transform(vec, x =>
+          when(scale === 0.0f, lit(0))
+            .otherwise(floor(x.cast("double") * 127.0 / scale.cast("double"))
+              .cast("int"))).as("q")))
 
   /** PII redaction: mask email-like tokens and long digit runs — the
     * narrow scrubbing pass that runs before anything persists raw text.

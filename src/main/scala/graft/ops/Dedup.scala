@@ -87,29 +87,33 @@ object Dedup {
                           shingleSize: Int = 3,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minHashNearDupPairsWithHandle(docs, threshold, numHashes, bands,
-      shingleSize, idCol, textCol)._1
+      shingleSize, idCol, textCol,
+      // the caller gets a lazy frame and no unpersist handle, so the caches
+      // must be self-bounding: MEMORY_ONLY blocks really are LRU-evicted
+      // (a MEMORY_AND_DISK block would sit on spill disk until session end)
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)._1
 
   /** `minHashNearDupPairs` plus an unpersist handle for the two cached
     * intermediates (shingle sets + signatures). Without the caches the ONE
     * plan references the shingle lineage four times (both band-join sides
     * via the signatures, both Jaccard-verify sides directly) and scans +
     * re-shingles the corpus 4× — at 100 TB shingling IS the dominant cost.
-    * With them the corpus is read once; the caches are MEMORY_AND_DISK
-    * (shingle sets ≈ corpus token volume — spillable, never recomputed).
-    * Callers that materialize the pairs (e.g. `nearDupClusters`) should
-    * invoke the handle afterwards; the public overload above leaves them to
-    * LRU eviction since its result is still lazy.
+    * With them the corpus is read once. Callers that materialize the pairs
+    * promptly (e.g. `nearDupClusters`) keep the MEMORY_AND_DISK default and
+    * MUST invoke the handle afterwards; the public overload above downgrades
+    * to MEMORY_ONLY because nobody will.
     */
   private[graft] def minHashNearDupPairsWithHandle(
       docs: DataFrame, threshold: Double,
       numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): (DataFrame, () => Unit) = {
-    import org.apache.spark.storage.StorageLevel
+      idCol: String = "doc_id", textCol: String = "text",
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
     val toks = docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("ts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     val sigCols = (0 until numHashes).map(s =>
       min(minHashPerm(s, col("h"))).as(s"s$s"))
     val sigs = toks
@@ -117,7 +121,7 @@ object Dedup {
       .select(col("id"), tokenHash28(col("t")).as("h"))
       .groupBy(col("id"))
       .agg(sigCols.head, sigCols.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
@@ -299,11 +303,13 @@ object Dedup {
     // Persisted for the same reason as minHashNearDupPairs' shingle cache:
     // the plan references the shingle frame four times (document-frequency
     // branch, prefix branch, both Jaccard-verify join-backs) and would
-    // otherwise scan + re-shingle the corpus 4×. MEMORY_AND_DISK, left to
-    // LRU eviction — the result is lazy, so there is no point to unpersist.
+    // otherwise scan + re-shingle the corpus 4×. MEMORY_ONLY because the
+    // result is lazy and nobody unpersists: memory blocks LRU-evict for
+    // real (worst case: recompute), where MEMORY_AND_DISK blocks would
+    // accumulate on spill disk until session end.
     val t = docs.select(col("doc_id").as("id"), col("lang"),
       shingles(col("text"), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
       size(col("sh")).as("n"))
     val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))

@@ -72,9 +72,10 @@ object Relational {
     *      needs no separate `df.count()` job.
     * Exactness: counts are integers, so bucket boundaries (sampled by the
     * range partitioner) cannot perturb the result. The range-partitioned
-    * distinct-value frame is persisted (MEMORY_AND_DISK, LRU-evicted) —
-    * the offsets/total branches reference it three more times, and without
-    * the cache each reference would re-scan and re-shuffle the input.
+    * distinct-value frame is persisted MEMORY_ONLY (really LRU-evicted;
+    * disk-backed blocks would outlive the lazy result) — the offsets/total
+    * branches reference it three more times, and without the cache each
+    * reference would re-scan and re-shuffle the input.
     */
   def nearestRankPercentiles(df: DataFrame, value: Column,
                              quantiles: Seq[Double]): DataFrame = {
@@ -85,7 +86,7 @@ object Relational {
       .groupBy("v").agg(count(lit(1)).as("c"))
       .repartitionByRange(parts, col("v"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val inner = freq.withColumn("cum", sum(col("c")).over(
       Window.partitionBy(col("pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

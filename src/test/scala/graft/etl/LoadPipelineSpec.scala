@@ -137,7 +137,8 @@ class LoadPipelineSpec extends SparkSpec {
         |    "base_url": "https://example.test/v1",
         |    "endpoints": ["agents", "maps"],
         |    "request_delay_seconds": 0.25,
-        |    "timeout_seconds": 7
+        |    "timeout_seconds": 7,
+        |    "retry_attempts": 7
         |  },
         |  "database": {"path": "/app/data/x.db", "local_path": "data/local-wh"},
         |  "schedule": {"interval_hours": 12, "run_on_start": false},
@@ -153,6 +154,7 @@ class LoadPipelineSpec extends SparkSpec {
     assert(cfg.endpoints == Seq("agents", "maps"))
     assert(cfg.requestDelayMs == 250L)
     assert(cfg.timeoutSeconds == 7)
+    assert(cfg.retryAttempts == 7)
     assert(cfg.warehouse == "data/local-wh")
     assert(cfg.logFile.contains("data/etl.log"))
     // appRoot exists → container paths win
@@ -196,7 +198,7 @@ class LoadPipelineSpec extends SparkSpec {
     assert(lines.forall(_.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \[\w+\] .*""")))
   }
 
-  test("RunLogger level threshold filters below-level lines") {
+  test("RunLogger level threshold filters below-level lines; WARN is a WARNING alias") {
     val dir = tmpDir("log2")
     val logPath = s"$dir/etl.log"
     val logger = new RunLogger(Some(logPath), level = "ERROR")
@@ -206,6 +208,14 @@ class LoadPipelineSpec extends SparkSpec {
     } finally logger.close()
     val lines = scala.io.Source.fromFile(logPath).getLines().toSeq
     assert(lines.length == 1 && lines.head.contains("visible error"))
+    val warnPath = s"$dir/warn.log"
+    val warnLogger = new RunLogger(Some(warnPath), level = "WARN")
+    try {
+      warnLogger.info("hidden at warn")
+      warnLogger.warn("visible warn")
+    } finally warnLogger.close()
+    val warnLines = scala.io.Source.fromFile(warnPath).getLines().toSeq
+    assert(warnLines.length == 1 && warnLines.head.contains("visible warn"))
   }
 
   test("runScheduled: run_on_start + interval sleeps between runs") {
