@@ -46,7 +46,7 @@ class StreamOpsSpec extends SparkSpec {
       .outputMode(outputMode)
       .option("checkpointLocation", tmpDir(s"ckpt-$name"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
     spark.table(name)
   }
 
@@ -152,7 +152,7 @@ class StreamOpsSpec extends SparkSpec {
       readStreamBatched.selectExpr("user_id", "event_type", "event_id", "ts"),
       path, tmpDir("ckpt-upsert"), Seq("user_id", "event_type"), Seq("ts", "event_id"))
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
     val rows = spark.read.parquet(path)
       .select("user_id", "event_type", "event_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
@@ -170,7 +170,7 @@ class StreamOpsSpec extends SparkSpec {
     def runOnce(): Unit = {
       val q = StreamOps.toParquet(StreamOps.readEventStream(spark, src), out, ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
     }
     def ids: Seq[Long] = spark.read.parquet(out)
       .select("event_id").as[Long].collect().sorted.toSeq
