@@ -209,6 +209,37 @@ object TextQueries extends Catalog {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // X3b': SimHash near-dup PAIRS (hamming ≤ 3) via 4-band exact-match
+    // blocking — PROVABLY lossless by pigeonhole (3 differing bits cannot
+    // touch all 4 fingerprint slices), unlike the probabilistic cosine/
+    // Jaccard LSH families. The oracle is the quadratic hamming definition;
+    // the hash match is the (here: unconditional) losslessness proof. The
+    // catalog instance runs on a 1/5 subset and aggregates to pair counts
+    // per distance: this corpus's tiny shared vocabulary collapses token-set
+    // SimHashes so badly that raw h≤3 pair output is ~28% of ALL pairs
+    // (3.5 M rows at sf0.1) — data pathology, not operator pathology; the
+    // operator itself returns the raw pairs.
+    Q("dedup_simhash_pairs",
+      (s, dir) => Dedup.simHashNearDupPairs(
+          load(s, dir, "documents").filter(col("doc_id") % 5 === 0), 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("hamming")),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(range(1, 33), i ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |        CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |      THEN '1' ELSE '0' END), '') AS fp
+             |  FROM (SELECT doc_id, list_transform($TokSet, t -> md5(t)) AS hs
+             |        FROM documents WHERE doc_id % 5 = 0) t)
+             |SELECT hamming, count(*) AS n_pairs FROM (
+             |  SELECT list_sum(list_transform(range(1, 33), i ->
+             |      CASE WHEN substr(a.fp, i, 1) <> substr(b.fp, i, 1)
+             |        THEN 1 ELSE 0 END))::BIGINT AS hamming
+             |  FROM f a JOIN f b ON a.doc_id < b.doc_id) p
+             |WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming""".stripMargin)),
+
     // X3c: exact n-gram (3-shingle) Jaccard pairs ≥ 0.6 per language.
     // The Spark side prunes the O(n²) scan with LOSSLESS PPJoin prefix
     // filtering (rarest ⌊0.4·n⌋+2 shingles — the +2, not the textbook +1,

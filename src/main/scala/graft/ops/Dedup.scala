@@ -272,6 +272,40 @@ object Dedup {
     aggregate(zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1L).otherwise(0L)),
       lit(0L), _ + _)
 
+  /** SimHash near-dup pairs: all pairs with hamming(fingerprint) ≤
+    * `maxHamming`, found by exact-match blocking on `bands` equal slices of
+    * the fingerprint. Unlike cosine/Jaccard LSH this blocking is PROVABLY
+    * lossless by pigeonhole: ≤ maxHamming differing bits cannot touch all
+    * `bands` slices when bands > maxHamming, so every qualifying pair
+    * exact-matches on at least one slice. Plan: narrow fingerprint pass →
+    * explode(bands) → self-equi-join on (band, slice) → distinct →
+    * hamming verify — keyed shuffles only, quadratic work confined to
+    * slice-match buckets (expected size n/2^sliceBits per band).
+    */
+  def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
+                          bands: Int = 4, bits: Int = 32,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands > maxHamming, "losslessness needs bands > maxHamming (pigeonhole)")
+    require(bits % bands == 0, "bands must divide the fingerprint width")
+    val width = bits / bands
+    val fp = docs.select(col(idCol).as("id"),
+      simHashBits(Text.tokenSet(col(textCol))).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      explode(array((0 until bands).map { k =>
+        concat_ws(":", lit(k), substring(col("fp"), k * width + 1, width))
+      }: _*)).as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cand
+      .join(fp.select(col("id").as("i"), col("fp").as("fp_a")), "i")
+      .join(fp.select(col("id").as("j"), col("fp").as("fp_b")), "j")
+      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+        hammingDistance(col("fp_a"), col("fp_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Token n-gram (shingle) set of a text column — distinct, sorted.

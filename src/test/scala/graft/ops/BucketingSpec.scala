@@ -31,6 +31,25 @@ class BucketingSpec extends SparkSpec {
     countShuffles(df.queryExecution.executedPlan)
   }
 
+  test("partition-pruned scan touches only matching partition directories") {
+    val root = tmpDir("part-prune") + "/t"
+    (1L to 300L).map(i => (s"d${i % 3}", i)).toDF("day", "v")
+      .write.partitionBy("day").parquet(root)
+    val filtered = spark.read.parquet(root).filter(col("day") === "d1")
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the pruning must happen at PLAN time (partition filters, not a
+    // post-scan filter): only day=d1 files remain in the selected partitions
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("day=d1")),
+      s"scan still touches: ${files.filterNot(_.contains("day=d1")).take(3)}")
+    assert(filtered.count() == 100)
+  }
+
   test("bucketed-by-key tables join with zero shuffle exchanges") {
     val wh = tmpDir("bucket-wh")
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "lv")

@@ -57,6 +57,21 @@ class DedupVectorsSpec extends SparkSpec {
     assert(d12 <= 8) // near-dup → close fingerprints (32-bit)
   }
 
+  test("simHashNearDupPairs: band blocking equals the quadratic hamming scan") {
+    def quadratic(parts: Int) = {
+      val fp = docs(parts).select(col("doc_id"),
+        Dedup.simHashBits(Text.tokenSet(col("text"))).as("fp"))
+      fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          Dedup.hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
+        .filter(col("hamming") <= 3)
+    }
+    val brute = collectPairs(quadratic(1))
+    assert(brute.nonEmpty) // docs 1 and 4 are identical → hamming 0
+    assert(collectPairs(Dedup.simHashNearDupPairs(docs(1), 3)) == brute)
+    assert(collectPairs(Dedup.simHashNearDupPairs(docs(6), 3)) == brute)
+  }
+
   test("nearDupClusters: distributed propagation path equals driver union-find path") {
     val viaDriver = Dedup.nearDupClusters(docs(3), 0.5)
       .collect().map(_.toSeq).toSet
