@@ -126,4 +126,30 @@ object Load {
     if (!fs.rename(new org.apache.hadoop.fs.Path(staged), target))
       sys.error(s"rename $staged -> $path failed")
   }
+
+  /** Compact a fragmented Parquet table to ~`targetFileBytes` files —
+    * the maintenance pass every streaming/micro-batch sink needs: each
+    * trigger appends at least one file per partition, and a month of
+    * 5-minute batches is ~10 k tiny files whose open/footer costs dominate
+    *  scans. The rewrite sizes output from the MEASURED input bytes (never
+    * a row-count guess), floors at one file, and swaps atomically through
+    * `replaceTable`, so readers never see a partial table. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = fsFor(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val parts = fs.listStatus(target)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    replaceTable(spark,
+      if (nOut < parts.length) df.coalesce(nOut) else df.repartition(nOut),
+      path)
+    val after = fs.listStatus(target)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (parts.length, after)
+  }
 }

@@ -50,6 +50,20 @@ class LoadPipelineSpec extends SparkSpec {
     assert(out2 == Set(("a", 9)))
   }
 
+  test("compact: fragmented table rewritten to fewer files, data identical") {
+    val load = new Load(tmpDir("wh"))
+    val frag = spark.range(0, 10000).toDF("n").repartition(50)
+    assert(load.fullRefresh(frag, "frag") == 10000L)
+    val before = spark.read.parquet(load.tablePath("frag"))
+      .as[Long].collect().sorted.toSeq
+    val (nBefore, nAfter) =
+      Load.compact(spark, load.tablePath("frag"), targetFileBytes = 1L << 30)
+    assert(nBefore >= 50 && nAfter == 1, s"$nBefore -> $nAfter files")
+    val after = spark.read.parquet(load.tablePath("frag"))
+      .as[Long].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("envelope unwrap survives malformed payloads (corrupt body → empty, not throw)") {
     assert(Extract.unwrapEnvelope(spark, "agents", "not json at all").count() == 0)
     assert(Extract.unwrapEnvelope(spark, "agents", """{"status":200}""").count() == 0)
