@@ -104,7 +104,7 @@ final class RunLogger(logFile: Option[String] = None,
   // unrecognized level falls back to INFO — loudly, not to DEBUG silently.
   private val rank = Map("DEBUG" -> 0, "INFO" -> 1, "WARNING" -> 2,
     "WARN" -> 2, "ERROR" -> 3)
-  private val threshold = rank.get(level.trim.toUpperCase) match {
+  private val threshold = rank.get(level.trim.toUpperCase(java.util.Locale.ROOT)) match {
     case Some(t) => t
     case None =>
       slf.warn(s"unknown log level '$level', defaulting to INFO")

@@ -127,27 +127,42 @@ object Load {
       sys.error(s"rename $staged -> $path failed")
   }
 
-  /** Compact a fragmented Parquet table to ~`targetFileBytes` files —
-    * the maintenance pass every streaming/micro-batch sink needs: each
-    * trigger appends at least one file per partition, and a month of
-    * 5-minute batches is ~10 k tiny files whose open/footer costs dominate
-    *  scans. The rewrite sizes output from the MEASURED input bytes (never
-    * a row-count guess), floors at one file, and swaps atomically through
-    * `replaceTable`, so readers never see a partial table. Returns
-    * (filesBefore, filesAfter).
+  /** Compact a fragmented flat Parquet table to ~`targetFileBytes` files —
+    * the maintenance pass micro-batch pipelines need: frequent small loads
+    * leave thousands of tiny files whose open/footer costs come to dominate
+    * scans. The rewrite sizes output from the MEASURED input bytes (never a
+    * row-count guess), no-ops when the table is empty or already at/below
+    * the target file count, and swaps atomically through `replaceTable`.
+    * Returns (filesBefore, filesAfter).
+    *
+    * Preconditions, enforced:
+    *  - NOT a streaming file-sink table: those carry a `_spark_metadata`
+    *    transaction log that readers trust over the directory listing;
+    *    rewriting the files would orphan the log and make compacted rows
+    *    invisible. Stop the stream and migrate such tables first.
+    *  - NOT partitioned: a flat rewrite would silently destroy the
+    *    `col=value` layout (and its pruning); compact leaf partition
+    *    directories individually instead.
+    *  - Single writer: like every non-transactional Parquet rewrite, the
+    *    caller must ensure nothing appends between the read snapshot and
+    *    the swap — run it in the maintenance window of the load schedule.
     */
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
-    val parts = fs.listStatus(target)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(target)
+    require(!entries.exists(_.getPath.getName == "_spark_metadata"),
+      s"$path is a streaming file-sink table (_spark_metadata present) — " +
+        "compacting would orphan the sink log and hide rows from readers")
+    require(!entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"$path is partitioned — compact leaf partition directories individually")
+    val parts = entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (parts.isEmpty) return (0, 0)
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(path)
-    replaceTable(spark,
-      if (nOut < parts.length) df.coalesce(nOut) else df.repartition(nOut),
-      path)
+    if (parts.length <= nOut) return (parts.length, parts.length)
+    replaceTable(spark, spark.read.parquet(path).coalesce(nOut), path)
     val after = fs.listStatus(target)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     (parts.length, after)

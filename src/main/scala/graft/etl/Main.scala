@@ -42,10 +42,13 @@ object Main {
     try {
       if (once) {
         val r = pipeline.run()
-        // stdout on purpose, not just the logger: the default session runs
-        // at WARN with no log file, and scripts parse this line
-        println(s"run ${r.runId}: ${r.status}, " +
-          s"${r.rowsByTable.size} tables, ${r.totalRows} rows")
+        val summary = s"run ${r.runId}: ${r.status}, " +
+          s"${r.rowsByTable.size} tables, ${r.totalRows} rows"
+        // BOTH sinks: stdout because scripts parse this line (and the
+        // default session has no log file), the logger so a configured
+        // log file keeps its terminal run record
+        println(summary)
+        logger.info(summary)
       } else {
         val runs = argOf("--runs").map(_.toInt).getOrElse(Int.MaxValue)
         pipeline.runScheduled(runs)

@@ -288,8 +288,13 @@ object Dedup {
     require(bands > maxHamming, "losslessness needs bands > maxHamming (pigeonhole)")
     require(bits % bands == 0, "bands must divide the fingerprint width")
     val width = bits / bands
+    // persisted like the sibling shingle caches: the plan references the
+    // fingerprint frame 4× (both banded-join sides, both verify join-backs)
+    // and the md5+fold pass is the dominant per-row cost; MEMORY_ONLY —
+    // unowned cache, really LRU-evicted
     val fp = docs.select(col(idCol).as("id"),
       simHashBits(Text.tokenSet(col(textCol))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val banded = fp.select(col("id"), col("fp"),
       explode(array((0 until bands).map { k =>
         concat_ws(":", lit(k), substring(col("fp"), k * width + 1, width))

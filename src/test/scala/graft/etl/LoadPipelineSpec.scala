@@ -62,6 +62,29 @@ class LoadPipelineSpec extends SparkSpec {
     val after = spark.read.parquet(load.tablePath("frag"))
       .as[Long].collect().sorted.toSeq
     assert(after == before)
+    // already compact → no rewrite (file count unchanged, returns as-is)
+    assert(Load.compact(spark, load.tablePath("frag"),
+      targetFileBytes = 1L << 30) == (1, 1))
+  }
+
+  test("compact refuses streaming-sink and partitioned tables; no-ops on empty") {
+    val load = new Load(tmpDir("wh"))
+    // empty dir → (0, 0), not a crash
+    val emptyPath = load.tablePath("empty")
+    new java.io.File(emptyPath).mkdirs()
+    assert(Load.compact(spark, emptyPath) == (0, 0))
+    // streaming file-sink table (_spark_metadata) → refuse: a rewrite would
+    // orphan the sink log and hide rows from readers
+    val sinkPath = load.tablePath("sink")
+    load.fullRefresh(Seq(1, 2).toDF("n"), "sink")
+    new java.io.File(s"$sinkPath/_spark_metadata").mkdirs()
+    intercept[IllegalArgumentException] { Load.compact(spark, sinkPath) }
+    // partitioned layout → refuse: a flat rewrite destroys pruning
+    load.fullRefreshPartitioned(
+      Seq(("a", 1), ("b", 2)).toDF("part", "v"), "parted", Seq("part"))
+    intercept[IllegalArgumentException] {
+      Load.compact(spark, load.tablePath("parted"))
+    }
   }
 
   test("envelope unwrap survives malformed payloads (corrupt body → empty, not throw)") {
