@@ -32,6 +32,7 @@ object Bench {
       val docs = graft.tables.Tables.load(spark, sfDir, "documents").limit(512)
       graft.ops.Dedup.ngramJaccardPairs(docs, 3, 0.6).count()
       graft.ops.Dedup.minHashNearDupPairs(docs, 0.5).count()
+      graft.ops.Dedup.simHashNearDupPairs(docs, 3).count()
       val emb = graft.tables.Tables.load(spark, sfDir, "embeddings").limit(500)
       graft.ops.Vectors.cosineNearDupPairsBanded(emb, 0.4).count()
       // window + regex codegen shapes (the other heavy first-compile hits).

@@ -291,11 +291,15 @@ object Dedup {
     // persisted like the sibling shingle caches: the plan references the
     // fingerprint frame 4× (both banded-join sides, both verify join-backs)
     // and the md5+fold pass is the dominant per-row cost; MEMORY_ONLY —
-    // unowned cache, really LRU-evicted
+    // unowned cache, really LRU-evicted. The bit-string fingerprint is also
+    // packed into a LONG once per doc, so the per-pair hamming verify is
+    // codegen'd bit_count(xor) — the string-HOF `hammingDistance` walks
+    // 2×`bits` interpreted lambda frames per pair and dominated the run.
     val fp = docs.select(col(idCol).as("id"),
       simHashBits(Text.tokenSet(col(textCol))).as("fp"))
+      .withColumn("fpl", conv(col("fp"), 2, 10).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val banded = fp.select(col("id"), col("fp"),
+    val banded = fp.select(col("id"),
       explode(array((0 until bands).map { k =>
         concat_ws(":", lit(k), substring(col("fp"), k * width + 1, width))
       }: _*)).as("bkey"))
@@ -304,10 +308,11 @@ object Dedup {
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     cand
-      .join(fp.select(col("id").as("i"), col("fp").as("fp_a")), "i")
-      .join(fp.select(col("id").as("j"), col("fp").as("fp_b")), "j")
+      .join(fp.select(col("id").as("i"), col("fpl").as("fpl_a")), "i")
+      .join(fp.select(col("id").as("j"), col("fpl").as("fpl_b")), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
-        hammingDistance(col("fp_a"), col("fp_b")).as("hamming"))
+        call_function("bit_count",
+          col("fpl_a").bitwiseXOR(col("fpl_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
