@@ -34,6 +34,26 @@ final class Load(warehouse: String) {
     }
   }
 
+  /** Bucketed refresh: pre-shuffle the table ONCE on its join/agg key so
+    * every later equi-join or aggregation on that key runs with zero
+    * exchanges (BucketingSpec proves the plan). Bucket metadata lives in
+    * the session catalog (`saveAsTable` is how Spark records it — a plain
+    * parquet path has nowhere to put it), with the data as an external
+    * table under the warehouse. Worth it for tables JOINED REPEATEDLY by
+    * the same key; a one-shot join is cheaper to just shuffle.
+    */
+  def writeBucketed(df: DataFrame, name: String, buckets: Int,
+                    keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", tablePath(name))
+      .mode(SaveMode.Overwrite)
+      .saveAsTable(name)
+    df.sparkSession.table(name).count()
+  }
+
   /** K1 at scale: refresh of a PARTITIONED table. Rows land in one
     * directory per partition value (`part=.../`), so downstream readers get
     * partition pruning for free. `targetPartitions` repartitions by the

@@ -51,13 +51,11 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed-by-key tables join with zero shuffle exchanges") {
-    val wh = tmpDir("bucket-wh")
+    val load = new graft.etl.Load(tmpDir("bucket-wh"))
     val left = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "lv")
     val right = (1L to 500L).map(i => (i % 100, -i)).toDF("k", "rv")
-    left.write.bucketBy(8, "k").sortBy("k")
-      .option("path", s"$wh/t_left").mode("overwrite").saveAsTable("bkt_left")
-    right.write.bucketBy(8, "k").sortBy("k")
-      .option("path", s"$wh/t_right").mode("overwrite").saveAsTable("bkt_right")
+    assert(load.writeBucketed(left, "bkt_left", 8, Seq("k")) == 1000L)
+    assert(load.writeBucketed(right, "bkt_right", 8, Seq("k")) == 500L)
     // broadcast would make ANY small join exchange-free — disable it so the
     // zero-shuffle result below is attributable to bucketing alone
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -42,6 +42,33 @@ class MultimodalSpec extends SparkSpec {
     assert(observed.sum == 20)
   }
 
+  test("CompositeCodec routes per kind, preserves order, fails fast on unknown kinds") {
+    val tagging = (dim: Int) => new Multimodal.Codec {
+      private val inner = new Multimodal.StubCodec(dim)
+      def decodeBatch(batch: Seq[Multimodal.MediaRecord]) = {
+        assert(batch.map(_.kind).distinct.size == 1) // homogeneous batches
+        inner.decodeBatch(batch)
+      }
+    }
+    val codec = new Multimodal.CompositeCodec(
+      Map("image" -> tagging(8), "audio" -> tagging(4)))
+    val media = (1L to 10L).map(i => Multimodal.MediaRecord(
+      i, if (i % 2 == 0) "image" else "audio", Array.tabulate(i.toInt)(_.toByte)))
+    val out = codec.decodeBatch(media)
+    assert(out.map(_.media_id) == (1L to 10L)) // input order preserved
+    assert(out.forall(f =>
+      f.features.length == (if (f.kind == "image") 8 else 4)))
+    // distributed path: same routing through extractFeatures
+    val dist = Multimodal.extractFeatures(
+      spark.createDataset(media).repartition(3), codec, batchSize = 4)
+      .collect().sortBy(_.media_id)
+    assert(dist.map(f => (f.media_id, f.features.toSeq)).toSeq ==
+      out.map(f => (f.media_id, f.features.toSeq)).toSeq)
+    intercept[IllegalArgumentException] {
+      codec.decodeBatch(Seq(Multimodal.MediaRecord(99L, "video", Array(1.toByte))))
+    }
+  }
+
   test("asMedia lifts any table's binary column; documentFeatures runs end-to-end") {
     val docs = Seq((10L, "en", "hello world"), (11L, "de", "hallo"))
       .toDF("doc_id", "lang", "text")
