@@ -62,6 +62,23 @@ class CurateSpec extends SparkSpec {
     assert(out == Seq((1L, 100L, 5L))) // 5 shared 3-grams; doc 3 shares only 1
   }
 
+  test("mixtureSample: per-stratum rates, default for unknown strata, consistent with hashSample") {
+    val df = (1L to 1000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Curate.mixtureSample(df, col("doc_id"), col("lang"),
+        Map("en" -> 1.0, "de" -> 0.3), defaultRate = 0.0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") == 333) // rate 1.0 keeps every en row (3,6,...,999)
+    assert(!byLang.contains("xx")) // default 0.0 drops unknown strata
+    assert(byLang("de") > 30 && byLang("de") < 130) // ≈ 0.3 of 333
+    // per-stratum membership IS hashSample membership at that stratum's rate
+    val deDirect = Curate.hashSample(df.filter(col("lang") === "de"),
+      col("doc_id"), 0.3).as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.filter(_._2 == "de").map(_._1).toSet == deDirect)
+  }
+
   test("stratifiedSampleN: exact quota per stratum, partition-invariant") {
     val df = (1L to 500L).map(i => (i, if (i % 10 == 0) "rare" else "common"))
       .toDF("doc_id", "lang")
