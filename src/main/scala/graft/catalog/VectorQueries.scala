@@ -21,21 +21,29 @@ object VectorQueries extends Catalog {
 
   val all: Seq[Q] = Seq(
 
-    // X4: brute-force cosine top-k — the correctness baseline. Query set is
-    // broadcast; corpus is scanned once, shuffle carries only k rows/query.
+    // X4: brute-force cosine top-k — the correctness baseline. The query
+    // set is CAPPED at a fixed deterministic size (stable id order, then
+    // limit) so the broadcast side and the scored-pair count are bounded by
+    // CONFIG, never by corpus growth: brute force over an unbounded query
+    // set is O(n²/50) and its broadcast grows with the data. Corpus is
+    // scanned once; the only shuffle carries k rows/query.
     Q("sim_cosine_topk",
       (s, dir) => {
         val emb = load(s, dir, "embeddings")
-        Vectors.cosineTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+        Vectors.cosineTopK(emb,
+            emb.filter(col("vec_id") % 50 === 0)
+              .orderBy(col("vec_id")).limit(40), 5)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qs AS (SELECT vec_id, e FROM v WHERE vec_id % 50 = 0
+             |  ORDER BY vec_id LIMIT 40),
              |s AS (
              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              |    ${cosSql("q.e", "c.e")} AS cosine
-             |  FROM v q JOIN v c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+             |  FROM qs q JOIN v c ON q.vec_id <> c.vec_id)
              |SELECT query_id, rank, neighbor_id, cosine FROM (
              |  SELECT *, row_number() OVER (PARTITION BY query_id
              |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
@@ -68,7 +76,9 @@ object VectorQueries extends Catalog {
     Q("sim_ann_lsh",
       (s, dir) => {
         val emb = load(s, dir, "embeddings")
-        Vectors.annTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5)
+        Vectors.annTopK(emb,
+            emb.filter(col("vec_id") % 50 === 0)
+              .orderBy(col("vec_id")).limit(40), 5)
           .select(col("query_id"), col("rank").cast("long").as("rank"),
             col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
@@ -84,10 +94,12 @@ object VectorQueries extends Catalog {
              |      CASE WHEN list_sum(list_transform(range(1, 65), i -> e[i] * m[p * 64 + i])) > 0
              |      THEN '1' ELSE '0' END), '') AS bits
              |  FROM v, signs),
+             |qs AS (SELECT vec_id, e, bits FROM b WHERE vec_id % 50 = 0
+             |  ORDER BY vec_id LIMIT 40),
              |s AS (
              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              |    ${cosSql("q.e", "c.e")} AS cosine
-             |  FROM b q JOIN b c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id
+             |  FROM qs q JOIN b c ON q.vec_id <> c.vec_id
              |    AND len(list_filter(range(12), k ->
              |      substr(q.bits, k * 3 + 1, 3) = substr(c.bits, k * 3 + 1, 3))) > 0)
              |SELECT query_id, rank, neighbor_id, cosine FROM (
@@ -111,7 +123,8 @@ object VectorQueries extends Catalog {
       },
       Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
              |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
-             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
              |asg AS (
              |  SELECT vec_id, cell, e, nrm FROM (
              |    SELECT n.vec_id, c.cid AS cell, n.e, n.nrm,

@@ -138,24 +138,48 @@ object Vectors {
   def cosineNearDupPairsBanded(vectors: DataFrame, threshold: Double,
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
-                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineNearDupPairsBandedWithHandle(vectors, threshold, planesPerBand,
+      bands, dims, idCol, vecCol,
+      // lazy public API, no unpersist handle → caches must be self-bounding:
+      // MEMORY_ONLY blocks really are LRU-evicted (MEMORY_AND_DISK spill
+      // would sit on disk until session end). Same rationale as
+      // Dedup.minHashNearDupPairs.
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)._1
+
+  /** `cosineNearDupPairsBanded` plus an unpersist handle for the two cached
+    * intermediates (normed vectors + banded signatures). Without the caches
+    * the ONE plan references the vector lineage four times (both band-join
+    * sides plus both verify join-backs) and scans the embeddings table 4× —
+    * at 100 TB the corpus re-read is the dominant cost. With them it is
+    * read once. Mirrors `Dedup.minHashNearDupPairsWithHandle`.
+    */
+  private[graft] def cosineNearDupPairsBandedWithHandle(
+      vectors: DataFrame, threshold: Double,
+      planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
+      .persist(storage)
     val banded = bandExplode(v.select(col("id"), col("v")),
         packedSignBits(col("v"), signs), planesPerBand, bands)
       .select(col("id"), col("sig"), col("bkey"))
+      .persist(storage)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
             planesPerBand, bands))
       .select(col("a.id").as("i"), col("b.id").as("j"))
     val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-    cand
+    val pairs = cand
       .join(v.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
       .join(v.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
       .select(col("i").as("vec_a"), col("j").as("vec_b"), cos.as("cosine"))
       .filter(col("cosine") >= threshold)
+    (pairs, () => { v.unpersist(); banded.unpersist(); () })
   }
 
   /** Deterministic ±1 sign matrix for `planes` random hyperplanes over `dims`
@@ -201,12 +225,22 @@ object Vectors {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 2,
+              maxCentroids: Int = 128,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def normed(df: DataFrame, prefix: String) =
       df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"),
         norm(col(vecCol)).as(s"${prefix}n"))
-    val cents = broadcast(normed(corpus.filter(col(idCol) % centroidEvery === 0), "c"))
+    // One corpus scan feeds BOTH the centroid pick and the list build; the
+    // centroid table is hard-capped at `maxCentroids` (stable id order) so
+    // the broadcast side is bounded by CONFIG, never by data — the
+    // assignment cross-join stays (growing corpus) × (fixed centroids).
+    val n = normed(corpus, "x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cents = broadcast(n
+      .filter(col("xid") % centroidEvery === 0)
+      .orderBy(col("xid")).limit(maxCentroids)
+      .select(col("xid").as("cid"), col("xv").as("cv"), col("xn").as("cn")))
     def nearestCells(src: DataFrame, p: String, keep: Int) =
       src.join(cents, lit(true))
         .withColumn("c_cos", dot(col(s"${p}v"), col("cv")) / (col(s"${p}n") * col("cn")))
@@ -214,7 +248,7 @@ object Vectors {
           Window.partitionBy(col(s"${p}id")).orderBy(col("c_cos").desc, col("cid").asc)))
         .filter(col("crk") <= keep)
         .select(col("cid").as("cell"), col(s"${p}id"), col(s"${p}v"), col(s"${p}n"))
-    val lists = nearestCells(normed(corpus, "x"), "x", 1)
+    val lists = nearestCells(n, "x", 1)
     val probes = nearestCells(normed(queries, "q"), "q", nprobe)
     val scored = probes.join(lists, "cell")
       .filter(col("qid") =!= col("xid"))
@@ -244,21 +278,26 @@ object Vectors {
               planesPerBand: Int = 3, bands: Int = 12, dims: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
-    def banded(df: DataFrame, out: String) =
-      bandExplode(df.select(col(idCol).as(out), col(vecCol).as("v0")),
+    // Each input feeds TWO branches (band explode + exact scoring); without
+    // the caches the corpus file is scanned twice per side. MEMORY_ONLY:
+    // lazy public API, no unpersist handle, so the blocks must be really
+    // LRU-evictable (see Dedup.minHashNearDupPairs).
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")).persist(mem)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn")).persist(mem)
+    def banded(df: DataFrame, out: String, vecIn: String) =
+      bandExplode(df.select(col(out), col(vecIn).as("v0")),
         packedSignBits(col("v0"), signs), planesPerBand, bands)
         .select(col(out), col("sig"), col("bkey"))
-    val cand = banded(queries, "query_id").as("q")
-      .join(banded(corpus, "neighbor_id").as("c"),
+    val cand = banded(q, "query_id", "qv").as("q")
+      .join(banded(c, "neighbor_id", "cv").as("c"),
         col("q.bkey") === col("c.bkey") &&
           col("query_id") =!= col("neighbor_id") &&
           firstMatchingBand(col("q.sig"), col("c.sig"), col("q.bkey"),
             planesPerBand, bands))
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
     val scored = cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))

@@ -18,8 +18,13 @@ class PlanContractSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(df: DataFrame): SparkPlan = df.queryExecution.sparkPlan
-  private def q(name: String): SparkPlan =
+  private def q(name: String): SparkPlan = {
+    // Canonical plan: drop cache entries registered by previously-planned
+    // queries, or the CacheManager substitutes their InMemoryRelations into
+    // this plan (shared test session) and the shape under test disappears.
+    spark.catalog.clearCache()
     plan(SparkEntry.queries(name)(spark, dir))
+  }
 
   test("entry: dimension joins broadcast, scan prunes columns") {
     val p = plan(SparkEntry.entry(spark))
@@ -44,6 +49,45 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  /** A nested-loop join is tolerable ONLY when its broadcast/build side has
+    * cardinality bounded by CONFIG or LITERALS, never by the data: a build
+    * side that grows with the corpus makes the join O(n·m) with both factors
+    * scaling — the shape that melts at 100 TB no matter how fast it is at
+    * sf0.01. Bounded means the build subtree bottoms out in a limit
+    * (TakeOrderedAndProject / Global/LocalLimit), a literal LocalTableScan,
+    * an ungrouped aggregate (one row), or an aggregate grouped only by the
+    * partition-bucket id `pid` (≤ spark.sql.shuffle.partitions rows) —
+    * propagated through cardinality-preserving unary nodes.
+    */
+  private def buildBounded(p: SparkPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      if a.groupingExpressions.isEmpty => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      if a.groupingExpressions.flatMap(_.references).forall(_.name == "pid") => true
+    case j: BroadcastNestedLoopJoinExec => buildBounded(j.left) && buildBounded(j.right)
+    case u if u.children.length == 1 => buildBounded(u.children.head)
+    case _ => false
+  }
+
+  test("every nested-loop join in the WHOLE catalog has a config-bounded build side") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      q(name).collect { case j: BroadcastNestedLoopJoinExec => j }.flatMap { j =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        if (buildBounded(build)) None
+        else Some(s"$name: BNLJ build side grows with data (${build.nodeName})")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no unpartitioned window over data-sized input anywhere in the catalog") {
     // agg_percentiles previously planned Window.orderBy(v) with no
     // partitionBy — one task sorting every distinct value. Global windows
@@ -55,6 +99,27 @@ class PlanContractSpec extends SparkSpec {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       assert(global.isEmpty, s"$name plans an unpartitioned window")
+    }
+  }
+
+  test("vector similarity queries read the embeddings file once, through caches") {
+    // cosineNearDupPairsBanded / annTopK reference the vector lineage four
+    // times (band-join sides + verify join-backs); the persist contract
+    // means the OUTER plan sees only InMemoryTableScans — the one real
+    // FileScan lives inside the InMemoryRelation. Without the caches the
+    // corpus is re-read per reference: the 100 TB dominant cost.
+    Seq("dedup_embedding_cosine", "sim_ann_lsh").foreach { name =>
+      val p = q(name)
+      val fileScans = p.collect {
+        case s: FileSourceScanExec if s.relation.location.inputFiles
+          .exists(_.contains("embeddings")) => s
+      }
+      assert(fileScans.isEmpty,
+        s"$name re-scans the embeddings file ${fileScans.size}x outside the cache")
+      val mem = p.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      }
+      assert(mem.size >= 3, s"$name plans only ${mem.size} cache scans")
     }
   }
 
