@@ -24,14 +24,16 @@ final class Load(warehouse: String) {
 
   /** K1+K2: full-refresh write, skipping (and reporting) empty inputs
     * (pipeline.py:273-280). Returns rows written.
+    *
+    * SINGLE-scan: the old shape ran `df.count()` before the write — a full
+    * extra pass over the input per load, doubling load cost at 100 TB just
+    * to report rows. Now the skip-empty probe is `isEmpty` (a limit-1 job
+    * that stops at the first non-empty partition) and the row count rides
+    * the write itself as an `observe` metric, so the input is computed once.
     */
   def fullRefresh(df: DataFrame, name: String): Long = {
-    val n = df.count()
-    if (n == 0) 0L
-    else {
-      df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
-      n
-    }
+    if (df.isEmpty) 0L
+    else Load.writeCounted(df, _.write.mode(SaveMode.Overwrite).parquet(tablePath(name)))
   }
 
   /** Bucketed refresh: pre-shuffle the table ONCE on its join/agg key so
@@ -45,13 +47,14 @@ final class Load(warehouse: String) {
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
                     keys: Seq[String]): Long = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    df.write
+    // Row count observed on the write pass — the old post-write
+    // `table(name).count()` re-read the entire freshly-written table.
+    Load.writeCounted(df, counted => counted.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", tablePath(name))
       .mode(SaveMode.Overwrite)
-      .saveAsTable(name)
-    df.sparkSession.table(name).count()
+      .saveAsTable(name))
   }
 
   /** K1 at scale: refresh of a PARTITIONED table. Rows land in one
@@ -71,19 +74,20 @@ final class Load(warehouse: String) {
                              partitionCols: Seq[String],
                              targetPartitions: Int = 0,
                              onlyTouchedPartitions: Boolean = false): Long = {
-    val n = df.count()
-    if (n == 0) 0L
-    else {
+    // Same single-scan contract as fullRefresh: limit-1 empty probe, row
+    // count observed on the write pass (the metric point sits below the
+    // repartition exchange, so rows are counted exactly once).
+    if (df.isEmpty) 0L
+    else Load.writeCounted(df, counted => {
       val arranged =
         if (targetPartitions > 0)
-          df.repartition(targetPartitions, partitionCols.map(df(_)): _*)
-        else df.repartition(partitionCols.map(df(_)): _*)
+          counted.repartition(targetPartitions, partitionCols.map(counted(_)): _*)
+        else counted.repartition(partitionCols.map(counted(_)): _*)
       arranged.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode",
           if (onlyTouchedPartitions) "dynamic" else "static")
         .partitionBy(partitionCols: _*).parquet(tablePath(name))
-      n
-    }
+    })
   }
 
   /** K3: INSERT-OR-REPLACE one keyed row into a table (pipeline.py:286-296),
@@ -122,6 +126,18 @@ final class Load(warehouse: String) {
 }
 
 object Load {
+
+  /** Execute `write` over `df` with a row-count metric OBSERVED on the write
+    * pass itself (`Dataset.observe` → CollectMetrics): the count costs no
+    * extra job and no second scan of the input — task-level metrics are
+    * collected from successful tasks only, so retries do not double-count.
+    * Returns the number of rows that flowed into the write.
+    */
+  private[etl] def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   /** FileSystem for `path`'s own scheme — FileSystem.get(conf) alone
     * resolves the DEFAULT filesystem and throws "Wrong FS" the moment the
@@ -167,6 +183,66 @@ object Load {
     *    caller must ensure nothing appends between the read snapshot and
     *    the swap — run it in the maintenance window of the load schedule.
     */
+  /** `compact` for PARTITIONED tables: walks the `col=value` directory tree
+    * and compacts each LEAF partition directory independently, preserving
+    * the layout (and therefore partition pruning) exactly — the companion
+    * `compact` correctly refuses these tables, and partitioned layouts are
+    * where micro-batch loads fragment worst (`fullRefreshPartitioned` with
+    * `onlyTouchedPartitions` appends a few files per run per partition).
+    *
+    * Each leaf is rewritten through a staging directory under
+    * `<root>/.compact-staging/...` — dot-prefixed, so readers listing the
+    * table NEVER see half-written files (Spark's file index skips hidden
+    * paths) — then swapped in with a delete + rename, the same
+    * one-metadata-op window as `replaceTable`. Leaves already at/below
+    * their target file count are left untouched, so re-running is cheap and
+    * idempotent. Same single-writer precondition as `compact`.
+    * Returns (filesBefore, filesAfter) summed over all leaves.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootEntries = fs.listStatus(root)
+    require(!rootEntries.exists(_.getPath.getName == "_spark_metadata"),
+      s"$path is a streaming file-sink table (_spark_metadata present) — " +
+        "compacting would orphan the sink log and hide rows from readers")
+    require(rootEntries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"$path has no col=value partition directories — use compact instead")
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val dirs = fs.listStatus(p)
+        .filter(e => e.isDirectory && e.getPath.getName.contains("="))
+      if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    var (before, after) = (0, 0)
+    leaves(root).foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (parts.nonEmpty) {
+        val totalBytes = parts.map(_.getLen).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        before += parts.length
+        if (parts.length <= nOut) after += parts.length
+        else {
+          val staged = new org.apache.hadoop.fs.Path(staging,
+            leaf.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/"))
+          // A leaf dir has no partition subdirs, so this read sees only the
+          // data columns — the partition values stay encoded in the dir name.
+          spark.read.parquet(leaf.toString).coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+          fs.delete(leaf, true)
+          if (!fs.rename(staged, leaf))
+            sys.error(s"rename $staged -> $leaf failed")
+          after += fs.listStatus(leaf)
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        }
+      }
+    }
+    fs.delete(staging, true)
+    (before, after)
+  }
+
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = fsFor(spark, path)

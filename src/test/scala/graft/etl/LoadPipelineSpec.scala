@@ -87,6 +87,70 @@ class LoadPipelineSpec extends SparkSpec {
     }
   }
 
+  test("fullRefresh computes its input ONCE (row count rides the write, no pre-count scan)") {
+    // A per-row accumulator probe: the old shape (df.count() then write)
+    // evaluated every input row twice. The single-scan contract allows the
+    // full write pass plus the limit-1 isEmpty probe, which touches at most
+    // one partition — nowhere near a second full pass.
+    val load = new Load(tmpDir("wh"))
+    val acc = spark.sparkContext.longAccumulator("rows-evaluated")
+    val n = 10000L
+    val probed = spark.range(n).repartition(4)
+      .map { x => acc.add(1); x }.toDF("n")
+    assert(load.fullRefresh(probed, "once") == n)
+    assert(spark.read.parquet(load.tablePath("once")).count() == n)
+    assert(acc.value >= n, s"write pass saw only ${acc.value} rows")
+    assert(acc.value < 2 * n,
+      s"input evaluated ${acc.value}x rows — the load is scanning twice")
+  }
+
+  test("compactPartitioned: each leaf compacted in place, layout + pruning preserved") {
+    val load = new Load(tmpDir("wh"))
+    val path = load.tablePath("parts")
+    // simulate micro-batch fragmentation: 5 small appends per partition value
+    (1 to 5).foreach { b =>
+      Seq(("a", b), ("b", b)).toDF("part", "v")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("part").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+      .select("part", "v").as[(String, Int)].collect().toSet
+    val (nBefore, nAfter) =
+      Load.compactPartitioned(spark, path, targetFileBytes = 1L << 30)
+    assert(nBefore >= 10 && nAfter == 2, s"$nBefore -> $nAfter files")
+    assert(new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("part=")).toSet == Set("part=a", "part=b"))
+    assert(!new java.io.File(s"$path/.compact-staging").exists())
+    val reread = spark.read.parquet(path)
+    assert(reread.select("part", "v").as[(String, Int)].collect().toSet == before)
+    // partition pruning must still happen at PLAN time after the rewrite
+    val filtered = reread.filter($"part" === "a")
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("part=a")),
+      s"scan still touches: ${files.filterNot(_.contains("part=a")).take(3)}")
+    // idempotent: already-compact leaves untouched
+    assert(Load.compactPartitioned(spark, path, targetFileBytes = 1L << 30) == (2, 2))
+  }
+
+  test("compactPartitioned refuses flat and streaming-sink layouts") {
+    val load = new Load(tmpDir("wh"))
+    load.fullRefresh(Seq(1, 2).toDF("n"), "flat")
+    intercept[IllegalArgumentException] {
+      Load.compactPartitioned(spark, load.tablePath("flat"))
+    }
+    val sinkPath = load.tablePath("psink")
+    Seq(("a", 1)).toDF("part", "v").write.partitionBy("part").parquet(sinkPath)
+    new java.io.File(s"$sinkPath/_spark_metadata").mkdirs()
+    intercept[IllegalArgumentException] {
+      Load.compactPartitioned(spark, sinkPath)
+    }
+  }
+
   test("envelope unwrap survives malformed payloads (corrupt body → empty, not throw)") {
     assert(Extract.unwrapEnvelope(spark, "agents", "not json at all").count() == 0)
     assert(Extract.unwrapEnvelope(spark, "agents", """{"status":200}""").count() == 0)
