@@ -372,5 +372,33 @@ object TextQueries extends Catalog {
           .orderBy(col("media_id"))
       },
       None),
+
+    // Same decode pipeline, but through the md5-derived stub codec whose
+    // output IS SQL-expressible — so this row gets a full hash-checked
+    // oracle that replays batching, ordering, and feature derivation
+    // end-to-end (each feature = one 16-bit group of the payload digest,
+    // integral → exact in FLOAT and in the CSV serialization). Keeps the
+    // opaque-codec query above as the rows-only twin.
+    Q("multimodal_features_md5",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        import org.apache.spark.sql.functions.{transform => atransform, array_join}
+        Multimodal.extractFeatures(
+            Multimodal.asMedia(load(s, dir, "documents"), "doc_id", "lang", "text"),
+            new Multimodal.Md5StubCodec()).toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            col("width"), col("height"),
+            array_join(atransform(col("features"),
+              f => f.cast("int").cast("string")), ",").as("features_csv"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, lang AS kind,
+             |octet_length(text::BLOB)::INT AS n_bytes,
+             |(octet_length(text::BLOB) % 640)::INT AS width,
+             |(octet_length(text::BLOB) % 480)::INT AS height,
+             |array_to_string(list_transform(range(8), i ->
+             |  ('0x' || substr(md5(text), i * 4 + 1, 4))::INT::VARCHAR), ',')
+             |  AS features_csv
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

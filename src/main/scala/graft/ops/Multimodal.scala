@@ -49,6 +49,30 @@ object Multimodal {
       }
   }
 
+  /** SQL-REPLAYABLE stub decode: every output is derived from the md5 of
+    * the payload bytes, so a SQL oracle can recompute the whole pipeline
+    * (`('0x' || substr(md5(payload), 4i+1, 4))::INT` per feature) and
+    * hash-verify the batching path end-to-end — which the rolling-hash
+    * `StubCodec` can't offer (not ANSI-SQL-expressible). Feature i is the
+    * i-th 16-bit group of the digest as an exact float (≤ 65535, so the
+    * float carries it losslessly); dimension is fixed at 8 (32 hex chars /
+    * 4). Same width/height rule as StubCodec.
+    */
+  final class Md5StubCodec extends Codec {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = {
+      // one digest instance per batch — the setup-amortization shape a real
+      // codec needs from this seam
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.map { r =>
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val feats = Array.tabulate(8)(i =>
+          Integer.parseInt(hex.substring(4 * i, 4 * i + 4), 16).toFloat)
+        val n = r.payload.length
+        MediaFeatures(r.media_id, r.kind, n, n % 640, n % 480, feats)
+      }
+    }
+  }
+
   /** Kind-dispatching codec: routes each record to the codec registered for
     * its `kind` (image/audio/video/...), batching PER KIND within each
     * micro-batch so every underlying codec still sees homogeneous batches

@@ -24,6 +24,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_._1) == (1L to 50L))
   }
 
+  test("Md5StubCodec: features are the digest's 16-bit groups, exact in float") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 → 8 hex quads
+    val out = new Multimodal.Md5StubCodec()
+      .decodeBatch(Seq(Multimodal.MediaRecord(1L, "image", "abc".getBytes("UTF-8"))))
+    assert(out.head.features.toSeq == Seq(0x9001, 0x5098, 0x3cd2, 0x4fb0,
+      0xd696, 0x3f7d, 0x28e1, 0x7f72).map(_.toFloat))
+    assert(out.head.n_bytes == 3 && out.head.width == 3 && out.head.height == 3)
+    // batch-size invariance holds for the md5 stub too (same seam contract)
+    val media = (1L to 20L).map(i =>
+      Multimodal.MediaRecord(i, "image", Array.tabulate(i.toInt)(_.toByte)))
+    def run(parts: Int, batch: Int) =
+      Multimodal.extractFeatures(
+        spark.createDataset(media).repartition(parts),
+        new Multimodal.Md5StubCodec(), batch)
+        .collect().sortBy(_.media_id).map(f => (f.media_id, f.features.toSeq)).toSeq
+    assert(run(1, 64) == run(5, 3))
+  }
+
   test("codec sees micro-batches bounded by batchSize, one codec per partition") {
     val sizes = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
     val counting = new Multimodal.Codec {

@@ -77,6 +77,12 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
     assert(out(0).getAs[Long]("n_events") == 3L)
     assert(out(1).getAs[Long]("n_events") == 2L)
+    // FULL-ROW parity with the oracle-checked batch twin (one definition,
+    // two modes): every emitted session — bounds, counts, exact sums —
+    // matches EventOps.sessionize over the same data.
+    val batch = EventOps.sessionize(batchEvents.filter("user_id <> 9"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(out.map(_.toSeq).toSeq == batch)
   }
 
   test("dedupFirstArrival: one survivor per (user_id, event_type)") {
