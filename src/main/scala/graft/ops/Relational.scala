@@ -60,22 +60,31 @@ object Relational {
     * Scale shape — two-level cumulative counts, no global window and no
     * extra count job:
     *   1. groupBy shuffle onto DISTINCT VALUES → (v, c);
-    *   2. range-repartition by v, cumulative-sum WITHIN each range partition
-    *      (a window partitioned by the physical partition id — every task
-    *      sums only its own slice);
-    *   3. per-partition totals (one tiny row per partition) → exclusive
-    *      prefix offsets via a broadcast triangular self-join over
-    *      #partitions² rows — bounded by the cluster's partition count,
-    *      never by data — broadcast back;
-    *   4. global rank = within-partition cumsum + partition offset; the row
+    *   2. bucket id `pid` = a PURE FUNCTION of v against range boundaries
+    *      computed ONCE on the driver (approxQuantile over the cached
+    *      distinct values, embedded as literals), then cumulative-sum
+    *      WITHIN each bucket (a window partitioned by pid — every task
+    *      sums only its own slice, no global window);
+    *   3. per-bucket totals (one tiny row per bucket, ≤ shuffle-partition
+    *      count) → exclusive prefix offsets via a broadcast triangular
+    *      self-join over #buckets² rows — bounded by config, never by
+    *      data — broadcast back;
+    *   4. global rank = within-bucket cumsum + bucket offset; the row
     *      total n falls out of the same tiny aggregate, so the ranks join
     *      needs no separate `df.count()` job.
-    * Exactness: counts are integers, so bucket boundaries (sampled by the
-    * range partitioner) cannot perturb the result. The range-partitioned
-    * distinct-value frame is persisted MEMORY_ONLY (really LRU-evicted;
-    * disk-backed blocks would outlive the lazy result) — the offsets/total
-    * branches reference it three more times, and without the cache each
-    * reference would re-scan and re-shuffle the input.
+    * Exactness: counts are integers and pid is literal-derived, so every
+    * branch — even one recomputed after cache eviction — assigns the
+    * identical bucket to a value (the earlier shape keyed offsets off
+    * `spark_partition_id()` after a range repartition, which could in
+    * principle re-sample ranges differently on recompute). pid is monotone
+    * non-decreasing in v (double cast is order-preserving), so
+    * (bucket offset + within-bucket rank) IS the global rank; boundary
+    * PLACEMENT only balances work, never results. The distinct-value frame
+    * is persisted MEMORY_ONLY (really LRU-evicted; disk-backed blocks
+    * would outlive the lazy result) — the boundary job materializes it and
+    * the cumsum/offsets/total branches reference it three more times.
+    * Non-numeric or all-null values degrade to a single bucket (correct,
+    * not balanced).
     */
   def nearestRankPercentiles(df: DataFrame, value: Column,
                              quantiles: Seq[Double]): DataFrame = {
@@ -84,13 +93,24 @@ object Relational {
     val parts = spark.sessionState.conf.numShufflePartitions
     val freq = df.select(value.as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-      .repartitionByRange(parts, col("v"))
-      .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val inner = freq.withColumn("cum", sum(col("c")).over(
+    val bounds: Seq[Double] =
+      if (parts <= 1) Seq.empty
+      else try {
+        val probs = (1 until parts).map(_.toDouble / parts).toArray
+        freq.select(col("v").cast("double").as("vd"))
+          .stat.approxQuantile("vd", probs, 0.001)
+          .toSeq.filterNot(_.isNaN).distinct.sorted
+      } catch { case _: Exception => Seq.empty }
+    val pidExpr = bounds
+      .foldLeft(lit(0))((acc, b) =>
+        acc + when(col("v").cast("double") > lit(b), 1).otherwise(0))
+      .as("pid")
+    val bucketed = freq.select(col("v"), col("c"), pidExpr)
+    val inner = bucketed.withColumn("cum", sum(col("c")).over(
       Window.partitionBy(col("pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = freq.groupBy(col("pid")).agg(sum(col("c")).as("tc"))
+    val totals = bucketed.groupBy(col("pid")).agg(sum(col("c")).as("tc"))
     val offs = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
