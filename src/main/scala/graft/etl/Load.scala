@@ -75,19 +75,21 @@ final class Load(warehouse: String) {
                              targetPartitions: Int = 0,
                              onlyTouchedPartitions: Boolean = false): Long = {
     // Same single-scan contract as fullRefresh: limit-1 empty probe, row
-    // count observed on the write pass (the metric point sits below the
-    // repartition exchange, so rows are counted exactly once).
+    // count observed on the write pass. The repartition happens BELOW the
+    // metric point so CollectMetrics runs in the write (result) stage —
+    // a metric under the exchange would sit in the shuffle-map stage, where
+    // re-executed tasks after a fetch failure double-count.
     if (df.isEmpty) 0L
-    else Load.writeCounted(df, counted => {
+    else {
       val arranged =
         if (targetPartitions > 0)
-          counted.repartition(targetPartitions, partitionCols.map(counted(_)): _*)
-        else counted.repartition(partitionCols.map(counted(_)): _*)
-      arranged.write.mode(SaveMode.Overwrite)
+          df.repartition(targetPartitions, partitionCols.map(df(_)): _*)
+        else df.repartition(partitionCols.map(df(_)): _*)
+      Load.writeCounted(arranged, counted => counted.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode",
           if (onlyTouchedPartitions) "dynamic" else "static")
-        .partitionBy(partitionCols: _*).parquet(tablePath(name))
-    })
+        .partitionBy(partitionCols: _*).parquet(tablePath(name)))
+    }
   }
 
   /** K3: INSERT-OR-REPLACE one keyed row into a table (pipeline.py:286-296),
@@ -129,9 +131,15 @@ object Load {
 
   /** Execute `write` over `df` with a row-count metric OBSERVED on the write
     * pass itself (`Dataset.observe` → CollectMetrics): the count costs no
-    * extra job and no second scan of the input — task-level metrics are
-    * collected from successful tasks only, so retries do not double-count.
-    * Returns the number of rows that flowed into the write.
+    * extra job and no second scan of the input. Exactness caveat: the
+    * accumulator is exactly-once only for RESULT-stage tasks — callers must
+    * not introduce an exchange ABOVE the metric point (fullRefresh and
+    * fullRefreshPartitioned observe atop the final frame, directly under the
+    * write). `writeBucketed` cannot avoid it — the bucketing spec inserts
+    * its own shuffle above the plan — so its count can over-report (never
+    * under) if a shuffle-map stage is re-executed after a fetch failure;
+    * exact in the no-failure case. Returns the rows that flowed into the
+    * write.
     */
   private[etl] def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
     val obs = org.apache.spark.sql.Observation()
@@ -190,17 +198,24 @@ object Load {
     * where micro-batch loads fragment worst (`fullRefreshPartitioned` with
     * `onlyTouchedPartitions` appends a few files per run per partition).
     *
-    * Each leaf is rewritten through a staging directory under
-    * `<root>/.compact-staging/...` — dot-prefixed, so readers listing the
-    * table NEVER see half-written files (Spark's file index skips hidden
-    * paths) — then swapped in with a delete + rename, the same
-    * one-metadata-op window as `replaceTable`. Leaves already at/below
-    * their target file count are left untouched, so re-running is cheap and
-    * idempotent. Same single-writer precondition as `compact`.
+    * Durability: each leaf is rewritten under `<root>/.compact-staging/...`
+    * (dot-prefixed — readers listing the table never see half-written
+    * files), then swapped in as original → `.compact-trash`, staged → leaf,
+    * drop trash. At EVERY crash point at least one complete copy of the
+    * leaf exists on disk, and the next run's recovery pass restores any
+    * trash leaf whose target went missing BEFORE dropping the hidden dirs —
+    * a mid-swap crash never loses a partition. The reader-visible gap is
+    * the instant between the two renames (Parquet directories have no
+    * transaction log to do better with). Leaves already at/below their
+    * target file count are untouched, so re-running is cheap and
+    * idempotent; independent leaves compact CONCURRENTLY (each leaf job is
+    * small — serial execution would idle the cluster once per leaf ×
+    * thousands of leaves). Same single-writer precondition as `compact`.
     * Returns (filesBefore, filesAfter) summed over all leaves.
     */
   def compactPartitioned(spark: SparkSession, path: String,
-                         targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         maxConcurrentLeaves: Int = 8): (Int, Int) = {
     val fs = fsFor(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val rootEntries = fs.listStatus(root)
@@ -209,38 +224,78 @@ object Load {
         "compacting would orphan the sink log and hide rows from readers")
     require(rootEntries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
       s"$path has no col=value partition directories — use compact instead")
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
+    val trash = new org.apache.hadoop.fs.Path(root, ".compact-trash")
+    def rel(p: org.apache.hadoop.fs.Path, base: org.apache.hadoop.fs.Path) =
+      p.toUri.getPath.stripPrefix(base.toUri.getPath).stripPrefix("/")
+    // Recovery from a previous crashed run: a trash leaf whose target leaf
+    // is missing holds the ONLY copy of that partition — restore it first.
+    if (fs.exists(trash)) {
+      def dirLeaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+        val st = fs.listStatus(p)
+        val dirs = st.filter(_.isDirectory).toSeq
+        if (st.exists(_.isFile) || dirs.isEmpty) Seq(p)
+        else dirs.flatMap(d => dirLeaves(d.getPath))
+      }
+      dirLeaves(trash).foreach { t =>
+        val target = new org.apache.hadoop.fs.Path(root, rel(t, trash))
+        if (!fs.exists(target)) {
+          fs.mkdirs(target.getParent)
+          if (!fs.rename(t, target))
+            sys.error(s"recovery rename $t -> $target failed")
+        }
+      }
+    }
+    // Only now are the hidden dirs stale-by-construction and safe to drop.
+    fs.delete(staging, true)
+    fs.delete(trash, true)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val dirs = fs.listStatus(p)
         .filter(e => e.isDirectory && e.getPath.getName.contains("="))
       if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
     }
-    val staging = new org.apache.hadoop.fs.Path(root, ".compact-staging")
-    var (before, after) = (0, 0)
-    leaves(root).foreach { leaf =>
+    def compactLeaf(leaf: org.apache.hadoop.fs.Path): (Int, Int) = {
       val parts = fs.listStatus(leaf)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (parts.nonEmpty) {
+      if (parts.isEmpty) (0, 0)
+      else {
         val totalBytes = parts.map(_.getLen).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-        before += parts.length
-        if (parts.length <= nOut) after += parts.length
+        if (parts.length <= nOut) (parts.length, parts.length)
         else {
-          val staged = new org.apache.hadoop.fs.Path(staging,
-            leaf.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/"))
+          val leafRel = rel(leaf, root)
+          val staged = new org.apache.hadoop.fs.Path(staging, leafRel)
+          val trashed = new org.apache.hadoop.fs.Path(trash, leafRel)
           // A leaf dir has no partition subdirs, so this read sees only the
-          // data columns — the partition values stay encoded in the dir name.
+          // data columns — partition values stay encoded in the dir name.
           spark.read.parquet(leaf.toString).coalesce(nOut)
             .write.mode(SaveMode.Overwrite).parquet(staged.toString)
-          fs.delete(leaf, true)
+          fs.mkdirs(trashed.getParent)
+          if (!fs.rename(leaf, trashed))
+            sys.error(s"rename $leaf -> $trashed failed")
           if (!fs.rename(staged, leaf))
-            sys.error(s"rename $staged -> $leaf failed")
-          after += fs.listStatus(leaf)
-            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            sys.error(s"rename $staged -> $leaf failed (original preserved in $trashed)")
+          fs.delete(trashed, true)
+          (parts.length, fs.listStatus(leaf)
+            .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
         }
       }
     }
+    val leafList = leaves(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrentLeaves, leafList.size)))
+    val results =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(leafList.map(l =>
+            scala.concurrent.Future(compactLeaf(l)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     fs.delete(staging, true)
-    (before, after)
+    fs.delete(trash, true)
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
   def compact(spark: SparkSession, path: String,

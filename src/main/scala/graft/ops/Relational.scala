@@ -83,8 +83,9 @@ object Relational {
     * is persisted MEMORY_ONLY (really LRU-evicted; disk-backed blocks
     * would outlive the lazy result) — the boundary job materializes it and
     * the cumsum/offsets/total branches reference it three more times.
-    * Non-numeric or all-null values degrade to a single bucket (correct,
-    * not balanced).
+    * Non-numeric/non-timestamp value types (where a double cast would not
+    * be order-preserving — e.g. strings sort lexicographically) and all-null
+    * inputs degrade to a single bucket (correct, not balanced).
     */
   def nearestRankPercentiles(df: DataFrame, value: Column,
                              quantiles: Seq[Double]): DataFrame = {
@@ -94,19 +95,31 @@ object Relational {
     val freq = df.select(value.as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // The double cast used for bucketing must be MONOTONE in v's own sort
+    // order, or (bucket offset + within-bucket rank) is not the global rank.
+    // That holds for numeric and timestamp types ONLY — a numeric-looking
+    // STRING column casts cleanly but sorts lexicographically ("10" < "9"),
+    // which would silently mis-bucket. Everything else degrades to a single
+    // bucket: still exact, just not balanced.
+    val vType = df.select(value.as("v")).schema.head.dataType
+    val monotoneCast = vType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      vType == org.apache.spark.sql.types.TimestampType
     val bounds: Seq[Double] =
-      if (parts <= 1) Seq.empty
+      if (parts <= 1 || !monotoneCast) Seq.empty
       else try {
         val probs = (1 until parts).map(_.toDouble / parts).toArray
         freq.select(col("v").cast("double").as("vd"))
           .stat.approxQuantile("vd", probs, 0.001)
           .toSeq.filterNot(_.isNaN).distinct.sorted
       } catch { case _: Exception => Seq.empty }
+    // One cast, evaluated once, referenced by every boundary comparison —
+    // not one cast per boundary inside the fold.
     val pidExpr = bounds
-      .foldLeft(lit(0))((acc, b) =>
-        acc + when(col("v").cast("double") > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))((acc, b) => acc + when(col("vd") > lit(b), 1).otherwise(0))
       .as("pid")
-    val bucketed = freq.select(col("v"), col("c"), pidExpr)
+    val bucketed = freq
+      .withColumn("vd", col("v").cast("double"))
+      .select(col("v"), col("c"), pidExpr)
     val inner = bucketed.withColumn("cum", sum(col("c")).over(
       Window.partitionBy(col("pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

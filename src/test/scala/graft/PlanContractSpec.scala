@@ -69,6 +69,11 @@ class PlanContractSpec extends SparkSpec {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
       if a.groupingExpressions.flatMap(_.references).forall(_.name == "pid") => true
     case j: BroadcastNestedLoopJoinExec => buildBounded(j.left) && buildBounded(j.right)
+    // Row-MULTIPLYING unary nodes must not inherit boundedness blindly:
+    // explode's fan-out is data-dependent (unbounded); Expand multiplies by
+    // a plan-time-constant projection count (bounded iff its child is).
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case e: org.apache.spark.sql.execution.ExpandExec => buildBounded(e.child)
     case u if u.children.length == 1 => buildBounded(u.children.head)
     case _ => false
   }

@@ -137,6 +137,29 @@ class LoadPipelineSpec extends SparkSpec {
     assert(Load.compactPartitioned(spark, path, targetFileBytes = 1L << 30) == (2, 2))
   }
 
+  test("compactPartitioned recovery: a mid-swap crash leaves the partition restorable") {
+    val load = new Load(tmpDir("wh"))
+    val path = load.tablePath("crashy")
+    Seq(("a", 1), ("b", 2)).toDF("part", "v")
+      .write.partitionBy("part").parquet(path)
+    val before = spark.read.parquet(path)
+      .select("part", "v").as[(String, Int)].collect().toSet
+    // Simulate a crash between the two swap renames: the original leaf has
+    // been moved to .compact-trash but the staged copy never landed — the
+    // trash now holds the ONLY copy of part=a.
+    val trashDir = new java.io.File(s"$path/.compact-trash")
+    assert(trashDir.mkdirs())
+    assert(new java.io.File(s"$path/part=a")
+      .renameTo(new java.io.File(s"$path/.compact-trash/part=a")))
+    assert(!new java.io.File(s"$path/part=a").exists())
+    // The next run must restore the orphaned leaf BEFORE dropping trash.
+    Load.compactPartitioned(spark, path, targetFileBytes = 1L << 30)
+    assert(new java.io.File(s"$path/part=a").exists())
+    assert(!new java.io.File(s"$path/.compact-trash").exists())
+    assert(spark.read.parquet(path)
+      .select("part", "v").as[(String, Int)].collect().toSet == before)
+  }
+
   test("compactPartitioned refuses flat and streaming-sink layouts") {
     val load = new Load(tmpDir("wh"))
     load.fullRefresh(Seq(1, 2).toDF("n"), "flat")
