@@ -145,6 +145,78 @@ object TextQueries extends Catalog {
              |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // X2 incremental: exact dedup of a NEW batch (doc_id % 5 = 0) against
+    // the EXISTING corpus (the rest) — the steady-state production shape;
+    // nothing corpus-wide recomputes per ingest. Survivors = min-id within
+    // the batch's own dup groups, minus content already in the corpus.
+    Q("dedup_incremental_exact",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Dedup.exactIncremental(
+            docs.filter(col("doc_id") % 5 === 0),
+            Dedup.contentDigests(docs.filter(col("doc_id") % 5 =!= 0)))
+          .select(col("doc_id"), col("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+             |nw AS (SELECT * FROM h WHERE doc_id % 5 = 0),
+             |surv AS (SELECT content_md5, min(doc_id) AS doc_id
+             |  FROM nw GROUP BY content_md5)
+             |SELECT doc_id, content_md5 FROM surv
+             |WHERE content_md5 NOT IN (
+             |  SELECT content_md5 FROM h WHERE doc_id % 5 <> 0)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // X3 incremental: MinHash-LSH near-dup flags for the same NEW batch
+    // against the corpus — band buckets join NEW×CORPUS and NEW×earlier-NEW
+    // only (CORPUS×CORPUS happened at its own ingest). The oracle replays
+    // signatures, banding, candidate scoping AND the min-dup_of policy.
+    Q("dedup_incremental_minhash",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Dedup.minHashIncremental(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0), 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |toks AS (
+             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+             |  FROM t),
+             |hv AS (
+             |  SELECT doc_id, ts, list_transform(ts,
+             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+             |  FROM toks),
+             |sigs AS (
+             |  SELECT doc_id, list_transform(range(16), s ->
+             |    list_min(list_transform(hv,
+             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+             |  FROM hv),
+             |bands AS (
+             |  SELECT doc_id, b AS band,
+             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+             |      x -> x::VARCHAR), ':') AS band_key
+             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.band_key = b.band_key
+             |    AND a.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
+             |    AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)),
+             |pairs AS (
+             |  SELECT i, j, round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+             |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
+             |  FROM cand JOIN toks x ON cand.i = x.doc_id JOIN toks y ON cand.j = y.doc_id
+             |  WHERE jaccard IS NOT NULL),
+             |flagged AS (
+             |  SELECT i AS doc_id, min(j) AS dup_of FROM pairs
+             |  WHERE jaccard >= 0.5 GROUP BY i)
+             |SELECT f.doc_id, f.dup_of, p.jaccard
+             |FROM flagged f JOIN pairs p ON p.i = f.doc_id AND p.j = f.dup_of
+             |ORDER BY f.doc_id""".stripMargin)),
+
     // X3a': near-dup CLUSTERS — connected components over the verified
     // MinHash pair graph, min-id representative per component (the dedup
     // survivor policy). Oracle recomputes the same components by recursive

@@ -143,6 +143,114 @@ object Dedup {
     (pairs, () => { toks.unpersist(); sigs.unpersist(); () })
   }
 
+  // ----------------------------------------------- incremental (steady state)
+
+  /** Content digests of a corpus — the 16-byte keys `exactIncremental`
+    * dedups new batches against. At 100 TB this is computed ONCE at ingest
+    * and stored as a table (a narrow, shuffle-free pass); later batches
+    * touch digests only, never the corpus text.
+    */
+  def contentDigests(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol).cast("binary")).as("content_md5"))
+
+  /** X2 at steady state: EXACT dedup of a NEW batch against an existing
+    * corpus — the production shape, where re-deduping the full corpus per
+    * ingest is the cost ceiling. Returns the batch rows that survive: the
+    * min-id survivor within the batch's own duplicate groups, minus
+    * anything byte-identical to a corpus row (plus the digest column, for
+    * appending to the stored digest table). Shape: one groupBy and one
+    * left-anti join, both keyed on the 16-byte digest — corpus text is
+    * never read here, and no corpus-wide work happens per ingest.
+    */
+  def exactIncremental(newDocs: DataFrame, corpusDigests: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hashed = newDocs.withColumn("content_md5", md5(col(textCol).cast("binary")))
+    val firsts = hashed.groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("__survivor"))
+    hashed.join(firsts, "content_md5")
+      .filter(col(idCol) === col("__survivor")).drop("__survivor")
+      .join(corpusDigests.select(col("content_md5")).distinct(),
+        Seq("content_md5"), "left_anti")
+  }
+
+  /** One side of an incremental MinHash join: (shingle sets, banded
+    * signature rows, unpersist handle) — the same signature construction as
+    * `minHashNearDupPairsWithHandle`, packaged per input so new batch and
+    * corpus can be banded independently.
+    */
+  private def minHashSide(docs: DataFrame, numHashes: Int, bands: Int,
+                          shingleSize: Int, idCol: String, textCol: String,
+                          storage: org.apache.spark.storage.StorageLevel)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    val toks = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("ts"))
+      .persist(storage)
+    val sigCols = (0 until numHashes).map(s =>
+      min(minHashPerm(s, col("h"))).as(s"s$s"))
+    val sigs = toks
+      .select(col("id"), explode(col("ts")).as("t"))
+      .select(col("id"), tokenHash28(col("t")).as("h"))
+      .groupBy(col("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until rowsPerBand).map(r =>
+            col(s"s${b * rowsPerBand + r}").cast("string")): _*).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .persist(storage)
+    (toks, banded, () => { toks.unpersist(); banded.unpersist(); () })
+  }
+
+  /** X3 at steady state: MinHash-LSH near-dup detection for a NEW batch
+    * against an existing corpus. Band buckets join NEW×CORPUS and
+    * NEW×(earlier NEW) — never CORPUS×CORPUS; that work happened when the
+    * corpus rows were themselves ingested. Returns one row per flagged new
+    * doc: (id, dup_of, jaccard), where dup_of is the minimum matching
+    * prior doc (a corpus id, or an earlier id within the batch) and
+    * jaccard is that pair's exact similarity.
+    *
+    * 100 TB shape: the corpus side's banded signatures are precomputed and
+    * stored bucketed by (band, band_key) at ingest, so a batch shuffles
+    * only its OWN bands and probes the stored buckets; the exact-Jaccard
+    * verify joins back by id to fetch shingles for candidates only. Here
+    * both sides are computed from text for oracle replay; the caches keep
+    * each side's scan at 1×.
+    */
+  def minHashIncremental(newDocs: DataFrame, corpus: DataFrame,
+                         threshold: Double,
+                         numHashes: Int = 16, bands: Int = 8,
+                         shingleSize: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val (nToks, nBand, _) =
+      minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)
+    val (cToks, cBand, _) =
+      minHashSide(corpus, numHashes, bands, shingleSize, idCol, textCol, mem)
+    def bandJoin(a: DataFrame, b: DataFrame, extra: Column) = a.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          extra)
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    val candCorpus = bandJoin(nBand, cBand, lit(true))
+    val candEarlier = bandJoin(nBand, nBand, col("b.id") < col("a.id"))
+    def verify(cand: DataFrame, toksJ: DataFrame) = cand
+      .join(nToks.select(col("id").as("i"), col("ts").as("ts_a")), "i")
+      .join(toksJ.select(col("id").as("j"), col("ts").as("ts_b")), "j")
+      .select(col("i"), col("j"),
+        round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    verify(candCorpus, cToks).unionByName(verify(candEarlier, nToks))
+      .groupBy(col("i").as(idCol))
+      // min over (j, jaccard) structs = the smallest dup_of with ITS
+      // jaccard — deterministic because j is unique per (i, j) pair
+      .agg(min(struct(col("j"), col("jaccard"))).as("m"))
+      .select(col(idCol), col("m.j").as("dup_of"), col("m.jaccard").as("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * near-dup pair graph, each doc labeled with its component's minimum
     * doc id (the canonical survivor). This is the step an LSH dedup

@@ -34,6 +34,45 @@ class DedupVectorsSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc
   }
 
+  test("incremental dedup: batch vs corpus — exact digests and minhash flags") {
+    // corpus: docs 1-3; new batch: 11 (= doc 1 byte-identical),
+    // 12 (near-dup of 2), 13 (novel), 14 (= 13 — within-batch dup)
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (3L, "en", "completely different text about spark engines at scale")
+    ).toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (11L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "en", "a quick brown fox jumps over the lazy dog today"),
+      (13L, "en", "novel content never seen in the corpus before now"),
+      (14L, "en", "novel content never seen in the corpus before now")
+    ).toDF("doc_id", "lang", "text")
+    // exact: 11 dies (corpus hit), 14 dies (13 is the in-batch survivor)
+    val exact = Dedup.exactIncremental(batch, Dedup.contentDigests(corpus))
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(12L, 13L))
+    // minhash: 11 flagged as dup of 1, 12 flagged as dup of 2; partitioning
+    // must not matter
+    def flags(parts: Int) =
+      Dedup.minHashIncremental(batch.repartition(parts), corpus.repartition(parts), 0.5)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    val f = flags(1)
+    assert(f == flags(6))
+    assert(f(11L) == 1L)
+    // 12 near-dups BOTH corpus docs (j=0.6 vs 1, higher vs 2) → min wins
+    assert(f(12L) == 1L)
+    assert(!f.contains(13L))
+    // a within-batch near-dup flags against the EARLIER batch id
+    val batch2 = batch.unionByName(Seq(
+      (15L, "en", "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "lang", "text"))
+    val f2 = Dedup.minHashIncremental(batch2, corpus, 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    assert(f2(15L) == 1L) // min prior match: corpus doc 1 beats batch doc 11
+    assert(f2(14L) == 13L) // in-batch dup points at the earlier batch id
+  }
+
   test("minHashNearDupPairs invariant under partitioning; catches the exact dup") {
     val one = collectPairs(Dedup.minHashNearDupPairs(docs(1), 0.5))
     val many = collectPairs(Dedup.minHashNearDupPairs(docs(5), 0.5))
