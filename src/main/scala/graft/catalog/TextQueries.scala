@@ -54,6 +54,30 @@ object TextQueries extends Catalog {
              |  / len(l)) AS BIGINT) AS stopword_bp
              |FROM (SELECT doc_id, $Toks AS l FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // Repetition signals (Gopher-style boilerplate detectors): share of all
+    // unigrams/bigrams held by the single most frequent gram, floor-scaled
+    // basis points. High values mark template/looping text for quality
+    // gates; the oracle replays gram construction and both shares.
+    Q("text_repetition_bp",
+      (s, dir) => Text.repetitionMetrics(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |uc AS (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(l) AS g FROM t) u GROUP BY doc_id, g),
+             |ua AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM uc GROUP BY doc_id),
+             |bc AS (
+             |  SELECT doc_id, g, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+             |    i -> l[i] || ' ' || l[i + 1])) AS g FROM t WHERE len(l) >= 2) b
+             |  GROUP BY doc_id, g),
+             |ba AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM bc GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |  coalesce(floor(ua.mx * 10000.0 / ua.n), 0)::BIGINT AS top_token_bp,
+             |  coalesce(floor(ba.mx * 10000.0 / ba.n), 0)::BIGINT AS top_bigram_bp
+             |FROM t LEFT JOIN ua USING (doc_id) LEFT JOIN ba USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Language-ID: lexicon-overlap argmax (first language attaining the max
     // wins, in Lexicons order) — confusion matrix against the labeled lang.
     Q("text_langid_ngram",

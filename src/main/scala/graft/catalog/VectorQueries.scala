@@ -66,6 +66,31 @@ object VectorQueries extends Catalog {
              |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
              |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Incremental embedding dedup: a NEW batch (vec_id % 7 = 0) against the
+    // EXISTING corpus (the rest) — band buckets join NEW×CORPUS and
+    // NEW×earlier-NEW only. The oracle is the QUADRATIC definition over the
+    // same scoping, so the hash match proves the banding loses no flagged
+    // vector AND the min-dup_of policy agrees.
+    Q("dedup_incremental_embedding",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        Vectors.cosineIncremental(
+            emb.filter(col("vec_id") % 7 === 0),
+            emb.filter(col("vec_id") % 7 =!= 0), 0.4)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS i, b.vec_id AS j,
+             |    ${cosSql("a.e", "b.e")} AS cosine
+             |  FROM v a JOIN v b ON a.vec_id % 7 = 0 AND a.vec_id <> b.vec_id
+             |    AND (b.vec_id % 7 <> 0 OR b.vec_id < a.vec_id)),
+             |q AS (SELECT i, j, cosine FROM p WHERE cosine >= 0.4),
+             |f AS (SELECT i AS vec_id, min(j) AS dup_of FROM q GROUP BY i)
+             |SELECT f.vec_id, f.dup_of, q.cosine
+             |FROM f JOIN q ON q.i = f.vec_id AND q.j = f.dup_of
+             |ORDER BY f.vec_id""".stripMargin)),
+
     // ANN: multi-band sign-random-projection LSH (md5-derived hyperplanes,
     // so the oracle rebuilds the identical ±1 matrix) — candidate = shares
     // ≥1 full band of 3 projection signs (12 bands), then exact-cosine

@@ -82,6 +82,35 @@ object Text {
         Exact.ratioBp(size(filter(toks, t => array_contains(stop, t))).cast("long"), nTok))
   }
 
+  /** Repetition signals per document — the boilerplate/looping-text
+    * detectors pretraining quality gates use alongside `qualityMetrics`:
+    * the fraction of all unigrams taken by the single most frequent token,
+    * and likewise for bigrams (template pages and degenerate generations
+    * score high; prose scores low). Distributed shape: explode to
+    * (doc, gram) rows → two-phase count → per-doc max/sum — the shuffle
+    * carries distinct (doc, gram) pairs, never text. Fractions are
+    * floor-scaled basis points (`Exact.ratioBp` — no cross-engine rounding
+    * tie); docs with no bigrams report 0.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(0), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+    def topShare(grams: Column, out: String) =
+      docs.select(col(idCol), explode(grams).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(Exact.ratioBp(max(col("c")), sum(col("c"))).as(out))
+    docs.select(col(idCol))
+      .join(topShare(toks, "top_token_bp"), Seq(idCol), "left")
+      .join(topShare(when(size(toks) >= 2, bigrams)
+        .otherwise(array().cast("array<string>")), "top_bigram_bp"), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_token_bp"), lit(0L)).as("top_token_bp"),
+        coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — order- and
     * repetition-insensitive, so token-permuted copies collide (the cheap
     * "bag-of-words identical" near-dup detector; md5 is portable across

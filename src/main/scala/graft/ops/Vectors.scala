@@ -182,6 +182,58 @@ object Vectors {
     (pairs, () => { v.unpersist(); banded.unpersist(); () })
   }
 
+  /** Embedding near-dup detection for a NEW batch against an existing
+    * corpus — the steady-state twin of `cosineNearDupPairsBanded`, same
+    * shape as `Dedup.minHashIncremental`: band buckets join NEW×CORPUS and
+    * NEW×(earlier NEW), never CORPUS×CORPUS (that work happened at the
+    * corpus rows' own ingest). Returns one row per flagged new vector:
+    * (id, dup_of, cosine) with dup_of = the minimum matching prior id and
+    * cosine = that pair's exact similarity.
+    *
+    * 100 TB shape: corpus banded signatures are precomputed and stored
+    * bucketed by band key, so an ingest shuffles only the batch's bands;
+    * the exact verify joins back by id for candidates only. Banding recall
+    * is the `cosineNearDupPairsBanded` analysis — band agreement is
+    * symmetric, so every qualifying (new, prior) pair proven covered there
+    * is covered here.
+    */
+  def cosineIncremental(newVecs: DataFrame, corpus: DataFrame, threshold: Double,
+                        planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val signs = hyperplaneSigns(planesPerBand * bands, dims)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    def normed(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .persist(mem)
+    val nv = normed(newVecs)
+    val cv = normed(corpus)
+    def bandedOf(df: DataFrame) =
+      bandExplode(df.select(col("id"), col("v")),
+        packedSignBits(col("v"), signs), planesPerBand, bands)
+        .select(col("id"), col("sig"), col("bkey"))
+        .persist(mem)
+    val nb = bandedOf(nv)
+    val cb = bandedOf(cv)
+    def cand(b: DataFrame, extra: Column) = nb.as("a").join(b.as("b"),
+        col("a.bkey") === col("b.bkey") && extra &&
+          firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
+            planesPerBand, bands))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+    def verify(c: DataFrame, side: DataFrame) = c
+      .join(nv.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
+      .join(side.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
+      .select(col("i"), col("j"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+    verify(cand(cb, lit(true)), cv)
+      .unionByName(verify(cand(nb, col("b.id") < col("a.id")), nv))
+      .groupBy(col("i").as(idCol))
+      // min over (j, cosine) structs: smallest prior id with ITS cosine —
+      // deterministic, j is unique per (i, j) pair
+      .agg(min(struct(col("j"), col("cosine"))).as("m"))
+      .select(col(idCol), col("m.j").as("dup_of"), col("m.cosine").as("cosine"))
+  }
+
   /** Deterministic ±1 sign matrix for `planes` random hyperplanes over `dims`
     * dimensions, derived from md5("p:d") (first hex nibble high bit) — the
     * same construction the DuckDB oracle can replay. Computed once at plan

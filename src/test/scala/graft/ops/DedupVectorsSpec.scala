@@ -73,6 +73,26 @@ class DedupVectorsSpec extends SparkSpec {
     assert(f2(14L) == 13L) // in-batch dup points at the earlier batch id
   }
 
+  test("cosineIncremental agrees with the quadratic definition on real embeddings") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val nv = emb.filter(col("vec_id") % 7 === 0)
+    val cv = emb.filter(col("vec_id") % 7 =!= 0)
+    val banded = Vectors.cosineIncremental(nv, cv, 0.4)
+      .collect().map(_.toSeq).toSet
+    // quadratic reference: every (new, prior) pair scored exactly
+    val cos = round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6)
+    val quad = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") % 7 === 0 && col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.vec_id") % 7 =!= 0 || col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .groupBy(col("i").as("vec_id"))
+      .agg(min(struct(col("j"), col("cosine"))).as("m"))
+      .select(col("vec_id"), col("m.j").as("dup_of"), col("m.cosine").as("cosine"))
+      .collect().map(_.toSeq).toSet
+    assert(banded == quad && banded.nonEmpty)
+  }
+
   test("minHashNearDupPairs invariant under partitioning; catches the exact dup") {
     val one = collectPairs(Dedup.minHashNearDupPairs(docs(1), 0.5))
     val many = collectPairs(Dedup.minHashNearDupPairs(docs(5), 0.5))
