@@ -109,25 +109,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val toks = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("ts"))
-      .persist(storage)
-    val sigCols = (0 until numHashes).map(s =>
-      min(minHashPerm(s, col("h"))).as(s"s$s"))
-    val sigs = toks
-      .select(col("id"), explode(col("ts")).as("t"))
-      .select(col("id"), tokenHash28(col("t")).as("h"))
-      .groupBy(col("id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .persist(storage)
-    val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until rowsPerBand).map(r =>
-            col(s"s${b * rowsPerBand + r}").cast("string")): _*).as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val (toks, banded, release) =
+      minHashSide(docs, numHashes, bands, shingleSize, idCol, textCol, storage)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -140,7 +123,7 @@ object Dedup {
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, () => { toks.unpersist(); sigs.unpersist(); () })
+    (pairs, release)
   }
 
   // ----------------------------------------------- incremental (steady state)
@@ -173,10 +156,14 @@ object Dedup {
         Seq("content_md5"), "left_anti")
   }
 
-  /** One side of an incremental MinHash join: (shingle sets, banded
-    * signature rows, unpersist handle) — the same signature construction as
-    * `minHashNearDupPairsWithHandle`, packaged per input so new batch and
-    * corpus can be banded independently.
+  /** THE MinHash pipeline for one input: (shingle sets, banded signature
+    * rows, unpersist handle). The single copy of the oracle-parity-critical
+    * construction (`tokenHash28` → per-seed `min` aggregation → `:`-joined
+    * band keys) — both the full-corpus pair path and the incremental path
+    * build on it, so the Spark side cannot drift from the SQL replay in one
+    * place but not the other. Both frames persist at `storage`: the banded
+    * rows feed band joins (twice, for a self-join), the shingle sets feed
+    * the exact-Jaccard verify join-backs.
     */
   private def minHashSide(docs: DataFrame, numHashes: Int, bands: Int,
                           shingleSize: Int, idCol: String, textCol: String,
@@ -224,6 +211,9 @@ object Dedup {
                          numHashes: Int = 16, bands: Int = 8,
                          shingleSize: Int = 3,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Lazy public API → no unpersist handle to hand out; MEMORY_ONLY caches
+    // are self-bounding (really LRU-evicted), same policy as
+    // minHashNearDupPairs — so the release thunks are deliberately dropped.
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val (nToks, nBand, _) =
       minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)

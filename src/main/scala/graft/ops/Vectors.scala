@@ -56,13 +56,38 @@ object Vectors {
     * the correctness baseline `cosineNearDupPairsBanded` is proven against;
     * the shipped catalog query uses the banded variant.
     */
+  /** The one `(id, v, nrm)` projection every pair/ANN path shares — norms
+    * precomputed per VECTOR, not per pair: sqrt(dot(v,v)) is the same IEEE
+    * value either way, but inside a pair join it would run O(n²) times
+    * instead of O(n).
+    */
+  private def normedById(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+
+  /** Banded packed-sign signatures of a normed frame: (id, sig, bkey). */
+  private def bandedSigs(nv: DataFrame, signs: Array[Array[Double]],
+                         planesPerBand: Int, bands: Int): DataFrame =
+    bandExplode(nv.select(col("id"), col("v")),
+      packedSignBits(col("v"), signs), planesPerBand, bands)
+      .select(col("id"), col("sig"), col("bkey"))
+
+  /** Exact-cosine scoring of candidate (i, j) pairs: join each side's
+    * normed frame back by id → (i, j, cosine) at 6dp. The SINGLE definition
+    * of the verify step — full-corpus pairs and the incremental path both
+    * call it, so the arithmetic their oracles replay cannot drift between
+    * the two.
+    */
+  private def cosVerify(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame = {
+    val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+    cand
+      .join(left.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
+      .join(right.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
+      .select(col("i"), col("j"), cos.as("cosine"))
+  }
+
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Norms precomputed per VECTOR, not per pair — sqrt(dot(v,v)) is the
-    // same IEEE value either way, but inside the pair join it would run
-    // O(n²) times instead of O(n).
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"))
+    val v = normedById(vectors, idCol, vecCol)
     val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
     // Both predicates live in the join condition ON PURPOSE, id-order first:
     // left alone, Catalyst pushes the later cosine filter into the join
@@ -161,23 +186,15 @@ object Vectors {
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"))
-      .persist(storage)
-    val banded = bandExplode(v.select(col("id"), col("v")),
-        packedSignBits(col("v"), signs), planesPerBand, bands)
-      .select(col("id"), col("sig"), col("bkey"))
-      .persist(storage)
+    val v = normedById(vectors, idCol, vecCol).persist(storage)
+    val banded = bandedSigs(v, signs, planesPerBand, bands).persist(storage)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
             planesPerBand, bands))
       .select(col("a.id").as("i"), col("b.id").as("j"))
-    val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-    val pairs = cand
-      .join(v.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
-      .join(v.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
-      .select(col("i").as("vec_a"), col("j").as("vec_b"), cos.as("cosine"))
+    val pairs = cosVerify(cand, v, v)
+      .select(col("i").as("vec_a"), col("j").as("vec_b"), col("cosine"))
       .filter(col("cosine") >= threshold)
     (pairs, () => { v.unpersist(); banded.unpersist(); () })
   }
@@ -202,29 +219,17 @@ object Vectors {
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-    def normed(df: DataFrame) =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-        .persist(mem)
-    val nv = normed(newVecs)
-    val cv = normed(corpus)
-    def bandedOf(df: DataFrame) =
-      bandExplode(df.select(col("id"), col("v")),
-        packedSignBits(col("v"), signs), planesPerBand, bands)
-        .select(col("id"), col("sig"), col("bkey"))
-        .persist(mem)
-    val nb = bandedOf(nv)
-    val cb = bandedOf(cv)
+    val nv = normedById(newVecs, idCol, vecCol).persist(mem)
+    val cv = normedById(corpus, idCol, vecCol).persist(mem)
+    val nb = bandedSigs(nv, signs, planesPerBand, bands).persist(mem)
+    val cb = bandedSigs(cv, signs, planesPerBand, bands).persist(mem)
     def cand(b: DataFrame, extra: Column) = nb.as("a").join(b.as("b"),
         col("a.bkey") === col("b.bkey") && extra &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
             planesPerBand, bands))
       .select(col("a.id").as("i"), col("b.id").as("j"))
-    val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-    def verify(c: DataFrame, side: DataFrame) = c
-      .join(nv.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
-      .join(side.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
-      .select(col("i"), col("j"), cos.as("cosine"))
-      .filter(col("cosine") >= threshold)
+    def verify(c: DataFrame, side: DataFrame) =
+      cosVerify(c, nv, side).filter(col("cosine") >= threshold)
     verify(cand(cb, lit(true)), cv)
       .unionByName(verify(cand(nb, col("b.id") < col("a.id")), nv))
       .groupBy(col("i").as(idCol))
