@@ -113,7 +113,7 @@ class PlanContractSpec extends SparkSpec {
     // means the OUTER plan sees only InMemoryTableScans — the one real
     // FileScan lives inside the InMemoryRelation. Without the caches the
     // corpus is re-read per reference: the 100 TB dominant cost.
-    Seq("dedup_embedding_cosine", "sim_ann_lsh").foreach { name =>
+    Seq("dedup_embedding_cosine", "sim_ann_lsh", "dedup_incremental_embedding").foreach { name =>
       val p = q(name)
       val fileScans = p.collect {
         case s: FileSourceScanExec if s.relation.location.inputFiles
