@@ -171,9 +171,13 @@ object Dedup {
       : (DataFrame, DataFrame, () => Unit) = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val toks = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("ts"))
-      .persist(storage)
+    // StorageLevel.NONE = no caching (for callers that materialize each
+    // frame exactly once, e.g. an index build that writes both to disk)
+    def cached(df: DataFrame) =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(storage)
+    val toks = cached(docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("ts")))
     val sigCols = (0 until numHashes).map(s =>
       min(minHashPerm(s, col("h"))).as(s"s$s"))
     val sigs = toks
@@ -181,14 +185,30 @@ object Dedup {
       .select(col("id"), tokenHash28(col("t")).as("h"))
       .groupBy(col("id"))
       .agg(sigCols.head, sigCols.tail: _*)
-    val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+    val banded = cached(sigs.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(":", (0 until rowsPerBand).map(r =>
             col(s"s${b * rowsPerBand + r}").cast("string")): _*).as("band_key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .persist(storage)
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")))
     (toks, banded, () => { toks.unpersist(); banded.unpersist(); () })
+  }
+
+  /** Persistable MinHash corpus index: (shingle sets `(id, ts)`, banded
+    * signature keys `(id, band, band_key)`) — the two tables a steady-state
+    * pipeline writes ONCE at ingest (band keys bucketed by `band_key` via
+    * `Load.writeBucketed` for shuffle-free probe joins) and then feeds to
+    * `minHashIncrementalIndexed` per batch, so the corpus text is never
+    * re-shingled. Frames are uncached: the caller materializes each exactly
+    * once by writing it.
+    */
+  def minHashIndex(docs: DataFrame,
+                   numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame) = {
+    val (toks, banded, _) = minHashSide(docs, numHashes, bands, shingleSize,
+      idCol, textCol, org.apache.spark.storage.StorageLevel.NONE)
+    (toks, banded)
   }
 
   /** X3 at steady state: MinHash-LSH near-dup detection for a NEW batch
@@ -215,10 +235,28 @@ object Dedup {
     // are self-bounding (really LRU-evicted), same policy as
     // minHashNearDupPairs — so the release thunks are deliberately dropped.
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-    val (nToks, nBand, _) =
-      minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)
     val (cToks, cBand, _) =
       minHashSide(corpus, numHashes, bands, shingleSize, idCol, textCol, mem)
+    minHashIncrementalIndexed(newDocs, cToks, cBand, threshold,
+      numHashes, bands, shingleSize, idCol, textCol)
+  }
+
+  /** `minHashIncremental` against a STORED corpus index (the two frames
+    * from `minHashIndex`, read back from their tables) — the true
+    * steady-state path: per ingest, only the batch is shingled and banded;
+    * the corpus contributes a probe join against its stored band keys and
+    * an id-keyed shingle lookup for candidate verification.
+    */
+  def minHashIncrementalIndexed(newDocs: DataFrame,
+                                corpusToks: DataFrame, corpusBanded: DataFrame,
+                                threshold: Double,
+                                numHashes: Int = 16, bands: Int = 8,
+                                shingleSize: Int = 3,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val (nToks, nBand, _) =
+      minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)
+    val (cToks, cBand) = (corpusToks, corpusBanded)
     def bandJoin(a: DataFrame, b: DataFrame, extra: Column) = a.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -73,6 +73,24 @@ class DedupVectorsSpec extends SparkSpec {
     assert(f2(14L) == 13L) // in-batch dup points at the earlier batch id
   }
 
+  test("minHashIncrementalIndexed: stored index round-trips to identical flags") {
+    val all = docs(3)
+    val corpus = all.filter(col("doc_id") <= 3)
+    val batch = all.filter(col("doc_id") > 3)
+    val direct = Dedup.minHashIncremental(batch, corpus, 0.5)
+      .collect().map(_.toSeq).toSet
+    // write the corpus index to parquet (the steady-state ingest artifact),
+    // read it back, and dedup the same batch against the STORED frames
+    val dir = tmpDir("mh-index")
+    val (toks, banded) = Dedup.minHashIndex(corpus)
+    toks.write.parquet(s"$dir/toks")
+    banded.write.parquet(s"$dir/banded")
+    val indexed = Dedup.minHashIncrementalIndexed(batch,
+        spark.read.parquet(s"$dir/toks"), spark.read.parquet(s"$dir/banded"), 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct && direct.nonEmpty)
+  }
+
   test("cosineIncremental agrees with the quadratic definition on real embeddings") {
     val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val nv = emb.filter(col("vec_id") % 7 === 0)
