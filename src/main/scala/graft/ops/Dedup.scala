@@ -199,15 +199,21 @@ object Dedup {
     * pipeline writes ONCE at ingest (band keys bucketed by `band_key` via
     * `Load.writeBucketed` for shuffle-free probe joins) and then feeds to
     * `minHashIncrementalIndexed` per batch, so the corpus text is never
-    * re-shingled. Frames are uncached: the caller materializes each exactly
-    * once by writing it.
+    * re-shingled. The shingle frame is cached (MEMORY_ONLY — self-evicting,
+    * no handle needed) because BOTH writes share its lineage: uncached, the
+    * banded write would re-scan and re-shingle the corpus a second time,
+    * and shingling is the dominant index-build cost. Pass
+    * `StorageLevel.NONE` to opt out when the corpus exceeds cluster memory
+    * and recompute is preferable to cache churn.
     */
   def minHashIndex(docs: DataFrame,
                    numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text")
+                   idCol: String = "doc_id", textCol: String = "text",
+                   storage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       : (DataFrame, DataFrame) = {
     val (toks, banded, _) = minHashSide(docs, numHashes, bands, shingleSize,
-      idCol, textCol, org.apache.spark.storage.StorageLevel.NONE)
+      idCol, textCol, storage)
     (toks, banded)
   }
 
@@ -246,6 +252,14 @@ object Dedup {
     * steady-state path: per ingest, only the batch is shingled and banded;
     * the corpus contributes a probe join against its stored band keys and
     * an id-keyed shingle lookup for candidate verification.
+    *
+    * INVARIANT: `numHashes`/`bands`/`shingleSize` must equal the values the
+    * index was built with. A mismatch never fails on its own — batch band
+    * keys simply stop matching stored ones and near-dups are silently
+    * admitted as novel — so the sampled pre-flight below fails fast
+    * instead: every doc emits every band id and each band_key carries
+    * rowsPerBand `:`-joined values, so a few index rows prove the band
+    * geometry, and one stored shingle proves the shingle width.
     */
   def minHashIncrementalIndexed(newDocs: DataFrame,
                                 corpusToks: DataFrame, corpusBanded: DataFrame,
@@ -253,17 +267,36 @@ object Dedup {
                                 numHashes: Int = 16, bands: Int = 8,
                                 shingleSize: Int = 3,
                                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bandSample = corpusBanded.select(col("band").cast("int"), col("band_key"))
+      .limit(bands * 4).collect()
+    if (bandSample.nonEmpty) {
+      val seen = bandSample.map(_.getInt(0)).toSet
+      require(seen.min == 0 && seen.max == bands - 1,
+        s"stored index has band ids ${seen.min}..${seen.max}, expected 0..${bands - 1} " +
+          s"— it was built with a different `bands` than $bands")
+      val rpb = bandSample.head.getString(1).count(_ == ':') + 1
+      require(rpb == numHashes / bands,
+        s"stored band keys carry $rpb signature values, expected ${numHashes / bands} " +
+          s"— the index was built with different numHashes/bands than $numHashes/$bands")
+    }
+    val shingleSample = corpusToks
+      .select(explode(col("ts")).as("s")).limit(1).collect()
+    shingleSample.foreach { r =>
+      val width = r.getString(0).split(" ").length
+      require(width == shingleSize,
+        s"stored shingles are $width-grams, expected $shingleSize-grams " +
+          "— the index was built with a different shingleSize")
+    }
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val (nToks, nBand, _) =
       minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)
-    val (cToks, cBand) = (corpusToks, corpusBanded)
     def bandJoin(a: DataFrame, b: DataFrame, extra: Column) = a.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           extra)
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    val candCorpus = bandJoin(nBand, cBand, lit(true))
+    val candCorpus = bandJoin(nBand, corpusBanded, lit(true))
     val candEarlier = bandJoin(nBand, nBand, col("b.id") < col("a.id"))
     def verify(cand: DataFrame, toksJ: DataFrame) = cand
       .join(nToks.select(col("id").as("i"), col("ts").as("ts_a")), "i")
@@ -271,7 +304,7 @@ object Dedup {
       .select(col("i"), col("j"),
         round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    verify(candCorpus, cToks).unionByName(verify(candEarlier, nToks))
+    verify(candCorpus, corpusToks).unionByName(verify(candEarlier, nToks))
       .groupBy(col("i").as(idCol))
       // min over (j, jaccard) structs = the smallest dup_of with ITS
       // jaccard — deterministic because j is unique per (i, j) pair

@@ -89,6 +89,17 @@ class DedupVectorsSpec extends SparkSpec {
         spark.read.parquet(s"$dir/toks"), spark.read.parquet(s"$dir/banded"), 0.5)
       .collect().map(_.toSeq).toSet
     assert(indexed == direct && direct.nonEmpty)
+    // mismatched build params must fail fast, not silently admit near-dups
+    intercept[IllegalArgumentException] {
+      Dedup.minHashIncrementalIndexed(batch,
+        spark.read.parquet(s"$dir/toks"), spark.read.parquet(s"$dir/banded"),
+        0.5, numHashes = 32, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minHashIncrementalIndexed(batch,
+        spark.read.parquet(s"$dir/toks"), spark.read.parquet(s"$dir/banded"),
+        0.5, shingleSize = 4)
+    }
   }
 
   test("cosineIncremental agrees with the quadratic definition on real embeddings") {
