@@ -217,12 +217,72 @@ object Vectors {
   def cosineIncremental(newVecs: DataFrame, corpus: DataFrame, threshold: Double,
                         planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val cv = normedById(corpus, idCol, vecCol).persist(mem)
+    val cb = bandedSigs(cv, hyperplaneSigns(planesPerBand * bands, dims),
+      planesPerBand, bands).persist(mem)
+    cosineIncrementalIndexed(newVecs, cv, cb, threshold,
+      planesPerBand, bands, dims, idCol, vecCol)
+  }
+
+  /** Persistable sign-LSH corpus index for embeddings: (normed vectors
+    * `(id, v, nrm)`, banded packed-sign keys `(id, sig, bkey)`) — the two
+    * tables an ingest pipeline writes ONCE (band keys bucketed by `bkey`
+    * for shuffle-free probes) and feeds to `cosineIncrementalIndexed` per
+    * batch, the embedding twin of `Dedup.minHashIndex`. The normed frame is
+    * cached (MEMORY_ONLY, self-evicting) because both writes share its
+    * lineage; pass `StorageLevel.NONE` to opt out.
+    */
+  def cosineIndex(corpus: DataFrame,
+                  planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  storage: org.apache.spark.storage.StorageLevel =
+                    org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      : (DataFrame, DataFrame) = {
+    val nvRaw = normedById(corpus, idCol, vecCol)
+    val nv = if (storage == org.apache.spark.storage.StorageLevel.NONE) nvRaw
+             else nvRaw.persist(storage)
+    (nv, bandedSigs(nv, hyperplaneSigns(planesPerBand * bands, dims),
+      planesPerBand, bands))
+  }
+
+  /** `cosineIncremental` against a STORED corpus index (the two frames from
+    * `cosineIndex`, read back): per ingest only the batch is projected and
+    * banded; the corpus contributes a probe join on its stored band keys
+    * and an id-keyed vector lookup for exact verification.
+    *
+    * INVARIANT: `planesPerBand`/`bands`/`dims` must equal the index's build
+    * values — a mismatch silently empties the candidate set instead of
+    * failing. The sampled pre-flight fails fast: every vector emits every
+    * band, and bkey packs the band number above `planesPerBand` sign bits,
+    * so a few stored rows prove the band geometry; one stored vector
+    * proves the dimensionality.
+    */
+  def cosineIncrementalIndexed(newVecs: DataFrame,
+                               corpusNormed: DataFrame, corpusBanded: DataFrame,
+                               threshold: Double,
+                               planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandSample = corpusBanded.select(col("bkey").cast("long"))
+      .limit(bands * 4).collect().map(_.getLong(0))
+    if (bandSample.nonEmpty) {
+      val seen = bandSample.map(_ >> planesPerBand).toSet
+      require(seen.min == 0L && seen.max == bands - 1L &&
+          bandSample.forall(_ < (bands.toLong << planesPerBand)),
+        s"stored index band keys decode to bands ${seen.min}..${seen.max} under " +
+          s"planesPerBand=$planesPerBand, expected 0..${bands - 1} — the index was " +
+          "built with different planesPerBand/bands")
+    }
+    corpusNormed.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == dims,
+        s"stored vectors have ${r.getInt(0)} dims, expected $dims")
+    }
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val nv = normedById(newVecs, idCol, vecCol).persist(mem)
-    val cv = normedById(corpus, idCol, vecCol).persist(mem)
     val nb = bandedSigs(nv, signs, planesPerBand, bands).persist(mem)
-    val cb = bandedSigs(cv, signs, planesPerBand, bands).persist(mem)
+    val cv = corpusNormed
+    val cb = corpusBanded
     def cand(b: DataFrame, extra: Column) = nb.as("a").join(b.as("b"),
         col("a.bkey") === col("b.bkey") && extra &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),

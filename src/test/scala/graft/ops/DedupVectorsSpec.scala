@@ -102,6 +102,28 @@ class DedupVectorsSpec extends SparkSpec {
     }
   }
 
+  test("cosineIncrementalIndexed: stored embedding index round-trips to identical flags") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    val direct = Vectors.cosineIncremental(batch, corpus, 0.4)
+      .collect().map(_.toSeq).toSet
+    val dir = tmpDir("cos-index")
+    val (normed, banded) = Vectors.cosineIndex(corpus)
+    normed.write.parquet(s"$dir/normed")
+    banded.write.parquet(s"$dir/banded")
+    val indexed = Vectors.cosineIncrementalIndexed(batch,
+        spark.read.parquet(s"$dir/normed"), spark.read.parquet(s"$dir/banded"), 0.4)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct && direct.nonEmpty)
+    // mismatched build geometry must fail fast, not silently find nothing
+    intercept[IllegalArgumentException] {
+      Vectors.cosineIncrementalIndexed(batch,
+        spark.read.parquet(s"$dir/normed"), spark.read.parquet(s"$dir/banded"),
+        0.4, planesPerBand = 3, bands = 12)
+    }
+  }
+
   test("cosineIncremental agrees with the quadratic definition on real embeddings") {
     val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val nv = emb.filter(col("vec_id") % 7 === 0)
