@@ -47,14 +47,41 @@ final class Load(warehouse: String) {
   def writeBucketed(df: DataFrame, name: String, buckets: Int,
                     keys: Seq[String]): Long = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    // Row count observed on the write pass — the old post-write
-    // `table(name).count()` re-read the entire freshly-written table.
-    Load.writeCounted(df, counted => counted.write
+    df.write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", tablePath(name))
       .mode(SaveMode.Overwrite)
-      .saveAsTable(name))
+      .saveAsTable(name)
+    // EXACT row count from the committed files' parquet footers — not an
+    // observe metric: the bucketing spec inserts its own exchange above any
+    // metric point, and a shuffle-map stage re-executed after a fetch
+    // failure would double-count there. Footers are written once at commit,
+    // so their row counts are exact regardless of task retries, and summing
+    // them is a metadata-only pass (one footer read per file, no data scan).
+    Load.parquetRowCount(df.sparkSession, tablePath(name))
+  }
+
+  /** Bucketed APPEND: add a batch to an existing bucketed table, keeping
+    * the bucket spec (Spark validates it — an append with a different
+    * bucketBy fails instead of silently mixing layouts). This is the index
+    * -maintenance write: per-ingest batches land pre-shuffled on the same
+    * key as the base table, so probe joins stay exchange-free as the table
+    * grows. Returns the EXACT rows appended (footer-count delta around the
+    * commit — same retry-proof accounting as `writeBucketed`; two
+    * metadata-only passes).
+    */
+  def appendBucketed(df: DataFrame, name: String, buckets: Int,
+                     keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val before = Load.parquetRowCount(df.sparkSession, tablePath(name))
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", tablePath(name))
+      .mode(SaveMode.Append)
+      .saveAsTable(name)
+    Load.parquetRowCount(df.sparkSession, tablePath(name)) - before
   }
 
   /** K1 at scale: refresh of a PARTITIONED table. Rows land in one
@@ -131,20 +158,42 @@ object Load {
 
   /** Execute `write` over `df` with a row-count metric OBSERVED on the write
     * pass itself (`Dataset.observe` → CollectMetrics): the count costs no
-    * extra job and no second scan of the input. Exactness caveat: the
+    * extra job and no second scan of the input. Exactness contract: the
     * accumulator is exactly-once only for RESULT-stage tasks — callers must
     * not introduce an exchange ABOVE the metric point (fullRefresh and
     * fullRefreshPartitioned observe atop the final frame, directly under the
-    * write). `writeBucketed` cannot avoid it — the bucketing spec inserts
-    * its own shuffle above the plan — so its count can over-report (never
-    * under) if a shuffle-map stage is re-executed after a fetch failure;
-    * exact in the no-failure case. Returns the rows that flowed into the
-    * write.
+    * write). Bucketed writes CANNOT satisfy that (the bucketing spec inserts
+    * its own shuffle above the plan), which is why `writeBucketed`/
+    * `appendBucketed` count committed parquet footers instead of observing.
+    * Returns the rows that flowed into the write.
     */
   private[etl] def writeCounted(df: DataFrame, write: DataFrame => Unit): Long = {
     val obs = org.apache.spark.sql.Observation()
     write(df.observe(obs, count(lit(1)).as("rows")))
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** EXACT row count of a committed parquet table from file-footer metadata
+    * alone: every footer records its file's row count at commit time, so
+    * the sum is immune to task retries and costs one footer read per file —
+    * no data pages are touched. The post-commit accounting pass for writes
+    * whose plan shape rules out an exactly-once observe metric.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    var sum = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try sum += reader.getRecordCount
+        finally reader.close()
+      }
+    }
+    sum
   }
 
   /** FileSystem for `path`'s own scheme — FileSystem.get(conf) alone
@@ -296,6 +345,66 @@ object Load {
     fs.delete(staging, true)
     fs.delete(trash, true)
     (results.map(_._1).sum, results.map(_._2).sum)
+  }
+
+  /** `compactPartitioned` for PATHOLOGICAL partition counts: ONE Spark job
+    * instead of one-per-leaf. At tens of thousands of fragmented leaves the
+    * per-leaf variant's driver thread pool becomes the scheduler bottleneck
+    * (round-3 verdict); here the driver does a single metadata sweep to find
+    * fragmented leaves, reads JUST those directories (explicit leaf paths
+    * under `basePath` — untouched leaves are never opened), repartitions by
+    * the partition columns — co-locating each partition's rows into one
+    * writer task → one output file per leaf — and commits through DYNAMIC
+    * partition overwrite, so only the fragmented partition values are
+    * replaced and pruning layout is preserved exactly.
+    *
+    * Trade vs the per-leaf variant: a leaf larger than `targetFileBytes`
+    * comes out as ONE file here (the hash repartition cannot split a single
+    * partition value without a nondeterministic salt, which task retries
+    * forbid) — acceptable because this path exists for the many-tiny-leaves
+    * pathology; use `compactPartitioned` when individual leaves are huge.
+    * Same single-writer precondition. Returns (filesBefore, filesAfter)
+    * summed over all leaves.
+    */
+  def compactPartitionedByRewrite(spark: SparkSession, path: String,
+                                  targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootEntries = fs.listStatus(root)
+    require(!rootEntries.exists(_.getPath.getName == "_spark_metadata"),
+      s"$path is a streaming file-sink table (_spark_metadata present) — " +
+        "compacting would orphan the sink log and hide rows from readers")
+    require(rootEntries.exists(e => e.isDirectory && e.getPath.getName.contains("=")),
+      s"$path has no col=value partition directories — use compact instead")
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val dirs = fs.listStatus(p)
+        .filter(e => e.isDirectory && e.getPath.getName.contains("="))
+      if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    def leafFiles(l: org.apache.hadoop.fs.Path) = fs.listStatus(l)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val leafList = leaves(root)
+    val stats = leafList.map(l => l -> leafFiles(l))
+    val before = stats.map(_._2.length).sum
+    val fragmented = stats.filter { case (_, fls) =>
+      val nOut = math.max(1,
+        math.ceil(fls.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+      fls.length > nOut
+    }.map(_._1)
+    if (fragmented.isEmpty) return (before, before)
+    // partition column names, in directory order, from any leaf's rel path
+    val partCols = fragmented.head.toUri.getPath
+      .stripPrefix(root.toUri.getPath).stripPrefix("/")
+      .split("/").map(_.split("=")(0)).toSeq
+    spark.read.option("basePath", path)
+      .parquet(fragmented.map(_.toString): _*)
+      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+    val after = leaves(root).map(l => leafFiles(l).length).sum
+    (before, after)
   }
 
   def compact(spark: SparkSession, path: String,

@@ -217,6 +217,95 @@ object Dedup {
     (toks, banded)
   }
 
+  // -------------------------------------------- stored-index lifecycle (X3)
+
+  private def mhToksPath(dir: String) = s"$dir/toks"
+  private def mhBandedPath(dir: String) = s"$dir/banded"
+
+  /** Build a MinHash corpus index and persist it under `dir` (parquet
+    * tables `toks` + `banded`) — the ONCE-at-bootstrap step of the
+    * steady-state ingest loop. The shared shingle lineage is cached so the
+    * corpus is scanned once across both writes (see `minHashIndex`).
+    */
+  def writeMinHashIndex(docs: DataFrame, dir: String,
+                        numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (toks, banded, release) = minHashSide(docs, numHashes, bands, shingleSize,
+      idCol, textCol, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    toks.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mhToksPath(dir))
+    banded.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(mhBandedPath(dir))
+    release()
+  }
+
+  /** Read back a stored MinHash index: (shingle sets, banded keys). */
+  def readMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(mhToksPath(dir)), spark.read.parquet(mhBandedPath(dir)))
+
+  /** The step every per-ingest loop ENDS with: append the SURVIVING batch
+    * rows' shingles and band keys to the stored index, so the next batch
+    * dedups against them without the corpus ever being re-shingled. The
+    * geometry pre-flight runs against the STORED tables first — appending
+    * rows built with mismatched parameters would silently poison every
+    * future probe, which is strictly worse than the probe-side mismatch
+    * (that only misses dups once).
+    *
+    * Idempotence caveat (same as any parquet append): a retried append
+    * duplicates index rows for the batch. Duplicated rows cost probe work
+    * but never correctness — candidates are `distinct`ed and the verify
+    * join re-derives the same pair rows — so retry-then-compact is the
+    * operational answer, not a transaction log.
+    */
+  def appendToMinHashIndex(survivors: DataFrame, dir: String,
+                           numHashes: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                           idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = survivors.sparkSession
+    val (storedToks, storedBanded) = readMinHashIndex(spark, dir)
+    minHashPreflight(storedToks, storedBanded, numHashes, bands, shingleSize)
+    val (toks, banded, release) = minHashSide(survivors, numHashes, bands,
+      shingleSize, idCol, textCol, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    toks.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mhToksPath(dir))
+    banded.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(mhBandedPath(dir))
+    release()
+  }
+
+  /** Bucketed-table variant of the index lifecycle, for corpora where the
+    * probe join itself is the bottleneck: the banded table is written
+    * through `Load.writeBucketed` bucketed by (band, band_key) — exactly
+    * the probe join's keys, so the CORPUS side of every future band join
+    * is read pre-shuffled (zero exchange; the batch side alone shuffles) —
+    * and the shingle table by id for the verify join-back. Appends go
+    * through `Load.appendBucketed`, which keeps the bucket spec.
+    * Probe via `spark.table(s"${name}_toks")` / `spark.table(s"${name}_banded")`.
+    */
+  def writeMinHashIndexBucketed(load: graft.etl.Load, docs: DataFrame,
+                                name: String, buckets: Int,
+                                numHashes: Int = 16, bands: Int = 8,
+                                shingleSize: Int = 3,
+                                idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (toks, banded, release) = minHashSide(docs, numHashes, bands, shingleSize,
+      idCol, textCol, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    load.writeBucketed(toks, s"${name}_toks", buckets, Seq("id"))
+    load.writeBucketed(banded, s"${name}_banded", buckets, Seq("band", "band_key"))
+    release()
+  }
+
+  /** Bucketed twin of `appendToMinHashIndex`. */
+  def appendToMinHashIndexBucketed(load: graft.etl.Load, survivors: DataFrame,
+                                   name: String, buckets: Int,
+                                   numHashes: Int = 16, bands: Int = 8,
+                                   shingleSize: Int = 3,
+                                   idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = survivors.sparkSession
+    minHashPreflight(spark.table(s"${name}_toks"), spark.table(s"${name}_banded"),
+      numHashes, bands, shingleSize)
+    val (toks, banded, release) = minHashSide(survivors, numHashes, bands,
+      shingleSize, idCol, textCol, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    load.appendBucketed(toks, s"${name}_toks", buckets, Seq("id"))
+    load.appendBucketed(banded, s"${name}_banded", buckets, Seq("band", "band_key"))
+    release()
+  }
+
   /** X3 at steady state: MinHash-LSH near-dup detection for a NEW batch
     * against an existing corpus. Band buckets join NEW×CORPUS and
     * NEW×(earlier NEW) — never CORPUS×CORPUS; that work happened when the
@@ -261,12 +350,17 @@ object Dedup {
     * rowsPerBand `:`-joined values, so a few index rows prove the band
     * geometry, and one stored shingle proves the shingle width.
     */
-  def minHashIncrementalIndexed(newDocs: DataFrame,
-                                corpusToks: DataFrame, corpusBanded: DataFrame,
-                                threshold: Double,
-                                numHashes: Int = 16, bands: Int = 8,
-                                shingleSize: Int = 3,
-                                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Fail-fast geometry check of a stored MinHash index against the
+    * parameters a caller is about to probe (or append) with — factored out
+    * so the probe path and the append path enforce the SAME invariant. A
+    * mismatch never fails on its own (band keys just stop matching and
+    * near-dups are silently admitted; appends would poison the index), so
+    * a few sampled rows prove the band geometry and the shingle width
+    * instead. Bounded collects: `limit(bands*4)` + `limit(1)`.
+    */
+  private[graft] def minHashPreflight(corpusToks: DataFrame, corpusBanded: DataFrame,
+                                      numHashes: Int, bands: Int,
+                                      shingleSize: Int): Unit = {
     val bandSample = corpusBanded.select(col("band").cast("int"), col("band_key"))
       .limit(bands * 4).collect()
     if (bandSample.nonEmpty) {
@@ -287,6 +381,48 @@ object Dedup {
         s"stored shingles are $width-grams, expected $shingleSize-grams " +
           "— the index was built with a different shingleSize")
     }
+  }
+
+  def minHashIncrementalIndexed(newDocs: DataFrame,
+                                corpusToks: DataFrame, corpusBanded: DataFrame,
+                                threshold: Double,
+                                numHashes: Int = 16, bands: Int = 8,
+                                shingleSize: Int = 3,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashIncrementalPairFrame(newDocs, corpusToks, corpusBanded, threshold,
+      numHashes, bands, shingleSize, idCol, textCol)
+      .groupBy(col("i").as(idCol))
+      // min over (j, jaccard) structs = the smallest dup_of with ITS
+      // jaccard — deterministic because j is unique per (i, j) pair
+      .agg(min(struct(col("j"), col("jaccard"))).as("m"))
+      .select(col(idCol), col("m.j").as("dup_of"), col("m.jaccard").as("jaccard"))
+
+  /** ALL qualifying (new, prior) pairs for a batch probe — the feed
+    * cluster maintenance needs: `minHashIncrementalIndexed`'s min-dup_of
+    * flag rows cannot express a new doc BRIDGING two existing components,
+    * so `mergeClusters` consumes this instead. Columns: (idCol, dup_of,
+    * jaccard), one row per verified pair.
+    */
+  def minHashIncrementalIndexedPairs(newDocs: DataFrame,
+                                     corpusToks: DataFrame, corpusBanded: DataFrame,
+                                     threshold: Double,
+                                     numHashes: Int = 16, bands: Int = 8,
+                                     shingleSize: Int = 3,
+                                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minHashIncrementalPairFrame(newDocs, corpusToks, corpusBanded, threshold,
+      numHashes, bands, shingleSize, idCol, textCol)
+      .select(col("i").as(idCol), col("j").as("dup_of"), col("jaccard"))
+
+  /** Shared probe pipeline: (i, j, jaccard) over NEW×CORPUS and
+    * NEW×earlier-NEW candidates — both public incremental surfaces wrap
+    * this, so flag rows and pair rows cannot drift.
+    */
+  private def minHashIncrementalPairFrame(newDocs: DataFrame,
+                                          corpusToks: DataFrame, corpusBanded: DataFrame,
+                                          threshold: Double,
+                                          numHashes: Int, bands: Int, shingleSize: Int,
+                                          idCol: String, textCol: String): DataFrame = {
+    minHashPreflight(corpusToks, corpusBanded, numHashes, bands, shingleSize)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val (nToks, nBand, _) =
       minHashSide(newDocs, numHashes, bands, shingleSize, idCol, textCol, mem)
@@ -305,11 +441,6 @@ object Dedup {
         round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     verify(candCorpus, corpusToks).unionByName(verify(candEarlier, nToks))
-      .groupBy(col("i").as(idCol))
-      // min over (j, jaccard) structs = the smallest dup_of with ITS
-      // jaccard — deterministic because j is unique per (i, j) pair
-      .agg(min(struct(col("j"), col("jaccard"))).as("m"))
-      .select(col(idCol), col("m.j").as("dup_of"), col("m.jaccard").as("jaccard"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
@@ -345,13 +476,26 @@ object Dedup {
     // release them.
     val nPairs = pairs.count()
     releaseMinhash()
-    // Size-based strategy switch, same spirit as broadcast-vs-shuffle
-    // joins: the pair list is O(duplicates), orders of magnitude smaller
-    // than the corpus. Below the threshold, union-find on the driver is
-    // milliseconds and ONE job; the iterative distributed loop below
-    // remains the path for genuinely huge duplicate graphs.
+    val out = components(pairs, nPairs, maxIters, driverMaxPairs)
+    pairs.unpersist()
+    out
+  }
+
+  /** Connected components of an (a, b) pair list, each node labeled with
+    * its component's MINIMUM id. The single resolution engine behind both
+    * `nearDupClusters` (full recompute) and `mergeClusters` (incremental):
+    * a size-gated driver union-find fast path — the pair list is
+    * O(duplicates), orders of magnitude smaller than any corpus — with
+    * iterative distributed min-label propagation for genuinely huge
+    * duplicate graphs. `pairs` must be cached and already materialized
+    * (`nPairs` is its measured count); the caller owns its unpersist. The
+    * returned frame is safe to use after that unpersist: the driver path
+    * is a local DataFrame, the distributed path a materialized cache.
+    */
+  private[graft] def components(pairs: DataFrame, nPairs: Long,
+                                maxIters: Int, driverMaxPairs: Long): DataFrame = {
     if (nPairs <= driverMaxPairs) {
-      val spark = docs.sparkSession
+      val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -370,7 +514,6 @@ object Dedup {
         }
       }
       val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      pairs.unpersist()
       return out.toDF("doc_id", "cluster_rep")
     }
     // Size the iteration partitioning from the MEASURED pair count: the
@@ -408,16 +551,70 @@ object Dedup {
       converged = changed == 0
       iter += Steps
     }
-    pairs.unpersist()
     edges.unpersist()
     // A component with diameter > maxIters would exit this loop with stale
     // labels and silently diverge from the transitive closure — surface it.
     if (!converged)
       log.warn(
-        s"nearDupClusters: label propagation did NOT converge after $iter " +
+        s"components: label propagation did NOT converge after $iter " +
           s"rounds (maxIters=$maxIters) — some cluster_rep labels may not be " +
           "the component minimum; raise maxIters for deep duplicate chains")
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  /** Incremental clustering — merge a batch's near-dup pairs into STORED
+    * `(doc_id, cluster_rep)` labels WITHOUT re-propagating history. The
+    * insight that makes it cheap: every stored component is reachable
+    * through its rep (labels form a star), so merging at the REP level is
+    * exactly equivalent to union-find over the full historical pair graph —
+    * and the rep graph is bounded by the batch's pair count, never by
+    * corpus size. Plan shape per ingest:
+    *   1. each pair endpoint → its current rep (one keyed join against the
+    *      label table; unseen docs rep themselves),
+    *   2. distinct cross-rep edges → `components` (driver union-find under
+    *      the gate, distributed propagation above it) over AFFECTED
+    *      components only,
+    *   3. one keyed join re-labels history (reps untouched by the batch
+    *      keep their label), plus the batch docs' new labels.
+    *
+    * `newPairs` must carry ALL qualifying (new, prior) pairs — e.g.
+    * `minHashIncrementalIndexedPairs` — not the min-only flag rows: a new
+    * doc bridging TWO old components merges them, which the single
+    * min-dup_of row cannot express. Labels stay the component MINIMUM id
+    * under merges because each stored rep is already its component's min
+    * and new ids rep themselves. Output covers every doc in `labels` plus
+    * every doc appearing in `newPairs` — same contract as
+    * `nearDupClusters` (docs with no pairs are not rows).
+    */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame,
+                    maxIters: Int = 12,
+                    driverMaxPairs: Long = 5000000L): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val l = labels.select(col("doc_id").as("id"), col("cluster_rep").as("rep"))
+      .persist(mem)
+    val pairs = newPairs.select(col("doc_a"), col("doc_b"))
+    // endpoint → current rep; docs history has never seen rep themselves
+    val endRep = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct()
+      .join(l, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+      .persist(mem)
+    val repEdges = pairs
+      .join(endRep.select(col("id").as("doc_a"), col("rep").as("rep_a")), "doc_a")
+      .join(endRep.select(col("id").as("doc_b"), col("rep").as("rep_b")), "doc_b")
+      .select(col("rep_a").as("a"), col("rep_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(mem)
+    val nEdges = repEdges.count()
+    // rep → merged component rep, for affected reps only
+    val mapping = components(repEdges, nEdges, maxIters, driverMaxPairs)
+      .select(col("doc_id").as("rep"), col("cluster_rep").as("new_rep"))
+    repEdges.unpersist()
+    val newDocs = endRep.join(l.select(col("id")), Seq("id"), "left_anti")
+    l.unionByName(newDocs)
+      .join(mapping, Seq("rep"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("new_rep"), col("rep")).as("cluster_rep"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -435,11 +632,6 @@ object Dedup {
           (acc, h) => acc + when(h.substr(i, lit(1)) >= "8", 1L).otherwise(-1L)) > 0,
           lit("1")).otherwise(lit("0"))), "")
   }
-
-  /** Hamming distance between two equal-length bit strings. */
-  def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(split(a, ""), split(b, ""), (x, y) => when(x =!= y, 1L).otherwise(0L)),
-      lit(0L), _ + _)
 
   /** SimHash near-dup pairs: all pairs with hamming(fingerprint) ≤
     * `maxHamming`, found by exact-match blocking on `bands` equal slices of

@@ -246,6 +246,82 @@ object Vectors {
       planesPerBand, bands))
   }
 
+  // ------------------------------------------- stored-index lifecycle (X4)
+
+  private def cosNormedPath(dir: String) = s"$dir/normed"
+  private def cosBandedPath(dir: String) = s"$dir/banded"
+
+  /** Build a sign-LSH corpus index and persist it under `dir` (parquet
+    * tables `normed` + `banded`) — the once-at-bootstrap step of the
+    * steady-state embedding-ingest loop; `Dedup.writeMinHashIndex`'s twin.
+    */
+  def writeCosineIndex(corpus: DataFrame, dir: String,
+                       planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (nv, banded) = cosineIndex(corpus, planesPerBand, bands, dims, idCol, vecCol)
+    nv.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cosNormedPath(dir))
+    banded.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(cosBandedPath(dir))
+    nv.unpersist()
+    ()
+  }
+
+  /** Read back a stored sign-LSH index: (normed vectors, banded keys). */
+  def readCosineIndex(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(cosNormedPath(dir)), spark.read.parquet(cosBandedPath(dir)))
+
+  /** Append the surviving batch vectors to a stored index — the closing
+    * step of each embedding-ingest iteration. Geometry pre-flight runs
+    * against the STORED tables first (a mismatched append poisons future
+    * probes). Retried appends duplicate index rows for the batch — extra
+    * probe work, never wrong flags (candidates are deduped per band and
+    * the verify re-derives identical pair rows); compaction cleans up.
+    */
+  def appendToCosineIndex(survivors: DataFrame, dir: String,
+                          planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = survivors.sparkSession
+    val (storedNormed, storedBanded) = readCosineIndex(spark, dir)
+    cosinePreflight(storedNormed, storedBanded, planesPerBand, bands, dims)
+    val (nv, banded) = cosineIndex(survivors, planesPerBand, bands, dims, idCol, vecCol)
+    nv.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cosNormedPath(dir))
+    banded.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(cosBandedPath(dir))
+    nv.unpersist()
+    ()
+  }
+
+  /** Bucketed-table index lifecycle via `Load.writeBucketed`/`appendBucketed`:
+    * banded keys bucketed by `bkey` (the probe join's key — the corpus side
+    * of every future band join reads pre-shuffled, zero exchange), normed
+    * vectors by `id` (the verify join-back's key). Probe with
+    * `spark.table(s"${name}_normed")` / `spark.table(s"${name}_banded")`.
+    */
+  def writeCosineIndexBucketed(load: graft.etl.Load, corpus: DataFrame,
+                               name: String, buckets: Int,
+                               planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (nv, banded) = cosineIndex(corpus, planesPerBand, bands, dims, idCol, vecCol)
+    load.writeBucketed(nv, s"${name}_normed", buckets, Seq("id"))
+    load.writeBucketed(banded, s"${name}_banded", buckets, Seq("bkey"))
+    nv.unpersist()
+    ()
+  }
+
+  /** Bucketed twin of `appendToCosineIndex`. */
+  def appendToCosineIndexBucketed(load: graft.etl.Load, survivors: DataFrame,
+                                  name: String, buckets: Int,
+                                  planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = survivors.sparkSession
+    cosinePreflight(spark.table(s"${name}_normed"), spark.table(s"${name}_banded"),
+      planesPerBand, bands, dims)
+    val (nv, banded) = cosineIndex(survivors, planesPerBand, bands, dims, idCol, vecCol)
+    load.appendBucketed(nv, s"${name}_normed", buckets, Seq("id"))
+    load.appendBucketed(banded, s"${name}_banded", buckets, Seq("bkey"))
+    nv.unpersist()
+    ()
+  }
+
   /** `cosineIncremental` against a STORED corpus index (the two frames from
     * `cosineIndex`, read back): per ingest only the batch is projected and
     * banded; the corpus contributes a probe join on its stored band keys
@@ -258,11 +334,13 @@ object Vectors {
     * so a few stored rows prove the band geometry; one stored vector
     * proves the dimensionality.
     */
-  def cosineIncrementalIndexed(newVecs: DataFrame,
-                               corpusNormed: DataFrame, corpusBanded: DataFrame,
-                               threshold: Double,
-                               planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
-                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Fail-fast geometry check of a stored sign-LSH index — shared by the
+    * probe path and the append path (appending rows built with different
+    * geometry would poison every future probe). Bounded collects.
+    */
+  private[graft] def cosinePreflight(corpusNormed: DataFrame, corpusBanded: DataFrame,
+                                     planesPerBand: Int, bands: Int,
+                                     dims: Int): Unit = {
     val bandSample = corpusBanded.select(col("bkey").cast("long"))
       .limit(bands * 4).collect().map(_.getLong(0))
     if (bandSample.nonEmpty) {
@@ -277,6 +355,45 @@ object Vectors {
       require(r.getInt(0) == dims,
         s"stored vectors have ${r.getInt(0)} dims, expected $dims")
     }
+  }
+
+  def cosineIncrementalIndexed(newVecs: DataFrame,
+                               corpusNormed: DataFrame, corpusBanded: DataFrame,
+                               threshold: Double,
+                               planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineIncrementalPairFrame(newVecs, corpusNormed, corpusBanded, threshold,
+      planesPerBand, bands, dims, idCol, vecCol)
+      .groupBy(col("i").as(idCol))
+      // min over (j, cosine) structs: smallest prior id with ITS cosine —
+      // deterministic, j is unique per (i, j) pair
+      .agg(min(struct(col("j"), col("cosine"))).as("m"))
+      .select(col(idCol), col("m.j").as("dup_of"), col("m.cosine").as("cosine"))
+
+  /** ALL qualifying (new, prior) pairs for a batch probe — the
+    * cluster-maintenance feed (`Dedup.mergeClusters`); the min-dup_of flag
+    * rows of `cosineIncrementalIndexed` cannot express a new vector
+    * bridging two existing components. Columns: (idCol, dup_of, cosine).
+    */
+  def cosineIncrementalIndexedPairs(newVecs: DataFrame,
+                                    corpusNormed: DataFrame, corpusBanded: DataFrame,
+                                    threshold: Double,
+                                    planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineIncrementalPairFrame(newVecs, corpusNormed, corpusBanded, threshold,
+      planesPerBand, bands, dims, idCol, vecCol)
+      .select(col("i").as(idCol), col("j").as("dup_of"), col("cosine"))
+
+  /** Shared probe pipeline: (i, j, cosine) over NEW×CORPUS and
+    * NEW×earlier-NEW candidates — both public incremental surfaces wrap
+    * this, so flag rows and pair rows cannot drift.
+    */
+  private def cosineIncrementalPairFrame(newVecs: DataFrame,
+                                         corpusNormed: DataFrame, corpusBanded: DataFrame,
+                                         threshold: Double,
+                                         planesPerBand: Int, bands: Int, dims: Int,
+                                         idCol: String, vecCol: String): DataFrame = {
+    cosinePreflight(corpusNormed, corpusBanded, planesPerBand, bands, dims)
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val nv = normedById(newVecs, idCol, vecCol).persist(mem)
@@ -292,11 +409,6 @@ object Vectors {
       cosVerify(c, nv, side).filter(col("cosine") >= threshold)
     verify(cand(cb, lit(true)), cv)
       .unionByName(verify(cand(nb, col("b.id") < col("a.id")), nv))
-      .groupBy(col("i").as(idCol))
-      // min over (j, cosine) structs: smallest prior id with ITS cosine —
-      // deterministic, j is unique per (i, j) pair
-      .agg(min(struct(col("j"), col("cosine"))).as("m"))
-      .select(col(idCol), col("m.j").as("dup_of"), col("m.cosine").as("cosine"))
   }
 
   /** Deterministic ±1 sign matrix for `planes` random hyperplanes over `dims`

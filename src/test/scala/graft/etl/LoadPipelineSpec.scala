@@ -137,6 +137,60 @@ class LoadPipelineSpec extends SparkSpec {
     assert(Load.compactPartitioned(spark, path, targetFileBytes = 1L << 30) == (2, 2))
   }
 
+  test("compactPartitionedByRewrite: one job compacts all fragmented leaves, pruning preserved") {
+    val load = new Load(tmpDir("wh"))
+    val path = load.tablePath("parts1j")
+    (1 to 5).foreach { b =>
+      Seq(("a", b), ("b", b)).toDF("part", "v")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("part").parquet(path)
+    }
+    // one leaf is already compact — the rewrite must not touch it
+    Seq(("c", 99)).toDF("part", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("part").parquet(path)
+    val cFile = new java.io.File(s"$path/part=c").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = spark.read.parquet(path)
+      .select("part", "v").as[(String, Int)].collect().toSet
+    val (nBefore, nAfter) =
+      Load.compactPartitionedByRewrite(spark, path, targetFileBytes = 1L << 30)
+    assert(nBefore >= 11 && nAfter == 3, s"$nBefore -> $nAfter files")
+    // untouched leaf kept its exact files (dynamic overwrite touched only
+    // the fragmented partition values)
+    assert(new java.io.File(s"$path/part=c").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet == cFile)
+    val reread = spark.read.parquet(path)
+    assert(reread.select("part", "v").as[(String, Int)].collect().toSet == before)
+    // partition pruning must still happen at PLAN time after the rewrite
+    val filtered = reread.filter($"part" === "a")
+    val scans = filtered.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(_.contains("part=a")),
+      s"scan still touches: ${files.filterNot(_.contains("part=a")).take(3)}")
+    // idempotent: nothing fragmented → no job, counts unchanged
+    assert(Load.compactPartitionedByRewrite(spark, path,
+      targetFileBytes = 1L << 30) == (3, 3))
+  }
+
+  test("bucketed write + append report exact footer-based row counts") {
+    val load = new Load(tmpDir("wh"))
+    try {
+      val base = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "v")
+      assert(load.writeBucketed(base, "bkt_cnt", 4, Seq("k")) == 1000L)
+      val batch = (1001L to 1300L).map(i => (i % 50, i)).toDF("k", "v")
+      // append returns the BATCH's rows, not the table total
+      assert(load.appendBucketed(batch, "bkt_cnt", 4, Seq("k")) == 300L)
+      assert(spark.table("bkt_cnt").count() == 1300L)
+      // and the footer counter itself agrees with a full scan
+      assert(Load.parquetRowCount(spark, load.tablePath("bkt_cnt")) == 1300L)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_cnt")
+  }
+
   test("compactPartitioned recovery: a mid-swap crash leaves the partition restorable") {
     val load = new Load(tmpDir("wh"))
     val path = load.tablePath("crashy")

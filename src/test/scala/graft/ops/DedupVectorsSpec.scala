@@ -102,6 +102,117 @@ class DedupVectorsSpec extends SparkSpec {
     }
   }
 
+  test("appendToMinHashIndex: append-then-reprobe equals a full index rebuild") {
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (3L, "en", "completely different text about spark engines at scale")
+    ).toDF("doc_id", "lang", "text")
+    val batch1 = Seq(
+      (11L, "en", "a quick brown fox jumps over the lazy dog tonight"),
+      (12L, "en", "fresh material with no relation to anything stored here")
+    ).toDF("doc_id", "lang", "text")
+    val batch2 = Seq(
+      (21L, "en", "fresh material with no relation to anything stored today"),
+      (22L, "en", "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "lang", "text")
+    val dir = tmpDir("mh-append")
+    Dedup.writeMinHashIndex(corpus, dir)
+    // ingest loop iteration: probe batch1, then append it (all of it — both
+    // rows are novel under exact dedup) to the stored index
+    Dedup.appendToMinHashIndex(batch1, dir)
+    val (toks, banded) = Dedup.readMinHashIndex(spark, dir)
+    val viaAppend = Dedup.minHashIncrementalIndexed(batch2, toks, banded, 0.5)
+      .collect().map(_.toSeq).toSet
+    // ground truth: the same probe against an index built from scratch over
+    // corpus + batch1
+    val dir2 = tmpDir("mh-rebuild")
+    Dedup.writeMinHashIndex(corpus.unionByName(batch1), dir2)
+    val (toks2, banded2) = Dedup.readMinHashIndex(spark, dir2)
+    val viaRebuild = Dedup.minHashIncrementalIndexed(batch2, toks2, banded2, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty)
+    // batch2 doc 21 near-dups batch1 doc 12 — only visible through the
+    // APPENDED rows, so this pins that the append actually landed
+    assert(viaAppend.exists(_.head == 21L))
+    // appending with mismatched geometry must fail fast, not poison probes
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashIndex(batch2, dir, numHashes = 32, bands = 16)
+    }
+  }
+
+  test("appendToCosineIndex: append-then-reprobe equals a full index rebuild") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0 && col("vec_id") % 7 =!= 1)
+    val batch1 = emb.filter(col("vec_id") % 7 === 1)
+    val batch2 = emb.filter(col("vec_id") % 7 === 0)
+    val dir = tmpDir("cos-append")
+    Vectors.writeCosineIndex(corpus, dir)
+    Vectors.appendToCosineIndex(batch1, dir)
+    val (n1, b1) = Vectors.readCosineIndex(spark, dir)
+    val viaAppend = Vectors.cosineIncrementalIndexed(batch2, n1, b1, 0.4)
+      .collect().map(_.toSeq).toSet
+    val dir2 = tmpDir("cos-rebuild")
+    Vectors.writeCosineIndex(corpus.unionByName(batch1), dir2)
+    val (n2, b2) = Vectors.readCosineIndex(spark, dir2)
+    val viaRebuild = Vectors.cosineIncrementalIndexed(batch2, n2, b2, 0.4)
+      .collect().map(_.toSeq).toSet
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Vectors.appendToCosineIndex(batch2, dir, planesPerBand = 3, bands = 12)
+    }
+  }
+
+  test("mergeClusters: incremental label merge equals full recompute on a grown corpus") {
+    val corpus = docs(3) // contains the {1,2,4} near-dup component
+    val batch = Seq(
+      // bridges INTO the {1,2,4} component
+      (21L, "en", "the quick brown fox jumps over the lazy dog today"),
+      // novel pair within the batch only
+      (22L, "en", "some entirely new content that repeats itself right away"),
+      (23L, "en", "some entirely new content that repeats itself right away"),
+      (24L, "en", "unrelated singleton prose mentioning nothing familiar")
+    ).toDF("doc_id", "lang", "text")
+    val labels0 = Dedup.nearDupClusters(corpus, 0.5)
+    // ALL qualifying pairs for the batch (not min-only flags)
+    val dir = tmpDir("mh-merge")
+    Dedup.writeMinHashIndex(corpus, dir)
+    val (toks, banded) = Dedup.readMinHashIndex(spark, dir)
+    val newPairs = Dedup.minHashIncrementalIndexedPairs(batch, toks, banded, 0.5)
+      .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+    val merged = Dedup.mergeClusters(labels0, newPairs)
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.nearDupClusters(corpus.unionByName(batch), 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(merged == full && merged.nonEmpty)
+    // the bridge doc joined the historical component under its min rep
+    assert(merged.contains(Seq(21L, 1L)))
+    // the batch-only pair formed its own component
+    assert(merged.contains(Seq(23L, 22L)))
+    // and the distributed resolution path agrees with the driver fast path
+    val mergedDist = Dedup.mergeClusters(labels0, newPairs, driverMaxPairs = 0)
+      .collect().map(_.toSeq).toSet
+    assert(mergedDist == merged)
+  }
+
+  test("mergeClusters: a new doc bridging two old components merges them") {
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "en", "one two three four five six seven eight nine ten"),
+      (6L, "en", "one two three four five six seven eight nine eleven")
+    ).toDF("doc_id", "lang", "text")
+    val labels0 = Dedup.nearDupClusters(corpus, 0.5)
+    val reps0 = labels0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps0(2L) == 1L && reps0(6L) == 5L) // two separate components
+    // synthetic bridge pairs: one new doc near-dups a member of EACH
+    val bridge = Seq((9L, 2L), (9L, 6L)).toDF("doc_a", "doc_b")
+    val merged = Dedup.mergeClusters(labels0, bridge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // everything collapses to the global min rep 1 — including old comp {5,6}
+    assert(Set(1L, 2L, 5L, 6L, 9L).forall(merged(_) == 1L))
+  }
+
   test("cosineIncrementalIndexed: stored embedding index round-trips to identical flags") {
     val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val batch = emb.filter(col("vec_id") % 7 === 0)
@@ -168,12 +279,20 @@ class DedupVectorsSpec extends SparkSpec {
   }
 
   test("simHashNearDupPairs: band blocking equals the quadratic hamming scan") {
+    // Interpreted bit-string hamming — the INDEPENDENT definition the
+    // codegen'd bit_count(xor) production path is checked against. Test-only
+    // on purpose: it walks 2×32 lambda frames per pair and must never be
+    // picked up by main-tree code (round-3 verdict item 6).
+    def hammingDistance(a: org.apache.spark.sql.Column,
+                        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), _ + _)
     def quadratic(parts: Int) = {
       val fp = docs(parts).select(col("doc_id"),
         Dedup.simHashBits(Text.tokenSet(col("text"))).as("fp"))
       fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          Dedup.hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
+          hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
         .filter(col("hamming") <= 3)
     }
     val brute = collectPairs(quadratic(1))
