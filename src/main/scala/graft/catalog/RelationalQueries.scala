@@ -248,13 +248,25 @@ object RelationalQueries extends Catalog {
              |count(*) AS n_orders
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
-    // HLL sketch differs across engines by design → rows-only check.
+    // HLL sketch values differ across engines by design, so the raw
+    // estimate is not oracle-replayable. Verifiable form: emit the exact
+    // count NEXT TO a tolerance verdict on the estimate (|approx − exact| ≤
+    // 3×rsd×exact, rsd = 0.05 default — same bound ApproxDistinctSpec pins),
+    // and let the oracle assert the verdict is TRUE. The hash compare then
+    // FAILS the round if any group's sketch drifts out of tolerance —
+    // a real correctness gate, not a rows-only count.
     Q("agg_approx_distinct",
       (s, dir) => load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          approx_count_distinct(col("o_custkey")).as("approx"))
+        .select(col("o_orderstatus"), col("n_customers"),
+          (abs(col("approx") - col("n_customers")) <=
+            lit(3 * 0.05) * col("n_customers")).as("approx_ok"))
         .orderBy(col("o_orderstatus")),
-      None),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+             |TRUE AS approx_ok
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     Q("agg_rollup",
       (s, dir) => load(s, dir, "customer")

@@ -16,6 +16,47 @@ object TextQueries extends Catalog {
   private val TokSet = s"list_sort(list_distinct($Toks))"
   private val EnStop = Text.Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // Shared by dedup_incremental_minhash and its stored-index bench twin —
+  // same split, same semantics, so ONE oracle definition for both.
+  private val IncMinhashOracle =
+    s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+       |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+       |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+       |  FROM t),
+       |hv AS (
+       |  SELECT doc_id, ts, list_transform(ts,
+       |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, list_transform(range(16), s ->
+       |    list_min(list_transform(hv,
+       |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+       |  FROM hv),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+       |      x -> x::VARCHAR), ':') AS band_key
+       |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
+       |    AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)),
+       |pairs AS (
+       |  SELECT i, j, round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+       |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
+       |  FROM cand JOIN toks x ON cand.i = x.doc_id JOIN toks y ON cand.j = y.doc_id
+       |  WHERE jaccard IS NOT NULL),
+       |flagged AS (
+       |  SELECT i AS doc_id, min(j) AS dup_of FROM pairs
+       |  WHERE jaccard >= 0.5 GROUP BY i)
+       |SELECT f.doc_id, f.dup_of, p.jaccard
+       |FROM flagged f JOIN pairs p ON p.i = f.doc_id AND p.j = f.dup_of
+       |ORDER BY f.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1: corpus word counts (explode + two-phase aggregate), top 20.
@@ -203,43 +244,25 @@ object TextQueries extends Catalog {
             docs.filter(col("doc_id") % 5 =!= 0), 0.5)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
-             |toks AS (
-             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
-             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
-             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
-             |  FROM t),
-             |hv AS (
-             |  SELECT doc_id, ts, list_transform(ts,
-             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
-             |  FROM toks),
-             |sigs AS (
-             |  SELECT doc_id, list_transform(range(16), s ->
-             |    list_min(list_transform(hv,
-             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
-             |  FROM hv),
-             |bands AS (
-             |  SELECT doc_id, b AS band,
-             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
-             |      x -> x::VARCHAR), ':') AS band_key
-             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.band_key = b.band_key
-             |    AND a.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
-             |    AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)),
-             |pairs AS (
-             |  SELECT i, j, round(len(list_intersect(x.ts, y.ts)) * 1.0 /
-             |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
-             |  FROM cand JOIN toks x ON cand.i = x.doc_id JOIN toks y ON cand.j = y.doc_id
-             |  WHERE jaccard IS NOT NULL),
-             |flagged AS (
-             |  SELECT i AS doc_id, min(j) AS dup_of FROM pairs
-             |  WHERE jaccard >= 0.5 GROUP BY i)
-             |SELECT f.doc_id, f.dup_of, p.jaccard
-             |FROM flagged f JOIN pairs p ON p.i = f.doc_id AND p.j = f.dup_of
-             |ORDER BY f.doc_id""".stripMargin)),
+      Some(IncMinhashOracle)),
+
+    // The same incremental dedup at TRUE steady state: the corpus index is
+    // a STORED parquet artifact (built once per session via StoredIndexes —
+    // Bench prewarms it outside the timed region), so this query's cost is
+    // batch shingling + band probes + candidate verify ONLY. Identical
+    // result to dedup_incremental_minhash (same split, same semantics) —
+    // the oracle is shared — but the bench number finally measures what a
+    // per-ingest run costs once the index work is amortized where it
+    // belongs: at corpus ingest.
+    Q("dedup_incremental_minhash_indexed",
+      (s, dir) => {
+        val (toks, banded) = Dedup.readMinHashIndex(s, StoredIndexes.minHash(s, dir))
+        Dedup.minHashIncrementalIndexed(
+            load(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+            toks, banded, 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(IncMinhashOracle)),
 
     // X3a': near-dup CLUSTERS — connected components over the verified
     // MinHash pair graph, min-id representative per component (the dedup
@@ -449,25 +472,39 @@ object TextQueries extends Catalog {
 
     // Multimodal decode path: batched per-partition feature extraction
     // behind the pluggable codec seam (stub codec — container ships no
-    // image/audio libs; the Spark plumbing is the deliverable). The codec
-    // output is not ANSI-SQL-expressible → deliberately NO oracle entry;
-    // the driver records a rows-only check, and MultimodalSpec pins the
-    // batching/determinism semantics. The feature vector is serialized to a
-    // fixed-point CSV string for this surface — the rows-only comparator
-    // sorts/hashes the frame, and a raw ARRAY<FLOAT> column is unhashable
-    // there; library users get the typed Dataset[MediaFeatures] from
-    // `Multimodal.documentFeatures` directly.
+    // image/audio libs; the Spark plumbing is the deliverable).
+    // Oracle-verifiable serialization: StubCodec feature i is
+    // (acc_i & 0xffff)/65535 in FLOAT where acc_i folds payload bytes
+    // i, i+8, … as acc·31+b (32-bit wrap, init i+1). The float division
+    // costs < 2⁻²⁴ relative error, so round(f·65535) recovers the 16-bit
+    // integer EXACTLY — and that integer fold IS ANSI-SQL-expressible:
+    // DuckDB replays it with hex(blob) byte extraction + list_reduce mod
+    // 2³². The oracle therefore hash-checks batching, ordering, dimension
+    // interleave and the rolling hash end-to-end; MultimodalSpec pins the
+    // float-side determinism separately.
     Q("multimodal_features",
       (s, dir) => {
-        import org.apache.spark.sql.functions.{col, format_string, transform => atransform, array_join}
+        import org.apache.spark.sql.functions.{col, transform => atransform, array_join, round => fround}
         graft.ops.Multimodal.documentFeatures(s, load(s, dir, "documents"))
           .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
             col("width"), col("height"),
             array_join(atransform(col("features"),
-              f => format_string("%.6f", f.cast("double"))), ",").as("features_csv"))
+              f => fround(f.cast("double") * 65535).cast("long").cast("string")),
+              ",").as("features_k_csv"))
           .orderBy(col("media_id"))
       },
-      None),
+      Some("""SELECT doc_id AS media_id, lang AS kind,
+             |octet_length(text::BLOB)::INT AS n_bytes,
+             |(octet_length(text::BLOB) % 640)::INT AS width,
+             |(octet_length(text::BLOB) % 480)::INT AS height,
+             |array_to_string(list_transform(range(8), i ->
+             |  (list_reduce(
+             |     list_prepend(i + 1, list_transform(
+             |       range(i, octet_length(text::BLOB), 8),
+             |       j -> ('0x' || substr(hex(text::BLOB), 2*j + 1, 2))::BIGINT)),
+             |     (acc, b) -> (acc * 31 + b) % 4294967296) % 65536)::VARCHAR), ',')
+             |  AS features_k_csv
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Same decode pipeline, but through the md5-derived stub codec whose
     // output IS SQL-expressible — so this row gets a full hash-checked
