@@ -130,4 +130,115 @@ object StreamOps {
   def toParquet(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream.format("parquet")
       .option("path", path).option("checkpointLocation", checkpoint)
+
+  /** File-source stream of documents rows (schema = the documents table's
+    * core columns) — the ingest feed for `incrementalDedupSink`.
+    */
+  def readDocumentStream(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dir)
+  }
+
+  /** The steady-state corpus-ingest loop as a STREAMING sink: every
+    * micro-batch is (1) exact-deduped against the stored digest set,
+    * (2) near-dedup-probed against the stored MinHash index
+    * (`Dedup.minHashIncrementalIndexed` — batch shingling + band probes
+    * only, the corpus is never re-shingled), (3) its novel survivors land
+    * in `stateDir/out/`, and (4) the survivors' digests/shingles/bands are
+    * appended to the stored state so the NEXT batch dedups against them.
+    *
+    * State layout — every table batch-partitioned (`.../batch=<id>/`):
+    * {{{
+    *   stateDir/digests/batch=<id>/        content_md5 of survivors
+    *   stateDir/index/toks/batch=<id>/     shingle sets  (id, ts)
+    *   stateDir/index/banded/batch=<id>/   band keys     (id, band, band_key)
+    *   stateDir/out/batch=<id>/            surviving document rows
+    * }}}
+    *
+    * EXACTLY-ONCE under restart, by construction rather than by marker
+    * files: foreachBatch re-delivers the last uncommitted batch id after a
+    * crash, and `dedupDocumentBatch` (a) excludes the CURRENT batch id from
+    * every state read — a half-committed previous attempt cannot poison
+    * its own recomputation (reading this batch's own appended digests back
+    * would kill every row as a "duplicate" and overwrite good output with
+    * nothing) — and (b) OVERWRITES exactly its own `batch=<id>` dirs, so a
+    * replay converges to the identical state no matter where the previous
+    * attempt died. Batch ids are checkpoint-stable, which makes that
+    * overwrite well-defined.
+    */
+  def incrementalDedupSink(docs: DataFrame, stateDir: String, checkpoint: String,
+                           threshold: Double = 0.5,
+                           numHashes: Int = 16, bands: Int = 8,
+                           shingleSize: Int = 3,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupDocumentBatch(batch, batchId, stateDir, threshold,
+          numHashes, bands, shingleSize, idCol, textCol)
+      }
+
+  /** One ingest iteration of `incrementalDedupSink`, public so replay
+    * semantics are directly testable: calling it twice with the same
+    * `batchId` (the crash-replay case) must leave state and output
+    * byte-identical in content to calling it once.
+    */
+  def dedupDocumentBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                         threshold: Double = 0.5,
+                         numHashes: Int = 16, bands: Int = 8,
+                         shingleSize: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.SaveMode
+    val spark = batch.sparkSession
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val digestsRoot = s"$stateDir/digests"
+    val toksRoot = s"$stateDir/index/toks"
+    val bandedRoot = s"$stateDir/index/banded"
+    // State reads EXCLUDE this batch's own partition — see the sink's
+    // exactly-once note. `batch` is a partition-discovery column here. A
+    // root whose only content is a half-written dir from a crashed attempt
+    // (no committed parquet yet) reads as the empty fallback — exactly the
+    // state the first attempt started from.
+    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
+      if (!hasData(root)) empty
+      else
+        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val priorDigests =
+      readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
+    val exact = Dedup.exactIncremental(batch, priorDigests, idCol, textCol)
+      .persist(mem)
+    // schema-correct EMPTY index for the bootstrap batch (storage NONE —
+    // nothing to cache); within-batch near-dups are still caught via the
+    // probe's NEW×earlier-NEW leg
+    lazy val emptyIndex = Dedup.minHashIndex(batch.limit(0), numHashes, bands,
+      shingleSize, idCol, textCol, org.apache.spark.storage.StorageLevel.NONE)
+    val priorToks = readPriorOr(toksRoot, emptyIndex._1)
+    val priorBanded = readPriorOr(bandedRoot, emptyIndex._2)
+    val flagged = Dedup.minHashIncrementalIndexed(exact, priorToks, priorBanded,
+      threshold, numHashes, bands, shingleSize, idCol, textCol)
+    val survivors = exact
+      .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+      .persist(mem)
+    def overwriteOwn(df: DataFrame, root: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+    overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
+    overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
+    val (sToks, sBanded) = Dedup.minHashIndex(survivors.drop("content_md5"),
+      numHashes, bands, shingleSize, idCol, textCol)
+    overwriteOwn(sToks, toksRoot)
+    overwriteOwn(sBanded, bandedRoot)
+    sToks.unpersist()
+    sBanded.unpersist()
+    survivors.unpersist()
+    exact.unpersist()
+    ()
+  }
 }

@@ -196,6 +196,64 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("incrementalDedupSink: cross-batch dedup via stored index, restart-safe, replay-idempotent") {
+    val src = tmpDir("docs-src")
+    val state = tmpDir("dedup-state")
+    val ckpt = tmpDir("dedup-ckpt")
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5) // distinct mtimes → deterministic batch order
+    }
+    def runOnce(): Unit = {
+      val q = StreamOps.incrementalDedupSink(
+        StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+        state, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+    }
+    def outIds: Set[Long] = spark.read.parquet(s"$state/out")
+      .select("doc_id").as[Long].collect().toSet
+    writeFile("b1.json", Seq(
+      """{"doc_id":1,"lang":"en","text":"the quick brown fox jumps over the lazy dog tonight"}""",
+      """{"doc_id":2,"lang":"en","text":"completely different text about spark engines at scale"}""",
+      """{"doc_id":3,"lang":"en","text":"the quick brown fox jumps over the lazy dog tonight"}"""))
+    writeFile("b2.json", Seq(
+      """{"doc_id":11,"lang":"en","text":"the quick brown fox jumps over the lazy dog tonight"}""",
+      """{"doc_id":12,"lang":"en","text":"the quick brown fox jumps over the lazy dog today"}""",
+      """{"doc_id":13,"lang":"en","text":"novel content never seen in the corpus before now"}"""))
+    runOnce()
+    // batch 1: doc 3 dies (in-batch exact dup of 1). batch 2 vs STORED
+    // state: 11 dies on the digest set, 12 dies on the MinHash index
+    // (near-dup of 1 — only the appended index rows can catch it), 13 lives.
+    assert(outIds == Set(1L, 2L, 13L))
+    // restart from the SAME checkpoint with a third file: the new batch
+    // dedups against state appended by BOTH earlier batches
+    writeFile("b3.json", Seq(
+      """{"doc_id":21,"lang":"en","text":"novel content never seen in the corpus before now"}""",
+      """{"doc_id":22,"lang":"en","text":"the quick brown fox jumps over the lazy dog yesterday"}""",
+      """{"doc_id":23,"lang":"en","text":"absolutely fresh material arriving in the third batch"}"""))
+    runOnce()
+    assert(outIds == Set(1L, 2L, 13L, 23L))
+    // crash-replay idempotence: re-running the LAST committed batch by hand
+    // (what foreachBatch does after a crash before checkpoint commit) must
+    // leave output AND stored state identical — not double-append, and not
+    // poison itself by reading back its own writes.
+    val lastBatch = new java.io.File(s"$state/out").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    val b3 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b3.json")
+    def stateCounts: (Long, Long, Long) = (
+      spark.read.parquet(s"$state/digests").count(),
+      spark.read.parquet(s"$state/index/toks").count(),
+      spark.read.parquet(s"$state/index/banded").count())
+    val before = stateCounts
+    StreamOps.dedupDocumentBatch(b3, lastBatch, state)
+    assert(outIds == Set(1L, 2L, 13L, 23L))
+    assert(stateCounts == before)
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
