@@ -72,7 +72,19 @@ object Bench {
     val ReTimeAbove = 1.5
     val results = firstPass.map { case (name, fn, t1, ok) =>
       if (!ok || t1 < ReTimeAbove) (name, t1, ok)
-      else { val (t2, ok2) = timeOne(name, fn); (name, math.min(t1, t2), ok && ok2) }
+      else {
+        // Drop ALL cached blocks before the re-run: Spark's CacheManager
+        // matches persist() calls by canonicalized plan, so a second run of
+        // the same query silently reuses the first run's MEMORY_ONLY
+        // frames and measures probe-only cost — flattering exactly the
+        // queries (rebuild-from-text dedup) whose build cost is the number.
+        // The stored-index prewarm frames are re-read from parquet after
+        // this (never re-derived from text), which is the steady-state
+        // contract anyway.
+        spark.catalog.clearCache()
+        val (t2, ok2) = timeOne(name, fn)
+        (name, math.min(t1, t2), ok && ok2)
+      }
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

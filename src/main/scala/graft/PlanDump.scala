@@ -19,7 +19,8 @@ object PlanDump {
     val picks = Seq("join_broadcast", "text_lang_stats", "dedup_minhash",
       "sim_ann_ivf", "window_tumbling", "agg_percentiles",
       "dedup_embedding_cosine", "dedup_incremental_minhash",
-      "dedup_incremental_embedding")
+      "dedup_incremental_embedding",
+      "dedup_incremental_minhash_indexed", "dedup_incremental_embedding_indexed")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

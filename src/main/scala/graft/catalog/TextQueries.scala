@@ -16,9 +16,10 @@ object TextQueries extends Catalog {
   private val TokSet = s"list_sort(list_distinct($Toks))"
   private val EnStop = Text.Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  // Shared by dedup_incremental_minhash and its stored-index bench twin —
-  // same split, same semantics, so ONE oracle definition for both.
-  private val IncMinhashOracle =
+  // Shared by every incremental-minhash variant (the % 5 original, the
+  // steady-state-split rebuild sibling, and the stored-index twin): ONE
+  // oracle template, parameterized only by the batch modulus.
+  private def incMinhashOracle(m: Int) =
     s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
        |toks AS (
        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
@@ -43,8 +44,8 @@ object TextQueries extends Catalog {
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key
-       |    AND a.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
-       |    AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)),
+       |    AND a.doc_id % $m = 0 AND a.doc_id <> b.doc_id
+       |    AND (b.doc_id % $m <> 0 OR b.doc_id < a.doc_id)),
        |pairs AS (
        |  SELECT i, j, round(len(list_intersect(x.ts, y.ts)) * 1.0 /
        |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
@@ -244,25 +245,40 @@ object TextQueries extends Catalog {
             docs.filter(col("doc_id") % 5 =!= 0), 0.5)
           .orderBy(col("doc_id"))
       },
-      Some(IncMinhashOracle)),
+      Some(incMinhashOracle(5))),
 
-    // The same incremental dedup at TRUE steady state: the corpus index is
-    // a STORED parquet artifact (built once per session via StoredIndexes —
-    // Bench prewarms it outside the timed region), so this query's cost is
-    // batch shingling + band probes + candidate verify ONLY. Identical
-    // result to dedup_incremental_minhash (same split, same semantics) —
-    // the oracle is shared — but the bench number finally measures what a
-    // per-ingest run costs once the index work is amortized where it
-    // belongs: at corpus ingest.
+    // STEADY-STATE-split rebuild baseline: same semantics, but the batch is
+    // 2% of the corpus (doc_id % 50) — the honest per-ingest shape, where
+    // re-shingling the 98% corpus side from text dominates. Exists so the
+    // stored-index twin below has an apples-to-apples sibling: the % 5
+    // query's 20% batch makes index build a minority cost and the contrast
+    // structural noise.
+    Q("dedup_incremental_minhash_small",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Dedup.minHashIncremental(
+            docs.filter(col("doc_id") % StoredIndexes.DocMod === 0),
+            docs.filter(col("doc_id") % StoredIndexes.DocMod =!= 0), 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(incMinhashOracle(StoredIndexes.DocMod))),
+
+    // The same steady-state ingest against the STORED corpus index (built
+    // once per session via StoredIndexes — Bench prewarms it outside the
+    // timed region): this query's cost is batch shingling + band probes +
+    // candidate verify ONLY. Identical result and oracle as the _small
+    // rebuild sibling — the bench delta between the two IS the per-ingest
+    // saving the stored index exists to deliver.
     Q("dedup_incremental_minhash_indexed",
       (s, dir) => {
-        val (toks, banded) = Dedup.readMinHashIndex(s, StoredIndexes.minHash(s, dir))
+        val (toks, banded) = StoredIndexes.minHash(s, dir)
         Dedup.minHashIncrementalIndexed(
-            load(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+            load(s, dir, "documents")
+              .filter(col("doc_id") % StoredIndexes.DocMod === 0),
             toks, banded, 0.5)
           .orderBy(col("doc_id"))
       },
-      Some(IncMinhashOracle)),
+      Some(incMinhashOracle(StoredIndexes.DocMod))),
 
     // X3a': near-dup CLUSTERS — connected components over the verified
     // MinHash pair graph, min-id representative per component (the dedup

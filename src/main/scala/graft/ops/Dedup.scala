@@ -358,9 +358,22 @@ object Dedup {
     * a few sampled rows prove the band geometry and the shingle width
     * instead. Bounded collects: `limit(bands*4)` + `limit(1)`.
     */
+  /** Geometry checks already proven this session, keyed by the IDENTITY of
+    * the index frames plus the probe parameters: a steady-state loop probes
+    * the same index objects every few minutes, and re-collecting samples
+    * per batch would add two driver round-trips to every ingest for a fact
+    * that cannot change under an object identity that hasn't. A NEW read
+    * of the same storage is a new DataFrame → re-checked.
+    */
+  private val preflightSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def minHashPreflight(corpusToks: DataFrame, corpusBanded: DataFrame,
                                       numHashes: Int, bands: Int,
                                       shingleSize: Int): Unit = {
+    val memoKey = s"${System.identityHashCode(corpusToks)}|" +
+      s"${System.identityHashCode(corpusBanded)}|$numHashes|$bands|$shingleSize"
+    if (preflightSeen.contains(memoKey)) return
     val bandSample = corpusBanded.select(col("band").cast("int"), col("band_key"))
       .limit(bands * 4).collect()
     if (bandSample.nonEmpty) {
@@ -380,6 +393,11 @@ object Dedup {
       require(width == shingleSize,
         s"stored shingles are $width-grams, expected $shingleSize-grams " +
           "— the index was built with a different shingleSize")
+    }
+    // only FULLY-checked, non-empty indexes are memoized: an empty sample
+    // proves nothing, and the next probe may see appended rows
+    if (bandSample.nonEmpty && shingleSample.nonEmpty) {
+      preflightSeen.add(memoKey); ()
     }
   }
 

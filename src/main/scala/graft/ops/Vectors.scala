@@ -338,9 +338,20 @@ object Vectors {
     * probe path and the append path (appending rows built with different
     * geometry would poison every future probe). Bounded collects.
     */
+  /** Checks already proven this session, keyed by index-frame IDENTITY +
+    * params — mirrors `Dedup.preflightSeen`: a per-ingest loop probing the
+    * same index objects must not pay two driver round-trips per batch for
+    * an invariant that cannot change underneath an unchanged object.
+    */
+  private val preflightSeen =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[graft] def cosinePreflight(corpusNormed: DataFrame, corpusBanded: DataFrame,
                                      planesPerBand: Int, bands: Int,
                                      dims: Int): Unit = {
+    val memoKey = s"${System.identityHashCode(corpusNormed)}|" +
+      s"${System.identityHashCode(corpusBanded)}|$planesPerBand|$bands|$dims"
+    if (preflightSeen.contains(memoKey)) return
     val bandSample = corpusBanded.select(col("bkey").cast("long"))
       .limit(bands * 4).collect().map(_.getLong(0))
     if (bandSample.nonEmpty) {
@@ -351,9 +362,13 @@ object Vectors {
           s"planesPerBand=$planesPerBand, expected 0..${bands - 1} — the index was " +
           "built with different planesPerBand/bands")
     }
-    corpusNormed.select(size(col("v")).as("d")).limit(1).collect().foreach { r =>
+    val dimSample = corpusNormed.select(size(col("v")).as("d")).limit(1).collect()
+    dimSample.foreach { r =>
       require(r.getInt(0) == dims,
         s"stored vectors have ${r.getInt(0)} dims, expected $dims")
+    }
+    if (bandSample.nonEmpty && dimSample.nonEmpty) {
+      preflightSeen.add(memoKey); ()
     }
   }
 
@@ -452,9 +467,66 @@ object Vectors {
     * partitioned/bucketed by cell once, then probes touch nprobe/cells of
     * the data); scoring shuffles on the cell key only.
     */
+  /** The IVF centroid table (cid, cv, cn), broadcast-wrapped: seed pick
+    * (every `centroidEvery`-th id, capped at `maxCentroids`) plus optional
+    * spherical-k-means refinement. Each Lloyd round is one broadcast
+    * assignment pass over the corpus and a (cell, dim)-keyed aggregation —
+    * the standard distributed Lloyd step; cells can only disappear (empty
+    * ones drop), so the broadcast stays config-bounded. Assignment
+    * maximizes cosine and the update is the cell mean — cosine against a
+    * mean equals cosine against the normalized mean, so this IS spherical
+    * k-means and each round monotonically improves the quantization
+    * objective (mean best-centroid cosine); IvfSpec pins that invariant.
+    * `lloydIters = 0` (the default everywhere user-facing) keeps the
+    * oracle-replayable deterministic seed path: per-cell float means are
+    * aggregation-order-dependent, so refined centroids are pinned by
+    * OBJECTIVE and recall floor, never by value.
+    */
+  private def centroidFrame(n: DataFrame, centroidEvery: Int, maxCentroids: Int,
+                            lloydIters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = broadcast(n
+      .filter(col("xid") % centroidEvery === 0)
+      .orderBy(col("xid")).limit(maxCentroids)
+      .select(col("xid").as("cid"), col("xv").as("cv"), col("xn").as("cn")))
+    (1 to lloydIters).foldLeft(seeds) { (c, _) =>
+      val cellMeans = n.join(c, lit(true))
+        .withColumn("c_cos", dot(col("xv"), col("cv")) / (col("xn") * col("cn")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("xid")).orderBy(col("c_cos").desc, col("cid").asc)))
+        .filter(col("crk") === 1)
+        // mean of DIRECTION-NORMALIZED members: Σcos(x, c) is maximized by
+        // the mean of x/|x|, not of x — with the raw mean, rounds would not
+        // be provably monotone in the objective when member norms vary
+        .select(col("cid"),
+          posexplode(transform(col("xv"),
+            v => v.cast("double") / col("xn"))).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"),
+          transform(col("pm"), x => x.getField("m")).as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      broadcast(cellMeans)
+    }
+  }
+
+  /** Public inspection surface for the IVF index build: the centroid table
+    * `(cid, cv, cn)` exactly as `ivfTopK` would use it.
+    */
+  def ivfCentroids(corpus: DataFrame,
+                   centroidEvery: Int = 50, maxCentroids: Int = 128,
+                   lloydIters: Int = 0,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    centroidFrame(
+      corpus.select(col(idCol).as("xid"), col(vecCol).as("xv"),
+        norm(col(vecCol)).as("xn")),
+      centroidEvery, maxCentroids, lloydIters)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 2,
               maxCentroids: Int = 128,
+              lloydIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def normed(df: DataFrame, prefix: String) =
@@ -466,10 +538,7 @@ object Vectors {
     // assignment cross-join stays (growing corpus) × (fixed centroids).
     val n = normed(corpus, "x")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val cents = broadcast(n
-      .filter(col("xid") % centroidEvery === 0)
-      .orderBy(col("xid")).limit(maxCentroids)
-      .select(col("xid").as("cid"), col("xv").as("cv"), col("xn").as("cn")))
+    val cents = centroidFrame(n, centroidEvery, maxCentroids, lloydIters)
     def nearestCells(src: DataFrame, p: String, keep: Int) =
       src.join(cents, lit(true))
         .withColumn("c_cos", dot(col(s"${p}v"), col("cv")) / (col(s"${p}n") * col("cn")))

@@ -359,4 +359,41 @@ class DedupVectorsSpec extends SparkSpec {
     assert(lshRecall >= 0.8, s"LSH ANN recall@5 $lshRecall below 0.8")
     assert(ivfRecall >= 0.8, s"IVF ANN recall@5 $ivfRecall below 0.8")
   }
+
+  test("ivfTopK Lloyd refinement: quantization objective improves monotonically, recall floor holds") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.tables.Tables.load(spark, dir, "embeddings")
+    // Spherical k-means' actual guarantee — the one worth pinning on ANY
+    // data: each assign-then-mean round is monotone in the quantization
+    // objective (mean best-centroid cosine). Retrieval recall at equal
+    // nprobe is NOT guaranteed to rise, and on this deliberately isotropic
+    // test corpus it can drop (there is no cluster structure to find; the
+    // seed Voronoi already gives recall 1.0) — so recall gets a floor, not
+    // a monotonicity claim.
+    def objective(lloyd: Int): Double = {
+      val cents = Vectors.ivfCentroids(emb, centroidEvery = 50, lloydIters = lloyd)
+      emb.select(col("vec_id"), col("embedding"))
+        .join(cents, org.apache.spark.sql.functions.lit(true))
+        .select(col("vec_id"),
+          (Vectors.cosine(col("embedding"), col("cv"))).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+        .agg(avg(col("best"))).as[Double].head()
+    }
+    val objSeed = objective(0)
+    val obj1 = objective(1)
+    val obj2 = objective(2)
+    info(f"IVF quantization objective: seed=$objSeed%.4f lloyd1=$obj1%.4f lloyd2=$obj2%.4f")
+    assert(obj1 >= objSeed - 1e-9, s"Lloyd round 1 worsened quantization: $objSeed -> $obj1")
+    assert(obj2 >= obj1 - 1e-9, s"Lloyd round 2 worsened quantization: $obj1 -> $obj2")
+    // and refined retrieval keeps a usable floor at half the probes
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Vectors.cosineTopK(emb, q, 5))
+    val refined = pairs(Vectors.ivfTopK(emb, q, 5, centroidEvery = 50,
+      nprobe = 1, lloydIters = 2)).intersect(exact).size.toDouble / exact.size
+    info(f"refined IVF recall@5 at nprobe=1: $refined%.2f")
+    assert(refined >= 0.8, s"refined IVF recall@5 $refined below 0.8")
+  }
 }
