@@ -58,6 +58,54 @@ object TextQueries extends Catalog {
        |FROM flagged f JOIN pairs p ON p.i = f.doc_id AND p.j = f.dup_of
        |ORDER BY f.doc_id""".stripMargin
 
+  // Shared by dedup_clusters and its incremental-merge twin: connected
+  // components by recursive transitive closure over the verified pair
+  // graph. The incremental query must reproduce EXACTLY this — merging
+  // batch pairs into stored labels is only correct if it equals the full
+  // recompute.
+  private val ClustersOracle =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS l FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+       |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+       |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+       |  FROM t),
+       |hv AS (
+       |  SELECT doc_id, ts, list_transform(ts,
+       |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, list_transform(range(16), s ->
+       |    list_min(list_transform(hv,
+       |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+       |  FROM hv),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+       |      x -> x::VARCHAR), ':') AS band_key
+       |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT i AS a, j AS b FROM (
+       |    SELECT i, j,
+       |      round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+       |            len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jac
+       |    FROM cand JOIN toks x ON cand.i = x.doc_id
+       |              JOIN toks y ON cand.j = y.doc_id) v
+       |  WHERE jac >= 0.5),
+       |edges AS (
+       |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+       |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_rep
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1: corpus word counts (explode + two-phase aggregate), top 20.
@@ -288,47 +336,27 @@ object TextQueries extends Catalog {
     Q("dedup_clusters",
       (s, dir) => Dedup.nearDupClusters(load(s, dir, "documents"), 0.5)
         .orderBy(col("doc_id")),
-      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS l FROM documents),
-             |toks AS (
-             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
-             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
-             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
-             |  FROM t),
-             |hv AS (
-             |  SELECT doc_id, ts, list_transform(ts,
-             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
-             |  FROM toks),
-             |sigs AS (
-             |  SELECT doc_id, list_transform(range(16), s ->
-             |    list_min(list_transform(hv,
-             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
-             |  FROM hv),
-             |bands AS (
-             |  SELECT doc_id, b AS band,
-             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
-             |      x -> x::VARCHAR), ':') AS band_key
-             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-             |  FROM bands a JOIN bands b
-             |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-             |pairs AS (
-             |  SELECT i AS a, j AS b FROM (
-             |    SELECT i, j,
-             |      round(len(list_intersect(x.ts, y.ts)) * 1.0 /
-             |            len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jac
-             |    FROM cand JOIN toks x ON cand.i = x.doc_id
-             |              JOIN toks y ON cand.j = y.doc_id) v
-             |  WHERE jac >= 0.5),
-             |edges AS (
-             |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
-             |  UNION SELECT a, a FROM pairs UNION SELECT b, b FROM pairs),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-             |SELECT a AS doc_id, min(b) AS cluster_rep
-             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+      Some(ClustersOracle)),
+
+    // X3a'' — INCREMENTAL clustering: stored labels (clusters over the
+    // corpus split) + the batch's full probe pair set, merged by
+    // mergeClusters (rep-graph union-find over affected components only —
+    // history is never re-propagated). The candidate coverage of
+    // corpus-pairs ∪ batch-probe-pairs equals the full corpus+batch LSH
+    // scan, so the merged labels must hash-match the FULL-recompute
+    // oracle — the equality that makes incremental maintenance sound.
+    Q("dedup_clusters_incremental",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+        val labels = Dedup.nearDupClusters(corpus, 0.5)
+        val (toks, banded) = Dedup.minHashIndex(corpus)
+        val newPairs = Dedup.minHashIncrementalIndexedPairs(batch, toks, banded, 0.5)
+          .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+        Dedup.mergeClusters(labels, newPairs).orderBy(col("doc_id"))
+      },
+      Some(ClustersOracle)),
 
     // X3b: SimHash 32-bit fingerprints (per-nibble-high-bit of md5 votes).
     Q("dedup_simhash",
