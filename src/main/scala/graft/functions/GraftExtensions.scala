@@ -42,6 +42,12 @@ object GraftFunctions {
             s"shingle_set size must be an integer literal, got $other")
         }
         ShingleSet(exprs(0), n)
+      }),
+    (FunctionIdentifier("simhash_bits"),
+      info("simhash_bits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash_bits takes exactly 1 argument")
+        SimHashBits(exprs(0))
       }))
 
   /** Register into an already-built session (same builders the extension

@@ -639,17 +639,16 @@ object Dedup {
 
   /** 32-bit SimHash fingerprint as a '0'/'1' string. Bit i is the sign of
     * Σ_tokens (±1), where the ±1 is the high bit of the i-th hex nibble of
-    * md5(token). One md5 per token (precomputed), then 32 codegen'd folds —
-    * per-row work only, embarrassingly parallel.
+    * md5(token). Native single-pass expression
+    * (`graft.functions.SimHashBits`): the equivalent HOF chain
+    * (`transform(tokens, md5)` + 32 `aggregate` folds) computes the same
+    * value but walks 32·|tokens| interpreted lambda frames per row and
+    * dominated the SimHash family's runtime; the spec pins bit-equality
+    * against that independent definition, and the dedup_simhash oracle
+    * replays it in SQL.
     */
-  def simHashBits(tokenSet: Column): Column = {
-    val hashes = transform(tokenSet, t => md5(t.cast("binary")))
-    array_join(
-      transform(sequence(lit(1), lit(32)), i =>
-        when(aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(h.substr(i, lit(1)) >= "8", 1L).otherwise(-1L)) > 0,
-          lit("1")).otherwise(lit("0"))), "")
-  }
+  def simHashBits(tokenSet: Column): Column =
+    graft.functions.SimHashBits(tokenSet)
 
   /** SimHash near-dup pairs: all pairs with hamming(fingerprint) ≤
     * `maxHamming`, found by exact-match blocking on `bands` equal slices of

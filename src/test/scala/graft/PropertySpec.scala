@@ -136,6 +136,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native SimHashBits equals the HOF composition it replaced") {
+    import spark.implicits._
+    val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "é", "longtokenvalue"))
+      .map(_.take(40))
+    forAll(Gen.listOfN(12, genDoc)) { tokenLists =>
+      whenever(tokenLists.nonEmpty) {
+        val df = tokenLists.toDF("toks")
+        // the exact interpreted chain the native expression replaced
+        val hashes = transform(col("toks"), t => md5(t.cast("binary")))
+        val hof = array_join(
+          transform(sequence(lit(1), lit(32)), i =>
+            when(aggregate(hashes, lit(0L),
+              (acc, h) => acc + when(h.substr(i, lit(1)) >= "8", 1L).otherwise(-1L)) > 0,
+              lit("1")).otherwise(lit("0"))), "")
+        val rows = df.select(
+          graft.functions.SimHashBits(col("toks")).as("native"), hof.as("hof"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getString(0).length == 32)
+          assert(r.getString(0) == r.getString(1))
+        }
+      }
+    }
+    // null ARRAY nulls the fingerprint in both definitions
+    val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS toks")
+      .select(graft.functions.SimHashBits(col("toks"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("prefix-filtered ngramJaccardPairs equals the brute-force quadratic definition") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

@@ -21,6 +21,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sh == Seq("a b", "b a", "b c", "c b"))
   }
 
+  test("simhash_bits is callable from SQL and matches the Column API") {
+    GraftFunctions.install(spark)
+    Seq(Seq("the", "quick", "brown", "fox")).toDF("toks")
+      .createOrReplaceTempView("toksv")
+    val viaSql = spark.sql("SELECT simhash_bits(toks) AS fp FROM toksv")
+      .head().getString(0)
+    val viaCol = spark.table("toksv")
+      .select(SimHashBits(col("toks")).as("fp")).head().getString(0)
+    assert(viaSql.length == 32 && viaSql.forall(c => c == '0' || c == '1'))
+    assert(viaSql == viaCol)
+  }
+
   test("install is idempotent and SQL agrees with the Column API") {
     GraftFunctions.install(spark)
     GraftFunctions.install(spark)
