@@ -27,8 +27,15 @@ object Scratch {
       catch { case _: Throwable => }
     }
     picks.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      // cold-cache like Bench's re-time: CacheManager matches canonicalized
+      // plans ACROSS queries, so without this an earlier query's persisted
+      // frames silently serve a later one and the timing lies.
+      spark.catalog.clearCache()
+      // time CONSTRUCTION too — operators with eager materialization
+      // (nearDupClusters' pairs.count) do their heavy work inside fn(),
+      // which is exactly what Bench times.
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
       val n = df.count()
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       println(df.queryExecution.executedPlan.toString)

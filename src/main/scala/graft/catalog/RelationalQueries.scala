@@ -268,6 +268,51 @@ object RelationalQueries extends Catalog {
              |TRUE AS approx_ok
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Same verifiable-approximation pattern as agg_approx_distinct, for the
+    // OTHER workhorse sketch: grouped approx_percentile (KLL-style rank
+    // sketch) next to the exact nearest-rank value, with a tolerance verdict
+    // the oracle asserts TRUE. accuracy=10000 bounds rank error at n/10⁴
+    // (~20 ranks on the sf0.1 groups); the 2% relative value tolerance is
+    // orders of magnitude looser than that on these distributions, yet the
+    // hash compare still fails the round if the sketch ever drifts.
+    Q("agg_approx_percentile",
+      (s, dir) => {
+        val quantiles = Seq(0.5, 0.9)
+        val li = load(s, dir, "lineitem")
+        val exact = Relational.nearestRankPercentilesBy(li, Seq("l_returnflag"),
+            Exact.cents(col("l_extendedprice")), quantiles)
+          .select(col("l_returnflag"), col("quantile"),
+            col("value").as("exact_cents"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(Exact.cents(col("l_extendedprice")),
+            array(quantiles.map(lit): _*), lit(10000)).as("ap"))
+          .select(col("l_returnflag"),
+            posexplode(col("ap")).as(Seq("pos", "approx_cents")))
+          .withColumn("quantile",
+            element_at(array(quantiles.map(lit): _*), col("pos") + 1))
+        exact.join(approx, Seq("l_returnflag", "quantile"))
+          .select(col("l_returnflag"), col("quantile"),
+            Exact.dollars(col("exact_cents")).as("exact_price"),
+            (abs(col("approx_cents") - col("exact_cents")) <=
+              lit(0.02) * abs(col("exact_cents"))).as("approx_ok"))
+          .orderBy(col("l_returnflag"), col("quantile"))
+      },
+      Some(s"""WITH f AS (
+             |  SELECT l_returnflag, ${cents("l_extendedprice")} AS v, count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, v, c,
+             |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM f)
+             |SELECT l_returnflag, q AS quantile, v::DOUBLE / 100.0 AS exact_price,
+             |  TRUE AS approx_ok
+             |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
+             |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+             |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
+             |ORDER BY l_returnflag, quantile""".stripMargin)),
+
     Q("agg_rollup",
       (s, dir) => load(s, dir, "customer")
         .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))

@@ -116,6 +116,46 @@ object TextQueries extends Catalog {
              |FROM (SELECT unnest($Toks) AS token FROM documents) t
              |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
 
+    // [ext] one BPE merge-statistics round: adjacent symbol-pair counts,
+    // top 50 under a deterministic (count DESC, pair ASC) total order.
+    Q("text_bpe_pair_counts",
+      (s, dir) => Text.bpePairCounts(load(s, dir, "documents"))
+        .orderBy(col("n_pairs").desc, col("pair")).limit(50),
+      Some(s"""WITH words AS (SELECT unnest($Toks) AS w FROM documents),
+             |pairs AS (
+             |  SELECT unnest(list_transform(range(1, length(w)),
+             |    i -> substr(w, i, 2))) AS pair
+             |  FROM words WHERE length(w) >= 2)
+             |SELECT pair, count(*) AS n_pairs FROM pairs
+             |GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 50""".stripMargin)),
+
+    // [ext] CCNet-style corpus-frequency doc scores (integer-exact).
+    Q("text_unigram_doc_score",
+      (s, dir) => Text.unigramDocScores(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH per_doc AS (
+             |  SELECT doc_id, tok, count(*) AS c
+             |  FROM (SELECT doc_id, unnest($Toks) AS tok FROM documents) t
+             |  GROUP BY doc_id, tok),
+             |vocab AS (SELECT tok, sum(c) AS tok_freq FROM per_doc GROUP BY tok)
+             |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+             |  sum(c * tok_freq)::BIGINT AS sum_freq
+             |FROM per_doc JOIN vocab USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // [ext] Zipf histogram: distinct-token counts per power-of-two
+    // frequency bucket; bucket = base-2 digit count (integer-exact).
+    Q("text_zipf_histogram",
+      (s, dir) => Text.tokenFrequencyHistogram(load(s, dir, "documents"))
+        .orderBy(col("freq_bucket")),
+      Some(s"""WITH counts AS (
+             |  SELECT token, count(*) AS cnt
+             |  FROM (SELECT unnest($Toks) AS token FROM documents) t
+             |  GROUP BY token)
+             |SELECT length(to_base(cnt, 2))::BIGINT AS freq_bucket,
+             |  count(*) AS n_tokens
+             |FROM counts GROUP BY freq_bucket ORDER BY freq_bucket""".stripMargin)),
+
     // X6: per-language/source aggregates (exact integer sums).
     Q("text_lang_stats",
       (s, dir) => load(s, dir, "documents")

@@ -28,6 +28,60 @@ object Text {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** One statistics round of byte-pair-encoding vocabulary induction:
+    * counts of ADJACENT two-character symbol pairs within each whitespace
+    * token — the quantity a BPE merge step maximizes. Tokenizer training at
+    * corpus scale IS this count: per-row explode (no pre-shuffle), map-side
+    * partial aggregation, and a final shuffle of O(distinct pairs) rows —
+    * bounded by alphabet², independent of corpus size.
+    *
+    * Single-character tokens contribute nothing (guarded explicitly:
+    * Spark's `sequence(1, 0)` yields a DESCENDING [1, 0], not empty).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+
+  /** Corpus-frequency document scores (the CCNet-style LM-filter shape,
+    * kept integer-exact so the oracle hash-compares): per document, the
+    * token count and the sum over tokens of that token's CORPUS frequency.
+    * High `sum_freq`/`n_tokens` ≈ common boilerplate; low ≈ rare/noisy text.
+    *
+    * Scale shape: occurrences are pre-aggregated to one row per
+    * (doc, token) BEFORE the vocabulary join, so a head token ("the")
+    * crosses the wire once per document, not once per occurrence — the
+    * join-side skew that sinks the naive per-occurrence formulation is
+    * collapsed at the map side, and what remains is AQE-splittable. The
+    * vocabulary is derived from the same pre-aggregated frame, so the
+    * corpus is tokenized once per branch with no per-occurrence shuffle
+    * anywhere.
+    */
+  def unigramDocScores(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("tok_freq"))
+    perDoc.join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("tok_freq")).as("sum_freq"))
+  }
+
+  /** Zipf sanity histogram of the corpus vocabulary: how many distinct
+    * tokens fall in each power-of-two frequency bucket. Bucket id is
+    * `length(bin(count))` = floor(log2)+1 — integer-exact (no floating
+    * log at bucket boundaries), so the oracle replays it bit-identically
+    * with base-2 digit counts. Output is O(log corpus) rows.
+    */
+  def tokenFrequencyHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    tokenCounts(docs, textCol)
+      .select(length(bin(col("cnt"))).cast("long").as("freq_bucket"))
+      .groupBy("freq_bucket").agg(count(lit(1)).as("n_tokens"))
+
   /** BPE-ish regex token count: runs of letters, runs of digits, or single
     * non-alphanumeric glyphs. Mirrors the common pre-tokenizer split rule.
     */

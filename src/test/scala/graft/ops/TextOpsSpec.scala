@@ -25,4 +25,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L) == (10000L, 0L))
     assert(out(4L) == (10000L, 10000L))
   }
+
+  test("bpePairCounts: hand-computed adjacent pairs; 1-char tokens contribute nothing") {
+    val docs = Seq((1L, "abc ab x"), (2L, "abc")).toDF("doc_id", "text")
+    // "abc" x2 → ab, bc each twice; "ab" → ab once; "x" length-1 → nothing
+    val out = Text.bpePairCounts(docs).as[(String, Long)].collect().toMap
+    assert(out == Map("ab" -> 3L, "bc" -> 2L))
+  }
+
+  test("unigramDocScores: sum_freq is the sum of corpus frequencies per occurrence") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus freqs: a=3, b=1, c=1
+    val out = Text.unigramDocScores(docs).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (3L, 3L + 3L + 1L))
+    assert(out(2L) == (2L, 3L + 1L))
+  }
+
+  test("tokenFrequencyHistogram: exact power-of-two bucket boundaries") {
+    // freqs: a=1 (bucket 1), b=2, c=3 (bucket 2), d=4 (bucket 3)
+    val docs = Seq((1L, "a b b c c c d d"), (2L, "d d")).toDF("doc_id", "text")
+    val out = Text.tokenFrequencyHistogram(docs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
