@@ -45,11 +45,20 @@ object Bench {
         .withColumn("rn", row_number().over(
           W.partitionBy("l_returnflag").orderBy("l_extendedprice")))
         .filter(col("rn") === 1).count()
-      // Build the stored dedup indexes OUTSIDE the timed region: the
-      // *_indexed queries exist precisely to measure probe-only steady
-      // state, so their index build must not ride the first timed call.
-      graft.catalog.StoredIndexes.prewarm(spark, sfDir)
     } catch { case _: Throwable => }
+    // Build the stored dedup state OUTSIDE the timed region: the *_indexed
+    // queries exist precisely to measure probe-only steady state, so their
+    // index build must not ride the first timed call. In its OWN try — if
+    // this fails it must be loudly visible (and flagged in the results),
+    // not swallowed with the warmup while the *_indexed timings silently
+    // absorb a full index build and still read as "probe-only".
+    val prewarmed =
+      try { graft.catalog.StoredIndexes.prewarm(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println("[bench] WARNING: stored-index prewarm FAILED " +
+          s"(${e.getMessage}) — *_indexed timings include their index build")
+        false
+      }
     def timeOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -70,8 +79,11 @@ object Bench {
     // and report the MIN of the two runs — contention only ever ADDS time,
     // so min is the best point estimate of the true cost.
     val ReTimeAbove = 1.5
+    // (name, reported min, ok, all raw timings) — BOTH raw timings land in
+    // BENCH_LOCAL.json so the min-of-2 report stays auditable: a reader can
+    // see when t2's warm-JVM/page-cache advantage is doing the flattering.
     val results = firstPass.map { case (name, fn, t1, ok) =>
-      if (!ok || t1 < ReTimeAbove) (name, t1, ok)
+      if (!ok || t1 < ReTimeAbove) (name, t1, ok, Seq(t1))
       else {
         // Drop ALL cached blocks before the re-run: Spark's CacheManager
         // matches persist() calls by canonicalized plan, so a second run of
@@ -83,17 +95,20 @@ object Bench {
         // contract anyway.
         spark.catalog.clearCache()
         val (t2, ok2) = timeOne(name, fn)
-        (name, math.min(t1, t2), ok && ok2)
+        (name, math.min(t1, t2), ok && ok2, Seq(t1, t2))
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val timings = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // a failed query must be visible, not folded in as a fast success
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,"sf":"$sfDir"}"""
     // Full per-query JSON: one line for the log, and a FILE for programmatic
     // reads — the driver captures only the last ~2000 chars of stdout, which
     // a >2500-char 80-query line overflows (BENCH_r1..r4 all have
@@ -102,12 +117,19 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => }
-    // Compact LAST line, sized to fit the tail whole: total + failures +
-    // the slowest queries (the ones worth comparing round over round).
-    val slowest = results.sortBy(-_._2).take(15)
-      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    // Compact LAST line, sized to fit the driver's ~2000-char tail whole:
+    // total + failures + the slowest queries (the ones worth comparing
+    // round over round). The slowest list SHRINKS until the line fits —
+    // a grown catalog must degrade to fewer reported queries, never to an
+    // unparseable overflow (which is how BENCH_r1..r4 were lost).
+    def compactLine(topN: Int): String = {
+      val slowest = results.sortBy(-_._2).take(topN)
+        .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    }
+    println(Iterator.range(15, 0, -1).map(compactLine)
+      .find(_.length <= 1800).getOrElse(compactLine(0)))
     spark.stop()
   }
 }

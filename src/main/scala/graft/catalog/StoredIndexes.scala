@@ -18,7 +18,9 @@ import graft.tables.Tables.load
   * lazily re-read parquet, never re-shingle text). The timed query then pays
   * only batch shingling + probe joins — the cost profile
   * `Dedup.minHashIncrementalIndexed`/`Vectors.cosineIncrementalIndexed`
-  * exist to deliver.
+  * exist to deliver. The cluster-label table extends the same story to
+  * incremental CLUSTERING: `mergeClusters` against stored labels is the
+  * steady-state operation; rebuilding the corpus labels per run is not.
   *
   * The twins use the STEADY-STATE split (2% batch vs 98% corpus —
   * documents: doc_id % 50, embeddings: vec_id % 70), where the contrast
@@ -27,6 +29,14 @@ import graft.tables.Tables.load
   * corpus, so index build is a minority cost there. Each twin has a
   * rebuild-from-text sibling at the SAME split (`*_small`) so the bench
   * comparison is apples-to-apples.
+  *
+  * Cache lifetime: entries are keyed on the OWNING SparkSession itself
+  * through a weak-keyed identity map — not an identity hash code, which is
+  * reused after GC and would let a later colliding session receive frames
+  * bound to a dead one — and every access first purges entries whose
+  * session has stopped (their persisted blocks died with the session; the
+  * map must not pin the frames). Index temp directories are deleted by a
+  * JVM shutdown hook.
   */
 object StoredIndexes {
 
@@ -35,42 +45,94 @@ object StoredIndexes {
   /** Batch modulus of the steady-state split over `embeddings.vec_id`. */
   val VecMod = 70
 
-  private val built = new ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  // weak keys + reference equality (SparkSession does not override equals):
+  // a stopped-and-dropped session's entry vanishes with it instead of
+  // leaking persisted frames for the rest of the JVM
+  private val built = new java.util.WeakHashMap[
+    SparkSession, ConcurrentHashMap[String, Seq[DataFrame]]]()
 
-  private def key(s: SparkSession, dir: String, family: String) =
-    s"${System.identityHashCode(s)}|$dir|$family"
+  private val tempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  sys.addShutdownHook {
+    tempDirs.forEach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+  }
+
+  private def newTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(d)
+    d.toString
+  }
+
+  private def cacheFor(s: SparkSession): ConcurrentHashMap[String, Seq[DataFrame]] =
+    built.synchronized {
+      val it = built.entrySet.iterator
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var c = built.get(s)
+      if (c == null) { c = new ConcurrentHashMap[String, Seq[DataFrame]](); built.put(s, c) }
+      c
+    }
 
   /** Stored MinHash index frames (shingle sets, banded keys) for `dir`'s
     * steady-state corpus split, built + persisted on first use (thread-safe;
     * one build per session × dir).
     */
-  def minHash(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    built.computeIfAbsent(key(s, dir, "minhash"), _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-mh-index-").toString
+  def minHash(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = cacheFor(s).computeIfAbsent(s"$dir|minhash", _ => {
+      val d = newTempDir("graft-mh-index-")
       Dedup.writeMinHashIndex(
         load(s, dir, "documents").filter(col("doc_id") % DocMod =!= 0), d)
       val (toks, banded) = Dedup.readMinHashIndex(s, d)
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-      (toks.persist(mem), banded.persist(mem))
+      Seq(toks.persist(mem), banded.persist(mem))
     })
+    (v(0), v(1))
+  }
 
   /** Stored sign-LSH embedding index frames for `dir`'s steady-state split. */
-  def cosine(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    built.computeIfAbsent(key(s, dir, "cosine"), _ => {
-      val d = java.nio.file.Files.createTempDirectory("graft-cos-index-").toString
+  def cosine(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = cacheFor(s).computeIfAbsent(s"$dir|cosine", _ => {
+      val d = newTempDir("graft-cos-index-")
       Vectors.writeCosineIndex(
         load(s, dir, "embeddings").filter(col("vec_id") % VecMod =!= 0), d)
       val (normed, banded) = Vectors.readCosineIndex(s, d)
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-      (normed.persist(mem), banded.persist(mem))
+      Seq(normed.persist(mem), banded.persist(mem))
     })
+    (v(0), v(1))
+  }
 
-  /** Force both index builds and warm the read-back frames — the bench
-    * warmup hook that keeps the timed `*_indexed` queries probe-only.
+  /** Stored near-dup CLUSTER LABELS `(doc_id, cluster_rep)` over `dir`'s
+    * steady-state corpus split — the state table incremental clustering
+    * maintains. Built once per session × dir (full `nearDupClusters` over
+    * the corpus — the bootstrap pass a production pipeline also pays once),
+    * persisted to parquet and read back warm, so a timed
+    * `mergeClusters(labels, batchPairs)` measures ONLY the merge: probe
+    * pairs → rep edges → affected-component union-find → one re-label join.
+    */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|labels", _ => {
+      val d = newTempDir("graft-labels-")
+      Dedup.nearDupClusters(
+          load(s, dir, "documents").filter(col("doc_id") % DocMod =!= 0), 0.5)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
+  /** Force all stored-state builds and warm the read-back frames — the
+    * bench warmup hook that keeps the timed `*_indexed` queries probe-only.
     */
   def prewarm(s: SparkSession, dir: String): Unit = {
     val (t, b) = minHash(s, dir); t.count(); b.count()
     val (n, c) = cosine(s, dir); n.count(); c.count()
+    clusterLabels(s, dir).count()
     // run (and memoize) the geometry pre-flights too — the timed probes
     // then start straight at candidate generation, like an ingest loop's
     // steady-state iterations after its first batch

@@ -398,6 +398,27 @@ object TextQueries extends Catalog {
       },
       Some(ClustersOracle)),
 
+    // X3a''' — incremental clustering at STEADY STATE: stored labels AND
+    // stored MinHash index (both built once per session via StoredIndexes —
+    // Bench prewarms them outside the timed region), so the timed cost is
+    // the per-ingest merge a production loop actually pays: batch shingling
+    // + band probes + mergeClusters' rep-graph union-find. The rebuild
+    // sibling above recomputes corpus labels + index per run for oracle
+    // replay; the bench delta between the two IS the per-ingest saving.
+    // Same full-recompute closure oracle — the steady-state split's
+    // corpus-pairs ∪ batch-probe-pairs still covers the full LSH scan.
+    Q("dedup_clusters_incremental_indexed",
+      (s, dir) => {
+        val (toks, banded) = StoredIndexes.minHash(s, dir)
+        val labels = StoredIndexes.clusterLabels(s, dir)
+        val batch = load(s, dir, "documents")
+          .filter(col("doc_id") % StoredIndexes.DocMod === 0)
+        val newPairs = Dedup.minHashIncrementalIndexedPairs(batch, toks, banded, 0.5)
+          .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+        Dedup.mergeClusters(labels, newPairs).orderBy(col("doc_id"))
+      },
+      Some(ClustersOracle)),
+
     // X3b: SimHash 32-bit fingerprints (per-nibble-high-bit of md5 votes).
     Q("dedup_simhash",
       (s, dir) => load(s, dir, "documents")

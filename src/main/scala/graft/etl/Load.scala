@@ -181,12 +181,30 @@ object Load {
     */
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    // a not-yet-created table has zero rows — the before-count of a first
+    // append must not throw FileNotFoundException
+    if (!fs.exists(root)) return 0L
     val conf = spark.sparkContext.hadoopConfiguration
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val rootDepth = root.depth()
+    // UNCOMMITTED files don't count: a crashed or in-flight job leaves
+    // `_temporary/.../part-*.parquet` attempts that the committer never
+    // promoted — counting them over-reports (and double-reports retried
+    // tasks). Readers skip underscore/dot-prefixed paths; so does this walk.
+    def committed(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.depth() > rootDepth) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val it = fs.listFiles(root, true)
     var sum = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+      if (f.isFile && f.getPath.getName.endsWith(".parquet") && committed(f.getPath)) {
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
         try sum += reader.getRecordCount
@@ -392,17 +410,41 @@ object Load {
       fls.length > nOut
     }.map(_._1)
     if (fragmented.isEmpty) return (before, before)
+    val rowsBefore = parquetRowCount(spark, path)
     // partition column names, in directory order, from any leaf's rel path
     val partCols = fragmented.head.toUri.getPath
       .stripPrefix(root.toUri.getPath).stripPrefix("/")
       .split("/").map(_.split("=")(0)).toSeq
-    spark.read.option("basePath", path)
-      .parquet(fragmented.map(_.toString): _*)
-      .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(path)
+    // Partition values must round-trip BYTE-IDENTICALLY through the
+    // read-rewrite cycle: with type inference on, a leaf like `hour=00` is
+    // read back as int 0 and rewritten to `hour=0` — and since dynamic
+    // overwrite only deletes the partitions it WRITES, the original
+    // `hour=00` directory would survive and readers would see those rows
+    // twice. Inference off keeps partition columns as strings, so the
+    // directory names are reproduced exactly. Session conf (no per-read
+    // option exists for it) — restored afterwards.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      spark.read.option("basePath", path)
+        .parquet(fragmented.map(_.toString): _*)
+        .repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(path)
+    } finally spark.conf.set(inferKey, prevInfer)
+    // belt-and-braces: compaction must preserve rows EXACTLY. If a
+    // partition value still failed to round-trip (some exotic encoding),
+    // dynamic overwrite lands the rows in a NEW leaf while the original
+    // survives — rows double. Footer counts are metadata-only, so the
+    // invariant is cheap to enforce and strictly better than silent dups.
+    val rowsAfter = parquetRowCount(spark, path)
+    require(rowsAfter == rowsBefore,
+      s"compaction changed the table's row count ($rowsBefore -> $rowsAfter) — " +
+        "a partition value did not round-trip through the rewrite and its " +
+        "rows were duplicated into a new leaf; inspect the partition layout")
     val after = leaves(root).map(l => leafFiles(l).length).sum
     (before, after)
   }

@@ -364,16 +364,31 @@ object Dedup {
     * per batch would add two driver round-trips to every ingest for a fact
     * that cannot change under an object identity that hasn't. A NEW read
     * of the same storage is a new DataFrame → re-checked.
+    *
+    * The memo is a WEAK-keyed identity map (DataFrame doesn't override
+    * equals), not a set of identity HASH codes: hash codes are reused after
+    * GC, so a hash-keyed memo could let a fresh unchecked frame colliding
+    * with a dead checked one silently skip its check — and the set would
+    * also grow unboundedly in loops creating frames per batch. Weak keys
+    * make entries die with their frames; the toks side rides along as a
+    * weak reference compared by identity at lookup.
     */
-  private val preflightSeen =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val preflightSeen = new java.util.WeakHashMap[
+    DataFrame, (java.lang.ref.WeakReference[DataFrame], String)]()
+
+  private[graft] def preflightMemoSize: Int =
+    preflightSeen.synchronized { preflightSeen.size }
 
   private[graft] def minHashPreflight(corpusToks: DataFrame, corpusBanded: DataFrame,
                                       numHashes: Int, bands: Int,
                                       shingleSize: Int): Unit = {
-    val memoKey = s"${System.identityHashCode(corpusToks)}|" +
-      s"${System.identityHashCode(corpusBanded)}|$numHashes|$bands|$shingleSize"
-    if (preflightSeen.contains(memoKey)) return
+    val params = s"$numHashes|$bands|$shingleSize"
+    val memoized = preflightSeen.synchronized {
+      Option(preflightSeen.get(corpusBanded)).exists {
+        case (toksRef, p) => (toksRef.get eq corpusToks) && p == params
+      }
+    }
+    if (memoized) return
     val bandSample = corpusBanded.select(col("band").cast("int"), col("band_key"))
       .limit(bands * 4).collect()
     if (bandSample.nonEmpty) {
@@ -396,9 +411,11 @@ object Dedup {
     }
     // only FULLY-checked, non-empty indexes are memoized: an empty sample
     // proves nothing, and the next probe may see appended rows
-    if (bandSample.nonEmpty && shingleSample.nonEmpty) {
-      preflightSeen.add(memoKey); ()
-    }
+    if (bandSample.nonEmpty && shingleSample.nonEmpty)
+      preflightSeen.synchronized {
+        preflightSeen.put(corpusBanded,
+          (new java.lang.ref.WeakReference(corpusToks), params)); ()
+      }
   }
 
   def minHashIncrementalIndexed(newDocs: DataFrame,

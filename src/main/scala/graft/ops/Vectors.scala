@@ -339,19 +339,29 @@ object Vectors {
     * geometry would poison every future probe). Bounded collects.
     */
   /** Checks already proven this session, keyed by index-frame IDENTITY +
-    * params — mirrors `Dedup.preflightSeen`: a per-ingest loop probing the
-    * same index objects must not pay two driver round-trips per batch for
-    * an invariant that cannot change underneath an unchanged object.
+    * params — mirrors `Dedup.preflightSeen` (and its weak-keyed design:
+    * identity HASH codes are reused after GC, so a hash-keyed memo could
+    * false-hit on a fresh unchecked frame and would grow unboundedly in
+    * per-batch loops): a per-ingest loop probing the same index objects
+    * must not pay two driver round-trips per batch for an invariant that
+    * cannot change underneath an unchanged object.
     */
-  private val preflightSeen =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val preflightSeen = new java.util.WeakHashMap[
+    DataFrame, (java.lang.ref.WeakReference[DataFrame], String)]()
+
+  private[graft] def preflightMemoSize: Int =
+    preflightSeen.synchronized { preflightSeen.size }
 
   private[graft] def cosinePreflight(corpusNormed: DataFrame, corpusBanded: DataFrame,
                                      planesPerBand: Int, bands: Int,
                                      dims: Int): Unit = {
-    val memoKey = s"${System.identityHashCode(corpusNormed)}|" +
-      s"${System.identityHashCode(corpusBanded)}|$planesPerBand|$bands|$dims"
-    if (preflightSeen.contains(memoKey)) return
+    val params = s"$planesPerBand|$bands|$dims"
+    val memoized = preflightSeen.synchronized {
+      Option(preflightSeen.get(corpusBanded)).exists {
+        case (normedRef, p) => (normedRef.get eq corpusNormed) && p == params
+      }
+    }
+    if (memoized) return
     val bandSample = corpusBanded.select(col("bkey").cast("long"))
       .limit(bands * 4).collect().map(_.getLong(0))
     if (bandSample.nonEmpty) {
@@ -367,9 +377,11 @@ object Vectors {
       require(r.getInt(0) == dims,
         s"stored vectors have ${r.getInt(0)} dims, expected $dims")
     }
-    if (bandSample.nonEmpty && dimSample.nonEmpty) {
-      preflightSeen.add(memoKey); ()
-    }
+    if (bandSample.nonEmpty && dimSample.nonEmpty)
+      preflightSeen.synchronized {
+        preflightSeen.put(corpusBanded,
+          (new java.lang.ref.WeakReference(corpusNormed), params)); ()
+      }
   }
 
   def cosineIncrementalIndexed(newVecs: DataFrame,

@@ -177,6 +177,50 @@ class LoadPipelineSpec extends SparkSpec {
       targetFileBytes = 1L << 30) == (3, 3))
   }
 
+  test("compactPartitionedByRewrite: zero-padded partition values round-trip exactly") {
+    // hour=00 vs hour=0: with partition type inference on, the rewrite
+    // would read "00" back as int 0, write a NEW hour=0 leaf, and dynamic
+    // overwrite would leave the original hour=00 leaf in place — readers
+    // would then see those rows TWICE. The fix reads partition values as
+    // strings so directory names reproduce byte-identically.
+    val load = new Load(tmpDir("wh"))
+    val path = load.tablePath("padded")
+    (1 to 4).foreach { b =>
+      Seq(("00", b), ("7", b)).toDF("hour", "v")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("hour").parquet(path)
+    }
+    assert(new java.io.File(s"$path/hour=00").isDirectory)
+    val before = spark.read.parquet(path)
+      .selectExpr("CAST(hour AS STRING)", "v").as[(String, Int)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val (nb, na) = Load.compactPartitionedByRewrite(spark, path,
+      targetFileBytes = 1L << 30)
+    assert(nb == 8 && na == 2, s"$nb -> $na files")
+    // the zero-padded leaf was rewritten IN PLACE — no hour=0 twin appeared
+    assert(new java.io.File(s"$path/hour=00").isDirectory)
+    assert(!new java.io.File(s"$path/hour=0").exists())
+    val after = spark.read.parquet(path)
+      .selectExpr("CAST(hour AS STRING)", "v").as[(String, Int)].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    assert(after == before, "row multiplicities changed — duplicate leaves")
+  }
+
+  test("parquetRowCount: missing table counts 0; uncommitted _temporary files don't count") {
+    val load = new Load(tmpDir("wh"))
+    // a not-yet-created table must read as empty, not throw — this is the
+    // before-count of a bootstrap appendBucketed
+    assert(Load.parquetRowCount(spark, load.tablePath("nope")) == 0L)
+    val path = load.tablePath("with_temp")
+    Seq(1, 2, 3).toDF("n").write.parquet(path)
+    assert(Load.parquetRowCount(spark, path) == 3L)
+    // simulate a crashed concurrent writer: an uncommitted attempt file
+    // under _temporary (and a dot-dir variant) must not inflate the count
+    Seq(4, 5).toDF("n").write.parquet(s"$path/_temporary/0/task_attempt_1")
+    Seq(6).toDF("n").write.parquet(s"$path/.staging-xyz")
+    assert(Load.parquetRowCount(spark, path) == 3L)
+  }
+
   test("bucketed write + append report exact footer-based row counts") {
     val load = new Load(tmpDir("wh"))
     try {

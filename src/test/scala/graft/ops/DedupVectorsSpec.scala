@@ -396,4 +396,54 @@ class DedupVectorsSpec extends SparkSpec {
     info(f"refined IVF recall@5 at nprobe=1: $refined%.2f")
     assert(refined >= 0.8, s"refined IVF recall@5 $refined below 0.8")
   }
+
+  test("preflight memo: frame identity keyed — fresh or re-parameterized probes re-check") {
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog today"),
+      (3L, "en", "completely different text about spark engines at scale")
+    ).toDF("doc_id", "lang", "text")
+    val dir = tmpDir("mh-preflight")
+    Dedup.writeMinHashIndex(corpus, dir)
+    val (t1, b1) = Dedup.readMinHashIndex(spark, dir)
+    Dedup.minHashPreflight(t1, b1, 16, 8, 3) // checked + memoized
+    Dedup.minHashPreflight(t1, b1, 16, 8, 3) // memo hit
+    // FRESH frames over the same bytes with wrong geometry must still be
+    // re-checked and fail — a hash-code-keyed memo could let them collide
+    // with the checked entry and slip through
+    val (t2, b2) = Dedup.readMinHashIndex(spark, dir)
+    intercept[IllegalArgumentException] { Dedup.minHashPreflight(t2, b2, 32, 16, 3) }
+    // the SAME memoized frames probed with different params re-check too
+    intercept[IllegalArgumentException] { Dedup.minHashPreflight(t1, b1, 16, 8, 4) }
+    // weak keys: per-batch frames (the dedupDocumentBatch loop shape) must
+    // not pin memo entries for the life of the JVM
+    (1 to 16).foreach { _ =>
+      val (tx, bx) = Dedup.readMinHashIndex(spark, dir)
+      Dedup.minHashPreflight(tx, bx, 16, 8, 3)
+    }
+    var attempts = 0
+    while (Dedup.preflightMemoSize > 4 && attempts < 30) {
+      System.gc(); Thread.sleep(50); attempts += 1
+    }
+    assert(Dedup.preflightMemoSize <= 4,
+      s"preflight memo retained ${Dedup.preflightMemoSize} entries after GC — " +
+        "weak keying is not releasing dead frames")
+  }
+
+  test("StoredIndexes steady state: stored labels + index probe merge equals full recompute") {
+    import graft.catalog.StoredIndexes
+    val dir = "/root/testdata/sf0.001"
+    val (toks, banded) = StoredIndexes.minHash(spark, dir)
+    val labels = StoredIndexes.clusterLabels(spark, dir)
+    val batch = graft.tables.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % StoredIndexes.DocMod === 0)
+    val newPairs = Dedup.minHashIncrementalIndexedPairs(batch, toks, banded, 0.5)
+      .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+    val merged = Dedup.mergeClusters(labels, newPairs)
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.nearDupClusters(
+        graft.tables.Tables.load(spark, dir, "documents"), 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(merged == full && merged.nonEmpty)
+  }
 }
