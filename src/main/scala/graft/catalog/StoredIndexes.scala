@@ -108,6 +108,23 @@ object StoredIndexes {
     (v(0), v(1))
   }
 
+  /** Stored IVF index (centroids, cell-partitioned inverted lists) over
+    * `dir`'s FULL embeddings corpus — `sim_ann_ivf`'s query runs against
+    * the whole corpus, so its stored twin indexes the same. Centroids are
+    * persisted warm (tiny, broadcast at probe time); the LISTS frame is
+    * deliberately NOT persisted: the probe's whole point is the
+    * plan-time-pruned read of only the probed `cell=` directories.
+    */
+  def ivf(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = cacheFor(s).computeIfAbsent(s"$dir|ivf", _ => {
+      val d = newTempDir("graft-ivf-index-")
+      Vectors.writeIvfIndex(load(s, dir, "embeddings"), d)
+      val (cents, lists) = Vectors.readIvfIndex(s, d)
+      Seq(cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY), lists)
+    })
+    (v(0), v(1))
+  }
+
   /** Stored near-dup CLUSTER LABELS `(doc_id, cluster_rep)` over `dir`'s
     * steady-state corpus split — the state table incremental clustering
     * maintains. Built once per session × dir (full `nearDupClusters` over
@@ -133,6 +150,7 @@ object StoredIndexes {
     val (t, b) = minHash(s, dir); t.count(); b.count()
     val (n, c) = cosine(s, dir); n.count(); c.count()
     clusterLabels(s, dir).count()
+    ivf(s, dir)._1.count()
     // run (and memoize) the geometry pre-flights too — the timed probes
     // then start straight at candidate generation, like an ingest loop's
     // steady-state iterations after its first batch

@@ -35,6 +35,36 @@ object VectorQueries extends Catalog {
        |FROM f JOIN q ON q.i = f.vec_id AND q.j = f.dup_of
        |ORDER BY f.vec_id""".stripMargin
 
+  // Shared by sim_ann_ivf and its stored-index twin: index build (seed
+  // centroids + nearest-cell assignment), probe selection AND scoring are
+  // all replayed in SQL, so the stored-index probe must reproduce the
+  // exact same ranking the from-scratch build does.
+  private lazy val IvfOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
+       |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+       |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
+       |asg AS (
+       |  SELECT vec_id, cell, e, nrm FROM (
+       |    SELECT n.vec_id, c.cid AS cell, n.e, n.nrm,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |    FROM n, c) t WHERE crk = 1),
+       |probes AS (
+       |  SELECT query_id, cell, e, nrm FROM (
+       |    SELECT n.vec_id AS query_id, c.cid AS cell, n.e, n.nrm,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+       |    FROM n, c WHERE n.vec_id % 100 = 0) t WHERE crk <= 2),
+       |s AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${dotSql("p.e", "a.e")} / (p.nrm * a.nrm), 6) AS cosine
+       |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X4: brute-force cosine top-k — the correctness baseline. The query
@@ -182,30 +212,26 @@ object VectorQueries extends Catalog {
             col("neighbor_id"), col("cosine"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-             |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
-             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
-             |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
-             |asg AS (
-             |  SELECT vec_id, cell, e, nrm FROM (
-             |    SELECT n.vec_id, c.cid AS cell, n.e, n.nrm,
-             |      row_number() OVER (PARTITION BY n.vec_id
-             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
-             |    FROM n, c) t WHERE crk = 1),
-             |probes AS (
-             |  SELECT query_id, cell, e, nrm FROM (
-             |    SELECT n.vec_id AS query_id, c.cid AS cell, n.e, n.nrm,
-             |      row_number() OVER (PARTITION BY n.vec_id
-             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
-             |    FROM n, c WHERE n.vec_id % 100 = 0) t WHERE crk <= 2),
-             |s AS (
-             |  SELECT p.query_id, a.vec_id AS neighbor_id,
-             |    round(${dotSql("p.e", "a.e")} / (p.nrm * a.nrm), 6) AS cosine
-             |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)
-             |SELECT query_id, rank, neighbor_id, cosine FROM (
-             |  SELECT *, row_number() OVER (PARTITION BY query_id
-             |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+      Some(IvfOracle)),
+
+    // X4 IVF at STEADY STATE: the same probe against a STORED index
+    // (centroids + cell-partitioned inverted lists, built once per session
+    // via StoredIndexes — Bench prewarms it outside the timed region). The
+    // timed cost is query assignment + a partition-PRUNED lists read of the
+    // nprobe probed cells + scoring — never the corpus-wide assignment pass
+    // the rebuild sibling above pays per run. Same oracle: the stored-index
+    // probe must reproduce the from-scratch ranking exactly.
+    Q("sim_ann_ivf_indexed",
+      (s, dir) => {
+        val (cents, lists) = StoredIndexes.ivf(s, dir)
+        Vectors.ivfTopKIndexed(
+            load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+            cents, lists, 5, nprobe = 2)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("cosine"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(IvfOracle)),
 
     // Symmetric int8 quantization — the storage path for 100 TB embedding
     // tables (4× smaller ANN-candidate vectors). floor() quantization, not

@@ -290,6 +290,17 @@ object Dedup {
     release()
   }
 
+  /** Bucketed-index write from PREBUILT index frames — the streaming fold
+    * path, whose deltas are already shingled and banded (re-deriving them
+    * from text would re-pay the dominant cost the deltas exist to avoid).
+    */
+  private[graft] def writeMinHashIndexBucketedFrames(load: graft.etl.Load,
+      toks: DataFrame, banded: DataFrame, name: String, buckets: Int): Unit = {
+    load.writeBucketed(toks, s"${name}_toks", buckets, Seq("id"))
+    load.writeBucketed(banded, s"${name}_banded", buckets, Seq("band", "band_key"))
+    ()
+  }
+
   /** Bucketed twin of `appendToMinHashIndex`. */
   def appendToMinHashIndexBucketed(load: graft.etl.Load, survivors: DataFrame,
                                    name: String, buckets: Int,

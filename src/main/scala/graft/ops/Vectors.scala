@@ -535,32 +535,165 @@ object Vectors {
         norm(col(vecCol)).as("xn")),
       centroidEvery, maxCentroids, lloydIters)
 
+  /** Nearest-`keep` centroid cells for every row of a `(pid, pv, pn)` frame
+    * — the single assignment kernel behind the IVF build path, the stored-
+    * index append path and the probe path (one definition, so an appended
+    * vector lands in exactly the cell a probe will look in). `cents` must
+    * be broadcast-bounded (config cap, see `centroidFrame`). Ties break to
+    * the smaller centroid id — deterministic across engines.
+    */
+  private def nearestCellsFrame(src: DataFrame, cents: DataFrame,
+                                p: String, keep: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    src.join(cents, lit(true))
+      .withColumn("c_cos", dot(col(s"${p}v"), col("cv")) / (col(s"${p}n") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col(s"${p}id")).orderBy(col("c_cos").desc, col("cid").asc)))
+      .filter(col("crk") <= keep)
+      .select(col("cid").as("cell"), col(s"${p}id"), col(s"${p}v"), col(s"${p}n"))
+  }
+
+  private def normedPrefixed(df: DataFrame, prefix: String,
+                             idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"),
+      norm(col(vecCol)).as(s"${prefix}n"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               centroidEvery: Int = 50, nprobe: Int = 2,
               maxCentroids: Int = 128,
               lloydIters: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def normed(df: DataFrame, prefix: String) =
-      df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"),
-        norm(col(vecCol)).as(s"${prefix}n"))
     // One corpus scan feeds BOTH the centroid pick and the list build; the
     // centroid table is hard-capped at `maxCentroids` (stable id order) so
     // the broadcast side is bounded by CONFIG, never by data — the
     // assignment cross-join stays (growing corpus) × (fixed centroids).
-    val n = normed(corpus, "x")
+    val n = normedPrefixed(corpus, "x", idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val cents = centroidFrame(n, centroidEvery, maxCentroids, lloydIters)
-    def nearestCells(src: DataFrame, p: String, keep: Int) =
-      src.join(cents, lit(true))
-        .withColumn("c_cos", dot(col(s"${p}v"), col("cv")) / (col(s"${p}n") * col("cn")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col(s"${p}id")).orderBy(col("c_cos").desc, col("cid").asc)))
-        .filter(col("crk") <= keep)
-        .select(col("cid").as("cell"), col(s"${p}id"), col(s"${p}v"), col(s"${p}n"))
-    val lists = nearestCells(n, "x", 1)
-    val probes = nearestCells(normed(queries, "q"), "q", nprobe)
+    val lists = nearestCellsFrame(n, cents, "x", 1)
+    val probes = nearestCellsFrame(
+      normedPrefixed(queries, "q", idCol, vecCol), cents, "q", nprobe)
     val scored = probes.join(lists, "cell")
+      .filter(col("qid") =!= col("xid"))
+      .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
+        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+    Relational.topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
+  }
+
+  // --------------------------------------------- stored IVF index lifecycle
+
+  private def ivfCentroidsPath(dir: String) = s"$dir/centroids"
+  private def ivfListsPath(dir: String) = s"$dir/lists"
+
+  /** Build an IVF index and persist it under `dir`: a tiny `centroids`
+    * table `(cid, cv, cn)` and the inverted `lists` table `(xid, xv, xn)`
+    * PARTITIONED BY `cell` — one directory per inverted list, so a probe
+    * reads exactly its `nprobe` cells' directories and nothing else
+    * (plan-time partition pruning; the 100 TB story the in-memory `ivfTopK`
+    * docblock promises). The once-at-bootstrap step of an embedding-serving
+    * loop; append batches with `appendToIvfIndex`, re-train centroids on a
+    * schedule by rebuilding.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String,
+                    centroidEvery: Int = 50, maxCentroids: Int = 128,
+                    lloydIters: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val n = normedPrefixed(corpus, "x", idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cents = centroidFrame(n, centroidEvery, maxCentroids, lloydIters)
+    cents.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(ivfCentroidsPath(dir))
+    nearestCellsFrame(n, cents, "x", 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(ivfListsPath(dir))
+    n.unpersist()
+    ()
+  }
+
+  /** Read back a stored IVF index: (centroids, cell-partitioned lists). */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(ivfCentroidsPath(dir)),
+      spark.read.parquet(ivfListsPath(dir)))
+
+  /** Append a batch to a stored IVF index: assign each new vector to its
+    * nearest STORED centroid (no re-clustering — the standard IVF append;
+    * centroid re-training is a scheduled rebuild) and append into the
+    * matching `cell=` directories. Dimensionality pre-flight first: a
+    * mismatched batch would land rows no probe scores correctly.
+    */
+  def appendToIvfIndex(newVecs: DataFrame, dir: String, dims: Int = 64,
+                       maxCentroids: Int = 128,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val (cents, _) = readIvfIndex(spark, dir)
+    ivfPreflight(cents, dims)
+    nearestCellsFrame(normedPrefixed(newVecs, "x", idCol, vecCol),
+        boundedCentroids(cents, maxCentroids), "x", 1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(ivfListsPath(dir))
+  }
+
+  /** Broadcast-wrap a STORED centroid table with a structural cardinality
+    * bound: the table is ≤ maxCentroids rows by construction
+    * (`centroidFrame` caps the build), but a raw parquet read carries no
+    * bound the planner — or PlanContractSpec's BNLJ audit — can see, and a
+    * corrupted/foreign table must not turn the assignment cross-join
+    * quadratic. Deterministic (ordered) take; ≤ 128 rows, so the sort is
+    * free.
+    */
+  private def boundedCentroids(cents: DataFrame, maxCentroids: Int): DataFrame =
+    broadcast(cents.orderBy(col("cid")).limit(maxCentroids))
+
+  /** Fail-fast dimensionality check of a stored IVF index (one-row sampled
+    * collect). A dims mismatch never fails on its own — `dot` silently
+    * zips the shorter prefix — so probes would rank garbage.
+    */
+  private[graft] def ivfPreflight(centroids: DataFrame, dims: Int): Unit = {
+    val sample = centroids.select(size(col("cv")).as("d")).limit(1).collect()
+    sample.foreach { r =>
+      require(r.getInt(0) == dims,
+        s"stored IVF centroids have ${r.getInt(0)} dims, expected $dims " +
+          "— the index was built from different embeddings")
+    }
+  }
+
+  /** The cells a probe of `queries` will read — distinct nearest-`nprobe`
+    * cell ids (bounded by the centroid cap, so the collect is config-sized).
+    * Public so callers (and specs) can audit exactly which inverted lists
+    * a probe touches.
+    */
+  def ivfProbeCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                    maxCentroids: Int = 128,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Long] =
+    nearestCellsFrame(normedPrefixed(queries, "q", idCol, vecCol),
+        boundedCentroids(centroids, maxCentroids), "q", nprobe)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+
+  /** `ivfTopK` against a STORED index — the steady-state probe: queries are
+    * assigned to their `nprobe` nearest stored centroids (tiny broadcast),
+    * the probed cell ids are collected (≤ the centroid cap — a
+    * config-bounded driver round-trip, like the geometry pre-flights) and
+    * turned into a PLAN-TIME partition filter, so the lists scan opens only
+    * those `cell=` directories; scoring and per-query top-k are unchanged
+    * from `ivfTopK`. Results are identical to a fresh `ivfTopK` over the
+    * same corpus and parameters (IvfSpec-pinned via append-then-probe ≡
+    * rebuild).
+    */
+  def ivfTopKIndexed(queries: DataFrame,
+                     centroids: DataFrame, lists: DataFrame,
+                     k: Int, nprobe: Int = 2, dims: Int = 64,
+                     maxCentroids: Int = 128,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    ivfPreflight(centroids, dims)
+    val cents = boundedCentroids(centroids, maxCentroids)
+    val probes = nearestCellsFrame(
+        normedPrefixed(queries, "q", idCol, vecCol), cents, "q", nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val pruned = lists.filter(col("cell").isin(cells.map(Long.box): _*))
+    val scored = probes.join(pruned, "cell")
       .filter(col("qid") =!= col("xid"))
       .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
         round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))

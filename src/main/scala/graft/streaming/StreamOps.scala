@@ -105,6 +105,12 @@ object StreamOps {
     * deterministic ordering). The streaming twin of the reference's
     * `INSERT OR REPLACE` run-metadata sink (K3) — exactly-once per key given
     * checkpointed batch ids.
+    *
+    * COST: the merge rewrites the WHOLE table every micro-batch — right for
+    * its run-metadata-sized use (the reference's etl_runs table), O(table)
+    * per trigger on anything larger. For large keyed tables use
+    * `upsertSinkPartitioned`, which rewrites only the key partitions a
+    * batch touches.
     */
   def upsertSink(df: DataFrame, path: String, checkpoint: String,
                  keys: Seq[String], orderCols: Seq[String]): DataStreamWriter[Row] =
@@ -123,6 +129,52 @@ object StreamOps {
         graft.etl.Load.replaceTable(spark, merged, path)
         ()
       }
+
+  /** `upsertSink` for LARGE keyed tables: the table is hash-partitioned on
+    * the key into `nParts` `_kp=<n>` directories, and each micro-batch
+    * merges into and dynamically overwrites ONLY the partitions its keys
+    * hash into — per-trigger cost is O(touched partitions), not O(table).
+    * `_kp` is an internal layout column (readers can ignore or drop it).
+    * Replay-idempotent: the merge is a keyed upsert, so re-running a batch
+    * rewrites the same partitions to the same contents.
+    */
+  def upsertSinkPartitioned(df: DataFrame, path: String, checkpoint: String,
+                            keys: Seq[String], orderCols: Seq[String],
+                            nParts: Int = 64): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatchPartitioned(batch, path, keys, orderCols, nParts)
+      }
+
+  /** One micro-batch of `upsertSinkPartitioned`, public for direct testing
+    * (and usable as a batch-mode MERGE). The touched-partition list is a
+    * config-bounded driver collect (≤ `nParts` values).
+    */
+  def upsertBatchPartitioned(batch: DataFrame, path: String,
+                             keys: Seq[String], orderCols: Seq[String],
+                             nParts: Int): Unit = {
+    val spark = batch.sparkSession
+    val latest = graft.ops.Relational.firstPerKey(
+        batch, keys, orderCols.map(c => col(c).desc))
+      .withColumn("_kp", pmod(hash(keys.map(col): _*), lit(nParts)))
+    val fs = graft.etl.Load.fsFor(spark, path)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val merged =
+      if (!exists) latest
+      else {
+        val touched = latest.select(col("_kp")).distinct()
+          .collect().map(_.getInt(0))
+        // partition pruning keeps this read to the touched directories only
+        val existing = spark.read.parquet(path)
+          .filter(col("_kp").isin(touched.map(Int.box): _*))
+        graft.ops.Relational.upsertByKey(existing, latest, keys)
+      }
+    merged.repartition(col("_kp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_kp").parquet(path)
+  }
 
   /** Sink helper: append to Parquet with checkpointing (exactly-once file
     * sink semantics).
@@ -239,6 +291,179 @@ object StreamOps {
     sBanded.unpersist()
     survivors.unpersist()
     exact.unpersist()
+    ()
+  }
+
+  /** `incrementalDedupSink` with a BUCKETED corpus index: the plain sink's
+    * stored banded table is one parquet dir per micro-batch, so every probe
+    * re-shuffles the whole corpus side; here the long-lived corpus rows
+    * live in bucketed base tables (`<indexName>_toks` bucketed by id,
+    * `<indexName>_banded` bucketed by (band, band_key) — exactly the probe
+    * join's keys, so the corpus side reads pre-shuffled with ZERO exchange)
+    * and only the most recent batches' rows wait in small `batch=<id>`
+    * delta dirs. Maintenance runs inside the sink loop: once `foldEvery`
+    * prior deltas accumulate they are folded into the base (one bucketed
+    * append — the deltas are batch-sized, so the append's shuffle is tiny)
+    * and the digest state is leaf-compacted.
+    *
+    * Exactly-once story is UNCHANGED from the plain sink: state reads
+    * exclude the current batch id (base rows are always prior batches —
+    * folding excludes the in-flight batch), writes overwrite exactly their
+    * own `batch=<id>` dirs. A crash between fold's append and its delta
+    * deletes re-folds on the next cadence — duplicated index rows cost
+    * probe work but never correctness (candidates are distinct'ed, the
+    * verify re-derives identical pairs): the same retry-then-compact
+    * contract as `Dedup.appendToMinHashIndex`.
+    */
+  def incrementalDedupSinkBucketed(docs: DataFrame, stateDir: String,
+                                   checkpoint: String,
+                                   load: graft.etl.Load, indexName: String,
+                                   buckets: Int, foldEvery: Int = 8,
+                                   threshold: Double = 0.5,
+                                   numHashes: Int = 16, bands: Int = 8,
+                                   shingleSize: Int = 3,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupDocumentBatchBucketed(batch, batchId, stateDir, load, indexName,
+          buckets, foldEvery, threshold, numHashes, bands, shingleSize,
+          idCol, textCol)
+      }
+
+  /** One ingest iteration of `incrementalDedupSinkBucketed` (public for
+    * replay testing, like `dedupDocumentBatch`): dedup against bucketed
+    * base + unfolded deltas, land survivors + own deltas, then maintain.
+    */
+  def dedupDocumentBatchBucketed(batch: DataFrame, batchId: Long,
+                                 stateDir: String,
+                                 load: graft.etl.Load, indexName: String,
+                                 buckets: Int, foldEvery: Int = 8,
+                                 threshold: Double = 0.5,
+                                 numHashes: Int = 16, bands: Int = 8,
+                                 shingleSize: Int = 3,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): Unit = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.SaveMode
+    val spark = batch.sparkSession
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val digestsRoot = s"$stateDir/digests"
+    val toksRoot = s"$stateDir/index/toks"
+    val bandedRoot = s"$stateDir/index/banded"
+    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
+      if (!hasData(root)) empty
+      else
+        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val priorDigests =
+      readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
+    val exact = Dedup.exactIncremental(batch, priorDigests, idCol, textCol)
+      .persist(mem)
+    lazy val emptyIndex = Dedup.minHashIndex(batch.limit(0), numHashes, bands,
+      shingleSize, idCol, textCol, org.apache.spark.storage.StorageLevel.NONE)
+    // corpus side 1: the unfolded deltas (recent batches, small)
+    val deltaToks = readPriorOr(toksRoot, emptyIndex._1)
+    val deltaBanded = readPriorOr(bandedRoot, emptyIndex._2)
+    // corpus side 2: the bucketed base (prior batches folded by maintenance)
+    // — probed SEPARATELY so the bucketed scan keeps its zero-exchange join
+    // (a union with the deltas would discard the bucket layout). The
+    // NEW×earlier-NEW leg rides both probes; flags are unioned into one
+    // id set, so the duplication is harmless.
+    val baseExists = spark.catalog.tableExists(s"${indexName}_toks") &&
+      hasData(load.tablePath(s"${indexName}_toks"))
+    val flaggedDelta = Dedup.minHashIncrementalIndexed(exact, deltaToks,
+      deltaBanded, threshold, numHashes, bands, shingleSize, idCol, textCol)
+    val flagged =
+      if (!baseExists) flaggedDelta.select(col(idCol))
+      else flaggedDelta.select(col(idCol)).unionByName(
+        Dedup.minHashIncrementalIndexed(exact,
+          spark.table(s"${indexName}_toks"), spark.table(s"${indexName}_banded"),
+          threshold, numHashes, bands, shingleSize, idCol, textCol)
+          .select(col(idCol)))
+    val survivors = exact
+      .join(flagged.distinct(), Seq(idCol), "left_anti")
+      .persist(mem)
+    def overwriteOwn(df: DataFrame, root: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+    overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
+    overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
+    val (sToks, sBanded) = Dedup.minHashIndex(survivors.drop("content_md5"),
+      numHashes, bands, shingleSize, idCol, textCol)
+    overwriteOwn(sToks, toksRoot)
+    overwriteOwn(sBanded, bandedRoot)
+    sToks.unpersist()
+    sBanded.unpersist()
+    survivors.unpersist()
+    exact.unpersist()
+    foldIndexDeltas(spark, load, indexName, buckets, toksRoot, bandedRoot,
+      excludeBatch = batchId, foldEvery, numHashes, bands, shingleSize,
+      alsoCompact = Seq(digestsRoot))
+    ()
+  }
+
+  /** Maintenance half of the bucketed sink: fold prior batches' index
+    * deltas into the bucketed base tables (creating them on first fold) and
+    * leaf-compact the listed batch-partitioned state roots. No-op until
+    * `foldEvery` prior deltas exist, so steady-state batches pay nothing.
+    */
+  private def foldIndexDeltas(spark: SparkSession, load: graft.etl.Load,
+                              indexName: String, buckets: Int,
+                              toksRoot: String, bandedRoot: String,
+                              excludeBatch: Long, foldEvery: Int,
+                              numHashes: Int, bands: Int, shingleSize: Int,
+                              alsoCompact: Seq[String]): Unit = {
+    import graft.ops.Dedup
+    val fs = graft.etl.Load.fsFor(spark, toksRoot)
+    def deltaIds(root: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSet - excludeBatch
+    }
+    // fold only dirs present on BOTH sides: a crash between the two delta
+    // writes leaves a half-landed batch that its replay will overwrite
+    val ids = (deltaIds(toksRoot) intersect deltaIds(bandedRoot)).toSeq.sorted
+    if (ids.size < foldEvery) return
+    val toksDf = spark.read.parquet(ids.map(i => s"$toksRoot/batch=$i"): _*)
+    val bandedDf = spark.read.parquet(ids.map(i => s"$bandedRoot/batch=$i"): _*)
+    if (!spark.catalog.tableExists(s"${indexName}_toks")) {
+      Dedup.writeMinHashIndexBucketedFrames(load, toksDf, bandedDf,
+        indexName, buckets)
+    } else {
+      Dedup.minHashPreflight(spark.table(s"${indexName}_toks"),
+        spark.table(s"${indexName}_banded"), numHashes, bands, shingleSize)
+      load.appendBucketed(toksDf, s"${indexName}_toks", buckets, Seq("id"))
+      load.appendBucketed(bandedDf, s"${indexName}_banded", buckets,
+        Seq("band", "band_key"))
+    }
+    ids.foreach { i =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$toksRoot/batch=$i"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$bandedRoot/batch=$i"), true)
+    }
+    alsoCompact.foreach(root => compactStateRoot(spark, root))
+  }
+
+  /** Leaf-compact every batch-partitioned state root under `stateDir` that
+    * has accumulated fragmented leaves — the run-over-run maintenance pass
+    * (reference analogue: the scheduled re-run loop). Public so operators
+    * of the PLAIN `incrementalDedupSink` (whose index stays per-batch
+    * parquet) can run it on their own cadence too.
+    */
+  def maintainDedupState(spark: SparkSession, stateDir: String): Unit =
+    Seq(s"$stateDir/digests", s"$stateDir/index/toks", s"$stateDir/index/banded")
+      .foreach(root => compactStateRoot(spark, root))
+
+  private def compactStateRoot(spark: SparkSession, root: String): Unit = {
+    val fs = graft.etl.Load.fsFor(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(p) &&
+        fs.listStatus(p).exists(e => e.isDirectory && e.getPath.getName.contains("=")))
+      graft.etl.Load.compactPartitioned(spark, root)
     ()
   }
 }

@@ -397,6 +397,43 @@ class DedupVectorsSpec extends SparkSpec {
     assert(refined >= 0.8, s"refined IVF recall@5 $refined below 0.8")
   }
 
+  test("IVF stored index: append-then-probe equals a full rebuild; probe prunes to probed cells") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // batch must introduce NO new centroid seeds (ids % 50 != 0) so the
+    // stored centroids equal the ones a full rebuild would pick — the same
+    // invariant a production append relies on (centroids are re-trained on
+    // a schedule, not per batch)
+    val isBatch = col("vec_id") % 7 === 1 && col("vec_id") % 50 =!= 0
+    val dir = tmpDir("ivf-index")
+    Vectors.writeIvfIndex(emb.filter(!isBatch), dir)
+    Vectors.appendToIvfIndex(emb.filter(isBatch), dir)
+    val (cents, lists) = Vectors.readIvfIndex(spark, dir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val viaIndex = Vectors.ivfTopKIndexed(queries, cents, lists, 5, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val viaRebuild = Vectors.ivfTopK(emb, queries, 5, centroidEvery = 50, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(viaIndex == viaRebuild && viaIndex.nonEmpty)
+    // the probe reads ONLY the probed cells' partition directories — the
+    // inverted-list pruning that makes stored IVF the 100 TB path
+    val cells = Vectors.ivfProbeCells(queries, cents, 2).toSet
+    assert(cells.nonEmpty)
+    val df = Vectors.ivfTopKIndexed(queries, cents, lists, 5, nprobe = 2)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(scans.nonEmpty)
+    val files = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(files.nonEmpty && files.forall(f => cells.exists(c => f.contains(s"cell=$c"))),
+      s"lists scan touches unprobed cells: ${files.filterNot(f => cells.exists(c => f.contains(s"cell=$c"))).take(3)}")
+    // mismatched dimensionality must fail fast, not silently score garbage
+    intercept[IllegalArgumentException] {
+      Vectors.ivfTopKIndexed(queries, cents, lists, 5, nprobe = 2, dims = 32)
+    }
+  }
+
   test("preflight memo: frame identity keyed — fresh or re-parameterized probes re-check") {
     val corpus = Seq(
       (1L, "en", "the quick brown fox jumps over the lazy dog tonight"),

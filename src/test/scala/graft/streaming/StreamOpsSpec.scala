@@ -254,6 +254,155 @@ class StreamOpsSpec extends SparkSpec {
     assert(stateCounts == before)
   }
 
+  test("incrementalDedupSinkBucketed: bucketed base + delta fold, same semantics, replay-idempotent") {
+    val state = tmpDir("dedup-bstate")
+    val name = "sdx_stream"
+    def batchDf(rows: Seq[(Long, String)]): DataFrame =
+      rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+        .repartition(3) // multi-file deltas/digests → compaction observable
+    val wh = new graft.etl.Load(tmpDir("sdx-wh"))
+    def run(b: DataFrame, id: Long): Unit =
+      StreamOps.dedupDocumentBatchBucketed(b, id, state, wh, name, 4, foldEvery = 2)
+    def outIds: Set[Long] = spark.read.parquet(s"$state/out")
+      .select("doc_id").as[Long].collect().toSet
+    try {
+      run(batchDf(Seq(
+        1L -> "the quick brown fox jumps over the lazy dog tonight",
+        2L -> "completely different text about spark engines at scale",
+        3L -> "the quick brown fox jumps over the lazy dog tonight")), 0L)
+      run(batchDf(Seq(
+        11L -> "the quick brown fox jumps over the lazy dog tonight",
+        12L -> "the quick brown fox jumps over the lazy dog today",
+        13L -> "novel content never seen in the corpus before now")), 1L)
+      // same cross-batch semantics as the plain sink: 3 in-batch exact dup,
+      // 11 exact vs stored digests, 12 near-dup vs the stored index
+      assert(outIds == Set(1L, 2L, 13L))
+      run(batchDf(Seq(
+        21L -> "novel content never seen in the corpus before now",
+        22L -> "absolutely fresh material arriving in the third batch")), 2L)
+      assert(outIds == Set(1L, 2L, 13L, 22L))
+      // batch 2's maintenance folded deltas 0+1 into the bucketed base;
+      // only its own (excluded) delta remains unfolded
+      def deltaIds(root: String): Set[String] =
+        new java.io.File(root).listFiles().toSeq
+          .map(_.getName).filter(_.startsWith("batch=")).toSet
+      assert(deltaIds(s"$state/index/toks") == Set("batch=2"))
+      assert(deltaIds(s"$state/index/banded") == Set("batch=2"))
+      assert(spark.catalog.tableExists(s"${name}_toks"))
+      // folded rows = batches 0+1 survivors (ids 1, 2, 13)
+      assert(spark.table(s"${name}_toks").select("id").as[Long].collect().toSet
+        == Set(1L, 2L, 13L))
+      // the bucketed base really is pre-shuffled on the probe join's keys
+      val agged = spark.table(s"${name}_banded").groupBy("band", "band_key").count()
+      agged.collect()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case _: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => 1
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => shuffles(q.plan)
+        case other => other.children.map(shuffles).sum
+      }
+      assert(shuffles(agged.queryExecution.executedPlan) == 0,
+        "bucketed index base must be pre-shuffled on (band, band_key)")
+      // digest state was compacted on the fold cadence: one file per leaf
+      // (each batch wrote 3 — repartition(3) above)
+      val digestLeaves = new java.io.File(s"$state/digests").listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(digestLeaves.nonEmpty && digestLeaves.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+        "digest leaves not compacted to one file")
+      // crash-replay idempotence AFTER a fold: re-running the last batch must
+      // leave output and state (base + deltas) identical
+      def stateRows: (Long, Long, Long) = (
+        spark.read.parquet(s"$state/digests").count(),
+        spark.table(s"${name}_toks").count() +
+          spark.read.parquet(s"$state/index/toks").drop("batch").count(),
+        spark.table(s"${name}_banded").count() +
+          spark.read.parquet(s"$state/index/banded").drop("batch").count())
+      val before = stateRows
+      run(batchDf(Seq(
+        21L -> "novel content never seen in the corpus before now",
+        22L -> "absolutely fresh material arriving in the third batch")), 2L)
+      assert(outIds == Set(1L, 2L, 13L, 22L))
+      assert(stateRows == before)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_toks")
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_banded")
+    }
+  }
+
+  test("maintainDedupState: compaction shrinks fragmented state leaves, content identical") {
+    val state = tmpDir("dedup-maint")
+    // three micro-batches' worth of fragmented digest state (3 files each)
+    (0 to 2).foreach { b =>
+      (1 to 3).map(i => s"md5-$b-$i").toDF("content_md5").repartition(3)
+        .write.parquet(s"$state/digests/batch=$b")
+    }
+    val before = spark.read.parquet(s"$state/digests")
+      .select("content_md5").as[String].collect().toSet
+    def nFiles: Int = new java.io.File(s"$state/digests").listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(nFiles == 9)
+    StreamOps.maintainDedupState(spark, state)
+    assert(nFiles == 3, s"expected 3 files after compaction, got $nFiles")
+    assert(spark.read.parquet(s"$state/digests")
+      .select("content_md5").as[String].collect().toSet == before)
+  }
+
+  test("upsertSinkPartitioned: a micro-batch rewrites ONLY the key partitions it touches") {
+    val path = tmpDir("upsert-part") + "/state"
+    val ckpt = tmpDir("ckpt-upsert-part")
+    val nParts = 8
+    // batch 1: keys spread over many partitions
+    val b1 = (1L to 40L).map(k => (k, "click", k * 10, k)).toDF("user_id", "event_type", "event_id", "ts")
+    StreamOps.upsertBatchPartitioned(b1, path, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"), nParts)
+    val dirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("_kp="))
+    assert(dirs.length > 1, "keys should spread over multiple partitions")
+    def filesOf(d: java.io.File): Set[String] =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val filesBefore = dirs.map(d => d.getName -> filesOf(d)).toMap
+    // batch 2: ONE key updated — only its partition may be rewritten
+    val b2 = Seq((7L, "click", 9999L, 99L)).toDF("user_id", "event_type", "event_id", "ts")
+    StreamOps.upsertBatchPartitioned(b2, path, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"), nParts)
+    val touched = b2.selectExpr(s"pmod(hash(user_id, event_type), $nParts)")
+      .as[Int].head()
+    val dirsAfter = new java.io.File(path).listFiles().filter(_.getName.startsWith("_kp="))
+    dirsAfter.foreach { d =>
+      if (d.getName == s"_kp=$touched")
+        assert(filesOf(d) != filesBefore(d.getName), "touched partition must be rewritten")
+      else
+        assert(filesOf(d) == filesBefore(d.getName),
+          s"untouched partition ${d.getName} was rewritten")
+    }
+    // merge semantics: key 7 now carries the batch-2 row, everything else intact
+    val rows = spark.read.parquet(path)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(rows(7L) == 9999L)
+    assert(rows(8L) == 80L && rows.size == 40)
+    // replay of the same batch converges to the identical table
+    StreamOps.upsertBatchPartitioned(b2, path, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"), nParts)
+    val rows2 = spark.read.parquet(path)
+      .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+    assert(rows2 == rows)
+    // and the streaming wrapper drives the same per-batch merge
+    val src = tmpDir("upsert-part-src")
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.json"),
+      """{"event_id":1,"ts":"2026-01-01T00:01:00Z","user_id":1,"event_type":"click","value":1.0,"props":"{}"}"""
+        .getBytes("UTF-8"))
+    val q = StreamOps.upsertSinkPartitioned(
+      StreamOps.readEventStream(spark, src)
+        .selectExpr("user_id", "event_type", "event_id", "CAST(ts AS LONG) AS ts"),
+      tmpDir("upsert-part2") + "/t", ckpt, Seq("user_id", "event_type"),
+      Seq("ts", "event_id"), nParts)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
