@@ -205,6 +205,39 @@ object RelationalQueries extends Catalog {
              |  b(bucket, lo, hi) ON l_quantity >= lo AND l_quantity < hi
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Large-large range join: BOTH sides data-sized (orders × customer-derived
+    // price bands), so the broadcast-BNLJ of join_theta_range is off the
+    // table. binnedRangeJoin decomposes to explode-to-bins + equi-join on the
+    // bin id + residual filter — keyed shuffles only; the oracle is the naive
+    // range-predicate join, so the hash match proves the decomposition emits
+    // each qualifying pair exactly once. All coordinates integer cents →
+    // bit-exact cross-engine. binWidth 100000 = the interval width, so each
+    // interval explodes to ≤ 2 bins.
+    Q("join_range_binned",
+      (s, dir) => {
+        val pts = load(s, dir, "orders")
+          .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("p"))
+        val iv = load(s, dir, "customer")
+          .select(col("c_mktsegment"),
+            (Exact.cents(col("c_acctbal")) * 20).as("lo"))
+          .withColumn("hi", col("lo") + 100000L)
+        Relational.binnedRangeJoin(pts, iv, col("p"), col("lo"), col("hi"),
+            binWidth = 100000L)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            Exact.dollars(sum(col("p"))).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_pairs,
+             |count(DISTINCT o_orderkey) AS n_orders,
+             |sum(p)::DOUBLE / 100.0 AS sum_price
+             |FROM (SELECT o_orderkey, ${cents("o_totalprice")} AS p FROM orders) o
+             |JOIN (SELECT c_mktsegment, ${cents("c_acctbal")} * 20 AS lo,
+             |      ${cents("c_acctbal")} * 20 + 100000 AS hi FROM customer) c
+             |ON o.p >= c.lo AND o.p < c.hi
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Skew-resistant salted join, proven IDENTICAL to the plain inner join:
     // the oracle is the unsalted join, so the hash match is the proof that
     // salting (deterministic content-hash salt on the skewed side, right

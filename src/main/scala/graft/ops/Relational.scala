@@ -236,4 +236,39 @@ object Relational {
       explode(sequence(lit(0L), lit(salts - 1L))))
     left.join(right, keys :+ "_salt").drop("_salt")
   }
+
+  /** Point-in-interval range join where BOTH sides are data-sized — the case
+    * `rangeBucketJoin`'s broadcast-BNLJ cannot serve (a nested-loop against a
+    * big interval table is O(|points|·|intervals|) and melts at scale).
+    *
+    * Plan shape: each interval `[lo, hi)` is exploded to the fixed-width bins
+    * it overlaps, each point maps to the ONE bin containing it, and the join
+    * becomes a plain equi-join on the bin id plus a residual `lo <= p < hi`
+    * filter — a shuffle keyed on bins, never a cartesian. Each matching
+    * (point, interval) pair is emitted exactly once: the point lives in
+    * exactly one bin, and an interval contributes each of its bins once.
+    * This is the standard binned interval-join decomposition used by
+    * genomics/temporal engines; cost is |intervals| · (len/binWidth + 1)
+    * explode replication, so pick `binWidth` near the typical interval
+    * length (replication ≈ 2×).
+    *
+    * Inputs are integer-typed (fixed-point cents-style) so bin math and the
+    * residual comparison are exact — no float rounding can disagree with an
+    * oracle engine. `floorDiv` via non-negative `pmod` keeps negative
+    * coordinates on the correct bin (Long `/` truncates toward zero).
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+                      point: Column, lo: Column, hi: Column,
+                      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "inputs must not already have a _bin column")
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    val p = points.withColumn("_bin", floorDiv(point.cast("long")))
+    // half-open [lo, hi): the last overlapped bin is the one holding hi-1
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floorDiv(lo.cast("long")), floorDiv(hi.cast("long") - 1))))
+    p.join(iv, "_bin").filter(point >= lo && point < hi).drop("_bin")
+  }
 }

@@ -49,6 +49,16 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("large-large range join decomposes to an equi-join, never a BNLJ") {
+    // join_range_binned exists because BOTH sides are data-sized: the bin
+    // decomposition must plan as a hash/sort-merge equi-join on the bin id
+    // (broadcast-HASH is fine at tiny SF — still an equi-join), with the
+    // residual range predicate as a post-join filter, never a nested loop.
+    val bnl = q("join_range_binned")
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.isEmpty, "join_range_binned plans a BroadcastNestedLoopJoin")
+  }
+
   /** A nested-loop join is tolerable ONLY when its broadcast/build side has
     * cardinality bounded by CONFIG or LITERALS, never by the data: a build
     * side that grows with the corpus makes the join O(n·m) with both factors

@@ -44,6 +44,25 @@ class RelationalSpec extends SparkSpec {
     assert(out("c3").isEmpty)          // key with no right rows
   }
 
+  test("binnedRangeJoin equals the naive range join, exactly once per pair") {
+    // negative coordinates, intervals spanning 1..many bins, touching
+    // endpoints (half-open), and points outside every interval
+    val points = Seq((-250L, "p0"), (-1L, "p1"), (0L, "p2"), (99L, "p3"),
+      (100L, "p4"), (350L, "p5"), (1000L, "p6")).toDF("p", "ptag")
+    val ivs = Seq((-300L, -100L, "iA"), (-50L, 100L, "iB"), (0L, 1000L, "iC"),
+      (90L, 110L, "iD"), (2000L, 3000L, "iE")).toDF("lo", "hi", "itag")
+    val naive = points.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("ptag", "itag").as[(String, String)].collect().sorted.toSeq
+    assert(naive.nonEmpty && naive.distinct == naive)
+    // bin width much smaller than some intervals → multi-bin explode paths
+    for (w <- Seq(1L, 7L, 100L, 10000L)) {
+      val binned = Relational.binnedRangeJoin(points, ivs,
+          col("p"), col("lo"), col("hi"), binWidth = w)
+        .select("ptag", "itag").as[(String, String)].collect().sorted.toSeq
+      assert(binned == naive, s"binWidth=$w: $binned != $naive")
+    }
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
