@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.functions._
+import graft.etl.Layout
 import graft.ops.{EventOps, Exact}
 import graft.tables.Tables.load
 
@@ -167,6 +168,25 @@ object FunctionQueries extends Catalog {
              |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
              |  ORDER BY ts, event_id) = 1
              |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Z-order (Morton) clustering key for multi-dimensional data skipping
+    // (etl/Layout): the 2x16-bit interleave of (user_id, value-cents), both
+    // saturation-clamped. Spark side is the codegen'd shift/and/or
+    // expression tree; the oracle SQL is GENERATED BY THE SAME LOOP
+    // (Layout.zValueSql), so the hash match pins expression and twin
+    // bit-for-bit. The layout/skipping behavior itself is spec-proven
+    // (LayoutSpec: 2-D box touches fewer files than a 1-D sort).
+    Q("layout_zorder_zvalue",
+      (s, dir) => load(s, dir, "events")
+        .select(col("event_id"),
+          Layout.zValue(Seq(
+            Layout.clampBits(col("user_id"), 16),
+            Layout.clampBits(Exact.cents(col("value")), 16)), 16).as("zval"))
+        .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, ${Layout.zValueSql(Seq(
+               "least(greatest(user_id, 0), 65535)",
+               s"least(greatest(${cents("value")}, 0), 65535)"), 16)} AS zval
+             |FROM events ORDER BY event_id""".stripMargin)),
 
     Q("pivot_event_counts",
       (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
