@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Exact, Relational}
+import graft.ops.{Exact, Relational, Sketch}
 import graft.tables.Tables.load
 
 /** The relational query surface: scans, filters, projections, the full join
@@ -345,6 +345,22 @@ object RelationalQueries extends Catalog {
              |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
              |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
              |ORDER BY l_returnflag, quantile""".stripMargin)),
+
+    // Third workhorse sketch after HLL (agg_approx_distinct) and KLL
+    // (agg_approx_percentile): count-min heavy hitters. The sketch side is
+    // one pass / fixed memory / partial+final merge — NO shuffle keyed on
+    // the distinct items — and the oracle-checkable verdict asserts the CMS
+    // contract (never undercounts; overcount <= eps*N) per top-k key, so a
+    // drifting sketch fails the round's hash compare.
+    Q("agg_heavy_hitters_cms",
+      (s, dir) => Sketch.heavyHittersCms(
+          load(s, dir, "events"), col("user_id"), k = 10,
+          eps = 0.001, confidence = 0.99, seed = 42)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("exact_n").desc, col("user_id")),
+      Some("""SELECT user_id, count(*) AS exact_n, TRUE AS cms_ok
+             |FROM events GROUP BY user_id
+             |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin)),
 
     Q("agg_rollup",
       (s, dir) => load(s, dir, "customer")

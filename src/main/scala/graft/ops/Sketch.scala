@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable-sketch operators beyond the built-in aggregate surface
+  * (approx_count_distinct = HLL and percentile_approx = KLL-style already
+  * live in the catalog; this adds the third workhorse, count-min).
+  *
+  * The 100 TB story of a count-min sketch: frequency estimation in ONE
+  * pass with FIXED memory (depth x width counters) and map-side partial
+  * merge — no shuffle keyed on the (possibly billions of) distinct items,
+  * just a tree-reduce of small counter arrays. The price is one-sided
+  * error: estimates never undercount, and overcount by at most eps * N
+  * with probability >= confidence (Cormode & Muthukrishnan 2005).
+  */
+object Sketch {
+
+  /** Exact top-k heavy hitters with their count-min estimates and the
+    * sketch's error contract as an oracle-checkable verdict.
+    *
+    * Two plans by design, same shape as the catalog's other verified
+    * approximations (agg_approx_distinct / agg_approx_percentile):
+    *  - the EXACT side: groupBy(key) count -> top-k by (count desc, key
+    *    asc) — the deterministic reference an external engine can replay;
+    *  - the SKETCH side: `count_min_sketch` aggregate — one pass, fixed
+    *    memory, partial+final merge, NO per-key shuffle — collected as ONE
+    *    binary row (bounded: depth*width counters, config-sized) and probed
+    *    on the driver for just the k candidate keys.
+    *
+    * Output per key: (key, exact_n, cms_ok) where cms_ok asserts the CMS
+    * guarantee: estimate >= exact AND estimate <= exact + eps * N (N from
+    * the sketch's own totalCount). An oracle asserts cms_ok = TRUE, so a
+    * drifting sketch fails the round's hash compare.
+    */
+  def heavyHittersCms(df: DataFrame, key: Column, k: Int,
+                      eps: Double = 0.001, confidence: Double = 0.99,
+                      seed: Int = 42): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    // distributed one-pass sketch; the collect is ONE bounded binary row
+    val bytes = df.agg(
+        count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .head.getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val slack = (eps * cms.totalCount).toLong
+    // exact candidates: one keyed shuffle + pushed top-k (bounded collect)
+    val top = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("key").asc)
+      .limit(k)
+      .collect()
+    val keyType = top.headOption.map(_ => df.select(key).schema.head.dataType)
+      .getOrElse(LongType)
+    val rows = top.map { r =>
+      val kv = r.get(0)
+      val exact = r.getLong(1)
+      // integral key types are sketched as longs; strings as strings
+      val est = kv match {
+        case n: java.lang.Number => cms.estimateCount(n.longValue())
+        case other => cms.estimateCount(other)
+      }
+      Row(kv, exact, est >= exact && est <= exact + slack)
+    }
+    val schema = StructType(Seq(
+      StructField("key", keyType),
+      StructField("exact_n", LongType),
+      StructField("cms_ok", BooleanType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+  }
+}
