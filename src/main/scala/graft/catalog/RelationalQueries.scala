@@ -238,6 +238,56 @@ object RelationalQueries extends Catalog {
              |ON o.p >= c.lo AND o.p < c.hi
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Two-sided sibling: interval-OVERLAP join (customer acctbal bands x
+    // supplier acctbal bands), canonical-bin dedup instead of a distinct
+    // shuffle. Oracle = the naive overlap-predicate join, so the hash match
+    // proves exactly-once pair emission.
+    Q("join_interval_overlap",
+      (s, dir) => {
+        val c = load(s, dir, "customer")
+          .select(col("c_nationkey"), Exact.cents(col("c_acctbal")).as("clo"))
+          .withColumn("chi", col("clo") + 20000L)
+        val sp = load(s, dir, "supplier")
+          .select(col("s_nationkey"), Exact.cents(col("s_acctbal")).as("slo"))
+          .withColumn("shi", col("slo") + 20000L)
+        Relational.intervalOverlapJoin(c, sp, col("clo"), col("chi"),
+            col("slo"), col("shi"), binWidth = 20000L)
+          .groupBy(col("c_nationkey"), col("s_nationkey"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("clo") - col("slo"))).as("sum_gap"))
+          .orderBy(col("c_nationkey"), col("s_nationkey"))
+      },
+      Some(s"""SELECT c_nationkey, s_nationkey, count(*) AS n_pairs,
+             |sum(abs(clo - slo))::BIGINT AS sum_gap
+             |FROM (SELECT c_nationkey, ${cents("c_acctbal")} AS clo,
+             |      ${cents("c_acctbal")} + 20000 AS chi FROM customer) c
+             |JOIN (SELECT s_nationkey, ${cents("s_acctbal")} AS slo,
+             |      ${cents("s_acctbal")} + 20000 AS shi FROM supplier) s
+             |ON c.clo < s.shi AND s.slo < c.chi
+             |GROUP BY c_nationkey, s_nationkey
+             |ORDER BY c_nationkey, s_nationkey""".stripMargin)),
+
+    // Correlated scalar subquery — Catalyst DECORRELATES it into an
+    // aggregate + equi-join (RewriteCorrelatedScalarSubquery), so the
+    // declarative SQL form plans as keyed shuffles, never a per-row
+    // re-execution. Timestamp EQUALITY (exact value), no float compare.
+    Q("subquery_correlated_scalar",
+      (s, dir) => {
+        load(s, dir, "lineitem").createOrReplaceTempView("li_corr")
+        s.sql("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+                 unix_timestamp(l_shipdate) AS ship_epoch
+                 FROM li_corr o
+                 WHERE l_shipdate = (SELECT max(i.l_shipdate) FROM li_corr i
+                                     WHERE i.l_orderkey = o.l_orderkey)
+                 ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+             |epoch(date_trunc('second', l_shipdate))::BIGINT AS ship_epoch
+             |FROM lineitem o
+             |WHERE l_shipdate = (SELECT max(i.l_shipdate) FROM lineitem i
+             |                    WHERE i.l_orderkey = o.l_orderkey)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Skew-resistant salted join, proven IDENTICAL to the plain inner join:
     // the oracle is the unsalted join, so the hash match is the proof that
     // salting (deterministic content-hash salt on the skewed side, right

@@ -271,4 +271,39 @@ object Relational {
       explode(sequence(floorDiv(lo.cast("long")), floorDiv(hi.cast("long") - 1))))
     p.join(iv, "_bin").filter(point >= lo && point < hi).drop("_bin")
   }
+
+  /** Interval-overlap join — the two-sided sibling of `binnedRangeJoin`:
+    * emit every (a, b) pair whose half-open intervals `[aLo, aHi)` and
+    * `[bLo, bHi)` overlap, with BOTH sides data-sized. Same decomposition
+    * (explode each interval to its bins, equi-join on the bin id, residual
+    * `aLo < bHi AND bLo < aHi`), plus the classic canonical-bin dedup: a
+    * pair of overlapping intervals co-occurs in every bin their overlap
+    * spans, so keep only the FIRST such bin — the one holding
+    * `max(aLo, bLo)`, which both explode ranges are guaranteed to cover.
+    * No `distinct` shuffle needed; each qualifying pair survives exactly
+    * once by construction.
+    *
+    * Inputs must have disjoint column names (the join would otherwise
+    * produce ambiguous refs); coordinates integer-typed as in
+    * `binnedRangeJoin`.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aLo: Column, aHi: Column, bLo: Column, bHi: Column,
+                          binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    require(!a.columns.contains("_bin") && !b.columns.contains("_bin"),
+      "inputs must not already have a _bin column")
+    require(a.columns.intersect(b.columns).isEmpty,
+      s"ambiguous columns ${a.columns.intersect(b.columns).mkString(", ")} — " +
+        "rename one side first")
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    def toBins(df: DataFrame, lo: Column, hi: Column): DataFrame =
+      df.withColumn("_bin",
+        explode(sequence(floorDiv(lo.cast("long")), floorDiv(hi.cast("long") - 1))))
+    toBins(a, aLo, aHi).join(toBins(b, bLo, bHi), "_bin")
+      .filter(aLo < bHi && bLo < aHi)
+      .filter(col("_bin") === floorDiv(greatest(aLo.cast("long"), bLo.cast("long"))))
+      .drop("_bin")
+  }
 }

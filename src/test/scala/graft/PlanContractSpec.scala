@@ -54,9 +54,13 @@ class PlanContractSpec extends SparkSpec {
     // decomposition must plan as a hash/sort-merge equi-join on the bin id
     // (broadcast-HASH is fine at tiny SF — still an equi-join), with the
     // residual range predicate as a post-join filter, never a nested loop.
-    val bnl = q("join_range_binned")
-      .collect { case j: BroadcastNestedLoopJoinExec => j }
-    assert(bnl.isEmpty, "join_range_binned plans a BroadcastNestedLoopJoin")
+    // the correlated scalar subquery belongs here too: Catalyst must
+    // DECORRELATE it into aggregate + equi-join, never a per-row rescan
+    Seq("join_range_binned", "join_interval_overlap",
+      "subquery_correlated_scalar").foreach { name =>
+      val bnl = q(name).collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.isEmpty, s"$name plans a BroadcastNestedLoopJoin")
+    }
   }
 
   /** A nested-loop join is tolerable ONLY when its broadcast/build side has

@@ -63,6 +63,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals the naive overlap join, exactly once") {
+    val as = Seq((-300L, -100L, "a0"), (-150L, 60L, "a1"), (0L, 1000L, "a2"),
+      (500L, 501L, "a3"), (2000L, 2600L, "a4")).toDF("alo", "ahi", "atag")
+    val bs = Seq((-200L, -180L, "b0"), (50L, 600L, "b1"), (999L, 2001L, "b2"),
+      (-1000L, 3000L, "b3")).toDF("blo", "bhi", "btag")
+    val naive = as.join(bs, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("atag", "btag").as[(String, String)].collect().sorted.toSeq
+    assert(naive.nonEmpty && naive.distinct == naive)
+    for (w <- Seq(1L, 13L, 250L, 100000L)) {
+      val binned = Relational.intervalOverlapJoin(as, bs,
+          col("alo"), col("ahi"), col("blo"), col("bhi"), binWidth = w)
+        .select("atag", "btag").as[(String, String)].collect().sorted.toSeq
+      assert(binned == naive, s"binWidth=$w: $binned != $naive")
+    }
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
