@@ -21,6 +21,23 @@ object CurateQueries extends Catalog {
        |      ELSE list_sort(list_distinct(list_transform(range(1, len($Toks) - 1),
        |        i -> array_to_string(($Toks)[i : i + 2], ' ')))) END""".stripMargin
 
+  /** Deterministic pseudo-trained weights on the exact 1/64 grid: every
+    * value (k-32)/64 has a finite decimal representation, so the Scala
+    * Double's shortest-round-trip toString parses back to the identical
+    * bits in DuckDB (curate_model_gate).
+    */
+  private val GateW: Seq[Double] =
+    (0 until 64).map(i => ((i * 37 + 11) % 64 - 32) / 64.0)
+  private val GateBias = 0.0625
+  private val GateThreshold = 0.25
+  // ::DOUBLE on BOTH operands: DuckDB otherwise parses the weight literal
+  // as DECIMAL and multiplies on a float/decimal path that rounds
+  // differently at ~1e-8 — with the casts, both engines do IEEE double
+  // multiply-then-add in index order and the scores are bit-identical.
+  private val GateSqlExpr = GateW.zipWithIndex
+    .map { case (w, i) => s"(embedding[${i + 1}]::DOUBLE) * ($w::DOUBLE)" }
+    .mkString(" + ")
+
   val all: Seq[Q] = Seq(
 
     // Deterministic train/val/test split: membership is a pure function of
@@ -214,5 +231,25 @@ object CurateQueries extends Catalog {
              |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
              |  '[0-9]{6,}', '<NUM>', 'g') <> text)::INT::BIGINT AS changed
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Linear-model quality gate (Curate.linearScore): score every vector
+    // with a fixed weight vector — the serving path of a CCNet/fasttext
+    // style quality classifier. Map-side only: weights constant-fold into
+    // the native DotProduct expression, no shuffle, no broadcast, one scan.
+    // Weights are exact 1/64-grid values so their decimal literals
+    // round-trip bit-identically into the oracle SQL, and both engines
+    // accumulate the dot product in index order in double — the score is
+    // hash-compared RAW, with no rounding tolerance.
+    Q("curate_model_gate",
+      (s, dir) => load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Curate.linearScore(col("embedding"), GateW, GateBias).as("score"))
+        .withColumn("kept", col("score") > lit(GateThreshold))
+        .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id, label, score, score > ($GateThreshold::DOUBLE) AS kept
+             |FROM (SELECT vec_id, label,
+             |        ($GateSqlExpr) + ($GateBias::DOUBLE) AS score
+             |      FROM embeddings) t
+             |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -24,6 +24,27 @@ object RelationalQueries extends Catalog {
   private def cents(x: String) = C.format(x)
   private val RevUnits = s"(${cents("l_extendedprice")} * (100 - ${cents("l_discount")}))"
 
+  /** Shared by scd2_history AND scd2_merge_incremental — the merge is
+    * checked against the SAME full-recompute closure (see ops/History).
+    */
+  private val ScdOracleSql =
+    """WITH e AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+      |                  o_orderpriority AS attr_val FROM orders),
+      |m AS (SELECT *, (row_number() OVER w = 1 OR
+      |                 lag(attr_val) OVER w IS DISTINCT FROM attr_val) AS chg
+      |      FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tb)),
+      |r AS (SELECT o_custkey, attr_val, ts AS valid_from, tb FROM m WHERE chg),
+      |f AS (SELECT o_custkey, attr_val, valid_from,
+      |             lead(valid_from) OVER (PARTITION BY o_custkey
+      |               ORDER BY valid_from, tb) AS valid_to
+      |      FROM r)
+      |SELECT o_custkey, attr_val,
+      |       epoch(date_trunc('second', valid_from))::BIGINT AS vf,
+      |       epoch(date_trunc('second', valid_to))::BIGINT AS vt,
+      |       valid_to IS NULL AS is_current
+      |FROM f
+      |ORDER BY o_custkey, vf, vt NULLS FIRST, attr_val""".stripMargin
+
   /** Flagship: revenue per region — scan → 4 joins (dims broadcast) → agg →
     * sort. The plan to check at scale: lineitem never shuffles until the
     * final groupBy on 5 region names; AQE coalesces the tiny aggregate.
@@ -351,6 +372,46 @@ object RelationalQueries extends Catalog {
              |TRUE AS approx_ok
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Incremental aggregate maintenance (ops/IncrAgg): orders arrive as 3
+    // disjoint batches; each batch contributes only mergeable PARTIALS
+    // (count/sum/min/max + an HLL distinct sketch), and the final answer is
+    // derived from the merged state alone — the oracle is the full
+    // single-pass recompute, so the hash match proves the merge algebra is
+    // lossless for the algebraic aggregates, and the HLL estimate carries a
+    // tolerance verdict (same pattern as agg_approx_distinct). At 100 TB
+    // this is the difference between re-scanning the corpus per run and
+    // shuffling a state table of groups × batches rows.
+    Q("agg_incremental_state",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val state = (0 until 3).map { b =>
+          graft.ops.IncrAgg.partialState(
+            o.filter(pmod(col("o_orderkey"), lit(3)) === b),
+            Seq("o_orderstatus"), Exact.cents(col("o_totalprice")),
+            col("o_custkey"))
+        }.reduce(_ unionByName _)
+        val merged = graft.ops.IncrAgg.mergeState(state, Seq("o_orderstatus"))
+        val exact = o.groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        merged.join(exact, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("cnt"),
+            Exact.dollars(col("sum_v")).as("sum_price"),
+            Exact.dollars(col("min_v")).as("min_price"),
+            Exact.dollars(col("max_v")).as("max_price"),
+            col("n_cust"),
+            (abs(col("approx_distinct") - col("n_cust")) <=
+              lit(3 * 0.016) * col("n_cust")).as("approx_ok"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+             |sum(p)::DOUBLE / 100.0 AS sum_price,
+             |min(p)::DOUBLE / 100.0 AS min_price,
+             |max(p)::DOUBLE / 100.0 AS max_price,
+             |count(DISTINCT o_custkey) AS n_cust, TRUE AS approx_ok
+             |FROM (SELECT o_orderstatus, o_custkey, ${cents("o_totalprice")} AS p
+             |      FROM orders) t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Same verifiable-approximation pattern as agg_approx_distinct, for the
     // OTHER workhorse sketch: grouped approx_percentile (KLL-style rank
     // sketch) next to the exact nearest-rank value, with a tolerance verdict
@@ -598,6 +659,55 @@ object RelationalQueries extends Catalog {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / 100.0
              |    AS running_total
              |FROM orders ORDER BY o_orderstatus, o_orderdate, o_orderkey""".stripMargin)),
+
+    // SCD type-2 dimension history (ops/History): per customer, collapse
+    // the order-priority change log into versioned rows with validity
+    // intervals. All shuffles keyed on o_custkey — one window marks run
+    // starts (a run's first event IS its version row; no groupBy), one
+    // chains valid_to. (o_orderdate, o_orderkey) is the per-key total
+    // order; same-date ties exist in the data, so the tiebreak is
+    // load-bearing on both sides.
+    Q("scd2_history",
+      (s, dir) => {
+        val h = graft.ops.History.scd2FromEvents(load(s, dir, "orders"),
+          Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        h.select(col("o_custkey"), col("attr_val"),
+            unix_timestamp(col("valid_from")).as("vf"),
+            unix_timestamp(col("valid_to")).as("vt"),
+            col("is_current"))
+          .orderBy(col("o_custkey"), col("vf"),
+            col("vt").asc_nulls_first, col("attr_val"))
+      },
+      Some(ScdOracleSql)),
+
+    // Incremental SCD2 merge, proven against the full-recompute closure:
+    // history is built from pre-cutoff orders, the post-cutoff orders
+    // arrive as a batch, and scd2Merge's output hash-matches the one-shot
+    // history over ALL orders (the SAME oracle SQL as scd2_history). The
+    // merge reprocesses only batch keys — closed rows pass through, the
+    // current row collapses to a seed so an unchanged attr extends its run
+    // — O(batch + touched history), never O(dimension).
+    Q("scd2_merge_incremental",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val cutoff = "2000-06-01"
+        val hist = graft.ops.History.scd2FromEvents(
+          o.filter(col("o_orderdate") < lit(cutoff)),
+          Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        val merged = graft.ops.History.scd2Merge(hist,
+          o.filter(col("o_orderdate") >= lit(cutoff)),
+          Seq("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_orderpriority"))
+        merged.select(col("o_custkey"), col("attr_val"),
+            unix_timestamp(col("valid_from")).as("vf"),
+            unix_timestamp(col("valid_to")).as("vt"),
+            col("is_current"))
+          .orderBy(col("o_custkey"), col("vf"),
+            col("vt").asc_nulls_first, col("attr_val"))
+      },
+      Some(ScdOracleSql)),
 
     Q("set_union_all",
       (s, dir) => {

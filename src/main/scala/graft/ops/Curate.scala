@@ -126,6 +126,23 @@ object Curate {
             .otherwise(floor(x.cast("double") * 127.0 / scale.cast("double"))
               .cast("int"))).as("q")))
 
+  /** Linear-model scoring over an embedding/feature column — the serving
+    * half of a fasttext-style quality classifier (score = w·x + b, gate at
+    * a threshold), which is how production corpora are quality-filtered at
+    * scale (CCNet-style: train tiny linear model offline, score every
+    * document online). The weight vector folds to ONE array literal
+    * (ConstantFolding), so scoring is a broadcast-free, shuffle-free,
+    * map-side `DotProduct` — the native codegen expression shared with the
+    * ANN operators — i.e. the 100 TB cost is exactly one corpus scan.
+    *
+    * Determinism contract: `DotProduct` accumulates a_i·w_i in index order
+    * in DOUBLE, so an oracle that writes the same left-associated sum is
+    * bit-identical — no rounding tolerance needed.
+    */
+  def linearScore(features: Column, weights: Seq[Double], bias: Double): Column =
+    graft.functions.ArrayMath.dotNative(features,
+      array(weights.map(lit): _*)) + lit(bias)
+
   /** PII redaction: mask email-like tokens and long digit runs — the
     * narrow scrubbing pass that runs before anything persists raw text.
     * Pure `regexp_replace` (codegen'd, no UDF); patterns deliberately use

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: a materialized PARTIAL-aggregate
+  * state table that new ingest batches append to, so running totals never
+  * rescan history.
+  *
+  * Reference analogue: the run-over-run metric recompute — every scheduled
+  * run re-derives its table counts from scratch (`etl/pipeline.py:281-284`).
+  * At reference scale that is free; over a 100 TB, append-mostly corpus a
+  * full re-aggregation per run IS the cost of the pipeline. The classic fix
+  * (Gray et al., "Data Cube", and every incremental-view-maintenance
+  * paper since) is to keep ALGEBRAIC partials — (count, sum, min, max) and
+  * a MERGEABLE sketch for the non-algebraic distinct-count — per group per
+  * batch, because each admits an associative merge:
+  *
+  *   cnt = Σ p_cnt    sum = Σ p_sum    min = min(p_min)   max = max(p_max)
+  *   distinct ≈ estimate(union(p_hll…))   (DataSketches HLL, Spark 3.5+
+  *   `hll_sketch_agg`/`hll_union_agg` — union is lossless over sketches)
+  *
+  * Scale shape: a new batch shuffles ONLY its own rows (one groupBy on the
+  * batch); the merge shuffles ONLY the state table (groups × batches rows —
+  * e.g. 10⁶ groups × 10³ batches ≪ the raw corpus); raw history is never
+  * re-read. State lives under `batch=<id>/` dirs — the same idempotent
+  * overwrite-own-dir replay contract as the streaming dedup state
+  * (`streaming/StreamOps.scala`), and `foldState` is the maintenance pass
+  * that collapses accumulated batch partials back to one partial per group
+  * (HLL union WITHOUT estimating — sketches stay mergeable after folding).
+  */
+object IncrAgg {
+
+  /** lgK for the HLL sketches: 2^12 registers → RSE ≈ 1.04/√4096 ≈ 1.6%,
+    * 2-4 KB per group — the standard accuracy/size point.
+    */
+  val DefaultLgK = 12
+
+  private def keyCols(keys: Seq[String]): Seq[Column] = keys.map(col)
+
+  /** Mergeable partial-aggregate state for ONE ingest batch.
+    * `value` must already be exact-integer scaled (`Exact.cents` et al —
+    * SURVEY §7.4 float-determinism rule) so partial sums merge exactly.
+    * Output: keys…, p_cnt, p_sum, p_min, p_max, p_hll(binary).
+    */
+  def partialState(batch: DataFrame, keys: Seq[String], value: Column,
+                   distinctOver: Column, lgK: Int = DefaultLgK): DataFrame =
+    batch
+      .select(keyCols(keys) :+ value.as("_v") :+ distinctOver.as("_d"): _*)
+      .groupBy(keyCols(keys): _*)
+      .agg(count(lit(1)).as("p_cnt"),
+        sum(col("_v")).as("p_sum"),
+        min(col("_v")).as("p_min"),
+        max(col("_v")).as("p_max"),
+        hll_sketch_agg(col("_d"), lgK).as("p_hll"))
+
+  /** Final aggregates from any number of per-batch partials (a union of
+    * `partialState` frames or `readState`). One shuffle over the STATE
+    * table only. Output: keys…, cnt, sum_v, min_v, max_v, approx_distinct.
+    */
+  def mergeState(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.groupBy(keyCols(keys): _*)
+      .agg(sum(col("p_cnt")).as("cnt"),
+        sum(col("p_sum")).as("sum_v"),
+        min(col("p_min")).as("min_v"),
+        max(col("p_max")).as("max_v"),
+        hll_sketch_estimate(hll_union_agg(col("p_hll"))).as("approx_distinct"))
+
+  /** Append one batch's partials under `root/batch=<id>/`. Overwriting
+    * exactly its own dir makes crash replay idempotent by construction
+    * (same contract as the streaming dedup state dirs).
+    */
+  def writeState(state: DataFrame, root: String, batchId: Long): Unit =
+    state.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+
+  /** All stored partials; the inferred `batch` partition column is dropped
+    * (merge treats every batch alike).
+    */
+  def readState(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root).drop("batch")
+
+  /** Maintenance: collapse all stored batch partials into ONE partial per
+    * group, rewritten as `batch=0`. Partials stay partials — counts/sums
+    * re-sum, HLL sketches union WITHOUT estimating — so the folded state
+    * merges identically and future batches keep appending. Bounds the
+    * merge input at O(groups) no matter how many batches accumulated.
+    * Crash contract (resumable, not atomic): the folded partials are fully
+    * committed to a dot-prefixed staging dir (invisible to readers) BEFORE
+    * any batch dir is touched; a crash during the swap is repaired by
+    * calling `foldState` again — it detects the committed staging and
+    * resumes the swap without recomputing, so state is never lost and
+    * never double-counted once the fold completes.
+    */
+  def foldState(spark: SparkSession, root: String, keys: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(root + "/.fold_staging")
+    val committed = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      val folded = readState(spark, root)
+        .groupBy(keyCols(keys): _*)
+        .agg(sum(col("p_cnt")).as("p_cnt"),
+          sum(col("p_sum")).as("p_sum"),
+          min(col("p_min")).as("p_min"),
+          max(col("p_max")).as("p_max"),
+          hll_union_agg(col("p_hll")).as("p_hll"))
+      folded.write.mode("overwrite").parquet(staging.toString)
+    }
+    fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.rename(staging, new org.apache.hadoop.fs.Path(root + "/batch=0"))
+    ()
+  }
+}

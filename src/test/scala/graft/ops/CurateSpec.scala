@@ -121,4 +121,16 @@ class CurateSpec extends SparkSpec {
       .toDF("text").select(Curate.redactPii(col("text"))).as[String].head()
     assert(out == "contact me at <EMAIL> or call <NUM> ext 42")
   }
+
+  test("linearScore is the exact index-order double dot product plus bias") {
+    val df = Seq((1L, Array(0.5f, -1.25f, 2.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Seq(0.25, 0.5, -0.125)
+    val got = df.select(col("vec_id"),
+        Curate.linearScore(col("embedding"), w, bias = 0.0625).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val expect1 = ((0.5 * 0.25) + (-1.25 * 0.5)) + (2.0 * -0.125) + 0.0625
+    assert(got(1L) == expect1)        // bit-exact, no tolerance
+    assert(got(2L) == 0.0625)
+  }
 }
