@@ -412,6 +412,28 @@ object RelationalQueries extends Catalog {
              |      FROM orders) t
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Steady-state twin: the 16-batch partial state is PREWARMED
+    // (StoredIndexes.aggState), so the timed region is mergeState over
+    // groups × batches partial rows — no orders scan at all. The oracle is
+    // still the full recompute, so the hash match ALSO proves the stored
+    // state is faithful end-to-end. (The HLL verdict lives on the rebuild
+    // sibling, whose Spark side can afford the exact countDistinct.)
+    Q("agg_incremental_state_stored",
+      (s, dir) => graft.ops.IncrAgg
+        .mergeState(StoredIndexes.aggState(s, dir), Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("cnt"),
+          Exact.dollars(col("sum_v")).as("sum_price"),
+          Exact.dollars(col("min_v")).as("min_price"),
+          Exact.dollars(col("max_v")).as("max_price"))
+        .orderBy(col("o_orderstatus")),
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+             |sum(p)::DOUBLE / 100.0 AS sum_price,
+             |min(p)::DOUBLE / 100.0 AS min_price,
+             |max(p)::DOUBLE / 100.0 AS max_price
+             |FROM (SELECT o_orderstatus, ${cents("o_totalprice")} AS p
+             |      FROM orders) t
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Same verifiable-approximation pattern as agg_approx_distinct, for the
     // OTHER workhorse sketch: grouped approx_percentile (KLL-style rank
     // sketch) next to the exact nearest-rank value, with a tolerance verdict

@@ -143,6 +143,30 @@ object StoredIndexes {
       Seq(s.read.parquet(d).persist(mem))
     }).head
 
+  /** Stored partial-aggregate state (`ops/IncrAgg`) over `dir`'s orders:
+    * 16 ingest batches' mergeable partials, built in ONE scan (the batch
+    * id rides along as an extra grouping key) and written
+    * batch-partitioned — the table an incremental-aggregation loop
+    * maintains. The `agg_incremental_state_stored` twin then times ONLY
+    * `mergeState` over these groups × batches rows; its rebuild sibling
+    * (`agg_incremental_state`) necessarily re-derives partials from raw
+    * orders so the oracle can replay construction.
+    */
+  def aggState(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|aggstate", _ => {
+      val d = newTempDir("graft-aggstate-")
+      graft.ops.IncrAgg.partialState(
+          load(s, dir, "orders")
+            .withColumn("_b", pmod(col("o_orderkey"), lit(16))),
+          Seq("_b", "o_orderstatus"),
+          graft.ops.Exact.cents(col("o_totalprice")), col("o_custkey"))
+        .withColumnRenamed("_b", "batch")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch").parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(graft.ops.IncrAgg.readState(s, d).persist(mem))
+    }).head
+
   /** Force all stored-state builds and warm the read-back frames — the
     * bench warmup hook that keeps the timed `*_indexed` queries probe-only.
     */
@@ -151,6 +175,7 @@ object StoredIndexes {
     val (n, c) = cosine(s, dir); n.count(); c.count()
     clusterLabels(s, dir).count()
     ivf(s, dir)._1.count()
+    aggState(s, dir).count()
     // run (and memoize) the geometry pre-flights too — the timed probes
     // then start straight at candidate generation, like an ingest loop's
     // steady-state iterations after its first batch

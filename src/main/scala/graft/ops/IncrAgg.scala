@@ -90,15 +90,34 @@ object IncrAgg {
     * calling `foldState` again — it detects the committed staging and
     * resumes the swap without recomputing, so state is never lost and
     * never double-counted once the fold completes.
+    *
+    * `before` bounds which batches fold: only dirs with id < `before` are
+    * collapsed. A streaming sink folding mid-batch passes its OWN batch id
+    * so the in-flight dir is never absorbed — otherwise a crash after the
+    * fold but before the checkpoint commit would replay the batch into a
+    * fresh dir while its rows also live inside the folded partial,
+    * double-counting them. (Same in-flight-exclusion rule as the dedup
+    * sink's delta fold, but load-bearing here: duplicated aggregate rows
+    * are corruption, not just wasted probe work.)
     */
-  def foldState(spark: SparkSession, root: String, keys: Seq[String]): Unit = {
+  def foldState(spark: SparkSession, root: String, keys: Seq[String],
+                before: Long = Long.MaxValue): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
+    def foldable() = fs.listStatus(rootPath).filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.startsWith("batch=") &&
+        n.stripPrefix("batch=").forall(_.isDigit) &&
+        n.stripPrefix("batch=").toLong < before
+    }
     val staging = new org.apache.hadoop.fs.Path(root + "/.fold_staging")
     val committed = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
     if (!fs.exists(committed)) {
-      val folded = readState(spark, root)
+      val dirs = foldable()
+      if (dirs.length <= 1) return // nothing to collapse
+      val folded = spark.read.option("basePath", root)
+        .parquet(dirs.map(_.getPath.toString): _*)
         .groupBy(keyCols(keys): _*)
         .agg(sum(col("p_cnt")).as("p_cnt"),
           sum(col("p_sum")).as("p_sum"),
@@ -107,9 +126,7 @@ object IncrAgg {
           hll_union_agg(col("p_hll")).as("p_hll"))
       folded.write.mode("overwrite").parquet(staging.toString)
     }
-    fs.listStatus(rootPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .foreach(s => fs.delete(s.getPath, true))
+    foldable().foreach(s => fs.delete(s.getPath, true))
     fs.rename(staging, new org.apache.hadoop.fs.Path(root + "/batch=0"))
     ()
   }

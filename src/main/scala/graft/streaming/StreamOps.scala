@@ -466,4 +466,54 @@ object StreamOps {
       graft.etl.Load.compactPartitioned(spark, root)
     ()
   }
+
+  /** Streaming incremental aggregate maintenance (the live form of
+    * `ops/IncrAgg`): every micro-batch lands ONLY its mergeable partials
+    * (count/sum/min/max + HLL distinct sketch per group) under
+    * `stateRoot/batch=<id>/`, so exact running aggregates are one
+    * `IncrAgg.mergeState(IncrAgg.readState(...))` away at any moment —
+    * over a state table of groups × batches rows, never the raw stream
+    * history. The in-loop fold keeps that table bounded: once `foldEvery`
+    * PRIOR batch dirs accumulate they collapse to one partial per group.
+    *
+    * Exactly-once: the partial write overwrites exactly its own
+    * `batch=<id>` dir, and the fold passes the in-flight batch id as its
+    * exclusive upper bound (`IncrAgg.foldState(before = id)`) — see the
+    * fold's scaladoc for why absorbing the in-flight batch would let a
+    * crash-replay double-count it.
+    */
+  def incrementalAggSink(rows: DataFrame, stateRoot: String,
+                         checkpoint: String, keys: Seq[String],
+                         value: org.apache.spark.sql.Column,
+                         distinctOver: org.apache.spark.sql.Column,
+                         foldEvery: Int = 8): DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        aggStateBatch(batch, id, stateRoot, keys, value, distinctOver, foldEvery)
+      }
+
+  /** One micro-batch of `incrementalAggSink`, public for direct testing
+    * (and the crash-replay entry point: re-running the last uncommitted
+    * batch id must leave state equivalent).
+    */
+  def aggStateBatch(batch: DataFrame, batchId: Long, stateRoot: String,
+                    keys: Seq[String], value: org.apache.spark.sql.Column,
+                    distinctOver: org.apache.spark.sql.Column,
+                    foldEvery: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.IncrAgg.writeState(
+      graft.ops.IncrAgg.partialState(batch, keys, value, distinctOver),
+      stateRoot, batchId)
+    val fs = graft.etl.Load.fsFor(spark, stateRoot)
+    val prior = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+      .count { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.startsWith("batch=") &&
+          n.stripPrefix("batch=").forall(_.isDigit) &&
+          n.stripPrefix("batch=").toLong < batchId
+      }
+    if (prior >= foldEvery)
+      graft.ops.IncrAgg.foldState(spark, stateRoot, keys, before = batchId)
+  }
 }

@@ -70,6 +70,19 @@ class IncrAggSpec extends SparkSpec {
       direct(b0 ++ b1 ++ b2).toSeq)
   }
 
+  test("foldState(before) folds only earlier batches — the in-flight dir survives") {
+    val root = tmpDir("incragg_before")
+    IncrAgg.writeState(partial(b0), root, 0L)
+    IncrAgg.writeState(partial(b1), root, 1L)
+    IncrAgg.writeState(partial(b2), root, 5L)
+    IncrAgg.foldState(spark, root, Seq("grp"), before = 5L)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(dirs.toSeq == Seq("batch=0", "batch=5"))
+    assert(mergedOf(IncrAgg.readState(spark, root)).toSeq ==
+      direct(b0 ++ b1 ++ b2).toSeq)
+  }
+
   test("foldState resumes from committed staging without losing state") {
     val root = tmpDir("incragg_resume")
     IncrAgg.writeState(partial(b0), root, 0L)

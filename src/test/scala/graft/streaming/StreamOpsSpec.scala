@@ -403,6 +403,59 @@ class StreamOpsSpec extends SparkSpec {
     assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
   }
 
+  test("incrementalAggSink: partials per micro-batch, fold cadence, replay-idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("agg-src")
+    val state = tmpDir("agg-state")
+    val ckpt = tmpDir("agg-ckpt")
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    def doc(id: Long, lang: String, text: String) =
+      s"""{"doc_id":$id,"lang":"$lang","text":"$text"}"""
+    writeFile("b1.json", Seq(doc(1, "en", "aa bb"), doc(2, "de", "cc")))
+    writeFile("b2.json", Seq(doc(3, "en", "dd ee ff"), doc(2, "de", "cc")))
+    writeFile("b3.json", Seq(doc(4, "fr", "gg"), doc(5, "en", "hh")))
+    def runOnce(): Unit = {
+      val q = StreamOps.incrementalAggSink(
+        StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+        state, ckpt, Seq("lang"), length(col("text")).cast("long"),
+        col("doc_id"), foldEvery = 2)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+    }
+    runOnce()
+    def merged: Map[String, (Long, Long, Long, Long, Long)] =
+      graft.ops.IncrAgg.mergeState(graft.ops.IncrAgg.readState(spark, state), Seq("lang"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // en: docs 1(5),3(8),5(2); de: doc 2 twice(2,2); fr: doc 4(2)
+    val expect = Map(
+      "en" -> ((3L, 15L, 2L, 8L, 3L)),
+      "de" -> ((2L, 4L, 2L, 2L, 1L)),
+      "fr" -> ((1L, 2L, 2L, 2L, 1L)))
+    assert(merged == expect)
+    // fold cadence (foldEvery=2) collapsed prior batches: fewer batch dirs
+    // than micro-batches, and the in-flight batch dir survived the fold
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.length < 3 && dirs.contains("batch=0"))
+    // crash-replay: re-run the LAST batch id by hand — totals unchanged
+    // (own-dir overwrite + the fold never absorbed the in-flight batch)
+    val lastId = dirs.map(_.stripPrefix("batch=").toLong).max
+    val b3 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b3.json")
+    StreamOps.aggStateBatch(b3, lastId, state, Seq("lang"),
+      length(col("text")).cast("long"), col("doc_id"), foldEvery = 2)
+    assert(merged == expect)
+    // restart with a fourth file: checkpoint resumes, totals extend
+    writeFile("b4.json", Seq(doc(6, "en", "ii jj kk")))
+    runOnce()
+    assert(merged("en") == ((4L, 23L, 2L, 8L, 4L)))
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
