@@ -795,6 +795,38 @@ object RelationalQueries extends Catalog {
              |  UNION ALL SELECT * FROM updates) t
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Change-data capture by snapshot diff (Relational.snapshotDiff): two
+    // synthetic snapshots of orders — keys leave (% 2 side only), arrive
+    // (% 3 side only), change (% 18 gets a price bump) or stay identical
+    // (dropped). ONE keyed full-outer shuffle; unchanged rows die on the
+    // join's own filter. The oracle replays insert/update/delete
+    // classification with IS DISTINCT FROM — per-row, not just counts.
+    Q("cdc_snapshot_diff",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val oldSnap = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("v"))
+        val newSnap = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") +
+            when(col("o_orderkey") % 18 === 0, 1000.0).otherwise(0.0)).as("v"))
+        Relational.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("v"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |         o.v AS old_v, n.v AS new_v,
+             |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+             |              WHEN n.o_orderkey IS NULL THEN 'delete'
+             |              WHEN o.v IS DISTINCT FROM n.v THEN 'update' END AS change
+             |  FROM (SELECT o_orderkey, o_totalprice AS v FROM orders
+             |        WHERE o_orderkey % 2 = 0) o
+             |  FULL JOIN (SELECT o_orderkey, o_totalprice +
+             |               CASE WHEN o_orderkey % 18 = 0 THEN 1000.0 ELSE 0.0 END AS v
+             |             FROM orders WHERE o_orderkey % 3 = 0) n
+             |  ON o.o_orderkey = n.o_orderkey) t
+             |WHERE change IS NOT NULL
+             |ORDER BY o_orderkey""".stripMargin)),
+
     Q("sink_lineage_cols",
       (s, dir) => load(s, dir, "region")
         .withColumn("_etl_run_id", lit("run_00000001"))

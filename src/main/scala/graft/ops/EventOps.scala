@@ -79,4 +79,41 @@ object EventOps {
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0, EventTypes)
+
+  /** Funnel analysis: how many users performed `steps` IN ORDER, each step
+    * within `gapSeconds` of the previous step's completion. A user's step-i
+    * time is the EARLIEST qualifying occurrence after their step-(i-1)
+    * time — the standard product-analytics definition (first touch, strict
+    * progression).
+    *
+    * Plan shape: one keyed min-aggregate anchors the first step, then each
+    * later step is an equi-join on user_id + a time-window filter +
+    * another keyed min — every shuffle is on user_id, each stage's frame
+    * only SHRINKS, and the final per-step counts are map-side partial
+    * counts of those shrunken frames. No windows over the event stream, no
+    * per-user event sorting — at 100 TB the events table is scanned once
+    * per step with the type filter pushed to the parquet reader.
+    * Timestamps compare as epoch SECONDS (`unix_timestamp`) so the oracle
+    * replays the arithmetic exactly.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+             gapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("_t"), col("event_type"))
+    val anchor = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("_t")).as("_tp"))
+    val reached = steps.tail.scanLeft(anchor) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("_tp")), "user_id")
+        .filter(col("_t") > col("_tp") &&
+          col("_t") <= col("_tp") + lit(gapSeconds))
+        .groupBy(col("user_id")).agg(min(col("_t")).as("_tp"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit((i + 1).toLong).as("step_idx"),
+          col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("step_idx"))
+  }
 }

@@ -89,11 +89,27 @@ object History {
     // Seed _tb below any real tiebreak: the seed's _ts (= current
     // valid_from) already sorts before every batch event per the
     // append-only contract, so the seed only needs to win same-frame ties.
-    val seed = touched.filter(col("is_current"))
+    val current = touched.filter(col("is_current"))
+    val seed = current
       .select(keys.map(col) :+ col("valid_from").as("_ts") :+
         lit(null).cast(ev.schema("_tb").dataType).as("_tb") :+
         col("attr_val"): _*)
-    val merged = collapse(seed.unionByName(ev), keys)
+    // Replay guard: drop batch events STRICTLY BEFORE the key's current
+    // valid_from — they are already reflected in the closed rows, and
+    // re-collapsing them against the seed would re-emit closed versions as
+    // duplicates. This makes a crash-replay of an already-merged batch
+    // idempotent (the one unsupported corner: an attr CHANGE at exactly
+    // the current valid_from's timestamp replayed across the boundary —
+    // give events unique, increasing timestamps per key and it cannot
+    // arise). Events at or after valid_from re-collapse into the seed's
+    // run with no effect. One extra keyed join against the (small)
+    // current-row set.
+    val evKept = ev.join(
+        current.select(keys.map(col) :+ col("valid_from").as("_seed_ts"): _*),
+        keys, "left_outer")
+      .filter(col("_seed_ts").isNull || col("_ts") >= col("_seed_ts"))
+      .drop("_seed_ts")
+    val merged = collapse(seed.unionByName(evKept), keys)
     untouched.unionByName(closed).unionByName(merged)
   }
 

@@ -44,6 +44,38 @@ object Relational {
   def firstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
     topKPerGroup(df, keys.map(col), orderCols, 1).drop("rn")
 
+  /** Change-data capture by snapshot diff: given two snapshots of a keyed
+    * table, emit each key's transition — `insert` (new only), `delete` (old
+    * only), `update` (both, any compared column differs, null-safely) —
+    * and DROP unchanged keys. Output: keys…, old_<c>/new_<c> per compared
+    * column, change.
+    *
+    * The reference re-extracts and fully rewrites every table per run
+    * (`etl/pipeline.py:246-262`), so "what changed since yesterday" is
+    * unanswerable there; at 100 TB the diff IS the deliverable (downstream
+    * consumers want the delta, not the snapshot). Plan shape: ONE keyed
+    * full-outer shuffle join; the unchanged-row filter sits directly on it,
+    * so nothing unchanged survives to downstream operators. Presence is
+    * detected via constant marker columns, not key nullness — a null
+    * compared value must not masquerade as absence.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+                   compare: Seq[String]): DataFrame = {
+    val oldP = oldSnap.select(keys.map(col) ++
+      compare.map(c => col(c).as(s"old_$c")) :+ lit(true).as("_in_old"): _*)
+    val newP = newSnap.select(keys.map(col) ++
+      compare.map(c => col(c).as(s"new_$c")) :+ lit(true).as("_in_new"): _*)
+    val changed = compare.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    oldP.join(newP, keys, "full_outer")
+      .withColumn("change",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("change").isNotNull)
+      .drop("_in_old", "_in_new")
+  }
+
   /** Bucket rows of `fact` by a range (theta) join against a tiny `buckets`
     * relation `(name, lo, hi)` — plans as BroadcastNestedLoopJoin, which is
     * exactly right when the build side is a handful of rows (SURVEY J5).

@@ -516,4 +516,24 @@ object StreamOps {
     if (prior >= foldEvery)
       graft.ops.IncrAgg.foldState(spark, stateRoot, keys, before = batchId)
   }
+
+  /** Streaming SCD2 maintenance: every micro-batch of change events merges
+    * into the stored, key-hash-bucketed history via
+    * `History.scd2MergeStored` — per trigger, only the buckets the batch
+    * touches are read and rewritten. Crash-replay is idempotent through
+    * `scd2Merge`'s replay guard (events before a key's current valid_from
+    * are already reflected and get dropped), so the usual
+    * foreachBatch replay semantics hold without extra bookkeeping.
+    */
+  def scd2Sink(rows: DataFrame, root: String, checkpoint: String,
+               keys: Seq[String], ts: org.apache.spark.sql.Column,
+               tiebreak: org.apache.spark.sql.Column,
+               attr: org.apache.spark.sql.Column,
+               nParts: Int = 64): DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.History.scd2MergeStored(batch.sparkSession, root, batch,
+          keys, ts, tiebreak, attr, nParts)
+      }
 }

@@ -79,6 +79,42 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies insert/update/delete, drops unchanged, null-safe values") {
+    val oldSnap = Seq(
+      (1L, Some(10.0)),   // unchanged → dropped
+      (2L, Some(20.0)),   // value changes → update
+      (3L, Some(30.0)),   // gone → delete
+      (4L, None),         // null → value appears → update (null-safe)
+      (5L, None)          // null → null → unchanged, dropped
+    ).toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Some(10.0)), (2L, Some(25.0)), (4L, Some(40.0)), (5L, None),
+      (6L, Some(60.0))  // new key → insert
+    ).toDF("k", "v")
+    val got = Relational.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "update", 3L -> "delete", 4L -> "update",
+      6L -> "insert"))
+  }
+
+  test("funnel: strict progression, inclusive gap edge, exclusive same-instant") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1 completes: signup@100, view@200 (within gap), click@200+300=500
+      (1L, ts(100), "signup"), (1L, ts(200), "view"), (1L, ts(500), "click"),
+      // u2: view at the EXACT gap edge (100+300) → included; click at the
+      // SAME instant as its view → excluded (strict >)
+      (2L, ts(100), "signup"), (2L, ts(400), "view"), (2L, ts(400), "click"),
+      // u3: view BEFORE signup only → never progresses
+      (3L, ts(100), "signup"), (3L, ts(50), "view"),
+      // u4: view beyond the gap → drops at step 2
+      (4L, ts(100), "signup"), (4L, ts(401), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventOps.funnel(events, Seq("signup", "view", "click"), 300L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("signup", 1L, 4L), ("view", 2L, 2L), ("click", 3L, 1L)))
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")

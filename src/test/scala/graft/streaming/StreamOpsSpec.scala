@@ -456,6 +456,54 @@ class StreamOpsSpec extends SparkSpec {
     assert(merged("en") == ((4L, 23L, 2L, 8L, 4L)))
   }
 
+  test("scd2Sink: streamed batches maintain bucketed history; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.History
+    val src = tmpDir("scd2-src")
+    val root = tmpDir("scd2-root") + "/hist"
+    val ckpt = tmpDir("scd2-ckpt")
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      s"""{"event_id":$id,"ts":"$t","user_id":$u,"event_type":"$typ","value":0.0,"props":"{}"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    writeFile("b1.json", Seq(
+      ev(1, "2026-01-01T00:00:00Z", 1, "trial"),
+      ev(2, "2026-01-02T00:00:00Z", 1, "trial")))
+    writeFile("b2.json", Seq(
+      ev(3, "2026-01-03T00:00:00Z", 1, "paid"),
+      ev(4, "2026-01-01T00:00:00Z", 2, "trial")))
+    val q = StreamOps.scd2Sink(
+      StreamOps.readEventStream(spark, src, maxFilesPerTrigger = Some(1)),
+      root, ckpt, Seq("user_id"), col("ts"), col("event_id"),
+      col("event_type"), nParts = 4)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    def rowsOf(df: DataFrame): Set[(Long, String, Long, Option[Long], Boolean)] =
+      df.select(col("user_id"), col("attr_val"),
+          unix_timestamp(col("valid_from")).as("vf"),
+          unix_timestamp(col("valid_to")).as("vt"), col("is_current"))
+        .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    val full = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING").json(src)
+    val expect = rowsOf(History.scd2FromEvents(full, Seq("user_id"),
+      col("ts"), col("event_id"), col("event_type")))
+    assert(rowsOf(History.readScd2Stored(spark, root)) == expect)
+
+    // crash-replay of the LAST micro-batch: the replay guard drops
+    // already-reflected events, so the stored history is unchanged
+    val b2 = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING").json(s"$src/b2.json")
+    History.scd2MergeStored(spark, root, b2, Seq("user_id"), col("ts"),
+      col("event_id"), col("event_type"), nParts = 4)
+    assert(rowsOf(History.readScd2Stored(spark, root)) == expect)
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
