@@ -160,6 +160,39 @@ object FunctionQueries extends Catalog {
              |  UNION ALL SELECT 'purchase', 4::BIGINT, count(*) FROM s3) t
              |ORDER BY step_idx""".stripMargin)),
 
+    // Cohort retention (EventOps.cohortRetention): users bucketed by the
+    // UTC week of their first signup, counted as retained in week k if
+    // any event lands in cohort-week + k. Week arithmetic is exact epoch
+    // math on week-truncated timestamps — both engines truncate to Monday.
+    Q("cohort_retention",
+      (s, dir) => EventOps.cohortRetention(load(s, dir, "events"),
+        "signup", maxWeeks = 8),
+      Some("""WITH c AS (SELECT user_id,
+             |    min(epoch(date_trunc('second', date_trunc('week', ts))))::BIGINT AS cohort_week
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |a AS (SELECT e.user_id,
+             |    epoch(date_trunc('second', date_trunc('week', e.ts)))::BIGINT AS w,
+             |    c.cohort_week
+             |  FROM events e JOIN c USING (user_id))
+             |SELECT cohort_week, (w - cohort_week) // 604800 AS week_k,
+             |       count(DISTINCT user_id) AS n_users
+             |FROM a WHERE w >= cohort_week AND (w - cohort_week) // 604800 <= 8
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Event-type transition counts (EventOps.transitions): the path-
+    // analysis primitive — consecutive per-user event pairs under the
+    // total (ts, event_id) order. The only non-map work is the per-user
+    // window sort, bounded by one user's history.
+    Q("event_transitions",
+      (s, dir) => EventOps.transitions(load(s, dir, "events")),
+      Some("""SELECT from_type, to_type, count(*) AS n FROM (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS from_type,
+             |         event_type AS to_type
+             |  FROM events) t
+             |WHERE from_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("window_sliding",
       (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type")),

@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Exact, Relational, Sketch}
+import graft.ops.{Exact, Quality, Relational, Sketch}
 import graft.tables.Tables.load
 
 /** The relational query surface: scans, filters, projections, the full join
@@ -433,6 +433,53 @@ object RelationalQueries extends Catalog {
              |FROM (SELECT o_orderstatus, ${cents("o_totalprice")} AS p
              |      FROM orders) t
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Data-quality constraint report (ops/Quality): null/range rules run
+    // in ONE aggregate scan per table regardless of rule count, key
+    // uniqueness is one keyed aggregate, referential integrity one
+    // anti-join. Two rules fail thousands of rows on this data (price cap,
+    // quantity band), so the counts — not just the zeros — are
+    // hash-checked.
+    Q("quality_checks",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val li = load(s, dir, "lineitem")
+        val cust = load(s, dir, "customer")
+        Quality.rowChecks(o, Seq(
+            "orders_custkey_null" -> col("o_custkey").isNull,
+            "orders_price_over_400k" -> (col("o_totalprice") > 400000.0)))
+          .unionByName(Quality.rowChecks(li, Seq(
+            "lineitem_quantity_out_of_band" ->
+              (col("l_quantity") <= 0.0 || col("l_quantity") > 45.0))))
+          .unionByName(Quality.uniqueness(o, "orders_orderkey_unique",
+            Seq("o_orderkey")))
+          .unionByName(Quality.orphans(li, o, "lineitem_orphan_orderkey",
+            Seq("l_orderkey"), Seq("o_orderkey")))
+          .unionByName(Quality.orphans(o, cust, "orders_orphan_custkey",
+            Seq("o_custkey"), Seq("c_custkey")))
+          .orderBy(col("check"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'orders_custkey_null' AS "check",
+             |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_failed,
+             |    count(*) AS n_rows FROM orders
+             |  UNION ALL SELECT 'orders_price_over_400k',
+             |    sum(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END)::BIGINT,
+             |    count(*) FROM orders
+             |  UNION ALL SELECT 'lineitem_quantity_out_of_band',
+             |    sum(CASE WHEN l_quantity <= 0.0 OR l_quantity > 45.0 THEN 1 ELSE 0 END)::BIGINT,
+             |    count(*) FROM lineitem
+             |  UNION ALL SELECT 'orders_orderkey_unique',
+             |    (count(*) - count(DISTINCT o_orderkey))::BIGINT, count(*) FROM orders
+             |  UNION ALL SELECT 'lineitem_orphan_orderkey',
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS (
+             |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT,
+             |    (SELECT count(*) FROM lineitem)
+             |  UNION ALL SELECT 'orders_orphan_custkey',
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+             |       SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+             |    (SELECT count(*) FROM orders)
+             |) t ORDER BY "check"""".stripMargin)),
 
     // Same verifiable-approximation pattern as agg_approx_distinct, for the
     // OTHER workhorse sketch: grouped approx_percentile (KLL-style rank

@@ -116,4 +116,45 @@ object EventOps {
           col("n_users"))
     }.reduce(_ unionByName _).orderBy(col("step_idx"))
   }
+
+  /** Cohort retention: users grouped by the UTC week of their first
+    * `anchorType` event, counted as retained in week k if they have ANY
+    * event in cohort-week + k. Two keyed shuffles (per-user anchor min,
+    * then the (cohort_week, week_k) distinct-count); weeks are compared as
+    * epoch seconds of week-truncated timestamps, so the arithmetic is
+    * exact and engine-portable (differences are exact multiples of 604800
+    * in a UTC session — no DST).
+    */
+  def cohortRetention(events: DataFrame, anchorType: String,
+                      maxWeeks: Int): DataFrame = {
+    def week(c: Column): Column = unix_timestamp(date_trunc("week", c))
+    val cohort = events.filter(col("event_type") === anchorType)
+      .groupBy(col("user_id")).agg(min(week(col("ts"))).as("cohort_week"))
+    events.select(col("user_id"), week(col("ts")).as("w"))
+      .join(cohort, "user_id")
+      .withColumn("week_k",
+        ((col("w") - col("cohort_week")) / lit(604800L)).cast("long"))
+      .filter(col("week_k") >= 0 && col("week_k") <= maxWeeks)
+      .groupBy(col("cohort_week"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_k"))
+  }
+
+  /** Event-type transition counts (the Markov/path-analysis primitive):
+    * per user, consecutive event pairs under the total (ts, event_id)
+    * order, aggregated to (from_type, to_type, n). One keyed window — the
+    * per-user sort is the only non-map work, and it is bounded by a single
+    * user's history, never the stream.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint profiling — declarative "expectations" over
+  * DataFrames (the deequ / dbt-test idea), evaluated without ever leaving
+  * the engine.
+  *
+  * Reference analogue: the only validation the reference performs is a
+  * row-count log line after each load (`etl/pipeline.py:281-284`). At
+  * 100 TB, quality gates are what stand between a bad upstream drop and a
+  * poisoned downstream corpus, and they must cost one pass, not one pass
+  * per rule.
+  *
+  * Every helper returns the same shape — `(check, n_failed, n_rows)` — so
+  * reports compose by union. Scale shapes: `rowChecks` evaluates ALL its
+  * predicates in ONE aggregate scan (map-side partial sums — cost is one
+  * table read no matter how many rules); `uniqueness` is one keyed
+  * aggregate; `orphans` is one anti-join against the (distinct) parent
+  * keys. None of them collect anything to the driver.
+  */
+object Quality {
+
+  /** Per-row predicate checks, all in one scan. `checks` maps a check name
+    * to its FAILURE predicate (true = row violates the rule).
+    */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks needs at least one check")
+    val aggs = checks.map { case (n, bad) =>
+      sum(when(bad, 1L).otherwise(0L)).as(n)
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(checks.map { case (n, _) =>
+        struct(lit(n).as("check"), col(n).as("n_failed"), col("n_rows"))
+      }: _*)).as("c"))
+      .select(col("c.check"), col("c.n_failed"), col("c.n_rows"))
+  }
+
+  /** Key-uniqueness audit: `n_failed` = rows beyond the first per key.
+    * NULL key components count toward duplicates conservatively only if a
+    * whole key repeats; `count_distinct` here is over the key tuple.
+    */
+  def uniqueness(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_failed"))
+      .select(lit(name).as("check"), col("n_failed"), col("n_rows"))
+
+  /** Referential integrity: child rows whose key has no parent row. */
+  def orphans(child: DataFrame, parent: DataFrame, name: String,
+              childKeys: Seq[String], parentKeys: Seq[String]): DataFrame = {
+    val par = parent.select(parentKeys.map(col): _*).distinct()
+      .toDF(childKeys: _*)
+    val bad = child.select(childKeys.map(col): _*)
+      .join(par, childKeys, "left_anti")
+      .agg(count(lit(1)).as("n_failed"))
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(bad) // 1 row × 1 row
+      .select(lit(name).as("check"), col("n_failed"), col("n_rows"))
+  }
+}
