@@ -20,7 +20,9 @@ object PlanDump {
       "sim_ann_ivf", "window_tumbling", "agg_percentiles",
       "dedup_embedding_cosine", "dedup_incremental_minhash",
       "dedup_incremental_embedding",
-      "dedup_incremental_minhash_indexed", "dedup_incremental_embedding_indexed")
+      "dedup_incremental_minhash_indexed", "dedup_incremental_embedding_indexed",
+      "agg_incremental_state_stored", "scd2_merge_incremental",
+      "cdc_snapshot_diff", "funnel_steps", "quality_checks")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
