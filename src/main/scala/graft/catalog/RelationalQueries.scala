@@ -434,6 +434,33 @@ object RelationalQueries extends Catalog {
              |      FROM orders) t
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Per-group z-score outliers with ZERO float ops
+    // (Relational.outlierFlags): |x − μ| > 1.5σ cross-multiplied to
+    // 100·(n·x − S)² > 15²·(n·Q − S²) over exact cent integers
+    // (Decimal(38) sums ↔ the oracle's 128-bit HUGEINT) — the flag is
+    // bit-exact in both engines, no tolerance, no boundary flakiness.
+    // ~13% of a uniform distribution sits beyond 1.5σ, so the counts are
+    // load-bearing.
+    Q("agg_outlier_exact",
+      (s, dir) => Relational.outlierFlags(load(s, dir, "orders"),
+          Seq("o_orderstatus"), Exact.cents(col("o_totalprice")), k10 = 15)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus")),
+      Some(s"""WITH p AS (SELECT o_orderstatus, ${cents("o_totalprice")} AS c
+             |           FROM orders),
+             |g AS (SELECT o_orderstatus, count(*)::HUGEINT AS n,
+             |             sum(c)::HUGEINT AS s, sum(c * c)::HUGEINT AS q
+             |      FROM p GROUP BY 1)
+             |SELECT p.o_orderstatus,
+             |  sum(CASE WHEN 100 * (g.n * p.c - g.s) * (g.n * p.c - g.s) >
+             |                225 * (g.n * g.q - g.s * g.s)
+             |           THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+             |  count(*) AS n_rows
+             |FROM p JOIN g USING (o_orderstatus)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Data-quality constraint report (ops/Quality): null/range rules run
     // in ONE aggregate scan per table regardless of rule count, key
     // uniqueness is one keyed aggregate, referential integrity one

@@ -486,6 +486,32 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // X3d: exact common-SPAN pairs (Dedup.commonSpanPairs) — documents
+    // sharing ≥1 verbatim 8-token run. The substring-level duplication
+    // signal Jaccard can't see (a long quote inside otherwise-different
+    // docs); spans with df > 64 are excluded as boilerplate, which also
+    // caps the per-span pair fan-out. The Spark side groups 16-byte span
+    // digests; the oracle groups the raw span text — same partition.
+    Q("dedup_common_span",
+      (s, dir) => graft.ops.Dedup
+        .commonSpanPairs(load(s, dir, "documents"), 8, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH sh AS (
+             |  SELECT id, unnest(spans) AS span FROM (
+             |    SELECT doc_id AS id,
+             |      CASE WHEN len($Toks) < 8 THEN []::VARCHAR[]
+             |        ELSE list_distinct(list_transform(range(1, len($Toks) - 6),
+             |          i -> array_to_string(($Toks)[i : i + 7], ' '))) END AS spans
+             |    FROM documents) t),
+             |keep AS (SELECT span FROM sh GROUP BY span
+             |         HAVING count(*) BETWEEN 2 AND 64)
+             |SELECT a.id AS doc_a, b.id AS doc_b,
+             |       count(DISTINCT a.span) AS n_spans
+             |FROM sh a JOIN keep k ON a.span = k.span
+             |          JOIN sh b ON b.span = a.span
+             |WHERE a.id < b.id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // End-to-end corpus-cleaning pipeline — the composition the operators
     // exist for: normalize → exact-dedup on normalized content (min doc_id
     // survives) → quality gate (length + distinct-token ratio) → per-language

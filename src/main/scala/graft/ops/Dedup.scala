@@ -733,6 +733,40 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.ShingleSet(Text.tokens(text), n)
 
+  /** Pairs of documents sharing at least one EXACT n-token span — the
+    * long-verbatim-overlap dedup signal (the substring-level duplication
+    * targeted by Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": repeated spans, not whole-document near-dups,
+    * drive memorization). Jaccard misses a 50-token verbatim quote inside
+    * two otherwise-different documents; this catches exactly that.
+    *
+    * Plan shape: per-doc distinct n-gram shingles explode to 16-byte md5
+    * span digests (the shuffle carries digests, never text), a document-
+    * frequency pass keeps spans with 2 ≤ df ≤ `maxDf`, and the per-span
+    * doc lists self-join into pairs. The df cap is load-bearing at scale
+    * twice over: spans above it are boilerplate (licenses, headers,
+    * navigation) rather than duplication signal, AND the cap bounds the
+    * per-span pair fan-out at df², preventing a single hot span from
+    * emitting a quadratic block.
+    */
+  def commonSpanPairs(docs: DataFrame, n: Int, maxDf: Int = 64,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("span"))
+      .select(col("id"), md5(col("span").cast("binary")).as("h"))
+    val keep = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val inBlock = sh.join(keep, "h")
+    inBlock.select(col("h"), col("id").as("doc_a"))
+      .join(inBlock.select(col("h"), col("id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("h")).as("n_spans"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering
     * (Xiao et al., WWW'08 — public algorithm): under any global total order
     * on shingles, two sets with Jaccard ≥ t MUST share an element within the

@@ -44,6 +44,37 @@ object Relational {
   def firstPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame =
     topKPerGroup(df, keys.map(col), orderCols, 1).drop("rn")
 
+  /** Per-group z-score outlier flags with ZERO floating-point operations —
+    * the |x − μ| > (k10/10)·σ test cross-multiplied into pure integer
+    * arithmetic on exact cent values:
+    *
+    *   |x − μ| > k·σ  ⟺  100·(n·x − S)² > k10²·(n·Q − S²)
+    *
+    * where S = Σx, Q = Σx² over the group (DecimalType(38,0) sums — Q for
+    * cent values up to ~6e7 over ~10⁵-row groups peaks ~1e24, far inside
+    * 38 digits; the oracle's HUGEINT is 128-bit). Float σ would make the
+    * flag engine-dependent at the boundary; integers make it bit-exact —
+    * the same trick as `Exact.ratioBp`. Plan: one keyed partial+final
+    * aggregate for (n, S, Q), one broadcast-or-shuffle join back on the
+    * group key, then a map-side flag — two passes over the data, no
+    * windows.
+    */
+  def outlierFlags(df: DataFrame, groups: Seq[String], valueCents: Column,
+                   k10: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val withC = df.withColumn("_c", valueCents.cast(dec))
+    val stats = withC.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("_c")).as("_s"),
+        sum(col("_c") * col("_c")).as("_q"))
+    val dev = col("_n") * col("_c") - col("_s")               // n·x − S
+    val varN2 = col("_n") * col("_q") - col("_s") * col("_s") // n²·σ²
+    withC.join(stats, groups)
+      .withColumn("is_outlier",
+        dev * dev * lit(100).cast(dec) > varN2 * lit(k10.toLong * k10).cast(dec))
+      .drop("_c", "_n", "_s", "_q")
+  }
+
   /** Change-data capture by snapshot diff: given two snapshots of a keyed
     * table, emit each key's transition — `insert` (new only), `delete` (old
     * only), `update` (both, any compared column differs, null-safely) —

@@ -115,6 +115,44 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("signup", 1L, 4L), ("view", 2L, 2L), ("click", 3L, 1L)))
   }
 
+  test("outlierFlags: integer cross-multiplication matches the float definition") {
+    // group g: values 0,0,0,0,100 (cents) — mean 20, pop-σ = 40; at 1.5σ
+    // (threshold 60) only the 100 is beyond. group h: uniform, none flagged
+    // at 1.8σ… use k10=15 throughout and verify each flag against a float
+    // reference computed the textbook way.
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 0L), ("g", 100L),
+      ("h", 10L), ("h", 20L), ("h", 30L)).toDF("grp", "c")
+    val got = Relational.outlierFlags(df, Seq("grp"), col("c"), k10 = 15)
+      .select(col("grp"), col("c").cast("long"), col("is_outlier"))
+      .as[(String, Long, Boolean)].collect().toSet
+    def ref(vals: Seq[Long], x: Long): Boolean = {
+      val n = vals.size.toDouble
+      val mu = vals.sum / n
+      val sigma = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / n)
+      math.abs(x - mu) > 1.5 * sigma
+    }
+    val g = Seq(0L, 0L, 0L, 0L, 100L); val h = Seq(10L, 20L, 30L)
+    val expect = g.map(x => ("g", x, ref(g, x))).toSet ++
+      h.map(x => ("h", x, ref(h, x))).toSet
+    assert(got == expect)
+    assert(got.count(_._3) == 1) // exactly the planted 100
+  }
+
+  test("commonSpanPairs finds verbatim n-token overlaps and caps boilerplate spans") {
+    val quote = "to be or not to be that is"        // 8 tokens, shared verbatim
+    val boiler = "all rights reserved license text body goes here now" // 9 tokens, in EVERY doc
+    val docs = Seq(
+      (1L, s"alpha beta $quote gamma delta $boiler"),
+      (2L, s"completely different words precede $quote and follow after $boiler"),
+      (3L, s"nothing in common with others at all whatsoever $boiler"),
+      (4L, s"another unrelated document full of its own content $boiler")
+    ).toDF("doc_id", "text")
+    // maxDf=3 excludes the boilerplate span (df=4); the quote (df=2) stays
+    val got = Dedup.commonSpanPairs(docs, 8, maxDf = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
