@@ -232,6 +232,48 @@ object CurateQueries extends Catalog {
              |  '[0-9]{6,}', '<NUM>', 'g') <> text)::INT::BIGINT AS changed
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winsorization (Curate.winsorize): per-status order prices clipped to
+    // the exact nearest-rank [p05, p95] — bounds from the scale-safe
+    // two-level cumulative-count percentile (no global sort), clip is a
+    // map-side greatest/least on exact cents. Clip counts AND the clipped
+    // sum are hash-checked.
+    Q("curate_winsorize",
+      (s, dir) => Curate.winsorize(load(s, dir, "orders"),
+          Seq("o_orderstatus"), graft.ops.Exact.cents(col("o_totalprice")),
+          0.05, 0.95)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(when(col("clip") === "lo", 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("clip") === "hi", 1L).otherwise(0L)).as("n_hi"),
+          graft.ops.Exact.dollars(sum(col("v_clipped"))).as("sum_clipped"))
+        .orderBy(col("o_orderstatus")),
+      Some("""WITH f AS (
+             |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             |         count(*) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT o_orderstatus, v, c,
+             |    sum(c) OVER (PARTITION BY o_orderstatus ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM f),
+             |b AS (
+             |  SELECT o_orderstatus,
+             |    min(CASE WHEN q = 0.05 THEN v END) AS blo,
+             |    min(CASE WHEN q = 0.95 THEN v END) AS bhi
+             |  FROM (SELECT o_orderstatus, v, q FROM cum,
+             |          (SELECT unnest([0.05, 0.95]) AS q) qs
+             |        WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+             |          AND hi - c < floor(q * (n - 1))::BIGINT + 1) s
+             |  GROUP BY 1),
+             |p AS (SELECT o.o_orderstatus,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS v, b.blo, b.bhi
+             |      FROM orders o JOIN b USING (o_orderstatus))
+             |SELECT o_orderstatus,
+             |  sum(CASE WHEN v < blo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+             |  sum(CASE WHEN v > bhi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+             |  sum(greatest(blo, least(bhi, v)))::DOUBLE / 100.0 AS sum_clipped
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Linear-model quality gate (Curate.linearScore): score every vector
     // with a fixed weight vector — the serving path of a CCNet/fasttext
     // style quality classifier. Map-side only: weights constant-fold into

@@ -486,6 +486,39 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental corpus statistics — ops/IncrAgg applied to the TEXT
+    // domain (the operator is generic over any keyed value): per-language
+    // token totals maintained from 3 ingest batches' mergeable partials,
+    // hash-matched against the full single-pass recompute. The HLL sketch
+    // tracks distinct per-language document LENGTHS (a skewed, non-unique
+    // column — a real distinct-count, unlike unique ids).
+    Q("text_incremental_stats",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+          .withColumn("_nt", size(split(col("text"), " ")).cast("long"))
+        val state = (0 until 3).map { b =>
+          graft.ops.IncrAgg.partialState(
+            d.filter(pmod(col("doc_id"), lit(3)) === b),
+            Seq("lang"), col("_nt"), col("_nt"))
+        }.reduce(_ unionByName _)
+        val merged = graft.ops.IncrAgg.mergeState(state, Seq("lang"))
+        val exact = d.groupBy(col("lang"))
+          .agg(countDistinct(col("_nt")).as("n_lens"))
+        merged.join(exact, Seq("lang"))
+          .select(col("lang"), col("cnt"), col("sum_v").as("sum_tokens"),
+            col("min_v").as("min_tokens"), col("max_v").as("max_tokens"),
+            col("n_lens"),
+            (abs(col("approx_distinct") - col("n_lens")) <=
+              lit(3 * 0.016) * col("n_lens")).as("approx_ok"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS cnt,
+             |sum(len($Toks))::BIGINT AS sum_tokens,
+             |min(len($Toks))::BIGINT AS min_tokens,
+             |max(len($Toks))::BIGINT AS max_tokens,
+             |count(DISTINCT len($Toks)) AS n_lens, TRUE AS approx_ok
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // X3d: exact common-SPAN pairs (Dedup.commonSpanPairs) — documents
     // sharing ≥1 verbatim 8-token run. The substring-level duplication
     // signal Jaccard can't see (a long quote inside otherwise-different
@@ -511,6 +544,40 @@ object TextQueries extends Catalog {
              |          JOIN sh b ON b.span = a.span
              |WHERE a.id < b.id
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Incremental common-span probe: the 10% batch (doc_id % 10 = 0)
+    // probes the 90% corpus's span-digest index — NEW×CORPUS and
+    // NEW×NEW only, corpus text never re-shingled. Oracle = the FULL
+    // commonSpanPairs closure restricted to pairs touching the batch, so
+    // the hash match proves the probe (including the df cap computed over
+    // the union) is exactly the full recompute's answer for those pairs.
+    Q("dedup_common_span_incremental",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        val index = graft.ops.Dedup.spanIndex(
+          d.filter(col("doc_id") % 10 =!= 0), 8)
+        graft.ops.Dedup.commonSpanIncrementalPairs(
+            d.filter(col("doc_id") % 10 === 0), index, 8, maxDf = 64)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH sh AS (
+             |  SELECT id, unnest(spans) AS span FROM (
+             |    SELECT doc_id AS id,
+             |      CASE WHEN len($Toks) < 8 THEN []::VARCHAR[]
+             |        ELSE list_distinct(list_transform(range(1, len($Toks) - 6),
+             |          i -> array_to_string(($Toks)[i : i + 7], ' '))) END AS spans
+             |    FROM documents) t),
+             |keep AS (SELECT span FROM sh GROUP BY span
+             |         HAVING count(*) BETWEEN 2 AND 64)
+             |SELECT doc_a, doc_b, n_spans FROM (
+             |  SELECT a.id AS doc_a, b.id AS doc_b,
+             |         count(DISTINCT a.span) AS n_spans
+             |  FROM sh a JOIN keep k ON a.span = k.span
+             |            JOIN sh b ON b.span = a.span
+             |  WHERE a.id < b.id
+             |  GROUP BY 1, 2) p
+             |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+             |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // End-to-end corpus-cleaning pipeline — the composition the operators
     // exist for: normalize → exact-dedup on normalized content (min doc_id

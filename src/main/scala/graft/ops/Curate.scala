@@ -126,6 +126,32 @@ object Curate {
             .otherwise(floor(x.cast("double") * 127.0 / scale.cast("double"))
               .cast("int"))).as("q")))
 
+  /** Winsorization: clip a value to its group's exact nearest-rank
+    * [pLo, pHi] percentiles — the standard outlier-taming pass before
+    * training-statistics aggregation. Bounds come from
+    * `Relational.nearestRankPercentilesBy` (exact two-level cumulative
+    * counts — no global sort, no sampling), collapse to one row per group,
+    * and join back; the clip itself is a map-side `greatest/least` on
+    * exact integer values, so the oracle replays it bit-for-bit. Adds
+    * `v_cents` (the input value), `v_clipped`, and `clip` ∈
+    * {lo, hi, none}.
+    */
+  def winsorize(df: DataFrame, groups: Seq[String], valueCents: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    val bounds = graft.ops.Relational
+      .nearestRankPercentilesBy(df, groups, valueCents, Seq(pLo, pHi))
+      .groupBy(groups.map(col): _*)
+      .agg(min(when(col("quantile") === pLo, col("value"))).as("_lo"),
+        min(when(col("quantile") === pHi, col("value"))).as("_hi"))
+    df.withColumn("v_cents", valueCents)
+      .join(bounds, groups)
+      .withColumn("v_clipped",
+        greatest(col("_lo"), least(col("_hi"), col("v_cents"))))
+      .withColumn("clip", when(col("v_cents") < col("_lo"), "lo")
+        .when(col("v_cents") > col("_hi"), "hi").otherwise("none"))
+      .drop("_lo", "_hi")
+  }
+
   /** Linear-model scoring over an embedding/feature column — the serving
     * half of a fasttext-style quality classifier (score = w·x + b, gate at
     * a threshold), which is how production corpora are quality-filtered at

@@ -767,6 +767,58 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_spans"))
   }
 
+  /** The span-digest table `(id, h)` behind `commonSpanPairs` — also the
+    * STORED index shape for the incremental probe (text never ships; the
+    * index carries 16-byte digests only).
+    */
+  def spanIndex(docs: DataFrame, n: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("span"))
+      .select(col("id"), md5(col("span").cast("binary")).as("h"))
+
+  def writeSpanIndex(docs: DataFrame, path: String, n: Int = 8,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit =
+    spanIndex(docs, n, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def readSpanIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = spark.read.parquet(path)
+
+  def appendToSpanIndex(batch: DataFrame, path: String, n: Int = 8,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit =
+    spanIndex(batch, n, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
+  /** Incremental common-span probe: pairs INVOLVING the batch — batch docs'
+    * span digests against (stored index ∪ batch), never CORPUS×CORPUS —
+    * equal to `commonSpanPairs` over the grown corpus restricted to pairs
+    * touching a batch doc (the oracle proves it). The df cap is computed
+    * over the UNION so it matches the full-recompute semantics exactly;
+    * batch×batch pairs arise twice (once from each endpoint's probe) and
+    * collapse in the `countDistinct` — no distinct shuffle on the pair
+    * stream itself. Steady-state cost: batch shingling + one digest-keyed
+    * df pass + one digest-keyed join; the corpus text is never re-read.
+    */
+  def commonSpanIncrementalPairs(batch: DataFrame, index: DataFrame, n: Int,
+                                 maxDf: Int = 64, idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val bs = spanIndex(batch, n, idCol, textCol)
+    val all = index.unionByName(bs)
+    val keep = all.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val allK = all.join(keep, "h")
+    bs.join(keep, "h").select(col("h"), col("id").as("_bid"))
+      .join(allK.select(col("h"), col("id").as("_oid")), "h")
+      .filter(col("_bid") =!= col("_oid"))
+      .select(col("h"), least(col("_bid"), col("_oid")).as("doc_a"),
+        greatest(col("_bid"), col("_oid")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("h")).as("n_spans"))
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via PPJoin-style prefix filtering
     * (Xiao et al., WWW'08 — public algorithm): under any global total order
     * on shingles, two sets with Jaccard ≥ t MUST share an element within the

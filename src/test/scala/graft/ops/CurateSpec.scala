@@ -122,6 +122,19 @@ class CurateSpec extends SparkSpec {
     assert(out == "contact me at <EMAIL> or call <NUM> ext 42")
   }
 
+  test("winsorize clips at the exact nearest-rank bounds") {
+    // 21 values 0,10,…,200: p05 bound = rank floor(.05·20)+1 = 2 → 10;
+    // p95 bound = rank floor(.95·20)+1 = 20 → 190
+    val df = (0 to 200 by 10).map(v => ("g", v.toLong)).toDF("grp", "c")
+    val out = Curate.winsorize(df, Seq("grp"), col("c"), 0.05, 0.95)
+      .select(col("v_cents"), col("v_clipped"), col("clip"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(out.contains((0L, 10L, "lo")))
+    assert(out.contains((200L, 190L, "hi")))
+    assert(out.filter(r => r._1 >= 10 && r._1 <= 190)
+      .forall(r => r._2 == r._1 && r._3 == "none"))
+  }
+
   test("linearScore is the exact index-order double dot product plus bias") {
     val df = Seq((1L, Array(0.5f, -1.25f, 2.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -153,6 +153,28 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("span index lifecycle: append-then-probe equals a full index rebuild") {
+    val quote = "the rain in spain falls mainly on plains"
+    val docs1 = Seq((1L, s"first document text with $quote inside body"),
+      (2L, s"second unrelated document without any overlap present here at all"))
+      .toDF("doc_id", "text")
+    val docs2 = Seq((3L, s"third document also quoting $quote verbatim today"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, s"batch document carrying $quote and novel words"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("span-index") + "/idx"
+    Dedup.writeSpanIndex(docs1, path, 8)
+    Dedup.appendToSpanIndex(docs2, path, 8)
+    def pairs(index: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      Dedup.commonSpanIncrementalPairs(batch, index, 8, maxDf = 64)
+        .as[(Long, Long, Long)].collect().toSet
+    val fromDisk = pairs(Dedup.readSpanIndex(spark, path))
+    val rebuilt = pairs(Dedup.spanIndex(docs1.unionByName(docs2), 8))
+    assert(fromDisk == rebuilt && fromDisk.nonEmpty)
+    // the probe finds batch↔corpus pairs for BOTH corpus writers (1 and 3)
+    assert(fromDisk.map(p => (p._1, p._2)) == Set((1L, 10L), (3L, 10L)))
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
