@@ -160,6 +160,23 @@ object FunctionQueries extends Catalog {
              |  UNION ALL SELECT 'purchase', 4::BIGINT, count(*) FROM s3) t
              |ORDER BY step_idx""".stripMargin)),
 
+    // Rolling distinct users per trailing 4-hour window from MERGEABLE
+    // hourly HLL sketches (EventOps.rollingDistinctUsers): the stored-
+    // sketch incremental-view pattern — new events touch one hourly
+    // sketch, windows re-union 4 KB-sized sketches, raw history never
+    // re-scanned. Exact counts hash-checked; the sketch estimate carries
+    // the tolerance verdict.
+    Q("agg_rolling_distinct",
+      (s, dir) => EventOps.rollingDistinctUsers(load(s, dir, "events"), 4),
+      Some("""WITH e AS (
+             |  SELECT epoch(date_trunc('second', date_trunc('hour', ts)))::BIGINT AS h,
+             |         user_id
+             |  FROM events),
+             |x AS (SELECT h + k * 3600 AS w, user_id
+             |      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+             |SELECT w, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+             |FROM x GROUP BY w ORDER BY w""".stripMargin)),
+
     // Cohort retention (EventOps.cohortRetention): users bucketed by the
     // UTC week of their first signup, counted as retained in week k if
     // any event lands in cohort-week + k. Week arithmetic is exact epoch

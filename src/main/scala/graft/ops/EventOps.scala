@@ -140,6 +140,44 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_k"))
   }
 
+  /** Rolling distinct users per trailing `windowHours`-hour window, from
+    * MERGEABLE hourly HLL sketches — the incremental-view pattern for the
+    * dashboard staple "uniques in the last N hours". One pass builds ONE
+    * sketch per hour (map-side partial HLL merge); each sketch then
+    * contributes to the `windowHours` windows ending at or after it (an
+    * offset explode — the same trick as the sliding-window oracle), and a
+    * sketch UNION per window gives the estimate. At scale the hourly
+    * sketch table is the stored state: a new hour's events touch one
+    * sketch, a trailing window re-unions `windowHours` sketches (KB each),
+    * and the raw event history is NEVER re-scanned — contrast recomputing
+    * `count(DISTINCT)` over a sliding scan of the stream. The exact
+    * distinct count rides along for the tolerance verdict
+    * (`agg_approx_distinct` pattern); window ids are epoch seconds of the
+    * window's LAST hour.
+    */
+  def rollingDistinctUsers(events: DataFrame, windowHours: Int,
+                           lgK: Int = 12): DataFrame = {
+    val offsets = (0 until windowHours)
+      .map(k => col("h") + lit(k * 3600L))
+    val e = events.select(
+      unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("user_id"))
+    val hourly = e.groupBy(col("h"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+    val approx = hourly
+      .select(explode(array(offsets: _*)).as("w"), col("sk"))
+      .groupBy(col("w"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = e
+      .select(explode(array(offsets: _*)).as("w"), col("user_id"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    approx.join(exact, "w")
+      .select(col("w"), col("n_users"),
+        (abs(col("approx_users") - col("n_users")) <=
+          lit(3 * 0.016) * col("n_users")).as("approx_ok"))
+      .orderBy(col("w"))
+  }
+
   /** Event-type transition counts (the Markov/path-analysis primitive):
     * per user, consecutive event pairs under the total (ts, event_id)
     * order, aggregated to (from_type, to_type, n). One keyed window — the

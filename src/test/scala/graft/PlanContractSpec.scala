@@ -113,11 +113,41 @@ class PlanContractSpec extends SparkSpec {
     // are banned outright: every WindowExec must carry a partition spec.
     Seq("agg_percentiles", "agg_percentiles_by", "window_rank_rownum",
       "sort_topk_limit", "dedup_ngram_jaccard", "pipeline_corpus_clean",
-      "curate_pack_budget", "curate_lang_cap", "curate_stratified_n").foreach { name =>
+      "curate_pack_budget", "curate_lang_cap", "curate_stratified_n",
+      "scd2_history", "scd2_merge_incremental", "event_transitions",
+      "curate_winsorize").foreach { name =>
       val global = q(name).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
       assert(global.isEmpty, s"$name plans an unpartitioned window")
+    }
+  }
+
+  test("funnel pushes every step's type filter into the parquet scan") {
+    // each step reads events with its own event_type equality — if those
+    // don't reach the reader, a 100 TB funnel scans the full stream per
+    // step instead of one type's row groups
+    val scans = q("funnel_steps").collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.metadata.get("PushedFilters").exists(_.contains("EqualTo(event_type")),
+        s"funnel scan without a pushed event_type filter: ${s.metadata.get("PushedFilters")}")
+    }
+  }
+
+  test("CDC snapshot diff is exactly one join and no windows") {
+    val p = q("cdc_snapshot_diff")
+    val joins = p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.size == 1, s"cdc_snapshot_diff plans ${joins.size} joins, wanted 1")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "cdc_snapshot_diff plans a window")
+  }
+
+  test("quality report and incremental-agg merge plan no windows at all") {
+    Seq("quality_checks", "agg_incremental_state", "agg_incremental_state_stored",
+      "agg_rolling_distinct", "agg_outlier_exact").foreach { name =>
+      assert(q(name).collect { case w: WindowExec => w }.isEmpty,
+        s"$name plans a window")
     }
   }
 

@@ -456,6 +456,42 @@ class StreamOpsSpec extends SparkSpec {
     assert(merged("en") == ((4L, 23L, 2L, 8L, 4L)))
   }
 
+  test("incrementalAggSink keyed by hour yields rolling-window uniques without rescanning") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("roll-src")
+    val state = tmpDir("roll-state")
+    val ckpt = tmpDir("roll-ckpt")
+    def ev(id: Long, t: String, u: Long) =
+      s"""{"event_id":$id,"ts":"$t","user_id":$u,"event_type":"click","value":0.0,"props":"{}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.json"), Seq(
+      ev(1, "2026-01-01T00:10:00Z", 1), ev(2, "2026-01-01T00:20:00Z", 2),
+      ev(3, "2026-01-01T01:10:00Z", 1), ev(4, "2026-01-01T02:10:00Z", 3)
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5)
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "b.json"), Seq(
+      ev(5, "2026-01-01T02:20:00Z", 4), ev(6, "2026-01-01T01:40:00Z", 2)
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = StreamOps.incrementalAggSink(
+      StreamOps.readEventStream(spark, src, maxFilesPerTrigger = Some(1))
+        .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+          col("user_id")),
+      state, ckpt, Seq("h"), lit(1L), col("user_id"), foldEvery = 8)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+    // trailing 2-hour uniques straight off the STORED hourly sketches —
+    // the state table, not the raw events, is all the window needs
+    val rolled = graft.ops.IncrAgg.readState(spark, state)
+      .select(explode(array(col("h"), col("h") + 3600L)).as("w"), col("p_hll"))
+      .groupBy("w")
+      .agg(hll_sketch_estimate(hll_union_agg(col("p_hll"))).as("u"))
+      .as[(Long, Long)].collect().toMap
+    val h0 = java.time.Instant.parse("2026-01-01T00:00:00Z").getEpochSecond
+    // exact at these cardinalities: h0:{1,2}, h1:{1,2}, h2:{3,4} →
+    // windows ending h0:{1,2}=2, h1:{1,2}=2, h2:{1,2,3,4}=4, h3:{3,4}=2
+    assert(rolled == Map(h0 -> 2L, (h0 + 3600) -> 2L, (h0 + 7200) -> 4L,
+      (h0 + 10800) -> 2L))
+  }
+
   test("scd2Sink: streamed batches maintain bucketed history; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.History
