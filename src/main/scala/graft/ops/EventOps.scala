@@ -157,6 +157,8 @@ object EventOps {
     */
   def rollingDistinctUsers(events: DataFrame, windowHours: Int,
                            lgK: Int = 12): DataFrame = {
+    // tolerance follows the sketch's own error contract: RSE ≈ 1.04/√2^lgK
+    val tol = 3.0 * 1.04 / math.sqrt(math.pow(2.0, lgK))
     val offsets = (0 until windowHours)
       .map(k => col("h") + lit(k * 3600L))
     val e = events.select(
@@ -174,7 +176,7 @@ object EventOps {
     approx.join(exact, "w")
       .select(col("w"), col("n_users"),
         (abs(col("approx_users") - col("n_users")) <=
-          lit(3 * 0.016) * col("n_users")).as("approx_ok"))
+          lit(tol) * col("n_users")).as("approx_ok"))
       .orderBy(col("w"))
   }
 

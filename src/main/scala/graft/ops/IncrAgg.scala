@@ -112,8 +112,14 @@ object IncrAgg {
         n.stripPrefix("batch=").toLong < before
     }
     val staging = new org.apache.hadoop.fs.Path(root + "/.fold_staging")
-    val committed = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
-    if (!fs.exists(committed)) {
+    // The commit marker is a MANIFEST of exactly the dir names the staged
+    // fold covers (written after the parquet commit, so its existence
+    // implies complete staged data). The swap deletes ONLY manifest dirs:
+    // deleting whatever matches `foldable()` at swap time would silently
+    // drop any batch that landed between a crash and its resume — present
+    // on disk, absent from the staged fold.
+    val manifest = new org.apache.hadoop.fs.Path(staging, ".fold_ids")
+    if (!fs.exists(manifest)) {
       val dirs = foldable()
       if (dirs.length <= 1) return // nothing to collapse
       val folded = spark.read.option("basePath", root)
@@ -125,9 +131,20 @@ object IncrAgg {
           max(col("p_max")).as("p_max"),
           hll_union_agg(col("p_hll")).as("p_hll"))
       folded.write.mode("overwrite").parquet(staging.toString)
+      val out = fs.create(manifest, true)
+      out.write(dirs.map(_.getPath.getName).sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
     }
-    foldable().foreach(s => fs.delete(s.getPath, true))
+    val covered = {
+      val in = fs.open(manifest)
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, conf, true)
+      new String(bytes.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty).toSet
+    }
+    foldable().filter(s => covered.contains(s.getPath.getName))
+      .foreach(s => fs.delete(s.getPath, true))
     fs.rename(staging, new org.apache.hadoop.fs.Path(root + "/batch=0"))
+    fs.delete(new org.apache.hadoop.fs.Path(root + "/batch=0/.fold_ids"), false)
     ()
   }
 }

@@ -27,6 +27,11 @@ object Quality {
     */
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "rowChecks needs at least one check")
+    val names = checks.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    require(!names.contains("n_rows"),
+      "'n_rows' is reserved for the row count column")
     val aggs = checks.map { case (n, bad) =>
       sum(when(bad, 1L).otherwise(0L)).as(n)
     }

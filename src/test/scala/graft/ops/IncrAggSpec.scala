@@ -87,19 +87,28 @@ class IncrAggSpec extends SparkSpec {
     val root = tmpDir("incragg_resume")
     IncrAgg.writeState(partial(b0), root, 0L)
     IncrAgg.writeState(partial(b1), root, 1L)
-    val expect = mergedOf(IncrAgg.readState(spark, root))
 
-    // simulate a crash AFTER staging commit, BEFORE the swap: stage the fold
-    // manually, then call foldState — it must resume the swap, not recompute
-    // over (possibly already-deleted) batch dirs.
+    // simulate a crash AFTER staging commit (parquet + manifest written),
+    // BEFORE the swap: call foldState — it must resume the swap using the
+    // MANIFEST's dir list, not recompute, and not touch dirs outside it.
     val staged = IncrAgg.readState(spark, root)
       .groupBy("grp")
       .agg(sum("p_cnt").as("p_cnt"), sum("p_sum").as("p_sum"),
         min("p_min").as("p_min"), max("p_max").as("p_max"),
         hll_union_agg(col("p_hll")).as("p_hll"))
     staged.write.mode("overwrite").parquet(s"$root/.fold_staging")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, ".fold_staging", ".fold_ids"),
+      "batch=0\nbatch=1".getBytes("UTF-8"))
+    // a batch that landed AFTER the crash, BEFORE the resume: the swap
+    // must leave it alone even though it matches the foldable filter
+    IncrAgg.writeState(partial(b2), root, 2L)
     IncrAgg.foldState(spark, root, Seq("grp"))
-    assert(mergedOf(IncrAgg.readState(spark, root)).toSeq == expect.toSeq)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(dirs.toSeq == Seq("batch=0", "batch=2"))
+    assert(mergedOf(IncrAgg.readState(spark, root)).toSeq ==
+      direct(b0 ++ b1 ++ b2).toSeq)
   }
 
   test("HLL distinct estimate stays within tolerance at larger cardinality") {
