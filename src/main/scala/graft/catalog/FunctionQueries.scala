@@ -177,6 +177,39 @@ object FunctionQueries extends Catalog {
              |SELECT w, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
              |FROM x GROUP BY w ORDER BY w""".stripMargin)),
 
+    // Session-scoped funnel (EventOps.funnelSessions): signup → view →
+    // click must all land in ONE 6-hour-gap session — counts are per
+    // session. The session id is a keyed run-collapse window (no engine
+    // session_window state needed on the batch side); the oracle rebuilds
+    // the same ids with lag + running sum and chains the same per-step
+    // min-joins. 1774 → 221 → 24 sessions at sf0.01.
+    Q("funnel_sessions",
+      (s, dir) => EventOps.funnelSessions(load(s, dir, "events"),
+        Seq("signup", "view", "click"), sessionGapSeconds = 21600L),
+      Some("""WITH m AS (
+             |  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT AS t,
+             |         event_id, event_type,
+             |    CASE WHEN epoch(date_trunc('second', ts))::BIGINT -
+             |          lag(epoch(date_trunc('second', ts))::BIGINT) OVER w > 21600
+             |        THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |        ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+             |s0 AS (SELECT user_id, sid, min(t) AS t FROM s
+             |       WHERE event_type = 'signup' GROUP BY 1, 2),
+             |s1 AS (SELECT e.user_id, e.sid, min(e.t) AS t FROM s e
+             |       JOIN s0 ON e.user_id = s0.user_id AND e.sid = s0.sid
+             |       WHERE e.event_type = 'view' AND e.t > s0.t GROUP BY 1, 2),
+             |s2 AS (SELECT e.user_id, e.sid, min(e.t) AS t FROM s e
+             |       JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid
+             |       WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1, 2)
+             |SELECT * FROM (
+             |  SELECT 'signup' AS step, 1::BIGINT AS step_idx,
+             |         count(*) AS n_sessions FROM s0
+             |  UNION ALL SELECT 'view', 2::BIGINT, count(*) FROM s1
+             |  UNION ALL SELECT 'click', 3::BIGINT, count(*) FROM s2) t
+             |ORDER BY step_idx""".stripMargin)),
+
     // Cohort retention (EventOps.cohortRetention): users bucketed by the
     // UTC week of their first signup, counted as retained in week k if
     // any event lands in cohort-week + k. Week arithmetic is exact epoch

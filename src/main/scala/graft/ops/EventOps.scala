@@ -140,6 +140,44 @@ object EventOps {
       .orderBy(col("cohort_week"), col("week_k"))
   }
 
+  /** Deterministic per-user session ids: a new session starts when the gap
+    * from the user's previous event exceeds `gapSeconds` — the same
+    * mark-run-starts-then-cumsum window trick as `History.scd2FromEvents`,
+    * so every shuffle is keyed on user_id and the sort is bounded by one
+    * user's history. (Batch twin of the engine's `session_window`; having
+    * the id ON each event row is what lets downstream operators group by
+    * session.)
+    */
+  def sessionIds(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_t", unix_timestamp(col("ts")))
+      .withColumn("_brk",
+        when(col("_t") - lag(col("_t"), 1).over(w) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("_brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("_t", "_brk")
+  }
+
+  /** `funnel`, but every step must land in the SAME session (product
+    * analytics' default conversion definition): the composite
+    * (user, session) key rides through the plain funnel machinery, whose
+    * per-step gap is set far beyond any session's span so the session
+    * boundary is the only constraint. Counts are per SESSION, not per
+    * user.
+    */
+  def funnelSessions(events: DataFrame, steps: Seq[String],
+                     sessionGapSeconds: Long): DataFrame = {
+    val sess = sessionIds(events, sessionGapSeconds)
+      .select(concat(col("user_id"), lit("#"), col("sid")).as("user_id"),
+        col("ts"), col("event_type"))
+    funnel(sess, steps, gapSeconds = 4000000000L)
+      .withColumnRenamed("n_users", "n_sessions")
+  }
+
   /** Rolling distinct users per trailing `windowHours`-hour window, from
     * MERGEABLE hourly HLL sketches — the incremental-view pattern for the
     * dashboard staple "uniques in the last N hours". One pass builds ONE

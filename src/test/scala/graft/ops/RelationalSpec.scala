@@ -153,6 +153,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("funnelSessions: conversion only counts inside one session") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: signup and view in the SAME session (gap 100 ≤ 300)
+      (1L, ts(1000), 1L, "signup"), (1L, ts(1100), 2L, "view"),
+      // u2: view lands in a NEW session (gap 1000 > 300) → no conversion
+      (2L, ts(1000), 3L, "signup"), (2L, ts(2000), 4L, "view"),
+      // u3: second signup opens a second session, converts there too
+      (3L, ts(1000), 5L, "signup"), (3L, ts(1050), 6L, "view"),
+      (3L, ts(9000), 7L, "signup"), (3L, ts(9100), 8L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.funnelSessions(events, Seq("signup", "view"), 300L)
+      .as[(String, Long, Long)].collect().toSeq
+    // sessions with a signup: u1×1, u2×1, u3×2 = 4; converting: u1, u3×2 = 3
+    assert(got == Seq(("signup", 1L, 4L), ("view", 2L, 3L)))
+  }
+
   test("span index lifecycle: append-then-probe equals a full index rebuild") {
     val quote = "the rain in spain falls mainly on plains"
     val docs1 = Seq((1L, s"first document text with $quote inside body"),
