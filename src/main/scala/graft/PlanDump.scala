@@ -22,7 +22,9 @@ object PlanDump {
       "dedup_incremental_embedding",
       "dedup_incremental_minhash_indexed", "dedup_incremental_embedding_indexed",
       "agg_incremental_state_stored", "scd2_merge_incremental",
-      "cdc_snapshot_diff", "funnel_steps", "quality_checks")
+      "cdc_snapshot_diff", "funnel_steps", "quality_checks",
+      "dedup_common_span_incremental", "agg_rolling_distinct",
+      "funnel_sessions", "agg_outlier_exact")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

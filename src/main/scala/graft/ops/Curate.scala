@@ -143,8 +143,10 @@ object Curate {
       .groupBy(groups.map(col): _*)
       .agg(min(when(col("quantile") === pLo, col("value"))).as("_lo"),
         min(when(col("quantile") === pHi, col("value"))).as("_hi"))
+    // O(|groups|) bounds broadcast explicitly — tiny-test-scale size
+    // estimates can otherwise pick the DATA side to broadcast
     df.withColumn("v_cents", valueCents)
-      .join(bounds, groups)
+      .join(broadcast(bounds), groups)
       .withColumn("v_clipped",
         greatest(col("_lo"), least(col("_hi"), col("v_cents"))))
       .withColumn("clip", when(col("v_cents") < col("_lo"), "lo")

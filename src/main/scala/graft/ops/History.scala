@@ -82,7 +82,10 @@ object History {
   def scd2Merge(history: DataFrame, batch: DataFrame, keys: Seq[String],
                 ts: Column, tiebreak: Column, attr: Column): DataFrame = {
     val ev = events(batch, keys, ts, tiebreak, attr)
-    val batchKeys = ev.select(keys.map(col): _*).distinct()
+    // batch keys are small relative to the dimension by assumption (that
+    // is the point of the merge) — broadcast them explicitly so the huge
+    // history side never shuffles for the touched/untouched split
+    val batchKeys = broadcast(ev.select(keys.map(col): _*).distinct())
     val untouched = history.join(batchKeys, keys, "left_anti")
     val touched = history.join(batchKeys, keys, "left_semi")
     val closed = touched.filter(!col("is_current"))

@@ -55,9 +55,11 @@ object Relational {
     * 38 digits; the oracle's HUGEINT is 128-bit). Float σ would make the
     * flag engine-dependent at the boundary; integers make it bit-exact —
     * the same trick as `Exact.ratioBp`. Plan: one keyed partial+final
-    * aggregate for (n, S, Q), one broadcast-or-shuffle join back on the
-    * group key, then a map-side flag — two passes over the data, no
-    * windows.
+    * aggregate for (n, S, Q), the O(|groups|) stats frame explicitly
+    * BROADCAST back onto the data (without the hint, tiny-test-scale size
+    * estimates can pick the fact side to broadcast — backwards at 100 TB;
+    * callers with millions of groups should aggregate coarser first),
+    * then a map-side flag — two passes over the data, no windows.
     */
   def outlierFlags(df: DataFrame, groups: Seq[String], valueCents: Column,
                    k10: Int): DataFrame = {
@@ -69,7 +71,7 @@ object Relational {
         sum(col("_c") * col("_c")).as("_q"))
     val dev = col("_n") * col("_c") - col("_s")               // n·x − S
     val varN2 = col("_n") * col("_q") - col("_s") * col("_s") // n²·σ²
-    withC.join(stats, groups)
+    withC.join(broadcast(stats), groups)
       .withColumn("is_outlier",
         dev * dev * lit(100).cast(dec) > varN2 * lit(k10.toLong * k10).cast(dec))
       .drop("_c", "_n", "_s", "_q")

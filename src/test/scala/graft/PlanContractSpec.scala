@@ -143,6 +143,30 @@ class PlanContractSpec extends SparkSpec {
       "cdc_snapshot_diff plans a window")
   }
 
+  test("group-stats joins broadcast the STATS side, never the data side") {
+    // outlierFlags/winsorize join O(|groups|) statistics back onto the
+    // data; tiny-test-scale size estimates once picked the fact scan to
+    // broadcast — backwards at 100 TB. The explicit hints must keep the
+    // aggregate subtree on the build side.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    Seq("agg_outlier_exact", "curate_winsorize").foreach { name =>
+      val joins = q(name).collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"$name plans no broadcast join")
+      joins.foreach { j =>
+        val (build, stream) = j.buildSide match {
+          case BuildLeft => (j.left, j.right)
+          case BuildRight => (j.right, j.left)
+        }
+        assert(build.collectFirst { case a: HashAggregateExec => a }.isDefined,
+          s"$name broadcasts a side with no aggregate (the data side?)")
+        assert(stream.collectFirst { case a: HashAggregateExec => a }.isEmpty,
+          s"$name streams the aggregated stats side")
+      }
+    }
+  }
+
   test("quality report and incremental-agg merge plan no windows at all") {
     Seq("quality_checks", "agg_incremental_state", "agg_incremental_state_stored",
       "agg_rolling_distinct", "agg_outlier_exact").foreach { name =>
