@@ -194,4 +194,85 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("scd2Merge equals the full recompute on random append-only logs") {
+    import spark.implicits._
+    import graft.ops.History
+    val genCase = for {
+      n <- Gen.choose(6, 36)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("k1", "k2", "k3", "k4")
+        ts <- Gen.choose(0L, 50L)
+        a <- Gen.oneOf("A", "B", "C")
+      } yield (k, ts, a))
+      cut <- Gen.choose(1L, 50L)
+    } yield (rows.zipWithIndex.map { case ((k, ts, a), i) =>
+      (k, ts, i.toLong, a) }, cut)  // tb = index → unique total order
+    def hist(rows: Seq[(String, Long, Long, String)]) =
+      History.scd2FromEvents(rows.toDF("k", "ts", "tb", "a"),
+        Seq("k"), col("ts"), col("tb"), col("a"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("attr_val"), col("valid_from"), col("valid_to"))
+        .as[(String, String, Long, Option[Long])].collect().sorted.toSeq
+    forAll(genCase, cases = 6) { case (log, cut) =>
+      // ts-cutoff split satisfies the append-only-per-key precondition
+      val pre = log.filter(_._2 < cut)
+      val post = log.filter(_._2 >= cut)
+      whenever(pre.nonEmpty && post.nonEmpty) {
+        val merged = History.scd2Merge(hist(pre),
+          post.toDF("k", "ts", "tb", "a"),
+          Seq("k"), col("ts"), col("tb"), col("a"))
+        assert(canon(merged) == canon(hist(log)))
+      }
+    }
+  }
+
+  test("IncrAgg merge equals the direct aggregate on random batch splits") {
+    import spark.implicits._
+    import graft.ops.IncrAgg
+    val genCase = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("x", "y", "z")
+        v <- Gen.choose(-100L, 100L)
+        u <- Gen.choose(0L, 15L)
+      } yield (g, v, u))
+      nb <- Gen.choose(2, 4)
+    } yield (rows, nb)
+    forAll(genCase, cases = 6) { case (rows, nb) =>
+      val batches = rows.zipWithIndex.groupBy(_._2 % nb).values
+        .map(_.map(_._1)).toSeq.filter(_.nonEmpty)
+      val state = batches.map(b => IncrAgg.partialState(
+        b.toDF("g", "v", "u"), Seq("g"), col("v"), col("u")))
+        .reduce(_ unionByName _)
+      val merged = IncrAgg.mergeState(state, Seq("g"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      val direct = rows.toDF("g", "v", "u").groupBy("g")
+        .agg(count(lit(1)), sum("v"), min("v"), max("v"), countDistinct("u"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      // HLL is exact at these cardinalities (≤16 distinct per group)
+      assert(merged == direct)
+    }
+  }
+
+  test("snapshotDiff partitions keys correctly on random snapshots") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val genSnap = Gen.listOf(for {
+      k <- Gen.choose(0L, 20L); v <- Gen.option(Gen.choose(-5L, 5L))
+    } yield (k, v)).map(_.toMap.toSeq)
+    forAll(Gen.zip(genSnap, genSnap), cases = 6) { case (o, n) =>
+      whenever(o.nonEmpty || n.nonEmpty) {
+        val got = Relational.snapshotDiff(
+            o.toDF("k", "v"), n.toDF("k", "v"), Seq("k"), Seq("v"))
+          .select(col("k"), col("change")).as[(Long, String)].collect().toMap
+        val om = o.toMap; val nm = n.toMap
+        val expect =
+          (nm.keySet -- om.keySet).map(_ -> "insert") ++
+          (om.keySet -- nm.keySet).map(_ -> "delete") ++
+          (om.keySet & nm.keySet).filter(k => om(k) != nm(k)).map(_ -> "update")
+        assert(got == expect.toMap)
+      }
+    }
+  }
 }
