@@ -486,6 +486,31 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // OOV tracking (Text.vocabulary + oovStats): the 10% batch's token
+    // occurrences probed against the 90% corpus's stored vocabulary —
+    // vocab drift / tokenizer coverage per ingest batch. The vocabulary
+    // is distinct by construction so the membership join never multiplies
+    // rows; rate is exact basis points.
+    Q("text_oov_rate",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        graft.ops.Text.oovStats(
+            d.filter(col("doc_id") % 10 === 0),
+            graft.ops.Text.vocabulary(d.filter(col("doc_id") % 10 =!= 0)))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH v AS (
+             |  SELECT DISTINCT lang, unnest($Toks) AS token
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |bt AS (SELECT lang, unnest($Toks) AS token
+             |       FROM documents WHERE doc_id % 10 = 0)
+             |SELECT bt.lang, count(*) AS n_tokens,
+             |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             |  CAST(floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    * 10000 / count(*)) AS BIGINT) AS oov_bp
+             |FROM bt LEFT JOIN v ON bt.lang = v.lang AND bt.token = v.token
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental corpus statistics — ops/IncrAgg applied to the TEXT
     // domain (the operator is generic over any keyed value): per-language
     // token totals maintained from 3 ingest batches' mergeable partials,

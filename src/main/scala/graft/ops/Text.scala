@@ -199,4 +199,33 @@ object Text {
   def normalize(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Per-language vocabulary of a corpus: distinct (lang, token) with
+    * occurrence counts — the stored state behind OOV tracking. One
+    * explode + one keyed aggregate; the table is O(vocab), not O(corpus),
+    * and appends compose (re-aggregate counts by key, or just union for
+    * membership-only use — `oovStats` only tests membership).
+    */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Out-of-vocabulary rate of a batch against a stored vocabulary: per
+    * language, the share (exact basis points) of batch token OCCURRENCES
+    * whose (lang, token) is absent from the vocabulary — the vocab-drift /
+    * tokenizer-coverage monitor a corpus ingest runs per batch. One
+    * (lang, token)-keyed left join (the vocabulary side is distinct by
+    * construction, so the join never multiplies batch rows) + one keyed
+    * aggregate; the corpus itself is never re-read — this is the same
+    * stored-state steady-state shape as the dedup probes.
+    */
+  def oovStats(batch: DataFrame, vocab: DataFrame): DataFrame =
+    batch.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .join(vocab.select(col("lang"), col("token"), lit(true).as("_known")),
+        Seq("lang", "token"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", Exact.ratioBp(col("n_oov"), col("n_tokens")))
 }

@@ -48,4 +48,20 @@ class TextOpsSpec extends SparkSpec {
     val out = Text.tokenFrequencyHistogram(docs).as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("oovStats: occurrence-level OOV vs vocabulary, language-scoped, no row blowup") {
+    val corpus = Seq((1L, "en", "alpha beta beta"), (2L, "de", "alpha und"))
+      .toDF("doc_id", "lang", "text")
+    // en batch: 'beta' known (count 2 in vocab — must not double rows),
+    // 'gamma' x2 OOV; 'alpha' in DE vocab only → OOV for de? no: de batch
+    // has 'alpha' (known in de) and 'beta' (en-only → OOV in de)
+    val batch = Seq((10L, "en", "beta gamma gamma alpha"),
+      (11L, "de", "alpha beta")).toDF("doc_id", "lang", "text")
+    val out = Text.oovStats(batch, Text.vocabulary(corpus))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "en" -> ((4L, 2L, 5000L)),  // beta, alpha known; gamma x2 OOV
+      "de" -> ((2L, 1L, 5000L)))) // alpha known; beta OOV in de
+  }
 }
