@@ -215,14 +215,19 @@ object Text {
     * language, the share (exact basis points) of batch token OCCURRENCES
     * whose (lang, token) is absent from the vocabulary — the vocab-drift /
     * tokenizer-coverage monitor a corpus ingest runs per batch. One
-    * (lang, token)-keyed left join (the vocabulary side is distinct by
-    * construction, so the join never multiplies batch rows) + one keyed
-    * aggregate; the corpus itself is never re-read — this is the same
-    * stored-state steady-state shape as the dedup probes.
+    * (lang, token)-keyed left join + one keyed aggregate; the corpus
+    * itself is never re-read — the same stored-state steady-state shape
+    * as the dedup probes. The vocab side is DISTINCT'd defensively before
+    * the join: a fresh `vocabulary()` is distinct by construction, but an
+    * APPENDED stored vocabulary (per-batch delta dirs) carries duplicate
+    * (lang, token) rows, and a duplicate on the build side would multiply
+    * batch occurrences — one O(vocab) exchange buys membership semantics
+    * for every vocab source.
     */
   def oovStats(batch: DataFrame, vocab: DataFrame): DataFrame =
     batch.select(col("lang"), explode(tokens(col("text"))).as("token"))
-      .join(vocab.select(col("lang"), col("token"), lit(true).as("_known")),
+      .join(vocab.select(col("lang"), col("token")).distinct()
+          .withColumn("_known", lit(true)),
         Seq("lang", "token"), "left_outer")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -517,6 +517,65 @@ object StreamOps {
       graft.ops.IncrAgg.foldState(spark, stateRoot, keys, before = batchId)
   }
 
+  /** Streaming vocabulary maintenance + OOV reporting: every micro-batch
+    * of documents is scored against the vocabulary accumulated by PRIOR
+    * batches (`Text.oovStats` — the vocab-drift monitor), then its own
+    * vocabulary lands under `stateDir/vocab/batch=<id>/` so the NEXT batch
+    * sees it. Reports land under `stateDir/report/batch=<id>/`.
+    *
+    * Exactly-once by the usual state-dir contract: reads exclude the
+    * in-flight batch id, writes overwrite exactly their own `batch=` dirs
+    * — a crash-replay recomputes the identical report from the identical
+    * prior-batch state. The per-batch vocab deltas carry duplicate
+    * (lang, token) rows across batches by design (`oovStats` tests
+    * membership through a distinct); `Load.compactPartitioned` folds the
+    * delta dirs on whatever maintenance cadence the operator runs.
+    */
+  def oovSink(docs: DataFrame, stateDir: String,
+              checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        oovDocumentBatch(batch, id, stateDir)
+      }
+
+  /** One micro-batch of `oovSink`, public for direct testing and crash
+    * replay.
+    */
+  def oovDocumentBatch(batch: DataFrame, batchId: Long,
+                       stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val vocabRoot = s"$stateDir/vocab"
+    val fs = graft.etl.Load.fsFor(spark, vocabRoot)
+    val prior =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(vocabRoot))) None
+      else {
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(vocabRoot))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith("batch=") &&
+              n.stripPrefix("batch=").forall(_.isDigit) &&
+              n.stripPrefix("batch=").toLong != batchId // exclude own replay
+          }
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", vocabRoot)
+          .parquet(dirs.map(_.getPath.toString): _*).drop("batch"))
+      }
+    val report = prior match {
+      case Some(vocab) => graft.ops.Text.oovStats(batch, vocab)
+      case None => // empty vocabulary: every occurrence is OOV
+        batch.select(col("lang"),
+            explode(graft.ops.Text.tokens(col("text"))).as("token"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"), count(lit(1)).as("n_oov"))
+          .withColumn("oov_bp", lit(10000L))
+    }
+    report.write.mode("overwrite")
+      .parquet(s"$stateDir/report/batch=$batchId")
+    graft.ops.Text.vocabulary(batch).write.mode("overwrite")
+      .parquet(s"$vocabRoot/batch=$batchId")
+  }
+
   /** Streaming SCD2 maintenance: every micro-batch of change events merges
     * into the stored, key-hash-bucketed history via
     * `History.scd2MergeStored` — per trigger, only the buckets the batch

@@ -492,6 +492,45 @@ class StreamOpsSpec extends SparkSpec {
       (h0 + 10800) -> 2L))
   }
 
+  test("oovSink: batches score against prior vocab only; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("oov-src")
+    val state = tmpDir("oov-state")
+    val ckpt = tmpDir("oov-ckpt")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"lang":"en","text":"$text"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    writeFile("b1.json", Seq(doc(1, "alpha beta")))
+    writeFile("b2.json", Seq(doc(2, "alpha gamma")))
+    val q = StreamOps.oovSink(
+      StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+      state, ckpt).trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    def reports: Map[Long, (Long, Long, Long)] =
+      spark.read.parquet(s"$state/report")
+        .select(col("batch").cast("long"), col("n_tokens"), col("n_oov"),
+          col("oov_bp"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // batch 0: empty vocab → all OOV; batch 1: alpha known, gamma OOV
+    assert(reports == Map(0L -> ((2L, 2L, 10000L)), 1L -> ((2L, 1L, 5000L))))
+
+    // crash-replay of the LAST batch: the state read excludes its own
+    // batch dir, so the recomputed report and the vocab state are identical
+    val b2 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b2.json")
+    StreamOps.oovDocumentBatch(b2, 1L, state)
+    assert(reports == Map(0L -> ((2L, 2L, 10000L)), 1L -> ((2L, 1L, 5000L))))
+    assert(spark.read.parquet(s"$state/vocab").drop("batch")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("en", "alpha", 1L), ("en", "beta", 1L), ("en", "gamma", 1L)))
+  }
+
   test("scd2Sink: streamed batches maintain bucketed history; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.History
