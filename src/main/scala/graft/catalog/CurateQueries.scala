@@ -293,5 +293,44 @@ object CurateQueries extends Catalog {
              |        ($GateSqlExpr) + ($GateBias::DOUBLE) AS score
              |      FROM embeddings) t
              |ORDER BY vec_id""".stripMargin)),
+
+    // DSIR-style data selection (Xie et al. 2023): rank the candidate pool
+    // by the log-likelihood ratio of hashed-bigram unigram LMs — a target
+    // LM (the doc_id % 7 = 0 "seed domain" slice) vs the background LM of
+    // the pool itself — and keep the top 25. The LMs are FIXED-SIZE
+    // (1024 md5-hashed buckets, replayed bit-for-bit by the oracle), so
+    // the 100 TB cost is two corpus scans plus a broadcast of a 1024-row
+    // stats table; selection is a pushed top-k. Scores are rounded to 4dp
+    // BEFORE ranking on both engines (Java log vs DuckDB ln differ by
+    // 1 ulp on ~3e-5 of integer inputs — rounding absorbs that).
+    Q("curate_dsir_select",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        Curate.dsirSelect(
+          pool = d.filter(col("doc_id") % 7 =!= 0),
+          target = d.filter(col("doc_id") % 7 === 0),
+          k = 25)
+      },
+      Some(s"""WITH bg AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(g), 1, 7))::BIGINT % 1024) AS b
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len($Toks)),
+             |          i -> ($Toks)[i] || ' ' || ($Toks)[i + 1])) AS g
+             |        FROM documents) u),
+             |tc AS (SELECT b, count(*) AS ct FROM bg WHERE doc_id % 7 = 0 GROUP BY b),
+             |rc AS (SELECT b, count(*) AS cr FROM bg WHERE doc_id % 7 <> 0 GROUP BY b),
+             |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS nt,
+             |               (SELECT coalesce(sum(cr), 0) FROM rc) AS nr),
+             |scored AS (
+             |  SELECT g.doc_id, count(*) AS n_grams,
+             |    round(sum(ln(coalesce(tc.ct, 0) + 1) - ln(coalesce(rc.cr, 0) + 1))
+             |      + count(*) * (ln((SELECT nr FROM tot) + 1024)
+             |                  - ln((SELECT nt FROM tot) + 1024)), 4) AS score
+             |  FROM bg g LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b
+             |  WHERE g.doc_id % 7 <> 0 GROUP BY g.doc_id)
+             |SELECT doc_id, n_grams, score, rank FROM (
+             |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 25 ORDER BY rank""".stripMargin)),
   )
 }

@@ -226,6 +226,31 @@ object RelationalQueries extends Catalog {
              |  b(bucket, lo, hi) ON l_quantity >= lo AND l_quantity < hi
              |GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // Bloom-filter semi-join reduction: the dim side is a SELECTIVE slice
+    // of orders (high-value only), so most lineitem rows would shuffle
+    // into the join only to be discarded — bloomPrunedJoin drops them
+    // map-side, next to the scan, via a constant-folded bit-array probe
+    // (see ops/Relational.scala for the math). Bloom false positives die
+    // in the join itself, so the oracle is the PLAIN inner join — the
+    // hash match proves the filter is lossless.
+    Q("join_bloom_pruned",
+      (s, dir) => {
+        val fact = load(s, dir, "lineitem")
+        val dim = load(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Relational.bloomPrunedJoin(fact, dim, "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(Exact.asLong(col("l_quantity"))).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 300000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Large-large range join: BOTH sides data-sized (orders × customer-derived
     // price bands), so the broadcast-BNLJ of join_theta_range is off the
     // table. binnedRangeJoin decomposes to explode-to-bins + equi-join on the

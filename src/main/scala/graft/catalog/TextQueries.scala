@@ -486,6 +486,32 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // n-gram CONTAINMENT dedup (Broder 1997's asymmetric companion to
+    // resemblance): directed pairs where ≥ 80% of src's 3-gram shingles
+    // occur in dst — the "truncation / excerpt / superset" signal that
+    // Jaccard structurally misses when lengths differ (the union term
+    // grows with the longer doc). Lossless asymmetric prefix filter:
+    // src's df-ordered prefix joins dst's FULL shingle list (see
+    // ops/Dedup.scala); the oracle is the quadratic definition, so the
+    // hash match proves losslessness. Empty shingle sets (< n tokens)
+    // are excluded as src — containment over ∅ is undefined.
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(load(s, dir, "documents"), 3, 0.8)
+        .orderBy(col("src"), col("dst")),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id AS id, lang,
+             |    CASE WHEN len($Toks) < 3 THEN []::VARCHAR[]
+             |      ELSE list_sort(list_distinct(list_transform(range(1, len($Toks) - 1),
+             |        i -> array_to_string(($Toks)[i : i + 2], ' ')))) END AS sh
+             |  FROM documents)
+             |SELECT src, dst, containment FROM (
+             |  SELECT a.id AS src, b.id AS dst,
+             |    round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 4)
+             |      AS containment
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.id <> b.id
+             |  WHERE len(a.sh) > 0) p
+             |WHERE containment >= 0.8 ORDER BY src, dst""".stripMargin)),
+
     // OOV tracking (Text.vocabulary + oovStats): the 10% batch's token
     // occurrences probed against the 90% corpus's stored vocabulary —
     // vocab drift / tokenizer coverage per ingest batch. The vocabulary

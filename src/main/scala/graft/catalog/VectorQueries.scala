@@ -233,6 +233,34 @@ object VectorQueries extends Catalog {
       },
       Some(IvfOracle)),
 
+    // SemDeDup (Abbas et al. 2023): embedding-level semantic dedup —
+    // same-cluster pairs with cosine ≥ threshold are duplicates; keep the
+    // smallest id per group. Catches paraphrases every lexical dedup
+    // misses; the quadratic check is confined WITHIN clusters (Σ|cell|²,
+    // bounded by the cluster-granularity config — the paper's own scale
+    // argument). The oracle replays the seeded-centroid assignment exactly
+    // like the IVF oracle, then the keep rule as NOT-EXISTS.
+    Q("dedup_semantic",
+      (s, dir) => Vectors.semanticDedup(load(s, dir, "embeddings"), 0.4,
+          centroidEvery = 50, maxCentroids = 128)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
+             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
+             |asg AS (
+             |  SELECT vec_id, cell, e, nrm FROM (
+             |    SELECT n.vec_id, c.cid AS cell, n.e, n.nrm,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC, c.cid) AS crk
+             |    FROM n, c) t WHERE crk = 1),
+             |dup AS (SELECT DISTINCT b.vec_id
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) >= 0.4)
+             |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+             |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
+             |ORDER BY a.vec_id""".stripMargin)),
+
     // Symmetric int8 quantization — the storage path for 100 TB embedding
     // tables (4× smaller ANN-candidate vectors). floor() quantization, not
     // round(): floor has no tie rule to diverge across engines. The scale

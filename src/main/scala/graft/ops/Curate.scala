@@ -171,6 +171,77 @@ object Curate {
     graft.functions.ArrayMath.dotNative(features,
       array(weights.map(lit): _*)) + lit(bias)
 
+  /** DSIR-style data selection: score every candidate document by the
+    * log-likelihood ratio of two hashed-n-gram unigram language models —
+    * a target/seed LM over `target` vs a background LM over `pool` — and
+    * keep the top-k (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"; deterministic top-k in place of the
+    * paper's Gumbel sampling, so selection is replayable).
+    *
+    *   score(d) = Σ_{g ∈ bigrams(d)} [ ln(ct(b(g))+1) − ln(cr(b(g))+1) ]
+    *              + |bigrams(d)| · [ ln(Nr+B) − ln(Nt+B) ]
+    *
+    * where b(g) hashes the bigram into one of `buckets` = B ids via the
+    * repo's md5 unit-hash construction (first 7 hex chars — the oracle
+    * replays it bit-for-bit in SQL), ct/cr are target/pool bucket
+    * occurrence counts, Nt/Nr their totals (add-one smoothing). Bigram
+    * OCCURRENCES, not the distinct shingle set — occurrence counts are the
+    * LM statistic; the per-doc gram list is one linear `transform` pass
+    * (this is a once-per-corpus scoring scan, not a per-pair kernel, so
+    * the HOF is fine here).
+    *
+    * 100 TB shape: the LMs are FIXED-SIZE (B buckets) regardless of corpus
+    * size — two keyed aggregates produce a B-row stats table that joins
+    * back BROADCAST onto the exploded pool, then one per-doc aggregate.
+    * Nothing driver-side, nothing quadratic, corpus scanned twice (counts
+    * pass + scoring pass).
+    *
+    * Returns `(doc_id, n_grams, score, rank)` for the top `k` pool docs,
+    * score rounded to 4dp BEFORE ranking (ties → smaller doc_id) so the
+    * ranking is engine-portable: Java `Math.log` and DuckDB `ln` disagree
+    * by 1 ulp on ~3e-5 of integer inputs, and 4dp rounding absorbs that.
+    */
+  def dsirSelect(pool: DataFrame, target: DataFrame, k: Int,
+                 buckets: Int = 1024): DataFrame = {
+    def grams(df: DataFrame) = {
+      val toks = split(col("text"), " ")
+      df.select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .as("g"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("g").cast("binary")), 1, 7), 16, 10)
+            .cast("long") % buckets).as("b"))
+    }
+    val tc = grams(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rcG = grams(pool).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rc = rcG.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // B-row LM table: full outer over buckets seen on either side (absent
+    // bucket = count 0 under add-one smoothing), totals cross-joined on as
+    // one row — no collect anywhere.
+    val lm = tc.join(rc, Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val perDoc = rcG.join(broadcast(lm), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(log(col("ct") + 1) - log(col("cr") + 1)).as("s"))
+    val scored = perDoc.crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("s") + col("n_grams") *
+          (log(col("nr") + buckets) - log(col("nt") + buckets)), 4).as("score"))
+    // Pushed top-k (TakeOrderedAndProject — per-partition heaps, never a
+    // global sort), NOT a global row_number window over the data-sized
+    // pool; the rank window runs over the k survivors only.
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("score"), col("rank"))
+  }
+
   /** PII redaction: mask email-like tokens and long digit runs — the
     * narrow scrubbing pass that runs before anything persists raw text.
     * Pure `regexp_replace` (codegen'd, no UDF); patterns deliberately use

@@ -872,4 +872,54 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact n-gram CONTAINMENT pairs: directed (src, dst) where at least
+    * `threshold` of src's shingles also occur in dst — |A∩B| / |A| ≥ t.
+    * Jaccard misses subsumption (a doc that verbatim-contains a shorter
+    * one scores low when the lengths differ — the union term grows with
+    * the big doc), but containment is exactly the "this document is a
+    * truncation / excerpt / superset of that one" dedup signal (Broder
+    * 1997 introduced containment alongside resemblance for precisely
+    * this case).
+    *
+    * Lossless prefix filter, asymmetric form: overlap ≥ ⌈t·|A|⌉ forces at
+    * least one match inside A's first |A| − ⌈t·|A|⌉ + 1 shingles under ANY
+    * global shingle order — but puts NO bound on where the match lands in
+    * B, so the candidate join is A's df-ordered prefix against B's FULL
+    * shingle list. That stays cheap for the same reason the symmetric
+    * PPJoin does: prefix shingles are the RAREST ones, so each matches few
+    * B docs (the per-shingle fan-out is its df, and prefix dfs are near 1
+    * by construction). Same conservative `+2` float guard as
+    * `ngramJaccardPairs`. Short docs (< n tokens) have empty shingle sets
+    * and produce no directed pairs as src — containment is undefined on an
+    * empty set (the oracle's quadratic definition excludes them too).
+    */
+  def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Same 4-reference cache rationale as ngramJaccardPairs.
+    val t = docs.select(col("doc_id").as("id"), col("lang"),
+      shingles(col("text"), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
+      size(col("sh")).as("n"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
+      .select(col("id"), col("lang"), col("s"))
+    val cand = prefix.as("a").join(ranked.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    cand
+      .join(t.select(col("id").as("i"), col("sh").as("sh_a")), "i")
+      .join(t.select(col("id").as("j"), col("sh").as("sh_b")), "j")
+      .select(col("i").as("src"), col("j").as("dst"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") / size(col("sh_a")), 4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

@@ -581,6 +581,55 @@ object Vectors {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space, then call two documents semantic
+    * duplicates when they land in the SAME cluster with cosine ≥
+    * `threshold`; keep the smallest-id member of every duplicate group.
+    * This catches paraphrases and re-renderings that survive every
+    * lexical dedup (MinHash/SimHash/n-gram see different tokens), and is
+    * the standard embedding-level pass of an LLM-corpus pipeline.
+    *
+    * Plan shape — the paper's own scalability argument, which is also
+    * Spark's: the quadratic cosine check runs ONLY within clusters, so
+    * the cost is Σ|cell|² instead of n², bounded by the cluster
+    * granularity config (`maxCentroids`; at 100 TB you raise it so cells
+    * stay partition-sized — cell population is corpus/k in expectation).
+    * The centroid table is the same config-capped broadcast as IVF
+    * (`centroidFrame`, deterministic seeds — so the oracle replays the
+    * assignment exactly), the within-cell pair join shuffles on `cell`,
+    * and the keep decision is one smaller-id-neighbor anti-join. No
+    * driver-side state beyond the bounded centroid broadcast.
+    *
+    * Returns every input row as `(vec_id, cell, kept)` — callers filter
+    * `kept` to materialize the deduplicated corpus; emitting the full
+    * assignment keeps the drop auditable (which cluster claimed a doc).
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double,
+                    centroidEvery: Int = 50, maxCentroids: Int = 128,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = normedPrefixed(vectors, "x", idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cents = centroidFrame(n, centroidEvery, maxCentroids, 0)
+    val lists = nearestCellsFrame(n, cents, "x", 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // A vec is a duplicate iff SOME same-cell smaller-id vec is ≥ threshold
+    // (rounded to 6dp on both engines, house convention). Directing the
+    // pair at the larger id makes "keep the smallest member" an anti-join.
+    val dups = lists.select(col("cell"), col("xid").as("bid"),
+        col("xv").as("bv"), col("xn").as("bn"))
+      .join(lists.select(col("cell"), col("xid").as("aid"),
+        col("xv").as("av"), col("xn").as("an")), "cell")
+      .filter(col("aid") < col("bid"))
+      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+        >= threshold)
+      .select(col("bid")).distinct()
+    lists.select(col("xid"), col("cell"))
+      .join(dups, col("xid") === col("bid"), "left_outer")
+      .select(col("xid").as(idCol), col("cell"),
+        col("bid").isNull.as("kept"))
+  }
+
   // --------------------------------------------- stored IVF index lifecycle
 
   private def ivfCentroidsPath(dir: String) = s"$dir/centroids"

@@ -201,4 +201,34 @@ class PlanContractSpec extends SparkSpec {
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "global top-k must plan TakeOrderedAndProject, not sort-then-limit")
   }
+
+  test("bloom-pruned join: the probe filter sits ON the fact scan, pre-join") {
+    import org.apache.spark.sql.execution.FilterExec
+    val p = q("join_bloom_pruned")
+    // the bloom probe (seeded xxhash64 against the folded bit-array
+    // literal) must be a Filter whose child IS the lineitem scan — i.e.
+    // rows are discarded map-side, before any exchange or join ships them
+    val probeOnScan = p.collect {
+      case f: FilterExec if f.condition.toString.contains("xxhash64") &&
+        f.child.collectLeaves().exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.inputFiles.exists(_.contains("lineitem"))
+          case _ => false
+        } && f.collect { case j: BroadcastHashJoinExec => j }.isEmpty => f
+    }
+    assert(probeOnScan.nonEmpty,
+      "bloom probe filter must apply directly to the fact scan, below the join")
+  }
+
+  test("dsir selection: fixed-size LM broadcast, pushed top-k, no global window") {
+    val p = q("curate_dsir_select")
+    assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "dsir top-k must plan TakeOrderedAndProject, not a global sort")
+    // the data-sized side of every window must be absent: the only window
+    // ranks the k survivors of the pushed top-k (bounded input)
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.forall(w => w.collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty),
+      "dsir rank window must run over the top-k output only")
+  }
 }

@@ -165,6 +165,35 @@ class PropertySpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("prefix-filtered containmentPairs equals the brute-force quadratic definition") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val genDoc = for {
+      drop <- Gen.choose(0, 6)
+      take <- Gen.choose(4, 13)
+      extra <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma")).map(_.take(2))
+    } yield (base.split(" ").drop(drop).take(take) ++ extra).mkString(" ")
+    forAll(Gen.listOfN(20, genDoc)) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, "en", t) }
+          .toDF("doc_id", "lang", "text")
+        val fast = Dedup.containmentPairs(docs, 3, 0.8)
+          .select("src", "dst").as[(Long, Long)].collect().toSet
+        def sh(t: String): Set[String] =
+          t.split(" ").toSeq.sliding(3).filter(_.size == 3)
+            .map(_.mkString(" ")).toSet
+        val shs = texts.zipWithIndex.map { case (t, i) => (i.toLong, sh(t)) }
+        val slow = (for {
+          (ia, sa) <- shs; (ib, sb) <- shs
+          if ia != ib && sa.nonEmpty
+          if (sa & sb).size.toDouble / sa.size >= 0.8
+        } yield (ia, ib)).toSet
+        assert(fast == slow)
+      }
+    }
+  }
+
   test("prefix-filtered ngramJaccardPairs equals the brute-force quadratic definition") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"

@@ -135,6 +135,26 @@ class CurateSpec extends SparkSpec {
       .forall(r => r._2 == r._1 && r._3 == "none"))
   }
 
+  test("dsirSelect ranks target-like pool docs above dissimilar ones") {
+    val target = Seq(
+      (100L, "distributed query engines shuffle data across partitions"),
+      (101L, "query engines optimize shuffle and partition pruning"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "distributed query engines shuffle data across partitions nightly"),
+      (2L, "my cat sat on the warm windowsill all afternoon long"),
+      (3L, "engines shuffle data across partitions when queries run"))
+      .toDF("doc_id", "text")
+    val out = Curate.dsirSelect(pool, target, k = 3)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    // both target-echoing docs outrank the unrelated one, which must
+    // score strictly lower (its bigrams hit zero target-count buckets)
+    assert(out.last._1 == 2L)
+    assert(out.last._3 < out.head._3)
+  }
+
   test("linearScore is the exact index-order double dot product plus bias") {
     val df = Seq((1L, Array(0.5f, -1.25f, 2.0f)), (2L, Array(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")

@@ -336,6 +336,47 @@ class DedupVectorsSpec extends SparkSpec {
     assert(collectPairs(Vectors.cosineNearDupPairsBanded(vecs(6), 0.5, dims = 8)) == exact)
   }
 
+  test("containmentPairs: an excerpt is contained in its superset, not vice versa") {
+    val d = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta"), // excerpt of 2
+      (2L, "en", "prologue alpha beta gamma delta epsilon zeta epilogue coda end"),
+      (3L, "en", "completely unrelated words about nothing at all here"),
+      (4L, "en", "xy") // < n tokens: empty shingle set, never a src
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.containmentPairs(d, 3, 0.8)
+      .select("src", "dst", "containment").as[(Long, Long, Double)]
+      .collect().toSet
+    // all 4 of doc 1's 3-grams occur in doc 2 → containment 1.0; the
+    // reverse direction is 4/8 = 0.5 and must NOT appear at t=0.8
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
+  test("semanticDedup: drop rule matches a brute-force within-cell recompute") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Vectors.semanticDedup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // Taking the CELL ASSIGNMENT as given (the oracle pins it), a vec must
+    // be dropped iff some smaller-id same-cell vec has cosine ≥ threshold.
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, kept) <- members) {
+      val dupOfSmaller = members.exists { case (oid, _, _) =>
+        oid < id && cos(vecs(oid), vecs(id)) >= 0.4
+      }
+      assert(kept == !dupOfSmaller, s"vec $id: kept=$kept, brute=$dupOfSmaller")
+    }
+    // and the pass must actually drop something on this corpus
+    assert(out.exists(!_._3) && out.exists(_._3))
+  }
+
   test("ANN recall@5 vs exact top-k at sf0.01 stays above the 0.8 floor") {
     val dir = "/root/testdata/sf0.01"
     val emb = graft.tables.Tables.load(spark, dir, "embeddings")

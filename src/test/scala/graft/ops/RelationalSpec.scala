@@ -192,6 +192,23 @@ class RelationalSpec extends SparkSpec {
     assert(fromDisk.map(p => (p._1, p._2)) == Set((1L, 10L), (3L, 10L)))
   }
 
+  test("bloomPrunedJoin equals the plain join and actually prunes pre-join") {
+    val fact = (1L to 2000L).map(i => (i % 400, s"f$i")).toDF("k", "payload")
+    val dim = (0L to 399L by 20).map(k => (k, s"d$k")).toDF("k", "name") // 5%
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val pruned = Relational.bloomPrunedJoin(fact, dim, "k")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(pruned == plain && plain.nonEmpty)
+    // the filter ALONE must discard most fact rows pre-join: 20 of 400
+    // keys are in the dim side → 100 true matches of 2000 rows; fpp at
+    // these sizes is ~1e-4, so false positives should add ~0
+    val survivors = fact.filter(Relational.bloomMightContain(dim, "k")).count()
+    assert(survivors >= 100 && survivors <= 140, s"survivors=$survivors")
+    // no false NEGATIVES ever: every true match survives the filter
+    assert(survivors >= plain.size)
+  }
+
   test("firstPerKey keeps the deterministic survivor") {
     val df = Seq((1L, "b", 10), (1L, "a", 20), (2L, "c", 5))
       .toDF("id", "tag", "v")
