@@ -294,6 +294,26 @@ object CurateQueries extends Catalog {
              |      FROM embeddings) t
              |ORDER BY vec_id""".stripMargin)),
 
+    // Temperature-rebalanced language mixture (mC4/XLM-R α-sampling):
+    // per-language keep rates ∝ n^α realize the flattened mixture at a
+    // fixed budget; membership is the deterministic md5 unit hash. Rates
+    // round to 6dp on both engines BEFORE the hash compare — pow's 1-ulp
+    // cross-engine divergence cannot move a 6dp rate across a hash grid
+    // point. n^α/Σn^α: the corpus-share totals cancel, so exact integer
+    // counts feed pow directly.
+    Q("curate_temperature_sample",
+      (s, dir) => Curate.temperatureSample(load(s, dir, "documents"),
+          col("lang"), col("doc_id"), alpha = 0.5, targetN = 200)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |z AS (SELECT sum(pow(n, 0.5::DOUBLE)) AS zsum FROM c),
+             |r AS (SELECT lang, round(least(1.0::DOUBLE,
+             |    200.0::DOUBLE * pow(n, 0.5::DOUBLE) / zsum / n), 6) AS rate
+             |  FROM c, z)
+             |SELECT doc_id, lang FROM documents d JOIN r USING (lang)
+             |WHERE $UnitHash < rate ORDER BY doc_id""".stripMargin)),
+
     // DSIR-style data selection (Xie et al. 2023): rank the candidate pool
     // by the log-likelihood ratio of hashed-bigram unigram LMs — a target
     // LM (the doc_id % 7 = 0 "seed domain" slice) vs the background LM of

@@ -184,6 +184,70 @@ object TextQueries extends Catalog {
              |  / len(l)) AS BIGINT) AS stopword_bp
              |FROM (SELECT doc_id, $Toks AS l FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // Character-level Shannon entropy — the "text vs noise/base64/binary
+    // spill" quality signal next to the token ratios. Exact integer char
+    // counts on both engines; H = log2(N) − (Σ n·log2 n)/N so the only
+    // float op is log2, rounded 4dp.
+    Q("text_char_entropy",
+      (s, dir) => Text.charEntropy(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH cc AS (
+             |  SELECT doc_id, c, count(*) AS n
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |        FROM documents) u
+             |  WHERE c <> '' GROUP BY doc_id, c)
+             |SELECT doc_id, sum(n)::BIGINT AS n_chars,
+             |  round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS entropy_bits
+             |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // BM25 top-k retrieval over the corpus for a literal query set — the
+    // ranked-fuzzy-overlap companion to the exact shingle decontaminator
+    // (contamination triage: "which training docs match this prompt").
+    // Postings are semi-joined to query terms BEFORE any aggregate, so
+    // the scoring shuffles carry only matching postings. The oracle
+    // replays the Okapi formula with the identical double association;
+    // ::DOUBLE casts keep DuckDB off its DECIMAL-literal path.
+    Q("text_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", Seq("spark", "join", "fast")),
+          ("q2", Seq("window", "merge")),
+          ("q3", Seq("vector", "scan", "slow"))).toDF("qid", "terms")
+        Text.bm25TopK(load(s, dir, "documents"), queries, 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q(qid, terms) AS (VALUES
+             |    ('q1', ['spark', 'join', 'fast']),
+             |    ('q2', ['window', 'merge']),
+             |    ('q3', ['vector', 'scan', 'slow'])),
+             |qt AS (SELECT DISTINCT qid, unnest(terms) AS t FROM q),
+             |p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |      FROM documents),
+             |dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+             |       FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |              sum(len(string_split(text, ' ')))::DOUBLE / count(*) AS avgdl
+             |       FROM documents),
+             |tf AS (SELECT p.doc_id, p.t, count(*) AS tf
+             |       FROM p JOIN (SELECT DISTINCT t FROM qt) x ON p.t = x.t
+             |       GROUP BY p.doc_id, p.t),
+             |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+             |sc AS (SELECT qt.qid, tf.doc_id,
+             |    round(sum(
+             |      ln(1.0::DOUBLE + (st.n_docs - dfx.df + 0.5::DOUBLE)
+             |                     / (dfx.df + 0.5::DOUBLE)) *
+             |      (tf.tf * 2.2::DOUBLE) /
+             |      (tf.tf + (dl.dl / st.avgdl * 0.75::DOUBLE + 0.25::DOUBLE)
+             |               * 1.2::DOUBLE)), 4) AS score
+             |  FROM tf JOIN dfx ON tf.t = dfx.t JOIN qt ON tf.t = qt.t
+             |       JOIN dl ON tf.doc_id = dl.doc_id, st
+             |  GROUP BY qt.qid, tf.doc_id)
+             |SELECT qid, rank, doc_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, doc_id) AS rank FROM sc) t
+             |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
     // Repetition signals (Gopher-style boilerplate detectors): share of all
     // unigrams/bigrams held by the single most frequent gram, floor-scaled
     // basis points. High values mark template/looping text for quality

@@ -171,6 +171,38 @@ object Curate {
     graft.functions.ArrayMath.dotNative(features,
       array(weights.map(lit): _*)) + lit(bias)
 
+  /** Temperature-rebalanced language sampling (the multilingual mixture
+    * rule from mC4/XLM-R: sample language l with probability ∝ p_l^α,
+    * α < 1 flattening the head so low-resource languages survive). Given
+    * the corpus language shares p_l, the per-language KEEP RATE that
+    * realizes the rebalanced mixture at total budget `targetN` is
+    *
+    *   rate_l = min(1, targetN · (p_l^α / Σ p^α) / n_l)
+    *
+    * and membership is the usual deterministic `unitHash(key) < rate` —
+    * growth-stable, replayable, engine-portable. Rates are computed
+    * distributed (one tiny language-counts agg, a 1-row Σp^α broadcast —
+    * no collect) and ROUNDED to 6dp before the hash compare on both
+    * engines: pow is the only float op, and its 1-ulp cross-engine
+    * divergence cannot move a 6dp-rounded rate across a hash grid point.
+    */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+                        alpha: Double, targetN: Long): DataFrame = {
+    val counts = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n"))
+    val total = counts.agg(sum(col("_n")).as("_tot"),
+      sum(pow(col("_n"), alpha)).as("_zsum"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col("_s"),
+        round(least(lit(1.0),
+          lit(targetN.toDouble) * pow(col("_n"), alpha) / col("_zsum") / col("_n")),
+          6).as("_rate"))
+    // p_l^α / Σ p^α = n_l^α / Σ n^α — the totals cancel, so the exact
+    // integer counts feed pow directly (one fewer float op to replay)
+    df.join(broadcast(rates), stratum === col("_s"))
+      .filter(unitHash(key) < col("_rate"))
+      .drop("_s", "_rate")
+  }
+
   /** DSIR-style data selection: score every candidate document by the
     * log-likelihood ratio of two hashed-n-gram unigram language models —
     * a target/seed LM over `target` vs a background LM over `pool` — and

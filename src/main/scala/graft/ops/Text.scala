@@ -136,6 +136,94 @@ object Text {
         Exact.ratioBp(size(filter(toks, t => array_contains(stop, t))).cast("long"), nTok))
   }
 
+  /** Character-level Shannon entropy per document, in bits —
+    * H = −Σ_c (n_c/N)·log2(n_c/N) over the document's characters. The
+    * cheap "is this text or noise/binary-spill/compressed junk" signal a
+    * pretraining quality gate runs next to the token ratios: natural-
+    * language text sits ~4±0.7 bits/char, base64 and hex spills sit high,
+    * template/repeated junk sits low. Distributed shape: explode to
+    * (doc, char) rows → two-phase count → per-doc sum; the shuffle carries
+    * distinct (doc, char) pairs — at most |alphabet| rows per document,
+    * never text. Entropy rounds to 4dp (log2 is the only float op; both
+    * engines compute it from the same exact integer counts).
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val cc = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      // Spark's split("", limit=-1) can emit a trailing "" that DuckDB's
+      // char split does not — drop empties explicitly on both sides
+      .filter(col("c") =!= "")
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
+    cc.groupBy(col(idCol))
+      .agg(sum(col("n")).as("len"),
+        sum(col("n") * log2(col("n"))).as("nlg"))
+      // H = log2(N) − (Σ n·log2 n)/N — one pass, no per-char division
+      .select(col(idCol),
+        col("len").cast("long").as("n_chars"),
+        round(log2(col("len")) - col("nlg") / col("len"), 4).as("entropy_bits"))
+  }
+
+  /** BM25-scored top-k retrieval (Robertson–Spärck Jones; the Okapi
+    * formula with the +1 idf floor Lucene uses, so idf is never negative):
+    *
+    *   score(q, d) = Σ_{t ∈ q} ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    *                 tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * The retrieval pass a data pipeline needs around its corpus — e.g.
+    * "which training documents match this benchmark prompt" during
+    * contamination triage (the shingle decontaminator answers exact
+    * overlap; BM25 answers ranked fuzzy overlap).
+    *
+    * 100 TB shape: the query set broadcasts (it is human-sized); the
+    * corpus postings explode ONCE and are immediately semi-joined down to
+    * query terms, so the tf/df aggregates and the scoring shuffle carry
+    * only matching postings — non-matching tokens die map-side next to
+    * the scan. Corpus-wide stats (per-doc length, avgdl) are one keyed
+    * agg + a 1-row broadcast. Top-k per query is a partitioned window
+    * (WindowGroupLimit pushes the limit). Scores round to 4dp before
+    * ranking (ties → doc_id) — the ln-ulp story, as with DSIR.
+    *
+    * `queries`: (qid, terms Array[String]). Docs matching NO query term
+    * simply never appear; a query matching nothing returns no rows.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qterms = broadcast(
+      queries.select(col("qid"), explode(col("terms")).as("t")).distinct())
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val dl = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    // matching postings only: the broadcast semi-join prunes BEFORE any agg
+    val tf = postings.join(broadcast(qterms.select(col("t")).distinct()), "t")
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "t")
+      .join(qterms, "t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col(idCol), col("dl"), col("n_docs"), col("avgdl"))
+      // association mirrored EXACTLY by the oracle SQL (same double ops in
+      // the same order; only ln carries a 1-ulp risk, absorbed by round 4)
+      .agg(sum(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") +
+            (col("dl") / col("avgdl") * lit(b) + lit(1 - b)) * lit(k1)))
+        .as("s"))
+      .select(col("qid"), col(idCol), round(col("s"), 4).as("score"))
+    Relational.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("score").desc, col(idCol)), k, rankCol = "rank")
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"))
+  }
+
   /** Repetition signals per document — the boilerplate/looping-text
     * detectors pretraining quality gates use alongside `qualityMetrics`:
     * the fraction of all unigrams taken by the single most frequent token,

@@ -517,6 +517,88 @@ object StreamOps {
       graft.ops.IncrAgg.foldState(spark, stateRoot, keys, before = batchId)
   }
 
+  /** File-source stream of embedding rows — the ingest feed for
+    * `embeddingDedupSink`. JSON lines `{"vec_id": …, "embedding": […]}`.
+    */
+  def readEmbeddingStream(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(dir)
+  }
+
+  /** The EMBEDDING twin of `incrementalDedupSink`: every micro-batch of
+    * vectors is probed against the stored sign-LSH index
+    * (`Vectors.cosineIncrementalIndexed` — NEW×CORPUS and NEW×earlier-NEW
+    * band joins only, the corpus is never re-banded), novel survivors land
+    * in `stateDir/out/`, and the survivors' normed + banded rows are
+    * appended so the NEXT batch dedups against them. This is the semantic
+    * half of a streaming ingest pipeline (the MinHash sink is the lexical
+    * half): paraphrase-duplicates arrive continuously too.
+    *
+    * State layout and EXACTLY-ONCE contract are identical to
+    * `dedupDocumentBatch`: per-batch dirs (`normed/banded/out` under
+    * `batch=<id>/`), state reads exclude the in-flight batch id, writes
+    * overwrite exactly their own dirs — crash-replay converges to
+    * identical state. Deltas are foldable by `Load.compactPartitioned` on
+    * whatever maintenance cadence the operator runs.
+    */
+  def embeddingDedupSink(vecs: DataFrame, stateDir: String, checkpoint: String,
+                         threshold: Double = 0.9,
+                         planesPerBand: Int = 2, bands: Int = 16,
+                         dims: Int = 64,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataStreamWriter[Row] =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingDedupBatch(batch, batchId, stateDir, threshold,
+          planesPerBand, bands, dims, idCol, vecCol)
+      }
+
+  /** One ingest iteration of `embeddingDedupSink`, public for replay
+    * testing: same batch id twice must leave state and output identical.
+    */
+  def embeddingDedupBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                          threshold: Double = 0.9,
+                          planesPerBand: Int = 2, bands: Int = 16,
+                          dims: Int = 64,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    import graft.ops.Vectors
+    import org.apache.spark.sql.SaveMode
+    val spark = batch.sparkSession
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val none = org.apache.spark.storage.StorageLevel.NONE
+    lazy val emptyIndex =
+      Vectors.cosineIndex(batch.limit(0), planesPerBand, bands, dims,
+        idCol, vecCol, none)
+    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
+      if (!hasData(root)) empty
+      else
+        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val priorNormed = readPriorOr(s"$stateDir/normed", emptyIndex._1)
+    val priorBanded = readPriorOr(s"$stateDir/banded", emptyIndex._2)
+    val flagged = Vectors.cosineIncrementalIndexed(batch, priorNormed,
+      priorBanded, threshold, planesPerBand, bands, dims, idCol, vecCol)
+    val survivors = batch
+      .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def overwriteOwn(df: DataFrame, root: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+    overwriteOwn(survivors, s"$stateDir/out")
+    val (sNormed, sBanded) =
+      Vectors.cosineIndex(survivors, planesPerBand, bands, dims,
+        idCol, vecCol, none)
+    overwriteOwn(sNormed, s"$stateDir/normed")
+    overwriteOwn(sBanded, s"$stateDir/banded")
+    survivors.unpersist()
+    ()
+  }
+
   /** Streaming vocabulary maintenance + OOV reporting: every micro-batch
     * of documents is scored against the vocabulary accumulated by PRIOR
     * batches (`Text.oovStats` — the vocab-drift monitor), then its own

@@ -135,6 +135,27 @@ class CurateSpec extends SparkSpec {
       .forall(r => r._2 == r._1 && r._3 == "none"))
   }
 
+  test("temperatureSample: α flattens the mixture toward low-resource strata") {
+    val df = ((1 to 900).map(i => (i.toLong, "en")) ++
+      (901 to 1000).map(i => (i.toLong, "sw"))).toDF("doc_id", "lang")
+    def kept(alpha: Double): Map[String, Long] =
+      Curate.temperatureSample(df, col("lang"), col("doc_id"), alpha, 300)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val flat = kept(0.3)
+    val prop = kept(1.0)
+    // α=1 keeps languages proportional (~270/30); α=0.3 shifts budget
+    // toward the low-resource language — its keep COUNT must rise and
+    // the high-resource share must fall
+    assert(flat.getOrElse("sw", 0L) > prop.getOrElse("sw", 0L))
+    assert(flat("en") < prop("en"))
+    // deterministic: same call → identical membership
+    val again = Curate.temperatureSample(df, col("lang"), col("doc_id"), 0.3, 300)
+      .select("doc_id").as[Long].collect().toSet
+    val first = Curate.temperatureSample(df, col("lang"), col("doc_id"), 0.3, 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
   test("dsirSelect ranks target-like pool docs above dissimilar ones") {
     val target = Seq(
       (100L, "distributed query engines shuffle data across partitions"),

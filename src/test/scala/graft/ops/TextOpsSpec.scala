@@ -49,6 +49,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("charEntropy: hand-computed entropies, uniform and degenerate") {
+    val d = Seq(
+      (1L, "abcd"), // 4 distinct chars, uniform → 2 bits
+      (2L, "aabb"), // 2×2 → 1 bit
+      (3L, "aaaa"), // degenerate → 0 bits
+      (4L, "ab ab") // 'a','b',' ' with counts 2,2,1 → H(2/5,2/5,1/5)
+    ).toDF("doc_id", "text")
+    val got = Text.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def h(ns: Seq[Int]): Double = {
+      val n = ns.sum.toDouble
+      val raw = ns.map(c => -c / n * (math.log(c / n) / math.log(2))).sum
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) == ((4L, 2.0)))
+    assert(got(2L) == ((4L, 1.0)))
+    assert(got(3L) == ((4L, 0.0)))
+    assert(got(4L)._1 == 5L && math.abs(got(4L)._2 - h(Seq(2, 2, 1))) < 2e-4)
+  }
+
+  test("bm25TopK: term-matching docs rank by overlap; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "spark join spark join fast engine"), // both terms, high tf
+      (2L, "spark appears once here only today"),
+      (3L, "nothing relevant in this document at all"),
+      (4L, "join join join join join join") // one term, saturating tf
+    ).toDF("doc_id", "text")
+    val queries = Seq(("q1", Seq("spark", "join"))).toDF("qid", "terms")
+    val got = Text.bm25TopK(docs, queries, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._3).toSet == Set(1L, 2L, 4L)) // doc 3 never appears
+    assert(got.find(_._2 == 1L).get._3 == 1L) // both-terms doc ranks first
+    // scores strictly decrease down the ranking (ties impossible here)
+    val scores = got.sortBy(_._2).map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a > b })
+  }
+
   test("oovStats: occurrence-level OOV vs vocabulary, language-scoped, no row blowup") {
     val corpus = Seq((1L, "en", "alpha beta beta"), (2L, "de", "alpha und"))
       .toDF("doc_id", "lang", "text")

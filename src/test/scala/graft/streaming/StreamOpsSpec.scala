@@ -492,6 +492,44 @@ class StreamOpsSpec extends SparkSpec {
       (h0 + 10800) -> 2L))
   }
 
+  test("embeddingDedupSink: cross-batch semantic dups dropped; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("emb-src")
+    val state = tmpDir("emb-state")
+    val ckpt = tmpDir("emb-ckpt")
+    def vec(id: Long, v: Seq[Double]) =
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    // batch 0: two orthogonal vectors; batch 1: a near-copy of v1 (dup),
+    // a novel direction, and a within-batch near-copy of that novel one
+    writeFile("b1.json", Seq(
+      vec(1, Seq(1, 0, 0, 0)), vec(2, Seq(0, 1, 0, 0))))
+    writeFile("b2.json", Seq(
+      vec(3, Seq(0.99, 0.01, 0, 0)), vec(4, Seq(0, 0, 1, 0)),
+      vec(5, Seq(0, 0.01, 0.99, 0))))
+    val q = StreamOps.embeddingDedupSink(
+      StreamOps.readEmbeddingStream(spark, src, maxFilesPerTrigger = Some(1)),
+      state, ckpt, threshold = 0.9, dims = 4)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    def survivors: Set[Long] = spark.read.parquet(s"$state/out")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 4L)) // 3 dups 1; 5 dups 4 within batch
+    // crash-replay of the LAST batch: state reads exclude its own dirs
+    val b2 = spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .json(s"$src/b2.json")
+    StreamOps.embeddingDedupBatch(b2, 1L, state, threshold = 0.9, dims = 4)
+    assert(survivors == Set(1L, 2L, 4L))
+    // the index state matches the survivors exactly
+    assert(spark.read.parquet(s"$state/normed").select(col("id"))
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+  }
+
   test("oovSink: batches score against prior vocab only; replay idempotent") {
     import org.apache.spark.sql.functions._
     val src = tmpDir("oov-src")
