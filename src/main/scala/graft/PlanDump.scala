@@ -24,7 +24,10 @@ object PlanDump {
       "agg_incremental_state_stored", "scd2_merge_incremental",
       "cdc_snapshot_diff", "funnel_steps", "quality_checks",
       "dedup_common_span_incremental", "agg_rolling_distinct",
-      "funnel_sessions", "agg_outlier_exact")
+      "funnel_sessions", "agg_outlier_exact",
+      "join_bloom_pruned", "dedup_semantic", "dedup_containment",
+      "curate_dsir_select_indexed", "text_bm25_topk", "agg_outlier_mad",
+      "curate_temperature_sample")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

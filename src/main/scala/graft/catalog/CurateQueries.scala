@@ -352,5 +352,39 @@ object CurateQueries extends Catalog {
              |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
              |  FROM scored) t
              |WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
+    // DSIR at STEADY STATE: a small ingest batch (2% slice of the pool)
+    // scored against the STORED LM table (catalog/StoredIndexes.dsirLm,
+    // prewarmed by Bench outside the timed region). The timed cost is
+    // batch gram hashing + one broadcast LM join + pushed top-k — never
+    // the two corpus scans the rebuild sibling above pays to train the
+    // LMs per run. Same formula, same oracle construction, batch-sliced.
+    Q("curate_dsir_select_indexed",
+      (s, dir) => {
+        val batch = load(s, dir, "documents")
+          .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 50 === 1)
+        Curate.dsirScoreTopK(batch, StoredIndexes.dsirLm(s, dir), k = 10)
+      },
+      Some(s"""WITH bg AS (
+             |  SELECT doc_id,
+             |    (('0x' || substr(md5(g), 1, 7))::BIGINT % 1024) AS b
+             |  FROM (SELECT doc_id, unnest(list_transform(range(1, len($Toks)),
+             |          i -> ($Toks)[i] || ' ' || ($Toks)[i + 1])) AS g
+             |        FROM documents) u),
+             |tc AS (SELECT b, count(*) AS ct FROM bg WHERE doc_id % 7 = 0 GROUP BY b),
+             |rc AS (SELECT b, count(*) AS cr FROM bg WHERE doc_id % 7 <> 0 GROUP BY b),
+             |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS nt,
+             |               (SELECT coalesce(sum(cr), 0) FROM rc) AS nr),
+             |scored AS (
+             |  SELECT g.doc_id, count(*) AS n_grams,
+             |    round(sum(ln(coalesce(tc.ct, 0) + 1) - ln(coalesce(rc.cr, 0) + 1))
+             |      + count(*) * (ln((SELECT nr FROM tot) + 1024)
+             |                  - ln((SELECT nt FROM tot) + 1024)), 4) AS score
+             |  FROM bg g LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b
+             |  WHERE g.doc_id % 7 <> 0 AND g.doc_id % 50 = 1 GROUP BY g.doc_id)
+             |SELECT doc_id, n_grams, score, rank FROM (
+             |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
   )
 }

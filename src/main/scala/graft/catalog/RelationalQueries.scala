@@ -486,6 +486,50 @@ object RelationalQueries extends Catalog {
              |FROM p JOIN g USING (o_orderstatus)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Robust (median/MAD) outliers, also ZERO float ops
+    // (Relational.outlierFlagsMad): median and MAD are exact nearest-rank
+    // cent statistics (two-level cumulative shape, no data-sized windows),
+    // the flag is the integer cross-multiplication 10·|x−med| > 20·MAD.
+    // Unlike the z-score above, one extreme value cannot drag the
+    // boundary and mask a second outlier.
+    Q("agg_outlier_mad",
+      (s, dir) => Relational.outlierFlagsMad(load(s, dir, "orders"),
+          Seq("o_orderstatus"), Exact.cents(col("o_totalprice")), k10 = 20)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus")),
+      Some(s"""WITH p AS (SELECT o_orderstatus, ${cents("o_totalprice")} AS c
+             |           FROM orders),
+             |f AS (SELECT o_orderstatus, c AS v, count(*) AS cnt
+             |      FROM p GROUP BY 1, 2),
+             |cum AS (SELECT o_orderstatus, v, cnt,
+             |    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM f),
+             |med AS (SELECT o_orderstatus, v AS m FROM cum
+             |  WHERE hi >= floor(0.5 * (n - 1))::BIGINT + 1
+             |    AND hi - cnt < floor(0.5 * (n - 1))::BIGINT + 1),
+             |d AS (SELECT p.o_orderstatus, abs(p.c - med.m) AS dev
+             |      FROM p JOIN med USING (o_orderstatus)),
+             |f2 AS (SELECT o_orderstatus, dev AS v, count(*) AS cnt
+             |       FROM d GROUP BY 1, 2),
+             |cum2 AS (SELECT o_orderstatus, v, cnt,
+             |    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM f2),
+             |mad AS (SELECT o_orderstatus, v AS md FROM cum2
+             |  WHERE hi >= floor(0.5 * (n - 1))::BIGINT + 1
+             |    AND hi - cnt < floor(0.5 * (n - 1))::BIGINT + 1)
+             |SELECT d.o_orderstatus,
+             |  sum(CASE WHEN d.dev * 10 > mad.md * 20 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_outliers,
+             |  count(*) AS n_rows
+             |FROM d JOIN mad USING (o_orderstatus)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Data-quality constraint report (ops/Quality): null/range rules run
     // in ONE aggregate scan per table regardless of rule count, key
     // uniqueness is one keyed aggregate, referential integrity one

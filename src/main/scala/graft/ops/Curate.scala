@@ -235,31 +235,62 @@ object Curate {
     */
   def dsirSelect(pool: DataFrame, target: DataFrame, k: Int,
                  buckets: Int = 1024): DataFrame = {
-    def grams(df: DataFrame) = {
-      val toks = split(col("text"), " ")
-      df.select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .as("g"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("g").cast("binary")), 1, 7), 16, 10)
-            .cast("long") % buckets).as("b"))
-    }
-    val tc = grams(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rcG = grams(pool).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rc = rcG.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    // B-row LM table: full outer over buckets seen on either side (absent
-    // bucket = count 0 under add-one smoothing), totals cross-joined on as
-    // one row — no collect anywhere.
-    val lm = tc.join(rc, Seq("b"), "full_outer")
+    // one pool scan feeds BOTH the background LM counts and the scoring
+    val pg = dsirGrams(pool, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    dsirScoreGrams(pg, dsirLmFromGrams(dsirGrams(target, buckets), pg),
+      k, buckets)
+  }
+
+  /** Hashed-bigram occurrences `(doc_id, b)` — the DSIR feature stream. */
+  private def dsirGrams(df: DataFrame, buckets: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    df.select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g").cast("binary")), 1, 7), 16, 10)
+          .cast("long") % buckets).as("b"))
+  }
+
+  /** The `(b, ct, cr)` language-model table both DSIR paths score against
+    * — a FIXED-SIZE (≤ `buckets` rows) full outer of target/background
+    * bucket counts (absent = 0 under add-one smoothing). This is the
+    * STORED-STATE shape: a production pipeline trains it once, persists
+    * it, and scores every incoming batch against it (see
+    * `catalog/StoredIndexes.dsirLm` and the `_indexed` bench twin).
+    */
+  def dsirLm(pool: DataFrame, target: DataFrame,
+             buckets: Int = 1024): DataFrame =
+    dsirLmFromGrams(dsirGrams(target, buckets), dsirGrams(pool, buckets))
+
+  private def dsirLmFromGrams(tg: DataFrame, pg: DataFrame): DataFrame =
+    tg.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .join(pg.groupBy(col("b")).agg(count(lit(1)).as("cr")),
+        Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
+
+  /** Score a batch of docs against a TRAINED LM table and keep the top-k
+    * — the steady-state DSIR operation (the LM is fixed; only the batch
+    * is scanned). Totals derive from the LM itself; buckets the LM never
+    * saw count 0-0 via the left join, exactly as add-one smoothing says.
+    */
+  def dsirScoreTopK(batch: DataFrame, lm: DataFrame, k: Int,
+                    buckets: Int = 1024): DataFrame =
+    dsirScoreGrams(dsirGrams(batch, buckets), lm, k, buckets)
+
+  private def dsirScoreGrams(bg: DataFrame, lm: DataFrame, k: Int,
+                             buckets: Int): DataFrame = {
     val totals = lm.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val perDoc = rcG.join(broadcast(lm), "b")
+    val perDoc = bg
+      .join(broadcast(lm), Seq("b"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(log(col("ct") + 1) - log(col("cr") + 1)).as("s"))
+        sum(log(coalesce(col("ct"), lit(0L)) + 1) -
+            log(coalesce(col("cr"), lit(0L)) + 1)).as("s"))
     val scored = perDoc.crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_grams"),
         round(col("s") + col("n_grams") *

@@ -77,6 +77,32 @@ object Relational {
       .drop("_c", "_n", "_s", "_q")
   }
 
+  /** Per-group ROBUST outlier flags — |x − median| > (k10/10)·MAD, the
+    * median-absolute-deviation rule that, unlike `outlierFlags`' z-score,
+    * is not itself dragged by the outliers it hunts (one extreme value
+    * inflates μ and σ enough to mask a second one; the median and MAD
+    * barely move). Like `outlierFlags`, ZERO floating-point operations:
+    * the median and the MAD are EXACT nearest-rank statistics over cent
+    * integers (`nearestRankPercentilesBy`, the scale-safe two-level
+    * cumulative shape — no data-sized windows), deviations are exact
+    * longs, and the flag cross-multiplies to 10·|x−med| > k10·MAD — the
+    * boundary is bit-identical in any engine. Two percentile passes + two
+    * BROADCAST joins of the O(|groups|) stats frames back onto the data.
+    */
+  def outlierFlagsMad(df: DataFrame, groups: Seq[String], valueCents: Column,
+                      k10: Int): DataFrame = {
+    val withC = df.withColumn("_c", valueCents.cast("long"))
+    val med = nearestRankPercentilesBy(withC, groups, col("_c"), Seq(0.5))
+      .select(groups.map(col) :+ col("value").as("_med"): _*)
+    val withDev = withC.join(broadcast(med), groups)
+      .withColumn("_dev", abs(col("_c") - col("_med")))
+    val mad = nearestRankPercentilesBy(withDev, groups, col("_dev"), Seq(0.5))
+      .select(groups.map(col) :+ col("value").as("_mad"): _*)
+    withDev.join(broadcast(mad), groups)
+      .withColumn("is_outlier", col("_dev") * 10 > col("_mad") * k10)
+      .drop("_c", "_med", "_dev", "_mad")
+  }
+
   /** Change-data capture by snapshot diff: given two snapshots of a keyed
     * table, emit each key's transition — `insert` (new only), `delete` (old
     * only), `update` (both, any compared column differs, null-safely) —

@@ -135,6 +135,27 @@ class CurateSpec extends SparkSpec {
       .forall(r => r._2 == r._1 && r._3 == "none"))
   }
 
+  test("dsirScoreTopK against a stored LM equals the from-scratch dsirSelect") {
+    val target = Seq(
+      (100L, "distributed query engines shuffle data across partitions"),
+      (101L, "query engines optimize shuffle and partition pruning"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "distributed query engines shuffle data across partitions nightly"),
+      (2L, "my cat sat on the warm windowsill all afternoon long"),
+      (3L, "engines shuffle data across partitions when queries run"))
+      .toDF("doc_id", "text")
+    val direct = Curate.dsirSelect(pool, target, k = 3)
+      .collect().map(_.toSeq).toSeq
+    // store → read back → score: the steady-state path must reproduce the
+    // from-scratch ranking exactly
+    val dir = tmpDir("dsir-lm")
+    Curate.dsirLm(pool, target).write.mode("overwrite").parquet(dir)
+    val stored = Curate.dsirScoreTopK(pool, spark.read.parquet(dir), k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == direct)
+  }
+
   test("temperatureSample: α flattens the mixture toward low-resource strata") {
     val df = ((1 to 900).map(i => (i.toLong, "en")) ++
       (901 to 1000).map(i => (i.toLong, "sw"))).toDF("doc_id", "lang")

@@ -192,6 +192,31 @@ class RelationalSpec extends SparkSpec {
     assert(fromDisk.map(p => (p._1, p._2)) == Set((1L, 10L), (3L, 10L)))
   }
 
+  test("outlierFlagsMad matches the float MAD rule and resists masking") {
+    // group A: one huge outlier inflates σ enough that the z-score at
+    // 1.5σ misses the second, smaller outlier — MAD flags both
+    val vals = (0 until 40).map(i => 95L + i % 11) ++
+      Seq(98L, 102L, 103L, 500L, 100000L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "A", v) }
+      .toDF("id", "g", "cents")
+    val mad = Relational.outlierFlagsMad(df, Seq("g"), col("cents"), k10 = 30)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    val z = Relational.outlierFlags(df, Seq("g"), col("cents"), k10 = 15)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    val i500 = vals.indexOf(500L).toLong
+    val iHuge = vals.indexOf(100000L).toLong
+    assert(mad(i500) && mad(iHuge), "MAD must flag both outliers")
+    assert(z(iHuge) && !z(i500), "z-score is masked by the huge outlier")
+    // brute-force check of the exact rule: median=100, deviations sorted →
+    // MAD via nearest-rank; every flag must equal 10·|x−med| > 30·MAD
+    val med = vals.sorted.apply(math.floor(0.5 * (vals.size - 1)).toInt)
+    val devs = vals.map(v => math.abs(v - med)).sorted
+    val madV = devs(math.floor(0.5 * (devs.size - 1)).toInt)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(mad(i.toLong) == (math.abs(v - med) * 10 > madV * 30), s"id=$i")
+    }
+  }
+
   test("bloomPrunedJoin equals the plain join and actually prunes pre-join") {
     val fact = (1L to 2000L).map(i => (i % 400, s"f$i")).toDF("k", "payload")
     val dim = (0L to 399L by 20).map(k => (k, s"d$k")).toDF("k", "name") // 5%
