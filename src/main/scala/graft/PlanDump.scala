@@ -27,7 +27,10 @@ object PlanDump {
       "funnel_sessions", "agg_outlier_exact",
       "join_bloom_pruned", "dedup_semantic", "dedup_containment",
       "curate_dsir_select_indexed", "text_bm25_topk", "agg_outlier_mad",
-      "curate_temperature_sample")
+      "curate_temperature_sample",
+      "text_chunk_windows", "dedup_keep_best", "quality_drift_psi",
+      "curate_shard_assign", "sim_knn_graph",
+      "text_topp_vocab", "text_novelty_incremental", "window_rate_anomaly")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

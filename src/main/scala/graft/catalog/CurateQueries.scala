@@ -386,5 +386,22 @@ object CurateQueries extends Catalog {
              |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
              |  FROM scored) t
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // Deterministic corpus shuffle for training-data writes: shard AND
+    // within-shard position are pure functions of md5(doc_id) — the
+    // reproducible "global shuffle" (stable across runs, partitionings,
+    // and appends). Per-row assignment and the FULL within-shard ordering
+    // are oracle-proven, not just shard counts.
+    Q("curate_shard_assign",
+      (s, dir) => Curate.shardAssign(load(s, dir, "documents"),
+          col("doc_id"), nShards = 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH s AS (SELECT doc_id, $UnitHash AS u,
+             |        least(floor($UnitHash * 16), 15)::BIGINT AS shard
+             |      FROM documents)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
+             |FROM s ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -315,5 +315,32 @@ object FunctionQueries extends Catalog {
              |count(*) FILTER (WHERE event_type = 'signup') AS signup,
              |count(*) FILTER (WHERE event_type = 'view') AS "view"
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Traffic-rate anomaly flags — tumbling counts composed with the
+    // ZERO-float z-score machinery (Relational.outlierFlags): a window is
+    // anomalous when 100·(n·x−S)² > k10²·(n·Q−S²) on exact integer event
+    // counts (k10=15 → 1.5σ), per event type. Spark accumulates in
+    // Decimal(38), DuckDB in HUGEINT — the flag boundary is bit-identical.
+    // The per-type stats frames broadcast back onto the window counts.
+    Q("window_rate_anomaly",
+      (s, dir) => graft.ops.Relational.outlierFlags(
+          EventOps.tumblingCounts(load(s, dir, "events")),
+          Seq("event_type"), col("n_events"), k10 = 15)
+        .select(col("event_type"), col("window_start"), col("n_events"),
+          col("is_outlier"))
+        .orderBy(col("event_type"), col("window_start")),
+      Some("""WITH w AS (
+             |  SELECT event_type,
+             |    epoch(time_bucket(INTERVAL '10 minutes', ts))::BIGINT AS window_start,
+             |    count(*) AS n_events
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, count(*) AS n, sum(n_events) AS s,
+             |        sum(n_events * n_events) AS q
+             |      FROM w GROUP BY 1)
+             |SELECT w.event_type, window_start, n_events,
+             |  (100 * (n * n_events - s) * (n * n_events - s)
+             |    > 225 * (n * q - s * s)) AS is_outlier
+             |FROM w JOIN st USING (event_type)
+             |ORDER BY event_type, window_start""".stripMargin)),
   )
 }

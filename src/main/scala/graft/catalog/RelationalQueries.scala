@@ -577,6 +577,41 @@ object RelationalQueries extends Catalog {
              |    (SELECT count(*) FROM orders)
              |) t ORDER BY "check"""".stripMargin)),
 
+    // Distribution-drift monitor (ops/Quality.psiDrift): per-bucket PSI
+    // terms between a reference slice and a "current batch" slice of the
+    // documents corpus, bucketed by token-count decile band. Every term is
+    // (p_cur − p_ref)·ln(p_cur/p_ref) ≥ 0 under Laplace smoothing; the
+    // division/ln order is identical on both engines, so 6dp-rounded terms
+    // hash-match exactly. Two tiny keyed aggregates + one bucket join —
+    // the per-ingest drift check a 100 TB pipeline runs on every batch.
+    Q("quality_drift_psi",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Quality.psiDrift(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0),
+            least(floor(size(split(col("text"), " ")) / 10), lit(9L)),
+            nBuckets = 10)
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |        least(len(string_split(text, ' ')) // 10, 9) AS bucket
+             |      FROM documents),
+             |r AS (SELECT bucket, count(*) AS ref_n FROM d
+             |      WHERE doc_id % 3 <> 0 GROUP BY bucket),
+             |c AS (SELECT bucket, count(*) AS cur_n FROM d
+             |      WHERE doc_id % 3 = 0 GROUP BY bucket),
+             |j AS (SELECT coalesce(r.bucket, c.bucket) AS bucket,
+             |        coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+             |      FROM r FULL OUTER JOIN c ON r.bucket = c.bucket),
+             |tot AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+             |SELECT bucket, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
+             |  round(((cur_n + 1)::DOUBLE / (ct + 10)
+             |       - (ref_n + 1)::DOUBLE / (rt + 10))
+             |    * ln(((cur_n + 1)::DOUBLE / (ct + 10))
+             |       / ((ref_n + 1)::DOUBLE / (rt + 10))), 6) AS psi_term
+             |FROM j, tot ORDER BY bucket""".stripMargin)),
+
     // Same verifiable-approximation pattern as agg_approx_distinct, for the
     // OTHER workhorse sketch: grouped approx_percentile (KLL-style rank
     // sketch) next to the exact nearest-rank value, with a tolerance verdict

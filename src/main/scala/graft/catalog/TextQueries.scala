@@ -63,8 +63,11 @@ object TextQueries extends Catalog {
   // graph. The incremental query must reproduce EXACTLY this — merging
   // batch pairs into stored labels is only correct if it equals the full
   // recompute.
-  private val ClustersOracle =
-    s"""WITH RECURSIVE t AS (SELECT doc_id, $Toks AS l FROM documents),
+  // CTE block only (no WITH / final SELECT) so dedup_keep_best can extend
+  // the same construction with its quality join — the two queries must
+  // agree on the clustering by sharing its SQL verbatim.
+  private val ClustersCtes =
+    s"""t AS (SELECT doc_id, $Toks AS l FROM documents),
        |toks AS (
        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
        |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
@@ -102,7 +105,10 @@ object TextQueries extends Catalog {
        |reach AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
+  private val ClustersOracle =
+    s"""WITH RECURSIVE $ClustersCtes
        |SELECT a AS doc_id, min(b) AS cluster_rep
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
@@ -846,5 +852,112 @@ object TextQueries extends Catalog {
              |  ('0x' || substr(md5(text), i * 4 + 1, 4))::INT::VARCHAR), ',')
              |  AS features_csv
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // RAG/pretraining chunking: overlapping 32-token windows with 8-token
+    // overlap (step 24). Chunk-count and extent arithmetic is integer-only
+    // on both engines; the hash match proves every token lands exactly in
+    // the chunks the formula says — including the shorter tail chunk and
+    // single-chunk short docs. Zero-shuffle narrow explode (ops/Text).
+    Q("text_chunk_windows",
+      (s, dir) => Text.chunkWindows(load(s, dir, "documents"), 32, 8)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |u AS (SELECT doc_id, l, len(l) AS n,
+             |        unnest(range(1 + (greatest(len(l) - 32, 0) + 23) // 24))
+             |          AS chunk_id
+             |      FROM t)
+             |SELECT doc_id, chunk_id,
+             |  least(32, n - chunk_id * 24)::BIGINT AS n_tokens,
+             |  array_to_string(
+             |    l[chunk_id * 24 + 1 : chunk_id * 24 + least(32, n - chunk_id * 24)],
+             |    ' ') AS chunk_text
+             |FROM u ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Cluster RESOLUTION — keep the best copy: the argmax-quality member
+    // of each near-dup cluster (distinct-token ratio as the score, lowest
+    // doc_id on ties), plus member counts. Shares the clustering SQL with
+    // dedup_clusters verbatim (ClustersCtes), so the hash match pins the
+    // keep/drop decision end to end: clustering, score, tiebreak.
+    Q("dedup_keep_best",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Dedup.keepBestPerCluster(
+            Dedup.nearDupClusters(docs, 0.5),
+            Text.qualityMetrics(docs).select(col("doc_id"),
+              col("distinct_bp").as("score")))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""WITH RECURSIVE $ClustersCtes,
+             |labels AS (SELECT a AS doc_id, min(b) AS cluster_rep
+             |           FROM reach GROUP BY a),
+             |q AS (SELECT doc_id,
+             |        CAST(floor(len(list_distinct(l))::DOUBLE * 10000 / len(l))
+             |          AS BIGINT) AS score
+             |      FROM t),
+             |j AS (SELECT labels.doc_id AS doc_id, cluster_rep, score
+             |      FROM labels JOIN q USING (doc_id)),
+             |r AS (SELECT *,
+             |        row_number() OVER (PARTITION BY cluster_rep
+             |          ORDER BY score DESC, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY cluster_rep) AS n_members
+             |      FROM j)
+             |SELECT cluster_rep, doc_id AS kept_doc_id, score,
+             |  n_members::BIGINT AS n_members
+             |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin)),
+
+    // Nucleus ("top-p") vocabulary truncation per language at 90%: the
+    // integer-exact cut rule (cum_before·10⁴ < 9000·total) under the
+    // (count desc, token) total order — per-row membership, cumulative
+    // counts, and ranks all hash-checked. Windows sort the O(vocab) count
+    // table, never the corpus.
+    Q("text_topp_vocab",
+      (s, dir) => Text.topPVocabulary(load(s, dir, "documents"), pBp = 9000)
+        .orderBy(col("lang"), col("rank")),
+      Some(s"""WITH c AS (
+             |  SELECT lang, token, count(*) AS n
+             |  FROM (SELECT lang, unnest($Toks) AS token FROM documents) u
+             |  GROUP BY 1, 2),
+             |r AS (SELECT lang, token, n,
+             |        coalesce(sum(n) OVER (PARTITION BY lang
+             |          ORDER BY n DESC, token
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |          AS cum_before,
+             |        sum(n) OVER (PARTITION BY lang) AS total,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY n DESC, token) AS rank
+             |      FROM c)
+             |SELECT lang, token, n::BIGINT AS n,
+             |  (cum_before + n)::BIGINT AS cum_n, rank
+             |FROM r WHERE cum_before * 10000 < 9000 * total
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // Batch novelty vs the corpus span set (Dedup.spanNovelty): per new
+    // doc, the exact-bp share of its distinct 8-token spans absent from
+    // the corpus — the "is this ingest new text" monitor. The corpus side
+    // is the span-digest INDEX shape (16-byte digests, text never
+    // re-read); batch = doc_id % 7 = 0 against the rest.
+    Q("text_novelty_incremental",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Dedup.spanNovelty(docs.filter(col("doc_id") % 7 === 0),
+            Dedup.spanIndex(docs.filter(col("doc_id") % 7 =!= 0), 8))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |sp AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(l) < 8 THEN []::VARCHAR[]
+             |      ELSE list_distinct(list_transform(range(1, len(l) - 6),
+             |        i -> array_to_string(l[i : i + 7], ' '))) END) AS span
+             |  FROM t),
+             |corp AS (SELECT DISTINCT span FROM sp WHERE doc_id % 7 <> 0),
+             |b AS (SELECT doc_id, span FROM sp WHERE doc_id % 7 = 0)
+             |SELECT b.doc_id, count(*) AS n_spans,
+             |  sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_new,
+             |  CAST(floor(sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |    * 10000 / count(*)) AS BIGINT) AS novelty_bp
+             |FROM b LEFT JOIN corp ON b.span = corp.span
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -300,5 +300,26 @@ object VectorQueries extends Catalog {
              |FROM (SELECT label, round(sqrt(${dotSql("e", "e")}), 6) AS nrm
              |  FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) v) t
              |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // τ-bounded kNN graph: every vector's top-5 neighbors among those with
+    // cosine ≥ 0.4, built from banded sign-LSH candidates. Banding may
+    // prune sub-τ pairs but the ranking excludes them anyway, so the
+    // LSH-built graph hash-matches the QUADRATIC definition exactly —
+    // ranking on the rounded cosine with a neighbor-id tiebreak is a
+    // total order both engines agree on.
+    Q("sim_knn_graph",
+      (s, dir) => Vectors.knnGraph(load(s, dir, "embeddings"), 0.4, 5)
+        .select(col("src"), col("dst"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("src"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             |        ${cosSql("a.e", "b.e")} AS cosine
+             |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY src
+             |        ORDER BY cosine DESC, dst) AS rank
+             |      FROM p WHERE cosine >= 0.4)
+             |SELECT src, dst, cosine, rank FROM r
+             |WHERE rank <= 5 ORDER BY src, rank""".stripMargin)),
   )
 }

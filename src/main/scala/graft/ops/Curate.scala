@@ -311,6 +311,27 @@ object Curate {
     * only portable regex constructs (character classes + bounded repeats)
     * so the DuckDB oracle applies the identical expressions.
     */
+  /** Deterministic corpus shuffle + shard assignment for training-data
+    * writes: `shard = floor(unitHash(key) · nShards)` and `pos` = the
+    * row's rank within its shard under the same hash (key tiebreak) — a
+    * reproducible global permutation, independent of input partitioning
+    * and stable under appends (new keys interleave without reordering
+    * existing rows relative to each other). A writer materializes this as
+    * one file per shard with rows in `pos` order. The window partitions
+    * by shard, so each task sorts ~corpus/nShards rows — `nShards` is the
+    * same knob a 100 TB run already tunes for output file sizes.
+    */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_u"), key)
+    df.withColumn("_u", unitHash(key))
+      .withColumn("shard",
+        least(floor(col("_u") * nShards), lit(nShards - 1L)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_u")
+  }
+
   def redactPii(text: Column): Column = {
     val noEmail = regexp_replace(text,
       "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")

@@ -922,4 +922,56 @@ object Dedup {
           .cast("double") / size(col("sh_a")), 4).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** Per-document NOVELTY of a batch against a stored span index: the
+    * share (exact basis points) of each doc's distinct n-token spans NOT
+    * present in the corpus index — the "how much of this ingest is new
+    * text" monitor, the complement of the common-span duplication signal.
+    * Batch spans left-join the 16-byte digest index (DISTINCT'd
+    * defensively — appended per-batch delta dirs carry duplicate digest
+    * rows, and a build-side dup would multiply batch spans); corpus text
+    * is never re-read — the same stored-state steady-state shape as the
+    * dedup probes. Docs with fewer than `n` tokens have no spans and are
+    * absent from the report.
+    */
+  def spanNovelty(batch: DataFrame, index: DataFrame, n: Int = 8,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val sp = batch.select(col(idCol),
+        explode(shingles(col(textCol), n)).as("span"))
+      .select(col(idCol), md5(col("span").cast("binary")).as("h"))
+    sp.join(index.select(col("h")).distinct().withColumn("_seen", lit(true)),
+        Seq("h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_new"))
+      .withColumn("novelty_bp", Exact.ratioBp(col("n_new"), col("n_spans")))
+  }
+
+  /** Canonical-document selection after clustering — "keep the best copy":
+    * given near-dup cluster labels `(doc_id, cluster_rep)` (e.g. from
+    * `nearDupClusters`) and a per-doc quality score, returns one row per
+    * cluster carrying the member that maximizes `(score, then lowest
+    * doc_id)` plus the member count — the resolution step that turns a
+    * dedup clustering into an actual keep/drop decision. The window
+    * partitions by cluster label, so each task sorts only one cluster's
+    * members (near-dup sets — bounded, tiny relative to the corpus);
+    * nothing data-sized is sorted. Docs that never entered a cluster are
+    * absent from `labels` and trivially survive — callers keep them
+    * unconditionally.
+    */
+  def keepBestPerCluster(labels: DataFrame, scores: DataFrame,
+                         idCol: String = "doc_id",
+                         labelCol: String = "cluster_rep",
+                         scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col(labelCol))
+    labels.join(scores, Seq(idCol))
+      .withColumn("_rn", row_number().over(
+        byCluster.orderBy(col(scoreCol).desc, col(idCol))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("_rn") === 1)
+      .select(col(labelCol), col(idCol).as("kept_doc_id"),
+        col(scoreCol), col("n_members"))
+  }
 }

@@ -63,4 +63,33 @@ object Quality {
       .crossJoin(bad) // 1 row × 1 row
       .select(lit(name).as("check"), col("n_failed"), col("n_rows"))
   }
+
+  /** Population-Stability-Index drift report between a reference and a
+    * current batch over a deterministic integer bucketing of one feature —
+    * the standard "did my ingest distribution move" monitor (each term is
+    * `(p_cur − p_ref)·ln(p_cur/p_ref) ≥ 0`; their sum above ~0.2 is the
+    * usual alarm line). Laplace-smoothed shares
+    * `p = (n + 1) / (N + nBuckets)` keep empty buckets finite on both
+    * sides. Cost: two O(batch) keyed aggregates down to ≤ `nBuckets`
+    * rows, one bucket-keyed full outer join, and two one-row totals
+    * broadcast back on — nothing data-sized shuffles.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, bucket: Column,
+               nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    def counts(df: DataFrame, out: String) =
+      df.select(bucket.cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    val joined = counts(ref, "ref_n").join(counts(cur, "cur_n"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(sum(col("ref_n")).as("_rt"),
+      sum(col("cur_n")).as("_ct"))
+    val refP = (col("ref_n") + 1).cast("double") / (col("_rt") + nBuckets)
+    val curP = (col("cur_n") + 1).cast("double") / (col("_ct") + nBuckets)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round((curP - refP) * log(curP / refP), 6).as("psi_term"))
+  }
 }

@@ -321,4 +321,62 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_bp", Exact.ratioBp(col("n_oov"), col("n_tokens")))
+
+  /** Nucleus ("top-p") vocabulary truncation per language: the smallest
+    * set of highest-frequency tokens whose cumulative occurrence share
+    * reaches `pBp` basis points — the tokenizer-vocab sizing decision. The
+    * keep rule is integer-exact (a token stays while the cumulative count
+    * BEFORE it still falls short: `cum_before · 10⁴ < pBp · total`) under
+    * the total order (count desc, token asc), so the cut is bit-identical
+    * in any engine. The windows partition by language and sort the
+    * (lang, token, n) COUNT table — O(vocab), never O(corpus); the corpus
+    * scan collapses to vocabulary() first.
+    */
+  def topPVocabulary(docs: DataFrame, pBp: Int): DataFrame = {
+    require(pBp > 0 && pBp <= 10000, s"pBp must be in (0, 10000], got $pBp")
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val ordered = byLang.orderBy(col("n").desc, col("token"))
+    vocabulary(docs)
+      .withColumn("cum_before", coalesce(sum(col("n")).over(
+        ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("n")).over(byLang))
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .filter(col("cum_before") * 10000 < lit(pBp.toLong) * col("total"))
+      .select(col("lang"), col("token"), col("n"),
+        (col("cum_before") + col("n")).as("cum_n"), col("rank"))
+  }
+
+  /** Overlapping token windows — the retrieval/pretraining "chunking" op:
+    * chunk `i` of a document covers tokens `[i·step + 1, i·step + size]`
+    * (1-based, `step = chunkSize − overlap`), and the chunk count
+    * `1 + ceil(max(n − chunkSize, 0) / step)` is the smallest window count
+    * covering every token — the last chunk may be shorter, but no token is
+    * dropped and every adjacent pair of full chunks shares exactly
+    * `overlap` tokens. Pure per-row explode, zero shuffle; chunk ids are a
+    * function of the document alone, so re-runs and backfills produce
+    * identical chunk keys for downstream dedup or embedding joins.
+    */
+  def chunkWindows(docs: DataFrame, chunkSize: Int, overlap: Int,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    // integer-only ceil-div (int/int is a DOUBLE in Spark SQL; the cast
+    // truncates, which equals floor on these non-negatives)
+    val nChunks = ((greatest(col("_n") - lit(chunkSize), lit(0)) +
+      lit(step - 1)) / lit(step)).cast("int") + lit(1)
+    val tail = least(lit(chunkSize), col("_n") - col("chunk_id") * step)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        tail.cast("long").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("_toks"), col("chunk_id") * step + 1, tail))
+          .as("chunk_text"))
+  }
 }

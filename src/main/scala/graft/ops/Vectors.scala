@@ -796,4 +796,33 @@ object Vectors {
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
+
+  /** τ-bounded kNN graph: for EVERY vector, its top-`k` most-similar
+    * neighbors among those with cosine ≥ `threshold`, built from the same
+    * banded sign-LSH candidate generation as `cosineNearDupPairsBanded`
+    * (see the recall analysis there). Bounding by τ is what keeps the
+    * ranking exact AND the graph buildable at scale: banding may prune
+    * pairs below τ, but those are excluded from the ranking anyway, so
+    * top-k over the surviving verified pairs EQUALS top-k over the
+    * quadratic τ-filtered graph — the catalog proves the hash match. The
+    * per-node window partitions by source id and sorts only that node's
+    * ≥τ neighbors (rounded cosine desc, then neighbor id — a total order
+    * both engines agree on), never anything corpus-sized.
+    */
+  def knnGraph(vectors: DataFrame, threshold: Double, k: Int,
+               planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // The pair list is output-sized (tiny vs the corpus): cache it so the
+    // two mirror branches below don't run the band join twice.
+    // MEMORY_ONLY for the same self-bounding rationale as the banded API.
+    val pairs = cosineNearDupPairsBanded(vectors, threshold, planesPerBand,
+        bands, dims, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sym = pairs
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cosine"))
+      .unionAll(pairs.select(col("vec_b").as("src"),
+        col("vec_a").as("dst"), col("cosine")))
+    Relational.topKPerGroup(sym, Seq(col("src")),
+      Seq(col("cosine").desc, col("dst").asc), k, rankCol = "rank")
+  }
 }

@@ -115,7 +115,8 @@ class PlanContractSpec extends SparkSpec {
       "sort_topk_limit", "dedup_ngram_jaccard", "pipeline_corpus_clean",
       "curate_pack_budget", "curate_lang_cap", "curate_stratified_n",
       "scd2_history", "scd2_merge_incremental", "event_transitions",
-      "curate_winsorize").foreach { name =>
+      "curate_winsorize", "dedup_keep_best", "curate_shard_assign",
+      "sim_knn_graph", "text_topp_vocab").foreach { name =>
       val global = q(name).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }

@@ -208,4 +208,31 @@ class CurateSpec extends SparkSpec {
     assert(got(1L) == expect1)        // bit-exact, no tolerance
     assert(got(2L) == 0.0625)
   }
+
+  test("shardAssign: deterministic, partition-invariant, dense in-shard positions") {
+    val df = (1L to 400L).toDF("doc_id")
+    val a = Curate.shardAssign(df, col("doc_id"), nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // partitioning must not change a single assignment or position
+    val b = Curate.shardAssign(df.repartition(7), col("doc_id"), nShards = 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+    // shard ids in range; every shard's positions are exactly 1..count
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    for ((_, rows) <- a.groupBy(_._2)) {
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    // the hash spreads: no shard takes more than 3x its fair share
+    assert(a.groupBy(_._2).values.map(_.size).max <= 150)
+    // position order within a shard follows the unit hash (spot-check: the
+    // doc with the smallest hash in shard 0 sits at pos 1)
+    val u = df.select(col("doc_id"),
+        Curate.unitHash(col("doc_id")).as("u"))
+      .as[(Long, Double)].collect().toMap
+    for ((shard, rows) <- a.groupBy(_._2)) {
+      val byPos = rows.sortBy(_._3).map(_._1)
+      assert(byPos.sameElements(rows.map(_._1).sortBy(id => (u(id), id))),
+        s"shard $shard not ordered by unit hash")
+    }
+  }
 }

@@ -524,4 +524,44 @@ class DedupVectorsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(merged == full && merged.nonEmpty)
   }
+
+  test("keepBestPerCluster: argmax score with lowest-id tiebreak, member counts") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_rep")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 4L))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBestPerCluster(labels, scores)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cluster 1: 2 and 3 tie at 9 → keep 2 (lower id); 3 members
+    // cluster 7: 7 and 8 tie at 4 → keep 7; 2 members
+    assert(out == Map(1L -> ((2L, 9L, 3L)), 7L -> ((7L, 4L, 2L))))
+  }
+
+  test("knnGraph equals the quadratic τ-filtered top-k on the test corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.tables.Tables.load(spark, dir, "embeddings")
+    val got = Vectors.knnGraph(emb, 0.4, 3).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("dst"), r.getAs[Double]("cosine")))).toMap
+    // quadratic reference: symmetrize the exact pair list, rank per src
+    val pairs = Vectors.cosineNearDupPairs(emb, 0.4)
+    val sym = pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("cosine"))
+      .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"),
+        col("cosine")))
+    val expect = sym.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rank") <= 3).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("dst"), r.getAs[Double]("cosine")))).toMap
+    assert(got.nonEmpty && got == expect)
+    // rank bounded by k and dense from 1 per source
+    val ranks = got.keys.groupBy(_._1).view.mapValues(
+      _.map(_._2).toSeq.sorted).toMap
+    assert(ranks.values.forall(rs => rs == (1 to rs.length)))
+  }
 }

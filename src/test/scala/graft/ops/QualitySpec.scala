@@ -35,4 +35,24 @@ class QualitySpec extends SparkSpec {
       .as[(String, Long, Long)].collect().head
     assert(got == (("k_orphans", 1L, 5L))) // key 4 has no parent
   }
+
+  test("psiDrift: zero for identical distributions, nonnegative terms, smoothed empties") {
+    val ref = Seq(0, 0, 1, 1, 2, 5).toDF("v")
+    // identical batch → every smoothed share pair is equal → terms exactly 0
+    val same = Quality.psiDrift(ref, ref, col("v"), nBuckets = 6)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(same.nonEmpty && same.forall(_._4 == 0.0))
+    // shifted batch: bucket 5 empty in cur, bucket 3 empty in ref —
+    // smoothing keeps both finite; every PSI term is >= 0 by construction
+    val cur = Seq(0, 3, 3, 3).toDF("v")
+    val drift = Quality.psiDrift(ref, cur, col("v"), nBuckets = 6)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(drift.values.forall(_._3 >= 0.0))
+    assert(drift(3L)._1 == 0L && drift(3L)._2 == 3L && drift(3L)._3 > 0.0)
+    assert(drift(5L)._1 == 1L && drift(5L)._2 == 0L && drift(5L)._3 > 0.0)
+    // hand-check one term: bucket 3 with Laplace smoothing over 6 buckets
+    val p3r = 1.0 / (6 + 6); val p3c = 4.0 / (4 + 6)
+    assert(math.abs(drift(3L)._3 - (p3c - p3r) * math.log(p3c / p3r)) < 1e-6)
+  }
 }

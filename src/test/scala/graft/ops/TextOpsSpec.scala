@@ -101,4 +101,74 @@ class TextOpsSpec extends SparkSpec {
       "en" -> ((4L, 2L, 5000L)),  // beta, alpha known; gamma x2 OOV
       "de" -> ((2L, 1L, 5000L)))) // alpha known; beta OOV in de
   }
+
+  test("chunkWindows: coverage, overlap, tail chunk, short and exact-size docs") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, doc(60)), (2L, doc(10)), (3L, doc(32)), (4L, doc(33)))
+      .toDF("doc_id", "text")
+    val out = Text.chunkWindows(docs, 32, 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text").split(" "))))
+      .toMap
+    // chunk counts: 1 + ceil(max(n-32,0)/24)
+    assert(out.keys.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+    // doc 1 (60 toks): chunks start at 1, 25, 49; tail is 12 long
+    assert(out((1L, 0L))._2.head == "t1" && out((1L, 0L))._1 == 32L)
+    assert(out((1L, 1L))._2.head == "t25" && out((1L, 1L))._1 == 32L)
+    assert(out((1L, 2L))._2.head == "t49" && out((1L, 2L))._1 == 12L)
+    assert(out((1L, 2L))._2.last == "t60")
+    // consecutive full chunks share exactly `overlap` tokens
+    assert(out((1L, 0L))._2.toSet.intersect(out((1L, 1L))._2.toSet).size == 8)
+    // every token of every doc is covered by the union of its chunks
+    for ((id, n) <- Seq(1L -> 60, 2L -> 10, 3L -> 32, 4L -> 33)) {
+      val covered = out.collect { case ((d, _), (_, ts)) if d == id => ts }
+        .flatten.toSet
+      assert(covered == (1 to n).map(i => s"t$i").toSet, s"doc $id coverage")
+    }
+    // short doc: single chunk, unpadded, verbatim
+    assert(out((2L, 0L))._1 == 10L &&
+      out((2L, 0L))._2.sameElements((1 to 10).map(i => s"t$i")))
+  }
+
+  test("topPVocabulary: integer cut rule, count-then-token order, boundary inclusion") {
+    // en counts: a=5, b=3, c=1, d=1 (total 10). At p=80%:
+    //   a: cum_before 0  < 8000·10/10⁴? 0·10⁴ < 8000·10 → keep (cum 5)
+    //   b: 5·10⁴ < 8·10⁴ → keep (cum 8); c: 8·10⁴ < 8·10⁴ FALSE → cut.
+    val docs = Seq((1L, "en", "a a a b b"), (2L, "en", "a a b c d"),
+      (3L, "de", "x y")).toDF("doc_id", "lang", "text")
+    val out = Text.topPVocabulary(docs, pBp = 8000)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(("en", "a"), ("en", "b"), ("de", "x"), ("de", "y")))
+    assert(out(("en", "a")) == ((5L, 5L, 1L)))
+    assert(out(("en", "b")) == ((3L, 8L, 2L)))
+    // de: x and y tie at 1 of total 2 — token order ranks x first; y kept
+    // because cum_before 1·10⁴ < 8000·2 = 16000
+    assert(out(("de", "x")) == ((1L, 1L, 1L)))
+    assert(out(("de", "y")) == ((1L, 2L, 2L)))
+  }
+
+  test("spanNovelty: seen spans counted, all-new doc at 10000bp, short docs absent") {
+    def doc(ts: Seq[String]) = ts.mkString(" ")
+    val w = (1 to 12).map(i => s"w$i")
+    val corpus = Seq((100L, doc(w))).toDF("doc_id", "text")
+    val batch = Seq(
+      // 10 tokens → 3 spans, all inside the corpus doc's span set
+      (1L, doc(w.take(10))),
+      // 9 tokens of new words → 2 spans, none seen
+      (2L, doc((1 to 9).map(i => s"n$i"))),
+      // spans 1: w1..w8 seen; nope — mixed doc: first 8 = corpus span,
+      // rest shifts out of corpus vocabulary
+      (3L, doc(w.take(8) ++ Seq("zz"))),
+      (4L, "too short")).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.spanIndex(corpus, 8)
+    val out = graft.ops.Dedup.spanNovelty(batch, idx)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))   // doc 4 has no spans
+    assert(out(1L) == ((3L, 0L, 0L)))       // fully-contained excerpt
+    assert(out(2L) == ((2L, 2L, 10000L)))   // entirely new text
+    assert(out(3L) == ((2L, 1L, 5000L)))    // one seen span + one new
+  }
 }
