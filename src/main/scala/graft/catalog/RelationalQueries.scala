@@ -24,6 +24,26 @@ object RelationalQueries extends Catalog {
   private def cents(x: String) = C.format(x)
   private val RevUnits = s"(${cents("l_extendedprice")} * (100 - ${cents("l_discount")}))"
 
+  /** Shared by agg_percentiles_by AND agg_percentiles_incremental — the
+    * merged-frequency-state refresh is checked against the SAME
+    * full-recompute nearest-rank SQL (see Relational.percentileState).
+    */
+  private val PctByOracle =
+    s"""WITH f AS (
+       |  SELECT o_orderpriority, ${cents("o_totalprice")} AS v, count(*) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT o_orderpriority, v, c,
+       |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS hi,
+       |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM f)
+       |SELECT o_orderpriority, q AS quantile, v::DOUBLE / 100.0 AS price
+       |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
+       |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+       |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
+       |ORDER BY o_orderpriority, quantile""".stripMargin
+
   /** Shared by scd2_history AND scd2_merge_incremental — the merge is
     * checked against the SAME full-recompute closure (see ops/History).
     */
@@ -577,6 +597,21 @@ object RelationalQueries extends Catalog {
              |    (SELECT count(*) FROM orders)
              |) t ORDER BY "check"""".stripMargin)),
 
+    // Join-key skew diagnostic (Quality.skewReport): the 25 heaviest
+    // customer keys in orders with exact counts and corpus share — the
+    // pre-join sizing report for salting/AQE thresholds. Counts once
+    // (cached O(keys) frame feeds both top-k and total), top-k is a
+    // pushed TakeOrderedAndProject under (cnt desc, key) total order.
+    Q("quality_skew_report",
+      (s, dir) => Quality.skewReport(load(s, dir, "orders"),
+        Seq("o_custkey"), k = 25),
+      Some("""WITH c AS (SELECT o_custkey, count(*) AS cnt
+             |      FROM orders GROUP BY 1),
+             |t AS (SELECT sum(cnt) AS tot FROM c)
+             |SELECT o_custkey, cnt,
+             |  CAST(floor(cnt::DOUBLE * 10000 / tot) AS BIGINT) AS share_bp
+             |FROM c, t ORDER BY cnt DESC, o_custkey LIMIT 25""".stripMargin)),
+
     // Distribution-drift monitor (ops/Quality.psiDrift): per-bucket PSI
     // terms between a reference slice and a "current batch" slice of the
     // documents corpus, bucketed by token-count decile band. Every term is
@@ -766,20 +801,28 @@ object RelationalQueries extends Catalog {
           Exact.cents(col("o_totalprice")), Seq(0.5, 0.9))
         .select(col("o_orderpriority"), col("quantile"),
           Exact.dollars(col("value")).as("price")),
-      Some(s"""WITH f AS (
-             |  SELECT o_orderpriority, ${cents("o_totalprice")} AS v, count(*) AS c
-             |  FROM orders GROUP BY 1, 2),
-             |cum AS (
-             |  SELECT o_orderpriority, v, c,
-             |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY v
-             |      ROWS UNBOUNDED PRECEDING) AS hi,
-             |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
-             |  FROM f)
-             |SELECT o_orderpriority, q AS quantile, v::DOUBLE / 100.0 AS price
-             |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
-             |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
-             |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
-             |ORDER BY o_orderpriority, quantile""".stripMargin)),
+      Some(PctByOracle)),
+
+    // Incremental exact percentiles: the SAME grouped medians/p90s, but
+    // refreshed from THREE ingest batches' merged frequency states
+    // (Relational.percentileState / mergePercentileState) instead of the
+    // raw table — the incremental-view pattern for order statistics. The
+    // oracle is agg_percentiles_by's full-recompute SQL VERBATIM, so the
+    // hash match proves partial-state merge ≡ scanning everything.
+    Q("agg_percentiles_incremental",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val parts = (0 to 2).map(i => Relational.percentileState(
+          o.filter(col("o_orderkey") % 3 === i), Seq("o_orderpriority"),
+          Exact.cents(col("o_totalprice"))))
+        Relational.nearestRankPercentilesFromCounts(
+            Relational.mergePercentileState(parts.reduce(_ unionByName _),
+              Seq("o_orderpriority")),
+            Seq("o_orderpriority"), Seq(0.5, 0.9))
+          .select(col("o_orderpriority"), col("quantile"),
+            Exact.dollars(col("value")).as("price"))
+      },
+      Some(PctByOracle)),
 
     // Value histogram: fixed-width buckets over exact cents ($5000/bucket).
     Q("agg_histogram",

@@ -75,12 +75,31 @@ object Quality {
     * broadcast back on — nothing data-sized shuffles.
     */
   def psiDrift(ref: DataFrame, cur: DataFrame, bucket: Column,
-               nBuckets: Int): DataFrame = {
+               nBuckets: Int): DataFrame =
+    psiDriftFromCounts(histogram(ref, bucket), cur, bucket, nBuckets)
+
+  /** The `(bucket, n)` histogram both PSI paths consume — the stored-state
+    * shape: a drift monitor persists the reference histogram once (it is
+    * ≤ nBuckets rows after aggregation) and scores every incoming batch
+    * against it without re-reading reference data. Histograms from
+    * separate batches merge by summing counts (they are plain keyed
+    * counts), so an accumulating reference is one keyed sum away.
+    */
+  def histogram(df: DataFrame, bucket: Column): DataFrame =
+    df.select(bucket.cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** `psiDrift` against a PRE-AGGREGATED reference histogram `(bucket, n)`
+    * — the steady-state entry point (see `histogram`). An EMPTY reference
+    * stays finite under the Laplace smoothing: every current bucket scores
+    * against the uniform prior.
+    */
+  def psiDriftFromCounts(refCounts: DataFrame, cur: DataFrame,
+                         bucket: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    def counts(df: DataFrame, out: String) =
-      df.select(bucket.cast("long").as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
-    val joined = counts(ref, "ref_n").join(counts(cur, "cur_n"),
+    val joined = refCounts.select(col("bucket"), col("n").as("ref_n"))
+      .join(histogram(cur, bucket).select(col("bucket"),
+          col("n").as("cur_n")),
         Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
@@ -91,5 +110,23 @@ object Quality {
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"), col("ref_n"), col("cur_n"),
         round((curP - refP) * log(curP / refP), 6).as("psi_term"))
+  }
+
+  /** Join-key skew diagnostic: the `k` heaviest keys with exact counts and
+    * corpus share in basis points — the numbers that size salting width /
+    * AQE skew thresholds BEFORE a big join melts an executor. One keyed
+    * count (cached: it is O(distinct keys), and both the top-k and the
+    * total read it), a pushed top-k (TakeOrderedAndProject — no global
+    * sort materializes), and a one-row broadcast total.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val g = keys.map(col)
+    val counts = df.groupBy(g: _*).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    counts.orderBy(col("cnt").desc +: g: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .select(g ++ Seq(col("cnt"),
+        graft.ops.Exact.ratioBp(col("cnt"), col("_total")).as("share_bp")): _*)
   }
 }

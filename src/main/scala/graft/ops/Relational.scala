@@ -238,11 +238,41 @@ object Relational {
     */
   def nearestRankPercentilesBy(df: DataFrame, groupCols: Seq[String],
                                value: Column,
-                               quantiles: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
+                               quantiles: Seq[Double]): DataFrame =
+    nearestRankPercentilesFromCounts(
+      percentileState(df, groupCols, value), groupCols, quantiles)
+
+  /** The mergeable frequency state behind `nearestRankPercentilesBy`:
+    * exact per-(group, value) counts. Partials built from independent
+    * ingest batches merge by summing counts (`mergePercentileState`) into
+    * a state identical to one built from the union — the incremental-view
+    * pattern (same as `IncrAgg`): the state is O(distinct values per
+    * group), and an exact-percentile refresh reads the state, never the
+    * raw history.
+    */
+  def percentileState(df: DataFrame, groupCols: Seq[String],
+                      value: Column): DataFrame = {
     val g = groupCols.map(col)
-    val freq = df.select(g :+ value.as("v"): _*)
+    df.select(g :+ value.as("v"): _*)
       .groupBy(g :+ col("v"): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge unioned `percentileState` partials: one keyed sum. */
+  def mergePercentileState(partials: DataFrame,
+                           groupCols: Seq[String]): DataFrame =
+    partials.groupBy(groupCols.map(col) :+ col("v"): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** Exact nearest-rank percentiles from a `(groups…, v, c)` frequency
+    * state — the read side of the incremental pair above. Same scale-safe
+    * two-level cumulative shape as ever: windows partition by group over
+    * the O(distinct-values) state, never the data.
+    */
+  def nearestRankPercentilesFromCounts(freq: DataFrame,
+                                       groupCols: Seq[String],
+                                       quantiles: Seq[Double]): DataFrame = {
+    val spark = freq.sparkSession
+    val g = groupCols.map(col)
     val byGroup = Window.partitionBy(g: _*)
     val cum = freq
       .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))

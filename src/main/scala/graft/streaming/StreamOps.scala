@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
@@ -656,6 +656,60 @@ object StreamOps {
       .parquet(s"$stateDir/report/batch=$batchId")
     graft.ops.Text.vocabulary(batch).write.mode("overwrite")
       .parquet(s"$vocabRoot/batch=$batchId")
+  }
+
+  /** Streaming distribution-drift monitoring: every micro-batch is scored
+    * (`Quality.psiDriftFromCounts`) against the reference histogram
+    * accumulated by PRIOR batches, then its own `(bucket, n)` histogram
+    * lands under `stateDir/hist/batch=<id>/` so the reference grows with
+    * the stream. Reports land under `stateDir/report/batch=<id>/`. The
+    * FIRST batch scores against an empty reference — finite under the
+    * Laplace smoothing (uniform prior), and flagged by `ref_n = 0` rows.
+    *
+    * Exactly-once by the usual state-dir contract: reads exclude the
+    * in-flight batch id, writes overwrite exactly their own `batch=` dirs
+    * — crash-replay recomputes the identical report from identical prior
+    * state. Per-batch histograms are ≤ `nBuckets` rows each; merging is
+    * one keyed sum at read time, and `Load.compactPartitioned` folds the
+    * delta dirs on maintenance cadence.
+    */
+  def driftSink(docs: DataFrame, stateDir: String, checkpoint: String,
+                bucket: Column, nBuckets: Int): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        driftDocumentBatch(batch, id, stateDir, bucket, nBuckets)
+      }
+
+  /** One micro-batch of `driftSink`, public for direct testing and crash
+    * replay.
+    */
+  def driftDocumentBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                         bucket: Column, nBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val histRoot = s"$stateDir/hist"
+    val fs = graft.etl.Load.fsFor(spark, histRoot)
+    val prior =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(histRoot))) None
+      else {
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(histRoot))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith("batch=") &&
+              n.stripPrefix("batch=").forall(_.isDigit) &&
+              n.stripPrefix("batch=").toLong != batchId // exclude own replay
+          }
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", histRoot)
+          .parquet(dirs.map(_.getPath.toString): _*).drop("batch")
+          .groupBy(col("bucket")).agg(sum(col("n")).as("n")))
+      }
+    val ref = prior.getOrElse( // empty reference: uniform Laplace prior
+      spark.range(0).select(col("id").as("bucket"), col("id").as("n")))
+    graft.ops.Quality.psiDriftFromCounts(ref, batch, bucket, nBuckets)
+      .write.mode("overwrite").parquet(s"$stateDir/report/batch=$batchId")
+    graft.ops.Quality.histogram(batch, bucket).write.mode("overwrite")
+      .parquet(s"$histRoot/batch=$batchId")
   }
 
   /** Streaming SCD2 maintenance: every micro-batch of change events merges

@@ -116,7 +116,8 @@ class PlanContractSpec extends SparkSpec {
       "curate_pack_budget", "curate_lang_cap", "curate_stratified_n",
       "scd2_history", "scd2_merge_incremental", "event_transitions",
       "curate_winsorize", "dedup_keep_best", "curate_shard_assign",
-      "sim_knn_graph", "text_topp_vocab").foreach { name =>
+      "sim_knn_graph", "text_topp_vocab",
+      "agg_percentiles_incremental").foreach { name =>
       val global = q(name).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
@@ -170,7 +171,8 @@ class PlanContractSpec extends SparkSpec {
 
   test("quality report and incremental-agg merge plan no windows at all") {
     Seq("quality_checks", "agg_incremental_state", "agg_incremental_state_stored",
-      "agg_rolling_distinct", "agg_outlier_exact").foreach { name =>
+      "agg_rolling_distinct", "agg_outlier_exact", "quality_drift_psi",
+      "quality_skew_report", "window_rate_anomaly").foreach { name =>
       assert(q(name).collect { case w: WindowExec => w }.isEmpty,
         s"$name plans a window")
     }

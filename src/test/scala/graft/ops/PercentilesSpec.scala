@@ -40,4 +40,25 @@ class PercentilesSpec extends SparkSpec {
     assert(out.head.getAs[String]("value") == "2",
       s"median of lexicographic ranks must be '2', got '${out.head.get(1)}'")
   }
+
+  test("percentileState: batch partials merge to the full-recompute percentiles") {
+    val rows = Seq(("a", 10), ("a", 20), ("a", 20), ("a", 30), ("a", 90),
+      ("b", 5), ("b", 5), ("b", 7)).zipWithIndex
+      .map { case ((g, v), i) => (g, v, i) }
+    val df = rows.toDF("g", "v0", "i")
+    val full = Relational.nearestRankPercentilesBy(df, Seq("g"), col("v0"),
+        Seq(0.5, 0.9)).collect().map(_.toSeq).toSet
+    // three arbitrary batches by row index; merged state must agree
+    val parts = (0 to 2).map(i => Relational.percentileState(
+      df.filter(col("i") % 3 === i), Seq("g"), col("v0")))
+    val merged = Relational.mergePercentileState(
+      parts.reduce(_ unionByName _), Seq("g"))
+    val inc = Relational.nearestRankPercentilesFromCounts(merged, Seq("g"),
+        Seq(0.5, 0.9)).collect().map(_.toSeq).toSet
+    assert(inc == full && inc.nonEmpty)
+    // the merged state really is the unioned frequency table
+    val st = merged.as[(String, Int, Long)].collect().toSet
+    assert(st == Set(("a", 10, 1L), ("a", 20, 2L), ("a", 30, 1L),
+      ("a", 90, 1L), ("b", 5, 2L), ("b", 7, 1L)))
+  }
 }

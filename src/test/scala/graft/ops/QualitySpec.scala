@@ -55,4 +55,25 @@ class QualitySpec extends SparkSpec {
     val p3r = 1.0 / (6 + 6); val p3c = 4.0 / (4 + 6)
     assert(math.abs(drift(3L)._3 - (p3c - p3r) * math.log(p3c / p3r)) < 1e-6)
   }
+
+  test("psiDriftFromCounts: stored histogram path equals the raw-rows path") {
+    val ref = Seq(0, 0, 1, 1, 2, 5).toDF("v")
+    val cur = Seq(0, 3, 3, 3).toDF("v")
+    val raw = Quality.psiDrift(ref, cur, col("v"), 6)
+      .collect().map(_.toSeq).toSet
+    val stored = Quality.psiDriftFromCounts(
+        Quality.histogram(ref, col("v")), cur, col("v"), 6)
+      .collect().map(_.toSeq).toSet
+    assert(raw == stored && raw.nonEmpty)
+  }
+
+  test("skewReport: heaviest keys first, exact counts and shares, k bound") {
+    // key 1 x6, key 2 x3, key 3 x1 → total 10
+    val df = (Seq.fill(6)(1) ++ Seq.fill(3)(2) ++ Seq(3)).toDF("k")
+    val out = Quality.skewReport(df, Seq("k"), k = 2)
+      .as[(Int, Long, Long)].collect().sortBy(-_._2)
+    assert(out.length == 2)
+    assert(out(0) == ((1, 6L, 6000L)))
+    assert(out(1) == ((2, 3L, 3000L)))
+  }
 }

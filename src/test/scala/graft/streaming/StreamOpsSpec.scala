@@ -569,6 +569,58 @@ class StreamOpsSpec extends SparkSpec {
       Set(("en", "alpha", 1L), ("en", "beta", 1L), ("en", "gamma", 1L)))
   }
 
+  test("driftSink: batches score against prior histograms only; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Quality
+    val src = tmpDir("drift-src")
+    val state = tmpDir("drift-state")
+    val ckpt = tmpDir("drift-ckpt")
+    def doc(id: Long, nToks: Int) =
+      s"""{"doc_id":$id,"lang":"en","text":"${Seq.fill(nToks)("w").mkString(" ")}"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    // bucket = token-count decile band, like the catalog query
+    val bucket = least(floor(size(split(col("text"), " ")) / 10), lit(9L))
+    writeFile("b1.json", Seq(doc(1, 5), doc(2, 15), doc(3, 15)))
+    writeFile("b2.json", Seq(doc(4, 5), doc(5, 35)))
+    val q = StreamOps.driftSink(
+      StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+      state, ckpt, bucket, nBuckets = 10)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    def reports: Map[(Long, Long), (Long, Long)] =
+      spark.read.parquet(s"$state/report")
+        .select(col("batch").cast("long"), col("bucket"), col("ref_n"),
+          col("cur_n"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val first = reports
+    // batch 0 scored against the EMPTY reference; batch 1 against batch 0
+    assert(first((0L, 0L)) == ((0L, 1L)) && first((0L, 1L)) == ((0L, 2L)))
+    assert(first((1L, 0L)) == ((1L, 1L)) && first((1L, 1L)) == ((2L, 0L)) &&
+      first((1L, 3L)) == ((0L, 1L)))
+    // batch 1's report equals a direct stored-histogram computation
+    val b1 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b1.json")
+    val b2 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b2.json")
+    val direct = Quality.psiDriftFromCounts(Quality.histogram(b1, bucket),
+        b2, bucket, 10).collect().map(_.toSeq).toSet
+    val streamed = spark.read.parquet(s"$state/report/batch=1")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == direct && streamed.nonEmpty)
+    // crash-replay of the LAST batch: state read excludes its own dir
+    StreamOps.driftDocumentBatch(b2, 1L, state, bucket, nBuckets = 10)
+    assert(reports == first)
+    assert(spark.read.parquet(s"$state/hist").drop("batch")
+      .as[(Long, Long)].collect().toSet ==
+      Set((0L, 1L), (1L, 2L), (3L, 1L)))
+  }
+
   test("scd2Sink: streamed batches maintain bucketed history; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.History
