@@ -31,7 +31,8 @@ object PlanDump {
       "text_chunk_windows", "dedup_keep_best", "quality_drift_psi",
       "curate_shard_assign", "sim_knn_graph",
       "text_topp_vocab", "text_novelty_incremental", "window_rate_anomaly",
-      "agg_percentiles_incremental", "quality_skew_report")
+      "agg_percentiles_incremental", "quality_skew_report",
+      "text_novelty_indexed", "dedup_common_span_incremental_indexed")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

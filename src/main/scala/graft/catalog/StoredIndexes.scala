@@ -187,6 +187,21 @@ object StoredIndexes {
       Seq(s.read.parquet(d).persist(mem))
     }).head
 
+  /** Stored span-digest index `(id, h)` over `dir`'s documents with
+    * `doc_id % mod =!= 0` — the corpus side of the common-span probe and
+    * the novelty monitor (`mod` mirrors each rebuild sibling's split so
+    * the `_indexed` twin shares its oracle verbatim). 16-byte digests
+    * only; corpus text is read once per session at build.
+    */
+  def spanIdx(s: SparkSession, dir: String, mod: Int): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|span$mod", _ => {
+      val d = newTempDir("graft-spanidx-")
+      graft.ops.Dedup.writeSpanIndex(
+        load(s, dir, "documents").filter(col("doc_id") % mod =!= 0), d, 8)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
   /** Force all stored-state builds and warm the read-back frames — the
     * bench warmup hook that keeps the timed `*_indexed` queries probe-only.
     */
@@ -197,6 +212,8 @@ object StoredIndexes {
     ivf(s, dir)._1.count()
     aggState(s, dir).count()
     dsirLm(s, dir).count()
+    spanIdx(s, dir, 7).count()
+    spanIdx(s, dir, 10).count()
     // run (and memoize) the geometry pre-flights too — the timed probes
     // then start straight at candidate generation, like an ingest loop's
     // steady-state iterations after its first batch

@@ -112,6 +112,48 @@ object TextQueries extends Catalog {
        |SELECT a AS doc_id, min(b) AS cluster_rep
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  /** Shared by dedup_common_span_incremental AND its stored-index twin —
+    * both probes must hash-match the SAME full-closure restriction.
+    */
+  private val CommonSpanIncOracle =
+    s"""WITH sh AS (
+       |  SELECT id, unnest(spans) AS span FROM (
+       |    SELECT doc_id AS id,
+       |      CASE WHEN len($Toks) < 8 THEN []::VARCHAR[]
+       |        ELSE list_distinct(list_transform(range(1, len($Toks) - 6),
+       |          i -> array_to_string(($Toks)[i : i + 7], ' '))) END AS spans
+       |    FROM documents) t),
+       |keep AS (SELECT span FROM sh GROUP BY span
+       |         HAVING count(*) BETWEEN 2 AND 64)
+       |SELECT doc_a, doc_b, n_spans FROM (
+       |  SELECT a.id AS doc_a, b.id AS doc_b,
+       |         count(DISTINCT a.span) AS n_spans
+       |  FROM sh a JOIN keep k ON a.span = k.span
+       |            JOIN sh b ON b.span = a.span
+       |  WHERE a.id < b.id
+       |  GROUP BY 1, 2) p
+       |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared by text_novelty_incremental AND its stored-index twin. */
+  private val NoveltyOracle =
+    s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+       |sp AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(l) < 8 THEN []::VARCHAR[]
+       |      ELSE list_distinct(list_transform(range(1, len(l) - 6),
+       |        i -> array_to_string(l[i : i + 7], ' '))) END) AS span
+       |  FROM t),
+       |corp AS (SELECT DISTINCT span FROM sp WHERE doc_id % 7 <> 0),
+       |b AS (SELECT doc_id, span FROM sp WHERE doc_id % 7 = 0)
+       |SELECT b.doc_id, count(*) AS n_spans,
+       |  sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_new,
+       |  CAST(floor(sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    * 10000 / count(*)) AS BIGINT) AS novelty_bp
+       |FROM b LEFT JOIN corp ON b.span = corp.span
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1: corpus word counts (explode + two-phase aggregate), top 20.
@@ -681,24 +723,20 @@ object TextQueries extends Catalog {
             d.filter(col("doc_id") % 10 === 0), index, 8, maxDf = 64)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(s"""WITH sh AS (
-             |  SELECT id, unnest(spans) AS span FROM (
-             |    SELECT doc_id AS id,
-             |      CASE WHEN len($Toks) < 8 THEN []::VARCHAR[]
-             |        ELSE list_distinct(list_transform(range(1, len($Toks) - 6),
-             |          i -> array_to_string(($Toks)[i : i + 7], ' '))) END AS spans
-             |    FROM documents) t),
-             |keep AS (SELECT span FROM sh GROUP BY span
-             |         HAVING count(*) BETWEEN 2 AND 64)
-             |SELECT doc_a, doc_b, n_spans FROM (
-             |  SELECT a.id AS doc_a, b.id AS doc_b,
-             |         count(DISTINCT a.span) AS n_spans
-             |  FROM sh a JOIN keep k ON a.span = k.span
-             |            JOIN sh b ON b.span = a.span
-             |  WHERE a.id < b.id
-             |  GROUP BY 1, 2) p
-             |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(CommonSpanIncOracle)),
+
+    // STORED-INDEX steady-state twin of the probe above — SAME split, SAME
+    // oracle: the span-digest index is built once per session
+    // (StoredIndexes.spanIdx, Bench-prewarmed), so the timed region is
+    // batch span hashing + the digest join + the pair aggregate only,
+    // never the 90% corpus side's re-shingling. The per-ingest shape of
+    // run-over-run substring dedup.
+    Q("dedup_common_span_incremental_indexed",
+      (s, dir) => graft.ops.Dedup.commonSpanIncrementalPairs(
+          load(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+          StoredIndexes.spanIdx(s, dir, 10), 8, maxDf = 64)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(CommonSpanIncOracle)),
 
     // End-to-end corpus-cleaning pipeline — the composition the operators
     // exist for: normalize → exact-dedup on normalized content (min doc_id
@@ -943,21 +981,19 @@ object TextQueries extends Catalog {
             Dedup.spanIndex(docs.filter(col("doc_id") % 7 =!= 0), 8))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
-             |sp AS (
-             |  SELECT doc_id, unnest(
-             |    CASE WHEN len(l) < 8 THEN []::VARCHAR[]
-             |      ELSE list_distinct(list_transform(range(1, len(l) - 6),
-             |        i -> array_to_string(l[i : i + 7], ' '))) END) AS span
-             |  FROM t),
-             |corp AS (SELECT DISTINCT span FROM sp WHERE doc_id % 7 <> 0),
-             |b AS (SELECT doc_id, span FROM sp WHERE doc_id % 7 = 0)
-             |SELECT b.doc_id, count(*) AS n_spans,
-             |  sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::BIGINT
-             |    AS n_new,
-             |  CAST(floor(sum(CASE WHEN corp.span IS NULL THEN 1 ELSE 0 END)::DOUBLE
-             |    * 10000 / count(*)) AS BIGINT) AS novelty_bp
-             |FROM b LEFT JOIN corp ON b.span = corp.span
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some(NoveltyOracle)),
+
+    // STORED-INDEX steady-state twin of the novelty monitor — SAME split,
+    // SAME oracle: the corpus span-digest set comes from the session-built
+    // stored index (Bench-prewarmed), so the timed region is batch span
+    // hashing + one digest join + one keyed aggregate. This is the shape
+    // a per-ingest "is this new text" check actually runs at: O(batch),
+    // corpus text untouched.
+    Q("text_novelty_indexed",
+      (s, dir) => graft.ops.Dedup.spanNovelty(
+          load(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+          StoredIndexes.spanIdx(s, dir, 7))
+        .orderBy(col("doc_id")),
+      Some(NoveltyOracle)),
   )
 }
