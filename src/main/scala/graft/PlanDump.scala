@@ -32,7 +32,9 @@ object PlanDump {
       "curate_shard_assign", "sim_knn_graph",
       "text_topp_vocab", "text_novelty_incremental", "window_rate_anomaly",
       "agg_percentiles_incremental", "quality_skew_report",
-      "text_novelty_indexed", "dedup_common_span_incremental_indexed")
+      "text_novelty_indexed", "dedup_common_span_incremental_indexed",
+      "text_fuzzy_join", "join_scd2_pointintime", "graph_pagerank",
+      "vector_project_rp")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

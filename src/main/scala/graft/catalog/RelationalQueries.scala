@@ -1056,5 +1056,108 @@ object RelationalQueries extends Catalog {
       Some("""SELECT r_regionkey, r_name, 'run_00000001' AS _etl_run_id,
              |'2026-01-01T00:00:00+00:00' AS _etl_loaded_at
              |FROM region ORDER BY r_regionkey""".stripMargin)),
+
+    // Unpivot/melt — pivot's inverse (Dataset.unpivot, Spark's native
+    // operator: a generate, zero shuffle). Wide part metrics → long
+    // (p_partkey, metric, value) rows; both value columns normalized to
+    // DOUBLE on both sides.
+    Q("unpivot_part_metrics",
+      (s, dir) => load(s, dir, "part")
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"),
+            col("p_retailprice")),
+          "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+      Some("""SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS value
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_retailprice' AS metric,
+             |       p_retailprice AS value FROM part
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    // Point-in-time (as-of) lookup into a versioned SCD2 dimension:
+    // lineitems look up the customer's order-priority version governing
+    // their SHIP date (ship dates trail order dates, so lookups land in
+    // the middle of version chains, not just the current row). The Spark
+    // side is the union+window trick — one custkey-keyed shuffle, NO
+    // range join (ops/History.pointInTimeJoin); the oracle runs the
+    // half-open interval-join definition it must equal.
+    Q("join_scd2_pointintime",
+      (s, dir) => {
+        val o = load(s, dir, "orders")
+        val hist = graft.ops.History.scd2FromEvents(o, Seq("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+        val facts = load(s, dir, "lineitem")
+          .join(o.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            col("l_shipdate"))
+        graft.ops.History.pointInTimeJoin(facts, hist, Seq("o_custkey"),
+            col("l_shipdate"), outCol = "priority_at_ship")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            unix_timestamp(col("l_shipdate")).as("ship_ts"),
+            col("priority_at_ship"))
+          // (l_orderkey, l_linenumber) is NOT unique in this data — sort
+          // on every column (nulls first on both sides) for a total order
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_ts"),
+            col("priority_at_ship").asc_nulls_first)
+      },
+      Some("""WITH e AS (SELECT o_custkey, o_orderdate AS ts, o_orderkey AS tb,
+             |                  o_orderpriority AS attr_val FROM orders),
+             |m AS (SELECT *, (row_number() OVER w = 1 OR
+             |                 lag(attr_val) OVER w IS DISTINCT FROM attr_val) AS chg
+             |      FROM e WINDOW w AS (PARTITION BY o_custkey ORDER BY ts, tb)),
+             |r AS (SELECT o_custkey, attr_val, ts AS valid_from, tb FROM m WHERE chg),
+             |f AS (SELECT o_custkey, attr_val, valid_from,
+             |             lead(valid_from) OVER (PARTITION BY o_custkey
+             |               ORDER BY valid_from, tb) AS valid_to
+             |      FROM r),
+             |fact AS (SELECT o.o_custkey, l.l_orderkey,
+             |                l.l_linenumber::BIGINT AS l_linenumber, l.l_shipdate
+             |         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             |SELECT fact.l_orderkey, fact.l_linenumber,
+             |       epoch(date_trunc('second', fact.l_shipdate))::BIGINT AS ship_ts,
+             |       f.attr_val AS priority_at_ship
+             |FROM fact LEFT JOIN f ON fact.o_custkey = f.o_custkey
+             |  AND f.valid_from <= fact.l_shipdate
+             |  AND (f.valid_to IS NULL OR fact.l_shipdate < f.valid_to)
+             |ORDER BY l_orderkey, l_linenumber, ship_ts,
+             |         priority_at_ship NULLS FIRST""".stripMargin)),
+
+    // Fixed-iteration PageRank (3 rounds) over the undirected
+    // supplier↔customer trade graph, in exact basis-point integer
+    // arithmetic so the recurrence is order-independent and the oracle
+    // replays it bit-for-bit (ops/Graph.pageRankBp — per-iteration keyed
+    // join + keyed aggregate, the Pregel shape).
+    Q("graph_pagerank",
+      (s, dir) => {
+        val edges = load(s, dir, "lineitem")
+          .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+          .distinct()
+        graft.ops.Graph.pageRankBp(graft.ops.Graph.undirect(edges), 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        def step(prev: String) =
+          s"""SELECT u.dst AS node,
+             |  1500 + sum((85 * r.rank_bp) // (100 * d.outdeg)) AS rank_bp
+             |FROM und u JOIN deg d ON u.src = d.src
+             |           JOIN $prev r ON u.src = r.node
+             |GROUP BY u.dst""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+           |                            'c' || o_custkey AS dst
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+           |r0 AS (SELECT src AS node, 10000::BIGINT AS rank_bp FROM deg),
+           |r1 AS (${step("r0")}),
+           |r2 AS (${step("r1")}),
+           |r3 AS (${step("r2")})
+           |SELECT node, rank_bp::BIGINT AS rank_bp FROM r3
+           |ORDER BY node""".stripMargin
+      }),
   )
 }

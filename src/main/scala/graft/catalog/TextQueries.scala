@@ -995,5 +995,41 @@ object TextQueries extends Catalog {
           StoredIndexes.spanIdx(s, dir, 7))
         .orderBy(col("doc_id")),
       Some(NoveltyOracle)),
+
+    // Fuzzy self-join (edit distance ≤ 1) via SymSpell deletion-
+    // neighborhood blocking — the string-side near-dup operator (typo
+    // unification, entity-string cleanup). String universe: the corpus's
+    // distinct word bigrams plus a deterministically corrupted twin of
+    // each (middle character deleted — same surgery both engines), so
+    // matches are guaranteed and the oracle's QUADRATIC levenshtein scan
+    // proves the deletion-variant blocking lossless. Spark side never
+    // goes quadratic: explode variants → variant-keyed equi-join →
+    // per-candidate verify (ops/Text.fuzzyPairsEd1).
+    Q("text_fuzzy_join",
+      (s, dir) => {
+        val l = split(lower(col("text")), " ")
+        val bg = load(s, dir, "documents")
+          .select(explode(zip_with(
+            slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+            (x, y) => concat_ws(" ", x, y))).as("s0"))
+          .distinct()
+        val uni = bg.select(col("s0").as("s"))
+          .unionByName(bg.select(
+            expr("concat(substring(s0, 1, (length(s0)+1) div 2 - 1), " +
+              "substring(s0, (length(s0)+1) div 2 + 1))").as("s")))
+          .distinct()
+        Text.fuzzyPairsEd1(uni, "s").orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH t AS (SELECT $Toks AS l FROM (
+             |       SELECT lower(text) AS text FROM documents) lt),
+             |v0 AS (SELECT DISTINCT unnest(list_transform(range(1, len(l)),
+             |         i -> l[i] || ' ' || l[i+1])) AS s FROM t),
+             |v AS (SELECT s FROM v0
+             |      UNION
+             |      SELECT substr(s, 1, (len(s)+1)//2 - 1) ||
+             |             substr(s, (len(s)+1)//2 + 1) FROM v0)
+             |SELECT a.s AS a, b.s AS b
+             |FROM v a JOIN v b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+             |ORDER BY a, b""".stripMargin)),
   )
 }

@@ -321,5 +321,43 @@ object VectorQueries extends Catalog {
              |      FROM p WHERE cosine >= 0.4)
              |SELECT src, dst, cosine, rank FROM r
              |WHERE rank <= 5 ORDER BY src, rank""".stripMargin)),
+
+    // Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
+    // 64-dim float vectors → 4 signed-sum components, the cheap sketch a
+    // two-stage ANN prefilters on before exact re-ranking. Signs are a
+    // deterministic ±1 function of (input dim, output dim) shared with the
+    // oracle; each component is ONE native codegen DotProduct against a
+    // literal sign vector (index-ordered accumulation), and the oracle's
+    // explicit left-associated ± chain is bit-identical to it — full
+    // double precision, no rounding. Narrow per-row map, zero shuffle.
+    Q("vector_project_rp",
+      (s, dir) => {
+        val proj = (1 to 4).map { j =>
+          val signs = (1 to 64).map(i => rpSign(i, j)).toArray
+          graft.functions.ArrayMath.dotNative(col("embedding"), lit(signs))
+            .as(s"y$j")
+        }
+        load(s, dir, "embeddings")
+          .select(col("vec_id") +: proj: _*)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+             |SELECT vec_id,
+             |  ${(1 to 4).map(j => s"(${rpChainSql(j)}) AS y$j").mkString(",\n|  ")}
+             |FROM v ORDER BY vec_id""".stripMargin)),
   )
+
+  /** Deterministic ±1 JL sign for input dim `i` (1-based), output dim `j`. */
+  private def rpSign(i: Int, j: Int): Double =
+    1.0 - 2.0 * (((i * 37 + j * 101) % 97) % 2)
+
+  /** The oracle-side projection: an EXPLICIT left-associated ± chain
+    * (`e[1] - e[2] + …`) so the accumulation order matches DotProduct's
+    * index-ordered fold exactly — `x - e` is IEEE-identical to
+    * `x + (e * -1.0)`, so no tolerance is needed.
+    */
+  private def rpChainSql(j: Int): String =
+    (1 to 64).map(i =>
+      (if (rpSign(i, j) > 0) "+ " else "- ") + s"e[$i]")
+      .mkString(" ").stripPrefix("+ ")
 }

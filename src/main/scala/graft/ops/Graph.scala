@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge DataFrames. PageRank here is
+  * computed in exact integer (basis-point) arithmetic: floating-point
+  * PageRank depends on the reduction order of double sums (nondeterministic
+  * under shuffle), while scaled-integer contributions with truncating
+  * division are order-independent — the DuckDB oracle replays the identical
+  * recurrence and hash-matches bit-for-bit.
+  *
+  * Scale shape: degrees and ranks are keyed on node id; each iteration is
+  * one (edges ⋈ ranks) join keyed on src plus one groupBy keyed on dst —
+  * the standard Pregel decomposition with a fixed iteration count and
+  * map-side partial aggregation on the contribution sum. The edge frame is
+  * reused across iterations (cache it for >3 iterations; for billion-edge
+  * graphs pre-bucket it by src so the per-iteration join never re-shuffles
+  * the edge side).
+  */
+object Graph {
+
+  /** Undirected closure: both directions of each distinct edge. */
+  def undirect(edges: DataFrame, src: String = "src",
+               dst: String = "dst"): DataFrame =
+    edges.select(col(src).as("src"), col(dst).as("dst"))
+      .unionByName(edges.select(col(dst).as("src"), col(src).as("dst")))
+      .distinct()
+
+  /** Fixed-iteration PageRank in basis points over `edges(src, dst)`:
+    * r₀(v) = `baseBp`; r_{k+1}(v) = 15%·baseBp + Σ_{(u,v)∈E}
+    * (85·r_k(u)) div (100·outdeg(u)). All-long arithmetic with truncating
+    * division (Spark `div` ≡ DuckDB `//` on non-negatives), so results are
+    * exactly reproducible. Output: `(node, rank_bp)` for every node with
+    * ≥1 out-edge; run on an `undirect` closure every such node also has
+    * in-mass, so no dangling-mass redistribution term is needed (a node
+    * with out-edges but no in-edges would keep only the 15% base — that is
+    * the documented semantics, not a bug).
+    */
+  def pageRankBp(edges: DataFrame, iters: Int,
+                 baseBp: Long = 10000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(baseBp).as("rank_bp"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(85 * rank_bp) div (100 * outdeg)").as("_c"))
+      ranks = contrib.groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+        .select(col("dst").as("node"),
+          (lit(baseBp * 15L / 100L) + col("_in")).as("rank_bp"))
+    }
+    ranks
+  }
+}

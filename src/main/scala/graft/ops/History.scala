@@ -158,4 +158,42 @@ object History {
   def readScd2Stored(spark: org.apache.spark.sql.SparkSession,
                      root: String): DataFrame =
     spark.read.parquet(root).drop("_kp")
+
+  /** Point-in-time (as-of) enrichment of a fact stream from an SCD2
+    * history WITHOUT a range join: version rows and facts merge into one
+    * per-key ordered stream (a version row sorts BEFORE any fact sharing
+    * its timestamp, so a fact at exactly `valid_from` sees the version
+    * that starts there), a running `last(attr, ignoreNulls)` carries the
+    * governing version forward, and fact rows are filtered back out with
+    * the looked-up attr in `outCol`. Result is row-for-row the facts
+    * frame plus `outCol`, equal to the half-open interval join
+    * `valid_from <= ts < valid_to` (the oracle runs that definition).
+    *
+    * Scale shape: ONE shuffle keyed on the dimension key plus a per-key
+    * sort — no interval-join explosion, no per-fact history probe, no
+    * broadcast requirement on either side. This is the standard warehouse
+    * trick for fact×SCD2 lookups at any fact:dimension ratio.
+    *
+    * Facts whose ts precede their key's first version (or whose key has
+    * no history) get NULL. `history.valid_from` must be unique per key
+    * (SCD2 guarantees it) — duplicate version timestamps would make the
+    * tie order, and therefore the lookup, nondeterministic.
+    */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+                      keys: Seq[String], factTs: Column,
+                      outCol: String = "pit_attr"): DataFrame = {
+    val keyCols = keys.map(col)
+    val dim = history
+      .select(keyCols :+ col("valid_from").as("_pit_ts") :+
+        col("attr_val").as("_pit_attr"): _*)
+      .withColumn("_is_fact", lit(0))
+    val f = facts.withColumn("_pit_ts", factTs).withColumn("_is_fact", lit(1))
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_pit_ts"), col("_is_fact"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(f, allowMissingColumns = true)
+      .withColumn(outCol, last(col("_pit_attr"), ignoreNulls = true).over(w))
+      .filter(col("_is_fact") === 1)
+      .drop("_pit_ts", "_is_fact", "_pit_attr")
+  }
 }

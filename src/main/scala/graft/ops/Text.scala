@@ -379,4 +379,44 @@ object Text {
           slice(col("_toks"), col("chunk_id") * step + 1, tail))
           .as("chunk_text"))
   }
+
+  /** Single-character deletion neighborhood of `s`, including `s` itself,
+    * de-duplicated — the symmetric-delete blocking key set (Garbe's
+    * SymSpell, public algorithm). If ed(a, b) = 1 the neighborhoods of
+    * `a` and `b` always intersect: a substitution deletes the differing
+    * position from both; an insertion/deletion makes the shorter string
+    * itself a variant of the longer. The converse does NOT hold (two
+    * distance-2 strings can share a variant), so candidates from a
+    * variant join must be verified — see `fuzzyPairsEd1`.
+    */
+  def deletionVariants(s: Column): Column =
+    when(length(s) === 0, array(s)).otherwise(
+      array_distinct(concat(array(s),
+        transform(sequence(lit(1), length(s)), i =>
+          concat(substr(s, lit(1), i - lit(1)),
+            substr(s, i + lit(1), length(s)))))))
+
+  /** Edit-distance-≤1 pairs `(a, b)` with `a < b` within one string
+    * column: SymSpell deletion-neighborhood blocking + exact
+    * `levenshtein` verification. Blocking is a lossless OVER-approximation
+    * for distance 1 (see `deletionVariants`), and the verify filter runs
+    * per CANDIDATE pair only, so the output provably equals the quadratic
+    * all-pairs scan — the oracle runs that quadratic definition.
+    *
+    * Scale shape: one explode (|s|+1 variants per string), one
+    * variant-keyed equi-join, one distinct on the (small) candidate pair
+    * set, per-candidate verify. No all-pairs anywhere; a pathological
+    * shared-variant key (n strings → n² candidates) is the same df-skew
+    * shape as `commonSpanPairs` and salts the same way if it ever arises
+    * in a real vocabulary.
+    */
+  def fuzzyPairsEd1(strings: DataFrame, strCol: String = "s"): DataFrame = {
+    val v = strings.select(col(strCol).as("_s"),
+      explode(deletionVariants(col(strCol))).as("_v"))
+    v.as("fza").join(v.as("fzb"),
+        col("fza._v") === col("fzb._v") && col("fza._s") < col("fzb._s"))
+      .select(col("fza._s").as("a"), col("fzb._s").as("b"))
+      .distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+  }
 }

@@ -119,4 +119,29 @@ class HistorySpec extends SparkSpec {
       ("ext", "A", 10L, None, true),     // extended run keeps its valid_from
       ("idle", "Z", 10L, None, true)))
   }
+
+  test("pointInTimeJoin equals the half-open interval lookup incl boundaries") {
+    // versions: c1 = A@[10,30) B@[30,∞); c2 = X@[5,∞); "ghost" has no history
+    val h = hist(log(Seq(
+      ("c1", 10L, 1L, "A"), ("c1", 30L, 2L, "B"), ("c2", 5L, 3L, "X"))))
+    val facts = Seq(
+      ("c1", 100L, 5L),    // before first version → NULL
+      ("c1", 101L, 10L),   // exactly at first valid_from → A
+      ("c1", 102L, 29L),   // inside [10,30) → A
+      ("c1", 103L, 30L),   // exactly at the version boundary → B (half-open)
+      ("c1", 104L, 99L),   // beyond last → current B
+      ("c2", 105L, 7L),    // single-version key → X
+      ("ghost", 106L, 50L) // no history → NULL
+    ).toDF("k", "fact_id", "fts")
+    val out = History.pointInTimeJoin(facts, h, Seq("k"), col("fts"))
+      .select(col("fact_id"), col("pit_attr"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      100L -> None, 101L -> Some("A"), 102L -> Some("A"), 103L -> Some("B"),
+      104L -> Some("B"), 105L -> Some("X"), 106L -> None))
+    // facts frame passes through row-for-row (columns + count preserved)
+    val enriched = History.pointInTimeJoin(facts, h, Seq("k"), col("fts"))
+    assert(enriched.count() == facts.count())
+    assert(enriched.columns.toSeq == facts.columns.toSeq :+ "pit_attr")
+  }
 }

@@ -171,4 +171,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, 10000L)))   // entirely new text
     assert(out(3L) == ((2L, 1L, 5000L)))    // one seen span + one new
   }
+
+  test("fuzzyPairsEd1 equals the quadratic levenshtein scan (lossless blocking)") {
+    // covers substitution (abc/abd), deletion (abc/abcd), double letters
+    // (aab/ab), a distance-2 pair sharing a variant (ab/ba share "a" and
+    // "b" — must be filtered), and an isolated string
+    val strs = Seq("abc", "abd", "abcd", "aab", "ab", "ba", "zzzz")
+      .toDF("s")
+    val got = graft.ops.Text.fuzzyPairsEd1(strs)
+      .as[(String, String)].collect().toSet
+    val brute = strs.select(col("s").as("a")).crossJoin(strs.select(col("s").as("b")))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .as[(String, String)].collect().toSet
+    assert(got == brute)
+    assert(got.contains(("abc", "abd")) && got.contains(("abc", "abcd")))
+    assert(!got.contains(("ab", "ba")))     // shared variant, distance 2
+    assert(!got.exists(p => p._1 == "zzzz" || p._2 == "zzzz"))
+  }
 }
