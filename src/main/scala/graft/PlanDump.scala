@@ -34,7 +34,8 @@ object PlanDump {
       "agg_percentiles_incremental", "quality_skew_report",
       "text_novelty_indexed", "dedup_common_span_incremental_indexed",
       "text_fuzzy_join", "join_scd2_pointintime", "graph_pagerank",
-      "vector_project_rp")
+      "vector_project_rp", "text_phrase_search", "events_gapfill",
+      "agg_histogram_equidepth", "agg_decayed_counts")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

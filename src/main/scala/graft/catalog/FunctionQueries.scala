@@ -342,5 +342,48 @@ object FunctionQueries extends Catalog {
              |    > 225 * (n * q - s * s)) AS is_outlier
              |FROM w JOIN st USING (event_type)
              |ORDER BY event_type, window_start""".stripMargin)),
+
+    // Hourly resample + gap fill with carry-forward (EventOps
+    // .gapFillHourly): integer epoch-hour grid densified per user, cents
+    // sums carried across gaps — the time-series regularization step.
+    // Restricted to user_id % 5 = 0 to keep the dump proportionate; the
+    // grid explodes from a 2-column span frame, never the events.
+    Q("events_gapfill",
+      (s, dir) => EventOps.gapFillHourly(
+          load(s, dir, "events").filter(col("user_id") % 5 === 0))
+        .orderBy(col("user_id"), col("hour_ts")),
+      Some("""WITH agg AS (
+             |  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT // 3600 AS h,
+             |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(h) AS mn, max(h) AS mx
+             |         FROM agg GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM span),
+             |j AS (SELECT g.user_id, g.h, a.cents
+             |      FROM grid g LEFT JOIN agg a
+             |        ON g.user_id = a.user_id AND g.h = a.h)
+             |SELECT user_id, h * 3600 AS hour_ts,
+             |  (last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id
+             |     ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             |   ))::DOUBLE / 100.0 AS filled_value,
+             |  cents IS NULL AS is_gap
+             |FROM j ORDER BY user_id, hour_ts""".stripMargin)),
+
+    // Exponentially decayed counts with a 1-day half life in EXACT
+    // integer arithmetic (EventOps.decayedCounts): weight = 10000 div
+    // 2^age_days — recency weighting with zero float-order sensitivity.
+    Q("agg_decayed_counts",
+      (s, dir) => EventOps.decayedCounts(load(s, dir, "events")),
+      Some("""WITH pd AS (
+             |  SELECT event_type,
+             |         epoch(date_trunc('second', ts))::BIGINT // 86400 AS day,
+             |         count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT max(day) AS mx FROM pd)
+             |SELECT event_type,
+             |  sum(n * (10000 // (1::BIGINT << least(mx - day, 50))))::BIGINT
+             |    AS decayed_bp,
+             |  sum(n)::BIGINT AS n_events
+             |FROM pd, r GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

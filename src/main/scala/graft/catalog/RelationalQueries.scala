@@ -1159,5 +1159,24 @@ object RelationalQueries extends Catalog {
            |SELECT node, rank_bp::BIGINT AS rank_bp FROM r3
            |ORDER BY node""".stripMargin
       }),
+
+    // Exact equi-depth histogram over order prices — the equal-FREQUENCY
+    // sibling of agg_histogram's equal-width buckets. Spark computes it
+    // WITHOUT a global window or per-row rank: distinct-value cumulative
+    // counts (the percentile machinery) intersected with bucket rank
+    // intervals, all integer (ops/Relational.equiDepthHistogram). The
+    // oracle uses the definitional global row_number formula — tie order
+    // provably cannot change bucket counts or value ranges.
+    Q("agg_histogram_equidepth",
+      (s, dir) => graft.ops.Relational.equiDepthHistogram(
+        load(s, dir, "orders"), col("o_totalprice"), 8),
+      Some("""WITH n AS (SELECT count(*)::BIGINT AS n FROM orders),
+             |rk AS (SELECT o_totalprice AS v,
+             |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+             |       FROM orders),
+             |b AS (SELECT v, ((r - 1) * 8) // n.n AS bucket FROM rk, n)
+             |SELECT bucket, count(*)::BIGINT AS n_rows,
+             |       min(v) AS lo_value, max(v) AS hi_value
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
   )
 }

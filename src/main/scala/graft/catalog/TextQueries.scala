@@ -1031,5 +1031,35 @@ object TextQueries extends Catalog {
              |SELECT a.s AS a, b.s AS b
              |FROM v a JOIN v b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
              |ORDER BY a, b""".stripMargin)),
+
+    // Phrase search via positional postings conjunction (ops/Text
+    // .phraseSearch): the phrase set is the corpus's own top-5 bigrams
+    // (count desc, bigram tie-break — deterministic), so the query is
+    // self-contained; the oracle finds the same docs by whitespace-
+    // boundary SUBSTRING scan — a definitionally different algorithm —
+    // proving the inverted-index path lossless.
+    Q("text_phrase_search",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+        val l = split(col("text"), " ")
+        val top5 = d
+          .select(explode(zip_with(
+            slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+            (x, y) => concat_ws(" ", x, y))).as("phrase"))
+          .groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("phrase")).limit(5)
+          .select(col("phrase"))
+        Text.phraseSearch(d, top5).orderBy(col("phrase"), col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $Toks AS l FROM documents),
+             |bg AS (SELECT unnest(list_transform(range(1, len(l)),
+             |         i -> l[i] || ' ' || l[i+1])) AS phrase FROM t),
+             |top5 AS (SELECT phrase FROM (
+             |  SELECT phrase, count(*) AS n FROM bg GROUP BY phrase
+             |  ORDER BY n DESC, phrase LIMIT 5) q)
+             |SELECT p.phrase, d.doc_id
+             |FROM t d JOIN top5 p
+             |  ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+             |ORDER BY phrase, doc_id""".stripMargin)),
   )
 }

@@ -235,4 +235,62 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Hourly resample with gap fill: value-cents aggregated per (user,
+    * epoch-hour), each user's [first, last] observed hour densified into
+    * a complete grid, and the last observed aggregate carried forward
+    * across empty hours (`is_gap` marks carried rows) — the time-series
+    * regularization every downstream window/join assumes. Integer
+    * epoch-hour grid + cents sums → exact and engine-portable.
+    *
+    * Scale shape: the grid explodes from a 2-column per-user span frame
+    * (never from the events), all shuffles are keyed on user, and the
+    * carry-forward window sorts only one user's hours. Grid size is
+    * bounded by observed span × users — for sparse multi-year keys, cap
+    * the span upstream rather than densifying blindly.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val agg = events
+      .groupBy(col("user_id"),
+        (unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+      .agg(sum(Exact.cents(col("value"))).as("cents"))
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("h")).as("_mn"), max(col("h")).as("_mx"))
+      .select(col("user_id"),
+        explode(sequence(col("_mn"), col("_mx"))).as("h"))
+    grid.join(agg, Seq("user_id", "h"), "left_outer")
+      .withColumn("filled_value",
+        Exact.dollars(last(col("cents"), ignoreNulls = true).over(w)))
+      .select(col("user_id"), (col("h") * 3600).as("hour_ts"),
+        col("filled_value"), col("cents").isNull.as("is_gap"))
+  }
+
+  /** Exponentially decayed event counts per type with a one-day half
+    * life, in EXACT integer arithmetic: an event aged `a` days (vs the
+    * newest event) weighs `10000 div 2^a` basis points, so the decayed
+    * total is a pure function of the per-day counts — no float powers,
+    * no reduction-order sensitivity, bit-identical across engines. The
+    * shift is capped (weight 0 beyond 13 days anyway) to keep `2^a` in
+    * long range. Per-(type, day) pre-aggregation makes the weighting
+    * O(types × days), not O(events); the reference day is a 1-row
+    * broadcast.
+    */
+  def decayedCounts(events: DataFrame): DataFrame = {
+    val perDay = events
+      .groupBy(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400).cast("long").as("_day"))
+      .agg(count(lit(1)).as("_n"))
+    val ref = perDay.agg(max(col("_day")).as("_ref"))
+    perDay.crossJoin(broadcast(ref))
+      .withColumn("_w", expr(
+        "10000 div shiftleft(cast(1 as bigint), cast(least(_ref - _day, 50) as int))"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_n") * col("_w")).as("decayed_bp"),
+        sum(col("_n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
 }

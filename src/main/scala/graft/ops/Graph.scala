@@ -42,7 +42,13 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // The degree-annotated edge list appears once PER ITERATION in the
+    // final plan — without a persist, Spark recomputes the upstream
+    // edge-building lineage (scans, joins, the undirect distinct) `iters`
+    // times. MEMORY_ONLY: one materialization, every iteration's join
+    // reads the cache (same single-scan pattern as the dedup pipelines).
     val withDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     var ranks = deg.select(col("src").as("node"), lit(baseBp).as("rank_bp"))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, col("src") === col("node"))

@@ -178,10 +178,17 @@ object Relational {
     * be order-preserving — e.g. strings sort lexicographically) and all-null
     * inputs degrade to a single bucket (correct, not balanced).
     */
-  def nearestRankPercentiles(df: DataFrame, value: Column,
-                             quantiles: Seq[Double]): DataFrame = {
+  /** Per distinct value: `(v, c, hi)` where `c` is the value's row count
+    * and `hi` the EXACT global cumulative count (# rows with value ≤ v) —
+    * the building block under `nearestRankPercentiles` and
+    * `equiDepthHistogram`. Computed with the range-partitioned two-level
+    * shape: approxQuantile bucket bounds over the distinct-value frame →
+    * per-bucket cumulative windows → broadcast per-bucket offsets. NO
+    * global window anywhere; the approx bounds affect only bucket
+    * BALANCE, never the exact counts.
+    */
+  def globalValueCumCounts(df: DataFrame, value: Column): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
     val freq = df.select(value.as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
@@ -219,16 +226,54 @@ object Relational {
       .join(broadcast(totals.as("b")), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
       .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
-    val ranks = quantiles.toDF("quantile")
-      .crossJoin(totals.agg(sum(col("tc")).as("n")))
-      .select(col("quantile"),
-        (floor(col("quantile") * (col("n") - 1)) + 1L).as("rk"))
     inner.join(broadcast(offs), "pid")
       .withColumn("hi", col("cum") + col("off"))
-      .join(broadcast(ranks),
+      .select(col("v"), col("c"), col("hi"))
+  }
+
+  def nearestRankPercentiles(df: DataFrame, value: Column,
+                             quantiles: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = globalValueCumCounts(df, value)
+    val ranks = quantiles.toDF("quantile")
+      .crossJoin(cum.agg(sum(col("c")).as("n")))
+      .select(col("quantile"),
+        (floor(col("quantile") * (col("n") - 1)) + 1L).as("rk"))
+    cum.join(broadcast(ranks),
         col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
       .select(col("quantile"), col("v").as("value"))
       .orderBy(col("quantile"))
+  }
+
+  /** Exact equi-depth (equal-frequency) histogram: bucket of the row with
+    * global rank r (1-based, value-ordered) is `(r−1)·k div n`, and each
+    * bucket reports its row count and value range. Built WITHOUT a global
+    * window or per-row rank: each distinct value's rank interval
+    * `[hi−c+1, hi]` (from `globalValueCumCounts`) is intersected with
+    * each straddled bucket's rank interval — O(distinct values × buckets
+    * straddled), all integer arithmetic, so counts are exact and
+    * independent of how ties are ordered (equal values straddling a
+    * boundary contribute the same value to both buckets' min/max).
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cum = globalValueCumCounts(df, value)
+    cum.crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
+      .withColumn("_lo", col("hi") - col("c"))
+      // first/last bucket this value's rank interval touches
+      .select(col("v"), col("_lo"), col("hi"), col("n"),
+        explode(sequence(expr(s"(_lo * $k) div n"),
+          expr(s"((hi - 1) * $k) div n"))).as("bucket"))
+      // bucket b owns ranks [ceil(b·n/k)+1, ceil((b+1)·n/k)]
+      .withColumn("_rlo", expr(s"(bucket * n + ${k - 1}) div $k + 1"))
+      .withColumn("_rhi", expr(s"((bucket + 1) * n + ${k - 1}) div $k"))
+      .withColumn("_cnt", least(col("hi"), col("_rhi")) -
+        greatest(col("_lo") + 1, col("_rlo")) + 1)
+      .groupBy(col("bucket"))
+      .agg(sum(col("_cnt")).as("n_rows"), min(col("v")).as("lo_value"),
+        max(col("v")).as("hi_value"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-group nearest-rank percentiles: `nearestRankPercentiles` with the

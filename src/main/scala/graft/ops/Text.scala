@@ -410,6 +410,39 @@ object Text {
     * shape as `commonSpanPairs` and salts the same way if it ever arises
     * in a real vocabulary.
     */
+  /** Documents containing each multi-token phrase, found via a POSITIONAL
+    * postings conjunction — the inverted-index search shape, not a
+    * substring scan: tokens post as (doc, token, position); each phrase's
+    * token slots join the postings on token; a hit is an anchor position
+    * (pos − slot) where EVERY slot of the phrase matched. Equivalent to
+    * whitespace-boundary substring search on the space-joined text — the
+    * oracle runs that definition, proving the index path lossless.
+    *
+    * Scale shape: the postings and phrase-slot frames shuffle on token
+    * only; the phrase side is tiny (broadcast), so the conjunction is a
+    * map-side join over postings plus one keyed aggregate on
+    * (phrase, doc, anchor) — no doc×phrase blowup, corpus text read once.
+    * Duplicate tokens inside a phrase are handled by counting DISTINCT
+    * matched slots per anchor.
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   phraseCol: String = "phrase"): DataFrame = {
+    val postings = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+    val slots = phrases
+      .withColumn("_plen", size(tokens(col(phraseCol))))
+      .select(col(phraseCol), col("_plen"),
+        posexplode(tokens(col(phraseCol))).as(Seq("_slot", "_ptok")))
+    postings.join(broadcast(slots), col("_tok") === col("_ptok"))
+      .select(col(phraseCol), col(idCol), col("_plen"), col("_slot"),
+        (col("_pos") - col("_slot")).as("_anchor"))
+      .groupBy(col(phraseCol), col(idCol), col("_anchor"), col("_plen"))
+      .agg(countDistinct(col("_slot")).as("_hits"))
+      .filter(col("_hits") === col("_plen"))
+      .select(col(phraseCol), col(idCol)).distinct()
+  }
+
   def fuzzyPairsEd1(strings: DataFrame, strCol: String = "s"): DataFrame = {
     val v = strings.select(col(strCol).as("_s"),
       explode(deletionVariants(col(strCol))).as("_v"))

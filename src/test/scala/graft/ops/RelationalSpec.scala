@@ -241,4 +241,56 @@ class RelationalSpec extends SparkSpec {
       .select("id", "tag").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "c")))
   }
+
+  test("equiDepthHistogram matches the rank formula incl. boundary-straddling ties") {
+    // n=10, k=4 → bucket rank ranges [1,3] [4,5] [6,8] [9,10]; the five
+    // copies of 2.0 (ranks 2..6) straddle THREE buckets
+    val df = (Seq(1.0) ++ Seq.fill(5)(2.0) ++ Seq(3.0, 3.0, 4.0, 5.0))
+      .toDF("v")
+    val out = Relational.equiDepthHistogram(df, col("v"), 4)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 1.0, 2.0),   // ranks 1-3: 1.0, 2.0, 2.0
+      (1L, 2L, 2.0, 2.0),   // ranks 4-5: 2.0, 2.0
+      (2L, 3L, 2.0, 3.0),   // ranks 6-8: 2.0, 3.0, 3.0
+      (3L, 2L, 4.0, 5.0)))  // ranks 9-10
+    // sizes always sum to n, for an n not divisible by k too
+    val df2 = (1 to 11).map(_.toDouble).toDF("v")
+    val sizes = Relational.equiDepthHistogram(df2, col("v"), 4)
+      .select("n_rows").as[Long].collect().toSeq
+    assert(sizes.sum == 11L && sizes.forall(s => s == 2L || s == 3L))
+  }
+
+  test("gapFillHourly carries values across gaps and flags them") {
+    import java.sql.Timestamp
+    // epoch-built timestamps: hour math independent of the JVM timezone
+    val base = 1704067200L // 2024-01-01T00:00:00Z, a multiple of 3600
+    def ts(h: Int, m: Int) = new Timestamp((base + h * 3600L + m * 60L) * 1000)
+    // user 1: hours 0 (two events), 3; hours 1-2 are gaps carrying 3.50
+    val ev = Seq((1L, ts(0, 10), 1.25), (1L, ts(0, 40), 2.25),
+        (1L, ts(3, 5), 9.0), (2L, ts(5, 0), 4.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.gapFillHourly(ev)
+      .select(col("user_id"), col("hour_ts"), col("filled_value"), col("is_gap"))
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, base, 3.5, false),
+      (1L, base + 3600, 3.5, true),
+      (1L, base + 7200, 3.5, true),
+      (1L, base + 10800, 9.0, false),
+      (2L, base + 18000, 4.0, false)))
+  }
+
+  test("decayedCounts: exact power-of-two day weights") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // type a: 2 events newest day (10000 each) + 1 event 2 days old (2500)
+    val ev = Seq(("a", ts(3)), ("a", ts(3)), ("a", ts(1)), ("b", ts(2)))
+      .toDF("event_type", "ts")
+    val m = EventOps.decayedCounts(ev)
+      .select("event_type", "decayed_bp", "n_events")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference day is the GLOBAL max day, so b's single event ages 1 day
+    assert(m == Map("a" -> ((22500L, 3L)), "b" -> ((5000L, 1L))))
+  }
 }

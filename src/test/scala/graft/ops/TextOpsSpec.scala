@@ -188,4 +188,17 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(("ab", "ba")))     // shared variant, distance 2
     assert(!got.exists(p => p._1 == "zzzz" || p._2 == "zzzz"))
   }
+
+  test("phraseSearch: positional conjunction, duplicate tokens, no false hits") {
+    val docs = Seq(
+      (1L, "x a b a y"),     // contains "a b a" and "a b"
+      (2L, "a x b a"),       // has all tokens of "a b a" but never adjacent
+      (3L, "b a b"),         // contains "a b" (at pos 2) and "b a b"
+      (4L, "c c c")).toDF("doc_id", "text")
+    val phrases = Seq("a b a", "a b", "b a b", "missing z").toDF("phrase")
+    val got = graft.ops.Text.phraseSearch(docs, phrases)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(
+      ("a b a", 1L), ("a b", 1L), ("a b", 3L), ("b a b", 3L)))
+  }
 }
