@@ -18,9 +18,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
 
-    val picks = Seq("agg_percentiles", "dedup_embedding_cosine",
-      "dedup_minhash", "dedup_clusters", "pipeline_corpus_clean",
-      "dedup_ngram_jaccard", "sim_ann_lsh", "curate_decontaminate")
+    val picks = Seq("graph_pagerank", "sim_knn_graph", "dedup_containment",
+      "curate_dsir_select", "agg_outlier_mad")
     // untimed warmup at sf0.001 — session/codegen costs out of the numbers
     picks.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()

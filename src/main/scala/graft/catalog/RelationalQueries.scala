@@ -1136,7 +1136,8 @@ object RelationalQueries extends Catalog {
           .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
             concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-          .distinct()
+        // no .distinct() here: undirect's union+distinct dedups anyway —
+        // a pre-distinct would just add a full extra shuffle round.
         graft.ops.Graph.pageRankBp(graft.ops.Graph.undirect(edges), 3)
           .orderBy(col("node"))
       },
