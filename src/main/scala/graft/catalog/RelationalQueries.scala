@@ -550,6 +550,63 @@ object RelationalQueries extends Catalog {
              |FROM d JOIN mad USING (o_orderstatus)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Market-basket frequent pairs (Relational.basketPairs): parts bought
+    // together in the same order, support-counted and global-top-50 ranked.
+    // Distinct (order, part) → self-join keyed on the order id → canonical
+    // a<b pair count; basket sizes are bounded (≤7 lines/order) so the
+    // expansion is linear in orders. The final top-k is a pushed
+    // TakeOrdered, not a global sort; (support DESC, a, b) is a total
+    // order so the LIMIT boundary is engine-independent.
+    Q("basket_pair_support",
+      (s, dir) => graft.ops.Relational.basketPairs(
+          load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(50),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem),
+             |pr AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS support
+             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2)
+             |SELECT part_a, part_b, support FROM pr
+             |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin)),
+
+    // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
+    // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy
+    // overflows BIGINT at this scale, which is the point of the decimal
+    // path), then slope/intercept as exact integer numerator ÷ denominator
+    // with a single double division each. x = days since 1995-01-01,
+    // y = order cents; the customer dim joins broadcast.
+    Q("agg_group_trend",
+      (s, dir) => {
+        val j = load(s, dir, "orders").join(
+          broadcast(load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        graft.ops.Relational.groupTrend(j, Seq("c_mktsegment"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lit("1995-01-01"))),
+            graft.ops.Exact.cents(col("o_totalprice")))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH p AS (SELECT c_mktsegment,
+             |    date_diff('day', DATE '1995-01-01',
+             |              o_orderdate::DATE)::HUGEINT AS x,
+             |    ${cents("o_totalprice")}::HUGEINT AS y
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |m AS (SELECT c_mktsegment, count(*)::HUGEINT AS n,
+             |    sum(x) AS sx, sum(y) AS sy,
+             |    sum(x * x) AS sxx, sum(x * y) AS sxy
+             |  FROM p GROUP BY 1)
+             |SELECT c_mktsegment, n::BIGINT AS n,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |    ELSE round((n * sxy - sx * sy)::DOUBLE
+             |             / (n * sxx - sx * sx)::DOUBLE, 6) END AS slope,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |    ELSE round((sy * sxx - sx * sxy)::DOUBLE
+             |             / (n * sxx - sx * sx)::DOUBLE, 6) END AS intercept
+             |FROM m ORDER BY c_mktsegment""".stripMargin)),
+
     // Data-quality constraint report (ops/Quality): null/range rules run
     // in ONE aggregate scan per table regardless of rule count, key
     // uniqueness is one keyed aggregate, referential integrity one

@@ -191,6 +191,35 @@ object TextQueries extends Catalog {
              |FROM per_doc JOIN vocab USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // [ext] Stored-bigram-LM familiarity scores — the sequence-aware
+    // sibling of text_unigram_doc_score. LM = bigram counts from the
+    // doc_id%2=0 half; the other half scores (n_bigrams, n_known,
+    // Σ occ·lm_freq), all integer (no logs), per-doc counts collapse
+    // map-side before the bigram-keyed LM join.
+    Q("text_bigram_lm_score",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val lm = Text.bigramLm(docs.filter(col("doc_id") % 2 === 0))
+        Text.bigramLmScores(docs.filter(col("doc_id") % 2 =!= 0), lm)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2
+             |    THEN []::VARCHAR[]
+             |    ELSE list_transform(range(1, len(l)),
+             |      i -> array_to_string(l[i : i + 1], ' ')) END) AS bg
+             |  FROM t),
+             |lm AS (SELECT bg, count(*) AS lm_freq FROM bg
+             |       WHERE doc_id % 2 = 0 GROUP BY bg),
+             |tgt AS (SELECT doc_id, bg, count(*) AS c FROM bg
+             |        WHERE doc_id % 2 <> 0 GROUP BY doc_id, bg)
+             |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+             |  sum(CASE WHEN lm_freq IS NOT NULL THEN c ELSE 0 END)::BIGINT
+             |    AS n_known,
+             |  sum(c * coalesce(lm_freq, 0))::BIGINT AS sum_freq
+             |FROM tgt LEFT JOIN lm USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // [ext] Zipf histogram: distinct-token counts per power-of-two
     // frequency bucket; bucket = base-2 digit count (integer-exact).
     Q("text_zipf_histogram",

@@ -322,6 +322,41 @@ object VectorQueries extends Catalog {
              |SELECT src, dst, cosine, rank FROM r
              |WHERE rank <= 5 ORDER BY src, rank""".stripMargin)),
 
+    // Per-node triangle participation in the kNN graph — the clustering-
+    // coefficient numerator, a standard embedding-space cohesion signal
+    // (triangle-rich neighborhoods = tight semantic clusters; triangle-free
+    // hubs = boundary/noise points). Spark counts via degree-ordered
+    // orientation (Graph.trianglesPerNode: each triangle found once at its
+    // lowest-(degree,id) vertex, wedge join bounded O(m^1.5)); the oracle
+    // counts via the definitional x<y<z triple join over the SAME τ=0.4
+    // top-5 edge set as sim_knn_graph, so the hash match proves the
+    // oriented count equals the naive one.
+    Q("sim_knn_triangles",
+      (s, dir) => {
+        val knn = Vectors.knnGraph(load(s, dir, "embeddings"), 0.4, 5)
+        val und = knn.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b")).distinct()
+        graft.ops.Graph.trianglesPerNode(und)
+          .select(col("node").as("vec_id"), col("triangles"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             |        ${cosSql("a.e", "b.e")} AS cosine
+             |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY src
+             |        ORDER BY cosine DESC, dst) AS rank
+             |      FROM p WHERE cosine >= 0.4),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |          greatest(src, dst) AS b FROM r WHERE rank <= 5),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+             |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT node AS vec_id, count(*) AS triangles
+             |FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+             |      UNION ALL SELECT z FROM tri) t
+             |GROUP BY node ORDER BY vec_id""".stripMargin)),
+
     // Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
     // 64-dim float vectors → 4 signed-sum components, the cheap sketch a
     // two-stage ANN prefilters on before exact re-ranking. Signs are a

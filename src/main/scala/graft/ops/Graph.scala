@@ -27,6 +27,48 @@ object Graph {
       .unionByName(edges.select(col(dst).as("src"), col(src).as("dst")))
       .distinct()
 
+  /** Per-node triangle counts over a simple undirected graph given as
+    * CANONICAL edges (`a` < `b`, distinct, no self-loops). Output:
+    * `(node, triangles)` for every node on ≥1 triangle.
+    *
+    * Scale shape: the classic degree-ordered orientation (node rank =
+    * (degree, id), each undirected edge oriented low→high). Out-degrees
+    * under that orientation are O(√m), so the wedge self-join — the only
+    * superlinear step — is bounded by Σ C(outdeg, 2) = O(m^1.5) instead of
+    * Σ C(deg, 2), which a hub node makes quadratic. All three steps are
+    * keyed shuffles (degree groupBy, wedge join on the pivot node, closing
+    * join on the (y, z) edge); nothing is collected or broadcast, so a hot
+    * node salts away under AQE rather than melting a reducer. Each
+    * triangle is counted exactly once at its lowest-ranked vertex, then
+    * credited to all three corners map-side (explode) before a final
+    * keyed count.
+    */
+  def trianglesPerNode(edges: DataFrame, a: String = "a",
+                       b: String = "b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e = edges.select(col(a).as("u"), col(b).as("v"))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ru = deg.select(col("u"), struct(col("d"), col("u")).as("ku"))
+    val rv = deg.select(col("u").as("v"), struct(col("d"), col("u")).as("kv"))
+    // Oriented edge list appears three times below (two wedge sides + the
+    // closing probe): one materialization, O(m) rows.
+    val oriented = sym.join(ru, "u").join(rv, "v")
+      .filter(col("ku") < col("kv"))
+      .select(col("u"), col("v"), col("kv"))
+      .persist(MEMORY_ONLY)
+    val wedges = oriented.as("p").join(oriented.as("q"),
+        col("p.u") === col("q.u") && col("p.kv") < col("q.kv"))
+      .select(col("p.u").as("x"), col("p.v").as("y"), col("q.v").as("z"))
+    // {y,z} (both ranked above x) is oriented y→z exactly when ky < kz,
+    // which the wedge's p/q ordering already guarantees — one equi-join
+    // closes the triangle, and edge uniqueness means no multiplicity.
+    val tri = wedges.join(
+      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
   /** Fixed-iteration PageRank in basis points over `edges(src, dst)`:
     * r₀(v) = `baseBp`; r_{k+1}(v) = 15%·baseBp + Σ_{(u,v)∈E}
     * (85·r_k(u)) div (100·outdeg(u)). All-long arithmetic with truncating

@@ -77,6 +77,61 @@ object Relational {
       .drop("_c", "_n", "_s", "_q")
   }
 
+  /** Market-basket co-occurrence: support counts for every unordered item
+    * pair appearing in the same basket — the frequent-pairs half of
+    * association mining (and the edge list of an item co-occurrence graph).
+    * Output: `(item_a < item_b, support)`.
+    *
+    * Scale shape: dedup to distinct (basket, item), self-join keyed on the
+    * BASKET id (one shuffle), canonical `item_a < item_b` so each pair
+    * counts once, then a keyed count with map-side partials. With basket
+    * sizes bounded by B the join emits ≤ C(B,2) rows per basket — linear
+    * in baskets, never quadratic in the catalog. A pathological mega-basket
+    * would square inside its key; cap or split such baskets upstream (the
+    * same discipline as the dedup band-bucket caps).
+    */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
+    b.as("x").join(b.as("y"),
+        col("x._bk") === col("y._bk") && col("x._it") < col("y._it"))
+      .groupBy(col("x._it").as("item_a"), col("y._it").as("item_b"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** Per-group exact OLS trend line ŷ = slope·x + intercept over integer
+    * (x, y) samples — the "is this segment's spend rising?" primitive.
+    * ONE pass, one keyed shuffle (partial+final aggregation of the five
+    * moment sums n, Σx, Σy, Σx², Σxy), output O(|groups|).
+    *
+    * Determinism across engines: every sum is exact Decimal(38,0)
+    * (DuckDB HUGEINT) — integer accumulation is reduction-order-free,
+    * unlike double sums — and each coefficient is formed as an exact
+    * integer numerator/denominator with ONE final double division:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²), rounded to 6dp.
+    * A group whose x values are all equal has denominator 0 → NULL
+    * slope/intercept (no float Inf/NaN cross-engine trap).
+    */
+  def groupTrend(df: DataFrame, groups: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = df.select(
+      groups.map(col) ++ Seq(x.cast(dec).as("_x"), y.cast(dec).as("_y")): _*)
+    val m = d.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+    val den = m("_n") * m("_sxx") - m("_sx") * m("_sx")
+    val sNum = m("_n") * m("_sxy") - m("_sx") * m("_sy")
+    val iNum = m("_sy") * m("_sxx") - m("_sx") * m("_sxy")
+    def ratio(num: Column) = when(den === lit(0).cast(dec), lit(null))
+      .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    m.select(groups.map(col) ++ Seq(
+      col("_n").cast("long").as("n"),
+      ratio(sNum).as("slope"), ratio(iNum).as("intercept")): _*)
+  }
+
   /** Per-group ROBUST outlier flags — |x − median| > (k10/10)·MAD, the
     * median-absolute-deviation rule that, unlike `outlierFlags`' z-score,
     * is not itself dragged by the outliers it hunts (one extreme value

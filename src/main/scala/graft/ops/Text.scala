@@ -28,6 +28,49 @@ object Text {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Adjacent whitespace-token bigrams, in document order with
+    * multiplicity (`"a b c"` → `["a b", "b c"]`; <2 tokens → empty).
+    * Per-row array op — no shuffle, no per-pair join.
+    */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  /** Bigram language model from a reference corpus: `(bg, lm_freq)` — the
+    * stored-counts table a familiarity gate scores against. */
+  def bigramLm(reference: DataFrame, textCol: String = "text"): DataFrame =
+    reference.select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("lm_freq"))
+
+  /** Score documents against a stored bigram LM — the sequence-aware
+    * sibling of `unigramDocScores` (CCNet-style familiarity: in-domain
+    * text hits frequent reference bigrams; gibberish and wrong-language
+    * text misses). Integer-exact, no logs/floats: per doc,
+    * `n_bigrams` (total), `n_known` (occurrences whose bigram exists in
+    * the LM), `sum_freq` (Σ occurrence·lm_freq). Docs with <2 tokens have
+    * no bigrams and are absent, matching the definitional SQL.
+    *
+    * Scale shape: bigrams collapse to per-doc counts BEFORE touching the
+    * LM join, so each (doc, bigram) crosses the wire once, not once per
+    * occurrence; the LM side is already aggregated O(vocab²-observed).
+    * Both sides shuffle on the bigram key only.
+    */
+  def bigramLmScores(docs: DataFrame, lm: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    perDoc.join(lm, Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("lm_freq").isNotNull, col("c")).otherwise(0L)).as("n_known"),
+        sum(col("c") * coalesce(col("lm_freq"), lit(0L))).as("sum_freq"))
+  }
+
   /** One statistics round of byte-pair-encoding vocabulary induction:
     * counts of ADJACENT two-character symbol pairs within each whitespace
     * token — the quantity a BPE merge step maximizes. Tokenizer training at

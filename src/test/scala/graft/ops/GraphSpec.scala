@@ -34,4 +34,45 @@ class GraphSpec extends SparkSpec {
     val e = Seq(("x", "y"), ("y", "x"), ("x", "y")).toDF("src", "dst")
     assert(Graph.undirect(e).count() == 2)
   }
+
+  test("trianglesPerNode: K4 + pendant + disjoint triangle, each counted once") {
+    // K4 on 1-4 (4 triangles, every vertex on 3), pendant 5 hanging off 1
+    // (on none), disjoint triangle 6-7-8 (each vertex on 1).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L), (6L, 8L), (7L, 8L)).toDF("a", "b")
+    val got = Graph.trianglesPerNode(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("trianglesPerNode: triangle-free graphs return no rows") {
+    // path + star: wedges exist everywhere, but none close.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("a", "b")
+    assert(Graph.trianglesPerNode(edges).count() == 0)
+  }
+
+  test("trianglesPerNode matches the definitional triple join on a seeded graph") {
+    // Deterministic pseudo-random graph: nodes 0-19, edge (i,j) iff
+    // md5-ish mix of (i,j) hits — here a fixed arithmetic predicate dense
+    // enough (~1/3) to give a varied degree sequence with hub skew.
+    val pairs = for {
+      i <- 0L until 20L; j <- (i + 1) until 20L
+      if (i * 7 + j * 13 + i * j) % 3 == 0
+    } yield (i, j)
+    val edges = pairs.toDF("a", "b")
+    val got = Graph.trianglesPerNode(edges)
+      .as[(Long, Long)].collect().toMap
+    // definitional: x<y<z with all three canonical edges present
+    val es = pairs.toSet
+    val tris = for {
+      (x, y) <- pairs; z <- (y + 1) until 20L
+      if es.contains((y, z)) && es.contains((x, z))
+    } yield (x, y, z)
+    val want = tris.flatMap { case (x, y, z) => Seq(x, y, z) }
+      .groupBy(identity).map { case (n, occ) => n -> occ.size.toLong }
+    assert(tris.nonEmpty && got == want)
+  }
 }

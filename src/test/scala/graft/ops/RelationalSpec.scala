@@ -293,4 +293,43 @@ class RelationalSpec extends SparkSpec {
     // reference day is the GLOBAL max day, so b's single event ages 1 day
     assert(m == Map("a" -> ((22500L, 3L)), "b" -> ((5000L, 1L))))
   }
+
+  test("basketPairs: canonical pairs, support counts, duplicate lines collapse") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),      // basket 1: 3 items → 3 pairs
+      (2L, 20L), (2L, 10L), (2L, 10L),      // basket 2: dup line collapses
+      (3L, 40L))                            // singleton: no pairs
+      .toDF("o", "p")
+    val got = Relational.basketPairs(df, "o", "p")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
+    val df = Seq(
+      // g "up": y = 2x exactly → slope 2, intercept 0
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),
+      // g "down": y = 10 − 3x → slope −3, intercept 10
+      ("down", 0L, 10L), ("down", 1L, 7L), ("down", 3L, 1L),
+      // g "flatx": all x equal → denominator 0 → NULL coefficients
+      ("flatx", 5L, 1L), ("flatx", 5L, 9L))
+      .toDF("g", "x", "y")
+    val rows = Relational.groupTrend(df, Seq("g"), col("x"), col("y"))
+      .select(col("g"), col("n"), col("slope"), col("intercept"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(rows("up") == ((3L, Some(2.0), Some(0.0))))
+    assert(rows("down") == ((3L, Some(-3.0), Some(10.0))))
+    assert(rows("flatx") == ((2L, None, None)))
+  }
+
+  test("groupTrend: noisy points match the closed-form least-squares fit") {
+    // (0,1),(1,3),(2,4),(3,4): n=4 Σx=6 Σy=12 Σxx=14 Σxy=23
+    // slope = (4·23−6·12)/(4·14−36) = 20/20 = 1; intercept = (12·14−6·23)/20 = 1.5
+    val df = Seq((0L, 1L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("x", "y")
+      .withColumn("g", lit("g"))
+    val r = Relational.groupTrend(df, Seq("g"), col("x"), col("y"))
+      .select(col("slope"), col("intercept")).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.5)
+  }
 }

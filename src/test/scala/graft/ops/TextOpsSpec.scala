@@ -201,4 +201,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set(
       ("a b a", 1L), ("a b", 1L), ("a b", 3L), ("b a b", 3L)))
   }
+
+  test("bigramLmScores: counts, known hits, and frequency sums by hand") {
+    val ref = Seq((0L, "a b a b c"), (2L, "a b x"))  // LM: "a b"->3, "b a"->1,
+      .toDF("doc_id", "text")                        //     "b c"->1, "b x"->1
+    val lm = graft.ops.Text.bigramLm(ref)
+    val lmMap = lm.as[(String, Long)].collect().toMap
+    assert(lmMap == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L, "b x" -> 1L))
+    val tgt = Seq(
+      (1L, "a b c"),     // "a b"(3) known, "b c"(1) known → 2/2, sum 4
+      (3L, "c a q b"),   // "c a","a q","q b" all unknown → 3 bigrams, 0 known
+      (5L, "solo"))      // <2 tokens → no bigrams, absent
+      .toDF("doc_id", "text")
+    val got = graft.ops.Text.bigramLmScores(tgt, lm)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((2L, 2L, 4L)), 3L -> ((3L, 0L, 0L))))
+  }
 }
