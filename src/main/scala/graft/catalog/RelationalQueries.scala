@@ -607,6 +607,56 @@ object RelationalQueries extends Catalog {
              |             / (n * sxx - sx * sx)::DOUBLE, 6) END AS intercept
              |FROM m ORDER BY c_mktsegment""".stripMargin)),
 
+    // Per-group Pearson correlation (Relational.groupCorrelation): six
+    // exact Decimal(38,0)/HUGEINT moment sums in one keyed pass; the only
+    // float steps (two decimal→double conversions, one multiply, one IEEE
+    // sqrt, one division) are bit-deterministic and replayed identically
+    // by the oracle. quantity × price cents per return flag.
+    Q("agg_group_corr",
+      (s, dir) => graft.ops.Relational.groupCorrelation(
+          load(s, dir, "lineitem"), Seq("l_returnflag"),
+          round(col("l_quantity")).cast("long"),
+          graft.ops.Exact.cents(col("l_extendedprice")))
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH p AS (SELECT l_returnflag,
+             |    CAST(round(l_quantity) AS BIGINT)::HUGEINT AS x,
+             |    ${cents("l_extendedprice")}::HUGEINT AS y
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag, count(*)::HUGEINT AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             |    sum(x * y) AS sxy, sum(y * y) AS syy
+             |  FROM p GROUP BY 1)
+             |SELECT l_returnflag, n::BIGINT AS n,
+             |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+             |    THEN NULL
+             |    ELSE round((n * sxy - sx * sy)::DOUBLE
+             |      / sqrt((n * sxx - sx * sx)::DOUBLE
+             |           * (n * syy - sy * sy)::DOUBLE), 6) END AS r
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // Percentile-rank feature normalization (Relational.rankNormalizeBp):
+    // every order's price → strictly-below-count basis points, exact and
+    // tie-order-free via the distinct-value cumulative counts (NO row
+    // window); the (value → bp) map joins back on the value key — a real
+    // keyed shuffle, deliberately not broadcast.
+    Q("feature_rank_normalize",
+      (s, dir) => graft.ops.Relational.rankNormalizeBp(
+          load(s, dir, "orders").select(col("o_orderkey"),
+            graft.ops.Exact.cents(col("o_totalprice")).as("price_cents")),
+          col("price_cents"))
+        .select(col("o_orderkey"), col("rank_bp"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""WITH p AS (SELECT o_orderkey,
+             |    ${cents("o_totalprice")} AS v FROM orders),
+             |f AS (SELECT v, count(*) AS c FROM p GROUP BY v),
+             |cum AS (SELECT v, c,
+             |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+             |  FROM f),
+             |n AS (SELECT count(*)::BIGINT AS n FROM p)
+             |SELECT o_orderkey, ((hi - c) * 10000) // n AS rank_bp
+             |FROM p JOIN cum USING (v), n
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Data-quality constraint report (ops/Quality): null/range rules run
     // in ONE aggregate scan per table regardless of rule count, key
     // uniqueness is one keyed aggregate, referential integrity one

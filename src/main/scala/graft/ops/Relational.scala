@@ -112,24 +112,59 @@ object Relational {
     * A group whose x values are all equal has denominator 0 → NULL
     * slope/intercept (no float Inf/NaN cross-engine trap).
     */
-  def groupTrend(df: DataFrame, groups: Seq[String], x: Column,
-                 y: Column): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val d = df.select(
-      groups.map(col) ++ Seq(x.cast(dec).as("_x"), y.cast(dec).as("_y")): _*)
-    val m = d.groupBy(groups.map(col): _*)
-      .agg(count(lit(1)).cast(dec).as("_n"),
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** One keyed pass of the six exact Decimal(38,0) (x, y) moment sums —
+    * shared by `groupTrend` and `groupCorrelation`. Integer accumulation
+    * is reduction-order-free; doubles enter only in the callers' single
+    * final division. */
+  private def momentSums(df: DataFrame, groups: Seq[String], x: Column,
+                         y: Column): DataFrame =
+    df.select(groups.map(col) ++
+        Seq(x.cast(Dec38).as("_x"), y.cast(Dec38).as("_y")): _*)
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).cast(Dec38).as("_n"),
         sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
         sum(col("_x") * col("_x")).as("_sxx"),
-        sum(col("_x") * col("_y")).as("_sxy"))
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_y") * col("_y")).as("_syy"))
+
+  def groupTrend(df: DataFrame, groups: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    val m = momentSums(df, groups, x, y)
     val den = m("_n") * m("_sxx") - m("_sx") * m("_sx")
     val sNum = m("_n") * m("_sxy") - m("_sx") * m("_sy")
     val iNum = m("_sy") * m("_sxx") - m("_sx") * m("_sxy")
-    def ratio(num: Column) = when(den === lit(0).cast(dec), lit(null))
+    def ratio(num: Column) = when(den === lit(0).cast(Dec38), lit(null))
       .otherwise(round(num.cast("double") / den.cast("double"), 6))
     m.select(groups.map(col) ++ Seq(
       col("_n").cast("long").as("n"),
       ratio(sNum).as("slope"), ratio(iNum).as("intercept")): _*)
+  }
+
+  /** Per-group Pearson correlation over integer (x, y) samples, on the
+    * same exact-moment machinery as `groupTrend`:
+    * r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)).
+    * Numerator and both variance terms are exact integers; the ONLY float
+    * steps are two exact decimal→double conversions, one double multiply,
+    * one IEEE-correctly-rounded sqrt, and one division — each bit-
+    * deterministic, so the oracle replays the identical value. The
+    * multiply happens in DOUBLE (not decimal) because the variance-term
+    * product can exceed 38 digits. A group with zero variance on either
+    * axis → NULL (undefined, no Inf/NaN trap).
+    */
+  def groupCorrelation(df: DataFrame, groups: Seq[String], x: Column,
+                       y: Column): DataFrame = {
+    val m = momentSums(df, groups, x, y)
+    val num = m("_n") * m("_sxy") - m("_sx") * m("_sy")
+    val dx = m("_n") * m("_sxx") - m("_sx") * m("_sx")
+    val dy = m("_n") * m("_syy") - m("_sy") * m("_sy")
+    val zero = lit(0).cast(Dec38)
+    m.select(groups.map(col) ++ Seq(
+      col("_n").cast("long").as("n"),
+      when(dx === zero || dy === zero, lit(null))
+        .otherwise(round(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6)).as("r")): _*)
   }
 
   /** Per-group ROBUST outlier flags — |x − median| > (k10/10)·MAD, the
@@ -284,6 +319,30 @@ object Relational {
     inner.join(broadcast(offs), "pid")
       .withColumn("hi", col("cum") + col("off"))
       .select(col("v"), col("c"), col("hi"))
+  }
+
+  /** Percentile-rank normalization in basis points — the rank-based
+    * feature transform (uniformize a skewed column before training):
+    * every row gets `floor(10000 · #{rows with value < v} / n)`, an
+    * integer in [0, 9999], ties sharing one value. Exact and
+    * tie-order-free by construction (built on the distinct-value
+    * cumulative counts, NOT a row window): `hi − c` of
+    * `globalValueCumCounts` IS the strictly-below count.
+    *
+    * Scale shape: the (value → bp) map is O(distinct values) and joins
+    * back on the value key — a real keyed shuffle join, deliberately NOT
+    * broadcast (a continuous column's distinct count is data-sized).
+    * Rows with NULL value survive with NULL bp (left join semantics).
+    */
+  def rankNormalizeBp(df: DataFrame, value: Column,
+                      out: String = "rank_bp"): DataFrame = {
+    // NULLs are excluded from the rank space (they'd otherwise form a
+    // cumulative-count group and shift every bp); they rejoin as NULL bp.
+    val cum = globalValueCumCounts(df.where(value.isNotNull), value)
+    val map = cum.crossJoin(broadcast(cum.agg(sum(col("c")).as("_n"))))
+      .select(col("v").as("_v"),
+        expr("((hi - c) * 10000) div _n").as(out))
+    df.join(map, value === col("_v"), "left").drop("_v")
   }
 
   def nearestRankPercentiles(df: DataFrame, value: Column,

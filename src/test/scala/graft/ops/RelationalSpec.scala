@@ -323,6 +323,39 @@ class RelationalSpec extends SparkSpec {
     assert(rows("flatx") == ((2L, None, None)))
   }
 
+  test("groupCorrelation: perfect, anti, uncorrelated, and zero-variance null") {
+    val df = Seq(
+      ("pos", 1L, 2L), ("pos", 2L, 4L), ("pos", 3L, 6L),     // r = 1
+      ("neg", 1L, 6L), ("neg", 2L, 4L), ("neg", 3L, 2L),     // r = -1
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))  // var(y)=0 → null
+      .toDF("g", "x", "y")
+    val rows = Relational.groupCorrelation(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(rows("pos") == ((3L, Some(1.0))))
+    assert(rows("neg") == ((3L, Some(-1.0))))
+    assert(rows("flat") == ((3L, None)))
+    // hand value: (1,1),(2,3),(3,2) → num=3·13−6·6=3, dx=3·14−36=6,
+    // dy=3·14−36=6 → r = 3/6 = 0.5
+    val half = Relational.groupCorrelation(
+        Seq(("h", 1L, 1L), ("h", 2L, 3L), ("h", 3L, 2L)).toDF("g", "x", "y"),
+        Seq("g"), col("x"), col("y"))
+      .collect().head.getDouble(2)
+    assert(half == 0.5)
+  }
+
+  test("rankNormalizeBp: strictly-below bp, ties share, nulls survive") {
+    val df = Seq(Some(10L), Some(10L), Some(20L), Some(30L), None)
+      .toDF("v")
+    val got = Relational.rankNormalizeBp(df, col("v"))
+      .select(col("v"), col("rank_bp"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // n = 4 non-null rows: 10 → 0 below → 0; 20 → 2 → 5000; 30 → 3 → 7500
+    assert(got == Set(
+      (Some(10L), Some(0L)), (Some(20L), Some(5000L)),
+      (Some(30L), Some(7500L)), (None, None)))
+  }
+
   test("groupTrend: noisy points match the closed-form least-squares fit") {
     // (0,1),(1,3),(2,4),(3,4): n=4 Σx=6 Σy=12 Σxx=14 Σxy=23
     // slope = (4·23−6·12)/(4·14−36) = 20/20 = 1; intercept = (12·14−6·23)/20 = 1.5
