@@ -1010,6 +1010,35 @@ object RelationalQueries extends Catalog {
              |    AS running_total
              |FROM orders ORDER BY o_orderstatus, o_orderdate, o_orderkey""".stripMargin)),
 
+    // W3b: RANGE frame — the TIME-interval rolling window (30-day spend
+    // per customer), the semantic ROWS frames can't express: the frame is
+    // bounded by the ORDER-BY VALUE (epoch day distance ≤ 29), not a row
+    // count, and same-day peer rows all see the same sum, so tie order is
+    // immaterial by construction. Cents sums keep it cross-engine exact;
+    // partitioned by customer — never a global window.
+    Q("window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("day")).rangeBetween(-29, 0)
+        load(s, dir, "orders")
+          .withColumn("day", datediff(to_date(col("o_orderdate")),
+            to_date(lit("1995-01-01"))).cast("long"))
+          .withColumn("spend_30d",
+            sum(graft.ops.Exact.cents(col("o_totalprice"))).over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("day"),
+            col("spend_30d"))
+          .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+      },
+      Some(s"""WITH p AS (SELECT o_custkey, o_orderkey,
+             |    date_diff('day', DATE '1995-01-01',
+             |              o_orderdate::DATE)::BIGINT AS day,
+             |    ${cents("o_totalprice")} AS c
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, day,
+             |  sum(c) OVER (PARTITION BY o_custkey ORDER BY day
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS spend_30d
+             |FROM p ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
+
     // SCD type-2 dimension history (ops/History): per customer, collapse
     // the order-priority change log into versioned rows with validity
     // intervals. All shuffles keyed on o_custkey — one window marks run

@@ -223,6 +223,32 @@ class PlanContractSpec extends SparkSpec {
       "bloom probe filter must apply directly to the fact scan, below the join")
   }
 
+  test("round-6 additions: keyed joins only, pushed top-k, no global windows") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // basket pairs: the self-join must key on the basket id (equi), the
+    // global top-50 must plan TakeOrdered — and nothing may go cartesian.
+    val bp = q("basket_pair_support")
+    assert(bp.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "basket top-k must plan TakeOrderedAndProject")
+    // triangles, trend, corr, rank-normalize, bigram LM: all keyed
+    // shuffles — no cartesian product, no unpartitioned data-sized window.
+    Seq("basket_pair_support", "sim_knn_triangles", "agg_group_trend",
+      "agg_group_corr", "feature_rank_normalize",
+      "text_bigram_lm_score", "graph_pagerank").foreach { name =>
+      val p = q(name)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name plans a CartesianProduct")
+      val global = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name plans an unpartitioned window")
+    }
+    // the trend/corr customer dim joins broadcast
+    assert(q("agg_group_trend").collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "agg_group_trend must broadcast the customer dim")
+  }
+
   test("dsir selection: fixed-size LM broadcast, pushed top-k, no global window") {
     val p = q("curate_dsir_select")
     assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
