@@ -35,7 +35,10 @@ object PlanDump {
       "text_novelty_indexed", "dedup_common_span_incremental_indexed",
       "text_fuzzy_join", "join_scd2_pointintime", "graph_pagerank",
       "vector_project_rp", "text_phrase_search", "events_gapfill",
-      "agg_histogram_equidepth", "agg_decayed_counts")
+      "agg_histogram_equidepth", "agg_decayed_counts",
+      "sim_knn_triangles", "agg_group_trend", "agg_group_corr",
+      "basket_pair_support", "text_bigram_lm_score",
+      "feature_rank_normalize", "window_range_frame")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
