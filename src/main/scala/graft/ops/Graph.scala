@@ -51,20 +51,33 @@ object Graph {
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val ru = deg.select(col("u"), struct(col("d"), col("u")).as("ku"))
     val rv = deg.select(col("u").as("v"), struct(col("d"), col("u")).as("kv"))
-    // Oriented edge list appears three times below (two wedge sides + the
-    // closing probe): one materialization, O(m) rows.
-    val oriented = sym.join(ru, "u").join(rv, "v")
-      .filter(col("ku") < col("kv"))
-      .select(col("u"), col("v"), col("kv"))
+    // Rank both endpoints of each CANONICAL edge (|m| rows, not 2|m|) and
+    // flip it toward the higher (degree, id) endpoint; the kept rank key's
+    // `u` field IS the destination node id. Referenced by both the
+    // adjacency build and the closing probe → one materialization.
+    val oriented = e.join(ru, "u").join(rv, "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("dk"))
       .persist(MEMORY_ONLY)
-    val wedges = oriented.as("p").join(oriented.as("q"),
-        col("p.u") === col("q.u") && col("p.kv") < col("q.kv"))
-      .select(col("p.u").as("x"), col("p.v").as("y"), col("q.v").as("z"))
-    // {y,z} (both ranked above x) is oriented y→z exactly when ky < kz,
-    // which the wedge's p/q ordering already guarantees — one equi-join
-    // closes the triangle, and edge uniqueness means no multiplicity.
-    val tri = wedges.join(
-      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+    // Compact adjacency list per source, rank-sorted (struct sort is
+    // lexicographic on (d, id) = the orientation order). Out-degrees under
+    // degree orientation are O(√m), so the array — and the map-side wedge
+    // expansion below (p pairs with everything after it, mirroring
+    // basketPairs) — is bounded per node; no wedge self-join shuffle.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dk"))).as("nbrs"))
+    val wedges = adj.select(col("src").as("x"),
+        explode(flatten(transform(col("nbrs"), (p, i) =>
+          transform(slice(col("nbrs"), i + 2, size(col("nbrs"))),
+            q => struct(p.getField("u").as("y"), q.getField("u").as("z"))))))
+          .as("_w"))
+      .select(col("x"), col("_w.y").as("y"), col("_w.z").as("z"))
+    // {y,z} (both ranked above x, y before z in rank order) closes the
+    // triangle iff the oriented edge y→z exists — one equi-join, and edge
+    // uniqueness means no multiplicity.
+    val tri = wedges.join(oriented.select(col("src").as("y"),
+      col("dk").getField("u").as("z")), Seq("y", "z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }

@@ -91,10 +91,18 @@ object Relational {
     * same discipline as the dedup band-bucket caps).
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it")).distinct()
-    b.as("x").join(b.as("y"),
-        col("x._bk") === col("y._bk") && col("x._it") < col("y._it"))
-      .groupBy(col("x._it").as("item_a"), col("y._it").as("item_b"))
+    // One shuffle to baskets (collect_set dedups repeat lines and is
+    // bounded by the basket size), pairs generated MAP-SIDE from the
+    // sorted item array (x pairs with everything after it — canonical
+    // a<b with no self-join, no third shuffle), one keyed count.
+    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .groupBy(col("_bk"))
+      .agg(sort_array(collect_set(col("_it"))).as("_items"))
+    b.select(explode(flatten(transform(col("_items"), (x, i) =>
+        transform(slice(col("_items"), i + 2, size(col("_items"))),
+          y => struct(x.as("a"), y.as("b"))))))
+        .as("_p"))
+      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
       .agg(count(lit(1)).as("support"))
   }
 
