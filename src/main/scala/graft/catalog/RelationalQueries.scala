@@ -208,6 +208,43 @@ object RelationalQueries extends Catalog {
              |  epoch(date_trunc('second', ts))::BIGINT AS ts_epoch, last_purchase
              |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
 
+    // FORWARD as-of (Relational.asofJoinForward): each click enriched with
+    // the user's NEXT purchase at or after it — time-to-conversion. Same
+    // union + running-carry shape as join_asof with the scan reversed;
+    // ties pick the smallest event id (nearest from the future side).
+    Q("join_asof_forward",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        Relational.asofJoinForward(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("value"), rightTie = Seq("p_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"),
+            col("value").as("next_purchase"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS event_id,
+             |    value, event_id AS tie
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 1 AS side, event_id,
+             |    NULL::DOUBLE AS value, NULL::BIGINT AS tie
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *, last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id
+             |          ORDER BY ts DESC, side ASC, tie DESC NULLS FIRST
+             |          ROWS UNBOUNDED PRECEDING) AS next_purchase
+             |  FROM u)
+             |SELECT event_id, user_id,
+             |  epoch(date_trunc('second', ts))::BIGINT AS ts_epoch, next_purchase
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
     Q("join_semi",
       (s, dir) => load(s, dir, "customer")
         .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
@@ -655,6 +692,33 @@ object RelationalQueries extends Catalog {
              |n AS (SELECT count(*)::BIGINT AS n FROM p)
              |SELECT o_orderkey, ((hi - c) * 10000) // n AS rank_bp
              |FROM p JOIN cum USING (v), n
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Grouped variant of feature_rank_normalize: each order's price ranked
+    // against ITS STATUS GROUP's distribution (Relational.rankNormalizeBpBy
+    // — group-partitioned cumulative window, (group, value)-keyed map-back
+    // join, never a global window).
+    Q("feature_rank_normalize_by",
+      (s, dir) => graft.ops.Relational.rankNormalizeBpBy(
+          load(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderstatus"),
+            graft.ops.Exact.cents(col("o_totalprice")).as("price_cents")),
+          Seq("o_orderstatus"), col("price_cents"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("rank_bp"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""WITH p AS (SELECT o_orderkey, o_orderstatus,
+             |    ${cents("o_totalprice")} AS v FROM orders),
+             |f AS (SELECT o_orderstatus, v, count(*) AS c FROM p
+             |      GROUP BY o_orderstatus, v),
+             |cum AS (SELECT o_orderstatus, v, c,
+             |    sum(c) OVER (PARTITION BY o_orderstatus ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY o_orderstatus) AS n
+             |  FROM f)
+             |SELECT o_orderkey, p.o_orderstatus,
+             |  ((hi - c) * 10000) // n AS rank_bp
+             |FROM p JOIN cum ON p.o_orderstatus = cum.o_orderstatus
+             |  AND p.v = cum.v
              |ORDER BY o_orderkey""".stripMargin)),
 
     // Data-quality constraint report (ops/Quality): null/range rules run

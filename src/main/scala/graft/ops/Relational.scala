@@ -353,6 +353,30 @@ object Relational {
     df.join(map, value === col("_v"), "left").drop("_v")
   }
 
+  /** `rankNormalizeBp` within strata — normalize a feature against its own
+    * group's distribution (per-language quality scores, per-domain
+    * lengths), the form training-mix curation actually wants. Same
+    * exactness/tie story as the global variant; the cumulative window
+    * partitions by the group (never global), the (group, value → bp) map
+    * is O(distinct per group) and joins back on the (group, value) key.
+    */
+  def rankNormalizeBpBy(df: DataFrame, groupCols: Seq[String], value: Column,
+                        out: String = "rank_bp"): DataFrame = {
+    val g = groupCols.map(col)
+    val byGroup = Window.partitionBy(g: _*)
+    val mapDf = percentileState(df.where(value.isNotNull), groupCols, value)
+      .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("c")).over(byGroup))
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+        Seq(col("v").as("_v"),
+          expr("((hi - c) * 10000) div _n").as(out)): _*)
+    val cond = groupCols.map(c => col(c) === col(s"_g_$c"))
+      .reduce(_ && _) && value === col("_v")
+    df.join(mapDf, cond, "left")
+      .drop(groupCols.map(c => s"_g_$c") :+ "_v": _*)
+  }
+
   def nearestRankPercentiles(df: DataFrame, value: Column,
                              quantiles: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
@@ -471,7 +495,30 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightVals: Seq[String],
-               rightTie: Seq[String] = Nil): DataFrame = {
+               rightTie: Seq[String] = Nil): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, rightVals, rightTie,
+      forward = false)
+
+  /** FORWARD as-of: each left row enriched with the EARLIEST right row at
+    * or after its timestamp (pandas `merge_asof(direction='forward')`) —
+    * the "time to next event" primitive (next purchase after a click,
+    * next deploy after an alert). Same single-keyed-shuffle union +
+    * running-carry construction as the backward `asofJoin`, with the scan
+    * order reversed; ties on (key, ts) pick the SMALLEST tie value
+    * (backward picks the greatest — each direction picks the row nearest
+    * the boundary from its own side).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String],
+                      rightTie: Seq[String] = Nil): DataFrame =
+    asofJoinImpl(left, right, keys, leftTs, rightTs, rightVals, rightTie,
+      forward = true)
+
+  private def asofJoinImpl(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      rightTie: Seq[String], forward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
@@ -490,9 +537,19 @@ object Relational {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCarry.map(col): _*)
     // rightTie makes the pick deterministic when several right rows share
-    // (key, ts) — the greatest tie value wins (last in ascending order).
+    // (key, ts): the row sorted LAST before the left row wins the running
+    // carry — greatest tie backward, smallest tie forward (tie order
+    // reversed with the scan). NULL ties sort first so they always lose
+    // to a concrete tie value.
+    val ord =
+      if (forward)
+        col("_ts").desc +: col("_side").asc +:
+          rightTie.map(col(_).desc_nulls_first)
+      else
+        col("_ts").asc +: col("_side").asc +:
+          rightTie.map(col(_).asc_nulls_first)
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_ts").asc +: col("_side").asc +: rightTie.map(col(_).asc_nulls_first): _*)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightVals.foldLeft(l.unionByName(r)) { (df, v) =>
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w))

@@ -44,6 +44,21 @@ class RelationalSpec extends SparkSpec {
     assert(out("c3").isEmpty)          // key with no right rows
   }
 
+  test("asofJoinForward: earliest right row at or after each left ts") {
+    val left = Seq((1L, 10L, "c1"), (1L, 20L, "c2"), (1L, 5L, "c0"), (2L, 50L, "c3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0, 1L), (1L, 10L, 200.0, 2L), (1L, 15L, 300.0, 3L))
+      .toDF("k", "t", "v", "rid")
+    val out = Relational.asofJoinForward(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightTie = Seq("rid"))
+      .select("tag", "v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("c0").contains(100.0))  // next is the t=10 pair; tie → rid 1
+    assert(out("c1").contains(100.0))  // simultaneous right row matches
+    assert(out("c2").isEmpty)          // after every right row
+    assert(out("c3").isEmpty)          // key with no right rows
+  }
+
   test("binnedRangeJoin equals the naive range join, exactly once per pair") {
     // negative coordinates, intervals spanning 1..many bins, touching
     // endpoints (half-open), and points outside every interval
@@ -354,6 +369,23 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set(
       (Some(10L), Some(0L)), (Some(20L), Some(5000L)),
       (Some(30L), Some(7500L)), (None, None)))
+  }
+
+  test("rankNormalizeBpBy: each group ranks against its own distribution") {
+    val df = Seq(
+      ("a", Some(10L)), ("a", Some(20L)), ("a", Some(20L)), ("a", Some(40L)),
+      ("b", Some(10L)), ("b", Some(99L)), ("b", None))
+      .toDF("g", "v")
+    val got = Relational.rankNormalizeBpBy(df, Seq("g"), col("v"))
+      .select(col("g"), col("v"), col("rank_bp"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // group a (n=4): 10→0; 20→1 below→2500 (both tied rows); 40→3→7500
+    // group b (n=2): 10→0; 99→1→5000; null survives as null
+    assert(got == Set(
+      ("a", Some(10L), Some(0L)), ("a", Some(20L), Some(2500L)),
+      ("a", Some(40L), Some(7500L)),
+      ("b", Some(10L), Some(0L)), ("b", Some(99L), Some(5000L)),
+      ("b", None, None)))
   }
 
   test("groupTrend: noisy points match the closed-form least-squares fit") {
