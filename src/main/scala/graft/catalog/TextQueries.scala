@@ -220,6 +220,77 @@ object TextQueries extends Catalog {
              |FROM tgt LEFT JOIN lm USING (bg)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // [ext] Incremental LM maintenance: a new batch's (doc_id%5=0) bigram
+    // counts merged into the stored LM built from the rest — the oracle
+    // recomputes the LM over the WHOLE corpus, so the hash match proves
+    // merge ≡ full recompute (the incremental-view law; old text never
+    // re-read). Restricted to lm_freq >= 3 to keep the dump proportionate.
+    Q("text_bigram_lm_incremental",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val stored = Text.bigramLm(docs.filter(col("doc_id") % 5 =!= 0))
+        val batch = Text.bigramLm(docs.filter(col("doc_id") % 5 === 0))
+        Text.mergeBigramLm(stored, batch)
+          .filter(col("lm_freq") >= 3)
+          .orderBy(col("bg"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2
+             |    THEN []::VARCHAR[]
+             |    ELSE list_transform(range(1, len(l)),
+             |      i -> array_to_string(l[i : i + 1], ' ')) END) AS bg
+             |  FROM t)
+             |SELECT bg, count(*) AS lm_freq FROM bg
+             |GROUP BY bg HAVING count(*) >= 3 ORDER BY bg""".stripMargin)),
+
+    // [ext] Composed LM filter — the pieces working as a curation
+    // pipeline: bigram-LM familiarity (integer avg bigram freq) → rank
+    // against the doc's OWN LANGUAGE's distribution (rankNormalizeBpBy —
+    // raw familiarity isn't comparable across languages) → keep the top
+    // half per language. Every stage integer-exact; the oracle replays
+    // the whole composition.
+    Q("pipeline_lm_filter",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val lm = Text.bigramLm(docs.filter(col("doc_id") % 2 === 0))
+        val scored = Text.bigramLmScores(docs.filter(col("doc_id") % 2 =!= 0), lm)
+          .withColumn("familiarity", expr("sum_freq div n_bigrams"))
+        val withLang = scored
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("familiarity"))
+        graft.ops.Relational.rankNormalizeBpBy(withLang, Seq("lang"),
+            col("familiarity"))
+          .filter(col("rank_bp") >= 5000)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |bg AS (SELECT doc_id, unnest(CASE WHEN len(l) < 2
+             |    THEN []::VARCHAR[]
+             |    ELSE list_transform(range(1, len(l)),
+             |      i -> array_to_string(l[i : i + 1], ' ')) END) AS bg
+             |  FROM t),
+             |lm AS (SELECT bg, count(*) AS lm_freq FROM bg
+             |       WHERE doc_id % 2 = 0 GROUP BY bg),
+             |tgt AS (SELECT doc_id, bg, count(*) AS c FROM bg
+             |        WHERE doc_id % 2 <> 0 GROUP BY doc_id, bg),
+             |sc AS (SELECT doc_id,
+             |    sum(c * coalesce(lm_freq, 0)) // sum(c) AS familiarity
+             |  FROM tgt LEFT JOIN lm USING (bg) GROUP BY doc_id),
+             |wl AS (SELECT sc.doc_id, d.lang, familiarity
+             |       FROM sc JOIN documents d USING (doc_id)),
+             |f AS (SELECT lang, familiarity AS v, count(*) AS c
+             |      FROM wl GROUP BY 1, 2),
+             |cum AS (SELECT lang, v, c,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY lang) AS n
+             |  FROM f)
+             |SELECT wl.doc_id, wl.lang, wl.familiarity,
+             |  ((hi - c) * 10000) // n AS rank_bp
+             |FROM wl JOIN cum ON wl.lang = cum.lang AND wl.familiarity = cum.v
+             |WHERE ((hi - c) * 10000) // n >= 5000
+             |ORDER BY wl.doc_id""".stripMargin)),
+
     // [ext] Zipf histogram: distinct-token counts per power-of-two
     // frequency bucket; bucket = base-2 digit count (integer-exact).
     Q("text_zipf_histogram",

@@ -45,6 +45,17 @@ object Text {
     reference.select(explode(bigrams(col(textCol))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("lm_freq"))
 
+  /** Merge a batch's bigram counts into a stored LM — counts are a
+    * mergeable state (sum per bigram), so `merge(lm(old), lm(batch)) ≡
+    * lm(old ∪ batch)` exactly and the old corpus text is never re-read:
+    * the same incremental-view pattern as `IncrAgg`/`percentileState`.
+    * Shuffle is O(distinct bigrams in the smaller side's neighborhood),
+    * never corpus-sized.
+    */
+  def mergeBigramLm(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.unionByName(batch)
+      .groupBy(col("bg")).agg(sum(col("lm_freq")).as("lm_freq"))
+
   /** Score documents against a stored bigram LM — the sequence-aware
     * sibling of `unigramDocScores` (CCNet-style familiarity: in-domain
     * text hits frequent reference bigrams; gibberish and wrong-language

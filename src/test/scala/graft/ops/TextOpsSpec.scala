@@ -218,4 +218,17 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == Map(1L -> ((2L, 2L, 4L)), 3L -> ((3L, 0L, 0L))))
   }
+
+  test("mergeBigramLm: merged batch counts equal the full recompute") {
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "b c d"),
+      (3L, "x"), (4L, "a b")).toDF("doc_id", "text")
+    val full = graft.ops.Text.bigramLm(docs)
+      .as[(String, Long)].collect().toMap
+    val merged = graft.ops.Text.mergeBigramLm(
+        graft.ops.Text.bigramLm(docs.filter($"doc_id" % 2 === 0)),
+        graft.ops.Text.bigramLm(docs.filter($"doc_id" % 2 =!= 0)))
+      .as[(String, Long)].collect().toMap
+    assert(full.nonEmpty && merged == full)
+    assert(full("a b") == 4L)  // multiplicity survives across batches
+  }
 }
