@@ -305,6 +305,35 @@ object FunctionQueries extends Catalog {
                s"least(greatest(${cents("value")}, 0), 65535)"), 16)} AS zval
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Exact A/B readout (EventOps.abLift): deterministic user_id%2 arms,
+    // purchase conversion, floor-bp rates/lift, and the 2×2 χ² as an
+    // exact Decimal/HUGEINT num ÷ den with one double division.
+    Q("events_ab_lift",
+      (s, dir) => graft.ops.EventOps.abLift(load(s, dir, "events"),
+        "purchase"),
+      Some("""WITH pu AS (SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      ::BIGINT AS conv
+             |  FROM events GROUP BY user_id),
+             |w AS (SELECT
+             |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+             |    sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT AS c1
+             |  FROM pu)
+             |SELECT n0, c0, n1, c1,
+             |  (c0 * 10000) // n0 AS conv0_bp,
+             |  (c1 * 10000) // n1 AS conv1_bp,
+             |  (c0 * 10000) // n0 - (c1 * 10000) // n1 AS lift_bp,
+             |  CASE WHEN (c0 + c1) = 0 OR (n0 - c0 + n1 - c1) = 0
+             |         OR n0 = 0 OR n1 = 0 THEN NULL
+             |    ELSE round(((n0 + n1)::HUGEINT
+             |        * (c0::HUGEINT * (n1 - c1) - (n0 - c0)::HUGEINT * c1)
+             |        * (c0::HUGEINT * (n1 - c1) - (n0 - c0)::HUGEINT * c1))::DOUBLE
+             |      / (n0::HUGEINT * n1 * (c0 + c1) * (n0 - c0 + n1 - c1))::DOUBLE,
+             |      6) END AS chi2
+             |FROM w""".stripMargin)),
+
     Q("pivot_event_counts",
       (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
         .orderBy(col("user_id")),

@@ -224,6 +224,47 @@ object EventOps {
     * per-user sort is the only non-map work, and it is bounded by a single
     * user's history, never the stream.
     */
+  /** Exact A/B experiment readout: arm = deterministic user split
+    * (`user_id % 2`), conversion = the user fired `convType` at least
+    * once. Per-user collapse (ONE keyed shuffle on user), then a 2-arm
+    * contingency aggregate; conversion rates and lift in floor basis
+    * points (integer-exact), and the 2×2 χ² statistic formed as an exact
+    * Decimal(38,0) numerator N·(ad−bc)² over denominator
+    * (a+b)(c+d)(a+c)(b+d) with ONE final double division (rounded 6dp) —
+    * bit-deterministic, the same discipline as `groupCorrelation`.
+    * Output: one row per arm pair: users/conversions per arm, each arm's
+    * conv_bp, lift_bp (arm0 − arm1), chi2.
+    */
+  def abLift(events: DataFrame, convType: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wide = arms.agg(
+      sum(when(col("arm") === 0, col("n_users"))).as("n0"),
+      sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+      sum(when(col("arm") === 1, col("n_users"))).as("n1"),
+      sum(when(col("arm") === 1, col("n_conv"))).as("c1"))
+    // contingency: a=c0, b=n0−c0, c=c1, d=n1−c1
+    val (a, b, c, d) = (col("c0").cast(dec), (col("n0") - col("c0")).cast(dec),
+      col("c1").cast(dec), (col("n1") - col("c1")).cast(dec))
+    val n = a + b + c + d
+    val num = n * (a * d - b * c) * (a * d - b * c)
+    val den = (a + b) * (c + d) * (a + c) * (b + d)
+    wide.select(
+      col("n0"), col("c0"), col("n1"), col("c1"),
+      expr("(c0 * 10000) div n0").as("conv0_bp"),
+      expr("(c1 * 10000) div n1").as("conv1_bp"),
+      (expr("(c0 * 10000) div n0") - expr("(c1 * 10000) div n1"))
+        .as("lift_bp"),
+      when(den === lit(0).cast(dec), lit(null))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .as("chi2"))
+  }
+
   def transitions(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -320,6 +320,27 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
   }
 
+  test("abLift: hand 2x2 contingency, bp rates, and chi-square") {
+    import java.sql.Timestamp
+    val t0 = new Timestamp(0L)
+    // arm0 (even users): 0 converts, 2 converts; arm1 (odd): 1 and 3 don't
+    val ev = Seq(
+      (0L, "purchase"), (0L, "click"), (2L, "purchase"),
+      (1L, "click"), (3L, "view"))
+      .map { case (u, t) => (u, t, t0) }.toDF("user_id", "event_type", "ts")
+    val r = EventOps.abLift(ev, "purchase").collect().head
+    // a=2 b=0 c=0 d=2 n=4: chi2 = 4·(4−0)² / (2·2·2·2) = 4.0
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)   // n0, c0
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L)   // n1, c1
+    assert(r.getLong(4) == 10000L && r.getLong(5) == 0L)
+    assert(r.getLong(6) == 10000L)                     // lift_bp
+    assert(r.getDouble(7) == 4.0)
+    // degenerate: nobody converts → chi2 NULL, lift 0
+    val none = EventOps.abLift(ev.filter($"event_type" =!= "purchase"),
+      "purchase").collect().head
+    assert(none.isNullAt(7) && none.getLong(6) == 0L)
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0
