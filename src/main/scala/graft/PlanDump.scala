@@ -38,7 +38,9 @@ object PlanDump {
       "agg_histogram_equidepth", "agg_decayed_counts",
       "sim_knn_triangles", "agg_group_trend", "agg_group_corr",
       "basket_pair_support", "text_bigram_lm_score",
-      "feature_rank_normalize", "window_range_frame")
+      "feature_rank_normalize", "window_range_frame",
+      "feature_rank_normalize_by", "join_asof_forward",
+      "text_bigram_lm_incremental", "pipeline_lm_filter", "events_ab_lift")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
