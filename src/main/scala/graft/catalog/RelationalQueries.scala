@@ -609,6 +609,35 @@ object RelationalQueries extends Catalog {
              |SELECT part_a, part_b, support FROM pr
              |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin)),
 
+    // Connected components of the co-purchase graph (Graph
+    // .connectedComponents over basketPairs support ≥ 2): min-id labels
+    // from the same size-gated union-find / min-label-propagation engine
+    // as the dedup clusters; the oracle recomputes the labels by
+    // recursive transitive closure, so the hash match proves the
+    // resolution exact, not approximate.
+    Q("basket_components",
+      (s, dir) => graft.ops.Graph.connectedComponents(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2),
+          "item_a", "item_b")
+        .orderBy(col("node")),
+      Some("""WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o,
+             |    l_partkey AS p FROM lineitem),
+             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2),
+             |e0 AS (SELECT a, b FROM pr WHERE s >= 2),
+             |edges AS (
+             |  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+             |  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0),
+             |reach AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             |SELECT a AS node, min(b) AS component
+             |FROM reach GROUP BY a ORDER BY node""".stripMargin)),
+
     // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
     // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy
     // overflows BIGINT at this scale, which is the point of the decimal

@@ -27,6 +27,28 @@ object Graph {
       .unionByName(edges.select(col(dst).as("src"), col(src).as("dst")))
       .distinct()
 
+  /** Connected components of an undirected edge list: every node labeled
+    * with its component's MINIMUM id. Generic façade over the single
+    * resolution engine behind the dedup clustering (`Dedup.components`):
+    * a size-gated driver union-find fast path — edge lists are usually
+    * orders of magnitude smaller than the data they came from — with
+    * iterative distributed min-label propagation (pair-count-sized
+    * partitioning, multi-step lazy rounds between convergence checks)
+    * for genuinely huge graphs. Node ids must be integral.
+    */
+  def connectedComponents(edges: DataFrame, a: String = "a",
+                          b: String = "b", maxIters: Int = 12,
+                          driverMaxPairs: Long = 5000000L): DataFrame = {
+    val pairs = edges
+      .select(col(a).cast("long").as("a"), col(b).cast("long").as("b"))
+      .cache()
+    val n = pairs.count()
+    val out = Dedup.components(pairs, n, maxIters, driverMaxPairs)
+      .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
+    pairs.unpersist()
+    out
+  }
+
   /** Per-node triangle counts over a simple undirected graph given as
     * CANONICAL edges (`a` < `b`, distinct, no self-loops). Output:
     * `(node, triangles)` for every node on ≥1 triangle.

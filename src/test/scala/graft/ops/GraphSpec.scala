@@ -35,6 +35,19 @@ class GraphSpec extends SparkSpec {
     assert(Graph.undirect(e).count() == 2)
   }
 
+  test("connectedComponents: min-id labels, driver and distributed paths agree") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 7L))
+      .toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 7L -> 7L)
+    val driver = Graph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == want)
+    // driverMaxPairs = 0 forces the distributed min-label propagation path
+    val dist = Graph.connectedComponents(edges, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == want)
+  }
+
   test("trianglesPerNode: K4 + pendant + disjoint triangle, each counted once") {
     // K4 on 1-4 (4 triangles, every vertex on 3), pendant 5 hanging off 1
     // (on none), disjoint triangle 6-7-8 (each vertex on 1).
