@@ -638,6 +638,38 @@ object RelationalQueries extends Catalog {
              |SELECT a AS node, min(b) AS component
              |FROM reach GROUP BY a ORDER BY node""".stripMargin)),
 
+    // Local clustering coefficient of the co-purchase graph (Graph
+    // .clusteringCoefficientBp = degree aggregate + degree-oriented
+    // triangle counts, floor-bp ratio). Oracle replays degrees, the
+    // definitional triple-join triangles, and the integer ratio.
+    Q("basket_clustering_coeff",
+      (s, dir) => graft.ops.Graph.clusteringCoefficientBp(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2),
+          "item_a", "item_b")
+        .orderBy(col("node")),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem),
+             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2),
+             |e AS (SELECT a, b FROM pr WHERE s >= 2),
+             |deg AS (SELECT u AS node, count(*) AS degree FROM
+             |  (SELECT a AS u FROM e UNION ALL SELECT b FROM e) s GROUP BY u),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tn AS (SELECT node, count(*) AS triangles FROM
+             |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+             |   UNION ALL SELECT z FROM tri) t GROUP BY node)
+             |SELECT d.node, degree, coalesce(triangles, 0) AS triangles,
+             |  CASE WHEN degree < 2 THEN 0
+             |    ELSE (20000 * coalesce(triangles, 0))
+             |         // (degree * (degree - 1)) END AS coeff_bp
+             |FROM deg d LEFT JOIN tn ON d.node = tn.node
+             |ORDER BY d.node""".stripMargin)),
+
     // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
     // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy
     // overflows BIGINT at this scale, which is the point of the decimal

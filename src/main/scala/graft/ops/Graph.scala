@@ -104,6 +104,26 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient in floor basis points:
+    * `20000·triangles(v) div (deg(v)·(deg(v)−1))` — the how-clique-like-
+    * is-this-neighborhood signal (2·tri / possible wedge pairs), exact
+    * integer so cross-engine bit-stable. Output: every node with its
+    * degree, triangle count (0 if none), and coeff_bp (0 for degree < 2).
+    * One edge materialization feeds both the degree aggregate and the
+    * triangle pipeline.
+    */
+  def clusteringCoefficientBp(edges: DataFrame, a: String = "a",
+                              b: String = "b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e = edges.select(col(a).as("a"), col(b).as("b")).persist(MEMORY_ONLY)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    deg.join(trianglesPerNode(e), Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("coeff_bp", when(col("degree") < 2, lit(0L))
+        .otherwise(expr("(20000 * triangles) div (degree * (degree - 1))")))
+  }
+
   /** Fixed-iteration PageRank in basis points over `edges(src, dst)`:
     * r₀(v) = `baseBp`; r_{k+1}(v) = 15%·baseBp + Σ_{(u,v)∈E}
     * (85·r_k(u)) div (100·outdeg(u)). All-long arithmetic with truncating

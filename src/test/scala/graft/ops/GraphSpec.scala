@@ -60,6 +60,24 @@ class GraphSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
+  test("clusteringCoefficientBp: K4 + pendant + disjoint triangle by hand") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (6L, 7L), (6L, 8L), (7L, 8L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficientBp(edges)
+      .select(col("node"), col("degree"), col("triangles"), col("coeff_bp"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // node 1: deg 4, 3 triangles → 20000·3/12 = 5000
+    assert(got(1L) == ((4L, 3L, 5000L)))
+    // nodes 2-4: deg 3, 3 triangles → 20000·3/6 = 10000 (full clique locally)
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, 3L, 10000L))))
+    // pendant 5: degree 1 → coefficient 0 by convention
+    assert(got(5L) == ((1L, 0L, 0L)))
+    // triangle 6-8: deg 2, 1 triangle → 20000/2 = 10000
+    Seq(6L, 7L, 8L).foreach(n => assert(got(n) == ((2L, 1L, 10000L))))
+  }
+
   test("trianglesPerNode: triangle-free graphs return no rows") {
     // path + star: wedges exist everywhere, but none close.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
