@@ -357,6 +357,69 @@ object VectorQueries extends Catalog {
              |      UNION ALL SELECT z FROM tri) t
              |GROUP BY node ORDER BY vec_id""".stripMargin)),
 
+    // Hybrid retrieval (Retrieval.rrfFuse): dense cosine top-10 and
+    // lexical token-set-Jaccard top-10 for the same query documents
+    // (documents and embeddings share the 0-499 id space), fused by
+    // integer reciprocal-rank fusion — 1e6 div (60 + rank) contributions
+    // so the fused sum is order-free and exact. Both rankings, the RRF
+    // sums, and the final top-5 are replayed by the oracle.
+    Q("retrieval_hybrid_rrf",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val docs = load(s, dir, "documents")
+        val cosR = Vectors.cosineTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0)
+              .orderBy(col("vec_id")).limit(40), 10)
+          .select(col("query_id").as("qid"),
+            col("neighbor_id").as("id"), col("rank"))
+        val d = docs.select(col("doc_id"),
+          graft.ops.Text.tokenSet(col("text")).as("ts"))
+        val qd = d.filter(col("doc_id") % 100 === 0)
+          .orderBy(col("doc_id")).limit(40)
+          .select(col("doc_id").as("qid"), col("ts").as("qts"))
+        val lex = graft.ops.Relational.topKPerGroup(
+          d.join(broadcast(qd), col("qid") =!= col("doc_id"))
+            .select(col("qid"), col("doc_id").as("id"),
+              round(graft.ops.Dedup.jaccard(col("qts"), col("ts")), 4)
+                .as("jac")),
+          Seq(col("qid")), Seq(col("jac").desc, col("id").asc), 10, "rank")
+          .select(col("qid"), col("id"), col("rank"))
+        graft.ops.Retrieval.rrfFuse(Seq(cosR, lex), 60, 5)
+          .select(col("qid"), col("id"), col("rrf_score"), col("n_rankers"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qs AS (SELECT vec_id, e FROM v WHERE vec_id % 100 = 0
+             |       ORDER BY vec_id LIMIT 40),
+             |cs AS (SELECT q.vec_id AS qid, c.vec_id AS id,
+             |         ${cosSql("q.e", "c.e")} AS cosine
+             |       FROM qs q JOIN v c ON q.vec_id <> c.vec_id),
+             |cr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+             |         ORDER BY cosine DESC, id) AS rank FROM cs),
+             |d AS (SELECT doc_id,
+             |        list_sort(list_distinct(string_split(text, ' '))) AS ts
+             |      FROM documents),
+             |qd AS (SELECT doc_id AS qid, ts AS qts FROM d
+             |       WHERE doc_id % 100 = 0 ORDER BY qid LIMIT 40),
+             |ls AS (SELECT qd.qid, d.doc_id AS id,
+             |         round(len(list_intersect(qts, ts)) * 1.0 /
+             |               len(list_distinct(list_concat(qts, ts))), 4) AS jac
+             |       FROM qd JOIN d ON qd.qid <> d.doc_id),
+             |lr AS (SELECT qid, id, row_number() OVER (PARTITION BY qid
+             |         ORDER BY jac DESC, id) AS rank FROM ls),
+             |u AS (SELECT qid, id, 1000000 // (60 + rank) AS c
+             |      FROM cr WHERE rank <= 10
+             |      UNION ALL
+             |      SELECT qid, id, 1000000 // (60 + rank) AS c
+             |      FROM lr WHERE rank <= 10),
+             |f AS (SELECT qid, id, sum(c)::BIGINT AS rrf_score,
+             |        count(*) AS n_rankers FROM u GROUP BY qid, id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |        ORDER BY rrf_score DESC, id) AS rank FROM f)
+             |SELECT qid, id, rrf_score, n_rankers, rank FROM r
+             |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
     // Random-projection (Johnson–Lindenstrauss) dimensionality reduction:
     // 64-dim float vectors → 4 signed-sum components, the cheap sketch a
     // two-stage ANN prefilters on before exact re-ranking. Signs are a
