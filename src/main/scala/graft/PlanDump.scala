@@ -40,7 +40,8 @@ object PlanDump {
       "basket_pair_support", "text_bigram_lm_score",
       "feature_rank_normalize", "window_range_frame",
       "feature_rank_normalize_by", "join_asof_forward",
-      "text_bigram_lm_incremental", "pipeline_lm_filter", "events_ab_lift")
+      "text_bigram_lm_incremental", "pipeline_lm_filter", "events_ab_lift",
+      "basket_components", "basket_clustering_coeff", "retrieval_hybrid_rrf")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

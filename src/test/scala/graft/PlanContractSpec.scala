@@ -234,7 +234,11 @@ class PlanContractSpec extends SparkSpec {
     // shuffles — no cartesian product, no unpartitioned data-sized window.
     Seq("basket_pair_support", "sim_knn_triangles", "agg_group_trend",
       "agg_group_corr", "feature_rank_normalize",
-      "text_bigram_lm_score", "graph_pagerank").foreach { name =>
+      "feature_rank_normalize_by", "text_bigram_lm_score",
+      "text_bigram_lm_incremental", "pipeline_lm_filter", "graph_pagerank",
+      "basket_components", "basket_clustering_coeff", "join_asof_forward",
+      "events_ab_lift", "retrieval_hybrid_rrf",
+      "window_range_frame").foreach { name =>
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")
