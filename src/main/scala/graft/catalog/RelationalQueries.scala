@@ -1393,13 +1393,26 @@ object RelationalQueries extends Catalog {
     // join + keyed aggregate, the Pregel shape).
     Q("graph_pagerank",
       (s, dir) => {
+        // Node ids are packed longs for the whole iterative phase —
+        // supplier k ↦ 2k, customer k ↦ 2k+1 — and decoded to the
+        // oracle's 's<k>'/'c<k>' strings only on the node-sized output:
+        // every shuffle (undirect's distinct, the degree aggregate, and
+        // 3 × join+groupBy) moves 8-byte keys instead of strings. The
+        // mapping is bijective, so degrees and ranks are identical.
         val edges = load(s, dir, "lineitem")
           .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-            concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
         // no .distinct() here: undirect's union+distinct dedups anyway —
         // a pre-distinct would just add a full extra shuffle round.
         graft.ops.Graph.pageRankBp(graft.ops.Graph.undirect(edges), 3)
+          .select(
+            when(col("node") % 2 === 0,
+                concat(lit("s"), expr("node div 2").cast("string")))
+              .otherwise(
+                concat(lit("c"), expr("(node - 1) div 2").cast("string")))
+              .as("node"),
+            col("rank_bp"))
           .orderBy(col("node"))
       },
       Some {

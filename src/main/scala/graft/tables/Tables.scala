@@ -21,14 +21,24 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) in Parquet, which Spark rejects
-      // ([PARQUET_TYPE_ILLEGAL]). Read nanos as LONG, then truncate to
-      // microsecond TimestampType (integer `div` — no double precision loss;
-      // matches DuckDB's own ns→µs truncation, TESTDATA/FIXTURES note).
+      // events.ts precision varies by corpus generation: TIMESTAMP(NANOS)
+      // (which Spark rejects — [PARQUET_TYPE_ILLEGAL] — so it is read as
+      // LONG nanos and truncated to microsecond TimestampType; integer
+      // `div`, no double precision loss, matches DuckDB's own ns→µs
+      // truncation) or TIMESTAMP(MICROS) isAdjustedToUTC=false (read as
+      // TIMESTAMP_NTZ; session tz is UTC, so the cast to TimestampType is
+      // value-identical and keeps downstream `window(ts, …)`/unix-time
+      // code on one type). Branch on the decoded type, not the file.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every corpus table as a temp view so `spark.sql` text queries
