@@ -38,7 +38,7 @@ object RelationalQueries extends Catalog {
        |      ROWS UNBOUNDED PRECEDING) AS hi,
        |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
        |  FROM f)
-       |SELECT o_orderpriority, q AS quantile, v::DOUBLE / 100.0 AS price
+       |SELECT o_orderpriority, q::DOUBLE AS quantile, v::DOUBLE / 100.0 AS price
        |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
        |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
        |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
@@ -751,7 +751,8 @@ object RelationalQueries extends Catalog {
              |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
              |  FROM f),
              |n AS (SELECT count(*)::BIGINT AS n FROM p)
-             |SELECT o_orderkey, ((hi - c) * 10000) // n AS rank_bp
+             |SELECT o_orderkey,
+             |  (((hi - c) * 10000) // n)::BIGINT AS rank_bp
              |FROM p JOIN cum USING (v), n
              |ORDER BY o_orderkey""".stripMargin)),
 
@@ -777,7 +778,7 @@ object RelationalQueries extends Catalog {
              |    sum(c) OVER (PARTITION BY o_orderstatus) AS n
              |  FROM f)
              |SELECT o_orderkey, p.o_orderstatus,
-             |  ((hi - c) * 10000) // n AS rank_bp
+             |  (((hi - c) * 10000) // n)::BIGINT AS rank_bp
              |FROM p JOIN cum ON p.o_orderstatus = cum.o_orderstatus
              |  AND p.v = cum.v
              |ORDER BY o_orderkey""".stripMargin)),
@@ -917,7 +918,7 @@ object RelationalQueries extends Catalog {
              |      ROWS UNBOUNDED PRECEDING) AS hi,
              |    sum(c) OVER (PARTITION BY l_returnflag) AS n
              |  FROM f)
-             |SELECT l_returnflag, q AS quantile, v::DOUBLE / 100.0 AS exact_price,
+             |SELECT l_returnflag, q::DOUBLE AS quantile, v::DOUBLE / 100.0 AS exact_price,
              |  TRUE AS approx_ok
              |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
              |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
@@ -1021,7 +1022,7 @@ object RelationalQueries extends Catalog {
              |  SELECT q, floor(q * (n - 1))::BIGINT + 1 AS rk
              |  FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) qs,
              |       (SELECT count(*) AS n FROM orders) nn)
-             |SELECT q AS quantile, v::DOUBLE / 100.0 AS price
+             |SELECT q::DOUBLE AS quantile, v::DOUBLE / 100.0 AS price
              |FROM r JOIN cum ON cum.hi >= r.rk AND cum.hi - cum.c < r.rk
              |ORDER BY quantile""".stripMargin)),
 
@@ -1160,8 +1161,9 @@ object RelationalQueries extends Catalog {
              |    ${cents("o_totalprice")} AS c
              |  FROM orders)
              |SELECT o_custkey, o_orderkey, day,
-             |  sum(c) OVER (PARTITION BY o_custkey ORDER BY day
-             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS spend_30d
+             |  (sum(c) OVER (PARTITION BY o_custkey ORDER BY day
+             |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))::BIGINT
+             |    AS spend_30d
              |FROM p ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
 
     // SCD type-2 dimension history (ops/History): per customer, collapse

@@ -274,7 +274,8 @@ object TextQueries extends Catalog {
              |tgt AS (SELECT doc_id, bg, count(*) AS c FROM bg
              |        WHERE doc_id % 2 <> 0 GROUP BY doc_id, bg),
              |sc AS (SELECT doc_id,
-             |    sum(c * coalesce(lm_freq, 0)) // sum(c) AS familiarity
+             |    (sum(c * coalesce(lm_freq, 0)) // sum(c))::BIGINT
+             |      AS familiarity
              |  FROM tgt LEFT JOIN lm USING (bg) GROUP BY doc_id),
              |wl AS (SELECT sc.doc_id, d.lang, familiarity
              |       FROM sc JOIN documents d USING (doc_id)),
@@ -286,7 +287,7 @@ object TextQueries extends Catalog {
              |    sum(c) OVER (PARTITION BY lang) AS n
              |  FROM f)
              |SELECT wl.doc_id, wl.lang, wl.familiarity,
-             |  ((hi - c) * 10000) // n AS rank_bp
+             |  (((hi - c) * 10000) // n)::BIGINT AS rank_bp
              |FROM wl JOIN cum ON wl.lang = cum.lang AND wl.familiarity = cum.v
              |WHERE ((hi - c) * 10000) // n >= 5000
              |ORDER BY wl.doc_id""".stripMargin)),
