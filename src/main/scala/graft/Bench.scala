@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Same pin as Verify/CheckOne/PlanDump: Tables.load's TIMESTAMP_NTZ →
+      // timestamp cast is value-identical only under a UTC session zone —
+      // relying on the machine default would silently shift ts values on a
+      // non-UTC box.
+      .config("spark.sql.session.timeZone", "UTC")
       // Coalesce for FEWER tasks, not device parallelism: at sf0.1 most
       // post-shuffle stages are a few MB spread over 32 partitions, and on a
       // contended machine per-task scheduling overhead dominates — let AQE
@@ -70,22 +75,21 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val (t, ok) = timeOne(name, fn); (name, fn, t, ok)
-    }
     // This box's run-to-run noise is 2-10x per query (BASELINE.md records
     // the same machine measuring a 40s workload at 152s; round-3 judging
-    // burned a cycle refuting 16s phantom spikes). Re-time anything slow
-    // and report the MIN of the two runs — contention only ever ADDS time,
-    // so min is the best point estimate of the true cost.
-    val ReTimeAbove = 1.5
-    // (name, reported min, ok, all raw timings) — BOTH raw timings land in
-    // BENCH_LOCAL.json so the min-of-2 report stays auditable: a reader can
-    // see when t2's warm-JVM/page-cache advantage is doing the flattering.
-    val results = firstPass.map { case (name, fn, t1, ok) =>
-      if (!ok || t1 < ReTimeAbove) (name, t1, ok, Seq(t1))
-      else {
-        // Drop ALL cached blocks before the re-run: Spark's CacheManager
+    // burned a cycle refuting 16s phantom spikes). Run every query
+    // SPARK_GRAFT_BENCH_RUNS times (default 3) and report the per-query
+    // MEDIAN — robust to one contention spike AND to the first run's
+    // one-time codegen-compile cost; all raw timings land in
+    // BENCH_LOCAL.json so the aggregation stays auditable.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
+    // (name, reported median, ok, all raw timings)
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val (t1, ok1) = timeOne(name, fn)
+      // A failed query is not re-run: its failure must stay visible, not
+      // be averaged with retries.
+      val all = if (!ok1) Seq((t1, ok1)) else (t1, ok1) +: (2 to runs).map { _ =>
+        // Drop ALL cached blocks before each re-run: Spark's CacheManager
         // matches persist() calls by canonicalized plan, so a second run of
         // the same query silently reuses the first run's MEMORY_ONLY
         // frames and measures probe-only cost — flattering exactly the
@@ -94,9 +98,14 @@ object Bench {
         // this (never re-derived from text), which is the steady-state
         // contract anyway.
         spark.catalog.clearCache()
-        val (t2, ok2) = timeOne(name, fn)
-        (name, math.min(t1, t2), ok && ok2, Seq(t1, t2))
+        timeOne(name, fn)
       }
+      val ts = all.map(_._1)
+      val sorted = ts.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      (name, median, all.forall(_._2), ts)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -890,13 +890,20 @@ object RelationalQueries extends Catalog {
     Q("agg_approx_percentile",
       (s, dir) => {
         val quantiles = Seq(0.5, 0.9)
-        val li = load(s, dir, "lineitem")
-        val exact = Relational.nearestRankPercentilesBy(li, Seq("l_returnflag"),
-            Exact.cents(col("l_extendedprice")), quantiles)
+        // ONE projected scan feeds both branches: the exact nearest-rank
+        // side and the KLL sketch side otherwise each re-scan lineitem and
+        // re-derive cents. MEMORY_ONLY persist of the 2-column projection
+        // (same rationale + eviction story as the dedup shingle caches).
+        val proj = load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            Exact.cents(col("l_extendedprice")).as("cents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val exact = Relational.nearestRankPercentilesBy(proj,
+            Seq("l_returnflag"), col("cents"), quantiles)
           .select(col("l_returnflag"), col("quantile"),
             col("value").as("exact_cents"))
-        val approx = li.groupBy(col("l_returnflag"))
-          .agg(percentile_approx(Exact.cents(col("l_extendedprice")),
+        val approx = proj.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("cents"),
             array(quantiles.map(lit): _*), lit(10000)).as("ap"))
           .select(col("l_returnflag"),
             posexplode(col("ap")).as(Seq("pos", "approx_cents")))

@@ -32,18 +32,49 @@ object ShingleSetHelper {
     val set = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i + n <= m) {
-      val parts = new Array[UTF8String](2 * n - 1)
-      var j = 0
-      while (j < n) {
-        val t = tokens.getUTF8String(i + j)
-        parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
-        if (j < n - 1) parts(2 * j + 1) = Sep
-        j += 1
-      }
-      set.add(UTF8String.concat(parts: _*))
+      set.add(shingleAt(tokens, i, n))
       i += 1
     }
     new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size())))
+  }
+
+  /** xxhash64 (seed 42, = Spark's `xxhash64` function seed) digests of the
+    * same sorted-distinct shingle set, sorted ascending as SIGNED longs.
+    * 8 bytes per shingle instead of the full n-token string — the shuffle
+    * payload for every prefix/verify stage of the PPJoin-family dedups.
+    * Distinct-ness is computed on the digest, so two distinct shingles
+    * colliding under xxhash64 would collapse (probability ~|set|²/2⁶⁴ per
+    * document — negligible, and the string-set spec twin pins equality on
+    * real data).
+    */
+  def buildDigests(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= m) {
+      set.add(
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(shingleAt(tokens, i, n), 42L))
+      i += 1
+    }
+    val out = new Array[Any](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def shingleAt(tokens: ArrayData, i: Int, n: Int): UTF8String = {
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n) {
+      val t = tokens.getUTF8String(i + j)
+      parts(2 * j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      if (j < n - 1) parts(2 * j + 1) = Sep
+      j += 1
+    }
+    UTF8String.concat(parts: _*)
   }
 }
 
@@ -77,4 +108,42 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 object ShingleSet {
   def apply(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleSet(ColumnBridge.expression(tokens), n))
+}
+
+/** `ShingleSet`'s 8-byte-digest sibling: sorted distinct xxhash64 digests
+  * of the word-n-gram shingles of a token array (see
+  * `ShingleSetHelper.buildDigests`). Same single compiled pass; the array
+  * it returns is what the PPJoin prefix/verify joins shuffle instead of
+  * full shingle strings.
+  */
+case class ShingleDigests(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_digests requires array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleSetHelper.buildDigests(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleSetHelper.buildDigests($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleDigests =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_digests"
+}
+
+object ShingleDigests {
+  def apply(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleDigests(ColumnBridge.expression(tokens), n))
 }

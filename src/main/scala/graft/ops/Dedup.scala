@@ -733,6 +733,16 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     graft.functions.ShingleSet(Text.tokens(text), n)
 
+  /** 8-byte xxhash64 digests of the same shingle set, sorted ascending —
+    * the shuffle-friendly representation the PPJoin prefix/verify stages
+    * run on (`graft.functions.ShingleDigests`). Jaccard/containment over
+    * digest sets equals the string-set value absent an xxhash64 collision
+    * within one pair's union (~|A∪B|²/2⁶⁴ — negligible; the string-set
+    * quadratic spec twin in PropertySpec pins equality on real data).
+    */
+  def shingleDigests(text: Column, n: Int): Column =
+    graft.functions.ShingleDigests(Text.tokens(text), n)
+
   /** Pairs of documents sharing at least one EXACT n-token span — the
     * long-verbatim-overlap dedup signal (the substring-level duplication
     * targeted by Lee et al. 2021, "Deduplicating Training Data Makes
@@ -828,11 +838,16 @@ object Dedup {
     * identical to the full quadratic scan (the oracle runs the quadratic
     * definition — the match proves it).
     *
-    * Plan shape at scale: shingle-explode → df count (shuffle on shingle,
+    * Plan shape at scale: shingle-explode → df count (shuffle on digest,
     * partial aggs) → per-doc rank (shuffle on doc) → prefix self-equi-join
-    * on (lang, shingle) — every stage is a standard distributed shuffle on
+    * on (lang, digest) — every stage is a standard distributed shuffle on
     * a small key; nothing is quadratic except within prefix-shingle blocks,
-    * which df-ordering keeps near-singleton.
+    * which df-ordering keeps near-singleton. Two further prunes matter at
+    * 100 TB: every stage carries 8-byte xxhash64 shingle DIGESTS, never the
+    * n-token strings (`shingleDigests` — the verify join-back was the
+    * dominant shuffle volume on strings), and candidates pass PPJoin's
+    * LENGTH filter t·max(|A|,|B|) ≤ min(|A|,|B|) (a Jaccard ≥ t pair cannot
+    * differ in size by more than 1/t) BEFORE the distinct shuffle.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -844,7 +859,7 @@ object Dedup {
     // real (worst case: recompute), where MEMORY_AND_DISK blocks would
     // accumulate on spill disk until session end.
     val t = docs.select(col("doc_id").as("id"), col("lang"),
-      shingles(col("text"), n).as("sh"))
+      shingleDigests(col("text"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
       size(col("sh")).as("n"))
@@ -859,10 +874,16 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-      .select(col("id"), col("lang"), col("s"))
+      .select(col("id"), col("lang"), col("s"), col("n"))
+    // Length filter: J(A,B) ≤ min/max, so J ≥ t forces t·|A| ≤ |B| and
+    // t·|B| ≤ |A|. The 1e-6 slack keeps the prune conservative under
+    // double rounding of t·n (sizes are exact ints; the product's float
+    // error is ≪ 1e-6 for any real document) — never drops a true pair.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          lit(threshold) * col("a.n") <= col("b.n") + lit(1e-6) &&
+          lit(threshold) * col("b.n") <= col("a.n") + lit(1e-6))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     cand
@@ -896,9 +917,10 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Same 4-reference cache rationale as ngramJaccardPairs.
+    // Same 4-reference cache rationale as ngramJaccardPairs; same 8-byte
+    // digest representation for every shuffled stage.
     val t = docs.select(col("doc_id").as("id"), col("lang"),
-      shingles(col("text"), n).as("sh"))
+      shingleDigests(col("text"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
       size(col("sh")).as("n"))
@@ -908,10 +930,14 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
     val prefix = ranked
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-      .select(col("id"), col("lang"), col("s"))
+      .select(col("id"), col("lang"), col("s"), col("n"))
+    // Asymmetric length filter: overlap ≥ ⌈t·|A|⌉ and overlap ≤ |B| force
+    // t·|A| ≤ |B| (no bound the other way — B may be arbitrarily larger).
+    // Same conservative 1e-6 slack as the Jaccard variant.
     val cand = prefix.as("a").join(ranked.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
-          col("a.id") =!= col("b.id"))
+          col("a.id") =!= col("b.id") &&
+          lit(threshold) * col("a.n") <= col("b.n") + lit(1e-6))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
     cand

@@ -37,7 +37,14 @@ object Tables {
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => raw
+        case org.apache.spark.sql.types.TimestampType => raw
+        case other =>
+          // A corpus-format drift (new precision / adjusted-to-UTC flag)
+          // must fail HERE with a clear message, not downstream in
+          // window/unix-time code with a type error three operators later.
+          throw new IllegalStateException(
+            s"events.ts decoded as unexpected type $other — " +
+              "extend Tables.load's ts normalization for this corpus format")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

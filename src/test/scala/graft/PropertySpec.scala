@@ -136,6 +136,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native ShingleDigests equals sorted xxhash64 of the ShingleSet strings") {
+    import spark.implicits._
+    val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "é"))
+      .map(_.take(12).mkString(" "))
+    forAll(Gen.listOfN(15, genDoc)) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("text")
+        val toks = split(col("text"), " ")
+        // xxhash64() is Spark's seed-42 XXH64 — the same digest the native
+        // expression computes per shingle; sorting the hashed string set
+        // must reproduce the native output exactly (both signed ascending).
+        val viaStrings = array_sort(
+          transform(graft.functions.ShingleSet(toks, 3), s => xxhash64(s)))
+        val rows = df.select(
+          graft.functions.ShingleDigests(toks, 3).as("native"),
+          viaStrings.as("hof")).collect()
+        rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+      }
+    }
+  }
+
   test("native SimHashBits equals the HOF composition it replaced") {
     import spark.implicits._
     val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "é", "longtokenvalue"))
