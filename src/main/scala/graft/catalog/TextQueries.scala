@@ -305,6 +305,35 @@ object TextQueries extends Catalog {
              |  count(*) AS n_tokens
              |FROM counts GROUP BY freq_bucket ORDER BY freq_bucket""".stripMargin)),
 
+    // [ext] Collocation extraction (Church & Hanks 1990): top-50 token
+    // pairs co-occurring within a ±3 offset window, ranked by EXACT count
+    // (ties on the pair strings — the float PMI is reported, never the
+    // sort key). Pairs are generated map-side from array slices (no
+    // position self-join, no lambda HOFs); the only shuffles are the two
+    // keyed counts. PMI's single ln rounds to 4dp, absorbing cross-engine
+    // 1-ulp wobble on exact-integer ratios (DSIR discipline).
+    Q("text_pmi_pairs",
+      (s, dir) => Text.pmiPairs(load(s, dir, "documents"),
+        window = 3, topK = 50, minCount = 5),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |pos AS (SELECT doc_id, i, l[i] AS tok
+             |        FROM t, unnest(range(1, len(l)+1)) AS u(i)),
+             |pr AS (SELECT least(a.tok, b.tok) AS w1,
+             |              greatest(a.tok, b.tok) AS w2
+             |       FROM pos a JOIN pos b
+             |       ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+             |cp AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+             |uni AS (SELECT tok AS w, count(*) AS cw FROM pos GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM pos) AS n_tok,
+             |               (SELECT count(*) FROM pr) AS n_p)
+             |SELECT w1, w2, c_ab,
+             |  round(ln(c_ab::DOUBLE * n_tok * n_tok /
+             |           (n_p::DOUBLE * u1.cw * u2.cw)), 4) AS pmi
+             |FROM cp JOIN uni u1 ON cp.w1 = u1.w
+             |        JOIN uni u2 ON cp.w2 = u2.w, tot
+             |WHERE c_ab >= 5
+             |ORDER BY c_ab DESC, w1, w2 LIMIT 50""".stripMargin)),
+
     // X6: per-language/source aggregates (exact integer sums).
     Q("text_lang_stats",
       (s, dir) => load(s, dir, "documents")
@@ -698,6 +727,53 @@ object TextQueries extends Catalog {
              |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // [ext] Cross-source duplication matrix — the governance report a
+    // training-data pipeline runs before mixing corpora: verified
+    // near-dup pairs (the ngram-jaccard definition above) aggregated by
+    // unordered source pair, with the pair count and the SUM of jaccard
+    // in integer basis points (a float avg would be partition-order-
+    // dependent; the bp sum is exact and order-free — readers divide).
+    // Costs one small keyed join back to (doc_id, source) on top of the
+    // PPJoin pair generation; output is O(sources²), driver-safe.
+    Q("dedup_cross_source_matrix",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.ngramJaccardPairs(docs, 3, 0.6)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("_sa")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("_sb")), "doc_b")
+          .select(least(col("_sa"), col("_sb")).as("source_a"),
+            greatest(col("_sa"), col("_sb")).as("source_b"),
+            col("jaccard"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(round(col("jaccard") * 10000).cast("long"))
+              .as("sum_jaccard_bp"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id AS id, lang,
+             |    CASE WHEN len($Toks) < 3 THEN []::VARCHAR[]
+             |      ELSE list_sort(list_distinct(list_transform(range(1, len($Toks) - 1),
+             |        i -> array_to_string(($Toks)[i : i + 2], ' ')))) END AS sh
+             |  FROM documents),
+             |p AS (SELECT doc_a, doc_b, jaccard FROM (
+             |  SELECT a.id AS doc_a, b.id AS doc_b,
+             |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) q
+             |  WHERE jaccard >= 0.6)
+             |SELECT least(sa.source, sb.source) AS source_a,
+             |  greatest(sa.source, sb.source) AS source_b,
+             |  count(*) AS n_pairs,
+             |  sum(CAST(round(jaccard * 10000, 0) AS BIGINT))::BIGINT
+             |    AS sum_jaccard_bp
+             |FROM p JOIN documents sa ON p.doc_a = sa.doc_id
+             |       JOIN documents sb ON p.doc_b = sb.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // n-gram CONTAINMENT dedup (Broder 1997's asymmetric companion to
     // resemblance): directed pairs where ≥ 80% of src's 3-gram shingles

@@ -506,4 +506,62 @@ object Text {
       .distinct()
       .filter(levenshtein(col("a"), col("b")) <= 1)
   }
+
+  /** Collocation extraction via windowed pointwise mutual information
+    * (Church & Hanks 1990): count unordered token co-occurrences within a
+    * ±`window` offset, then rank pairs and report
+    * `PMI = ln(p(a,b) / (p(a)·p(b)))` with `p(a,b) = c_ab/N_pairs`,
+    * `p(w) = c_w/N_tokens`.
+    *
+    * Scale shape: co-occurrence pairs are generated MAP-SIDE — for each
+    * offset d ≤ window, `arrays_zip(slice(toks,1,m−d), slice(toks,1+d,m−d))`
+    * (plain codegen'd expressions, no lambda HOFs, no per-doc self-join on
+    * positions) — so the only shuffles are the two keyed aggregations
+    * (pair counts, unigram counts) with map-side partial combine, both
+    * O(vocab²-observed) / O(vocab), never O(corpus²). Totals ride a 1-row
+    * broadcast; the final top-k pushes TakeOrdered. Ranking is on the
+    * EXACT integer count (ties on the pair strings) — the float PMI is a
+    * reported value, never the sort key; it rounds to 4dp which absorbs
+    * ln's cross-engine 1-ulp wobble (same discipline as DSIR's scores).
+    */
+  def pmiPairs(docs: DataFrame, window: Int, topK: Int, minCount: Long,
+               textCol: String = "text"): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    // Tokenized once, referenced by the unigram branch and `window` pair
+    // branches — same MEMORY_ONLY multi-reference rationale as the dedup
+    // shingle caches.
+    val toks = docs.select(tokens(col(textCol)).as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val m = size(col("l"))
+    val pairs = (1 to window).map { d =>
+      toks.filter(m > d)
+        .select(explode(arrays_zip(
+          slice(col("l"), lit(1), m - d),
+          slice(col("l"), lit(d + 1), m - d))).as("p"))
+        .select(least(col("p")("0"), col("p")("1")).as("w1"),
+          greatest(col("p")("0"), col("p")("1")).as("w2"))
+    }.reduce(_.unionByName(_))
+    val cp = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("l")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    // 1-row totals, broadcast: token count from the unigram state, pair
+    // count in closed form from the per-doc lengths (Σ_d max(m−d, 0)) —
+    // no second pass over the exploded pairs.
+    val totals = broadcast(
+      uni.agg(sum(col("cw")).as("n_tok")).crossJoin(
+        toks.select((1 to window).map(d =>
+            sum(greatest(m - d, lit(0)).cast("long")).as(s"_p$d")): _*)
+          .select((1 to window).map(d => col(s"_p$d"))
+            .reduce(_ + _).as("n_p"))))
+    cp.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_p").cast("double") * col("cw1") * col("cw2"))), 4).as("pmi"))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

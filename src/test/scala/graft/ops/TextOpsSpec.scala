@@ -219,6 +219,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(1L -> ((2L, 2L, 4L)), 3L -> ((3L, 0L, 0L))))
   }
 
+  test("pmiPairs equals the brute-force windowed co-occurrence definition") {
+    val texts = Seq(
+      "the quick brown fox the quick brown cat",
+      "the quick red fox jumps",
+      "quick the quick the quick",
+      "solo",
+      "a b a b a b a b")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = 2
+    val fast = Text.pmiPairs(docs, window = w, topK = 1000, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute force in plain Scala over the same definition
+    val tokss = texts.map(_.split(" ").toSeq)
+    val pairs = tokss.flatMap { l =>
+      for (i <- l.indices; d <- 1 to w; if i + d < l.size)
+        yield (Seq(l(i), l(i + d)).min, Seq(l(i), l(i + d)).max)
+    }
+    val nTok = tokss.map(_.size).sum.toDouble
+    val nP = pairs.size.toDouble
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val slow = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+      .map { case ((a, b), c) =>
+        val pmi = math.log(c.toDouble * nTok * nTok / (nP * uni(a) * uni(b)))
+        (a, b) -> (c, BigDecimal(pmi).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(fast == slow)
+  }
+
   test("mergeBigramLm: merged batch counts equal the full recompute") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "b c d"),
       (3L, "x"), (4L, "a b")).toDF("doc_id", "text")
