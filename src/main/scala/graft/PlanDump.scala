@@ -41,7 +41,9 @@ object PlanDump {
       "feature_rank_normalize", "window_range_frame",
       "feature_rank_normalize_by", "join_asof_forward",
       "text_bigram_lm_incremental", "pipeline_lm_filter", "events_ab_lift",
-      "basket_components", "basket_clustering_coeff", "retrieval_hybrid_rrf")
+      "basket_components", "basket_clustering_coeff", "retrieval_hybrid_rrf",
+      "dedup_ngram_jaccard", "agg_approx_percentile",
+      "text_pmi_pairs", "dedup_cross_source_matrix")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)

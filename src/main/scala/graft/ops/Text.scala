@@ -544,8 +544,12 @@ object Text {
     val cp = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
+    // Referenced three times (both PMI join sides + the token total) —
+    // persisting the O(vocab) state avoids re-running the corpus-sized
+    // explode+count pass per reference.
     val uni = toks.select(explode(col("l")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // 1-row totals, broadcast: token count from the unigram state, pair
     // count in closed form from the per-doc lengths (Σ_d max(m−d, 0)) —
     // no second pass over the exploded pairs.
