@@ -14,6 +14,28 @@ object TextQueries extends Catalog {
   // Textual twins of graft.ops.Text/Dedup used in the oracle SQL.
   private val Toks = "string_split(text, ' ')"
   private val TokSet = s"list_sort(list_distinct($Toks))"
+
+  // Shared by text_pmi_pairs and its merged-state twin (the steady-state
+  // query must reproduce EXACTLY the full recompute — same SQL verbatim).
+  private val PmiOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+       |pos AS (SELECT doc_id, i, l[i] AS tok
+       |        FROM t, unnest(range(1, len(l)+1)) AS u(i)),
+       |pr AS (SELECT least(a.tok, b.tok) AS w1,
+       |              greatest(a.tok, b.tok) AS w2
+       |       FROM pos a JOIN pos b
+       |       ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+       |cp AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+       |uni AS (SELECT tok AS w, count(*) AS cw FROM pos GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM pos) AS n_tok,
+       |               (SELECT count(*) FROM pr) AS n_p)
+       |SELECT w1, w2, c_ab,
+       |  round(ln(c_ab::DOUBLE * n_tok * n_tok /
+       |           (n_p::DOUBLE * u1.cw * u2.cw)), 4) AS pmi
+       |FROM cp JOIN uni u1 ON cp.w1 = u1.w
+       |        JOIN uni u2 ON cp.w2 = u2.w, tot
+       |WHERE c_ab >= 5
+       |ORDER BY c_ab DESC, w1, w2 LIMIT 50""".stripMargin
   private val EnStop = Text.Lexicons.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
 
   // Shared by every incremental-minhash variant (the % 5 original, the
@@ -315,24 +337,25 @@ object TextQueries extends Catalog {
     Q("text_pmi_pairs",
       (s, dir) => Text.pmiPairs(load(s, dir, "documents"),
         window = 3, topK = 50, minCount = 5),
-      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
-             |pos AS (SELECT doc_id, i, l[i] AS tok
-             |        FROM t, unnest(range(1, len(l)+1)) AS u(i)),
-             |pr AS (SELECT least(a.tok, b.tok) AS w1,
-             |              greatest(a.tok, b.tok) AS w2
-             |       FROM pos a JOIN pos b
-             |       ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
-             |cp AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
-             |uni AS (SELECT tok AS w, count(*) AS cw FROM pos GROUP BY 1),
-             |tot AS (SELECT (SELECT count(*) FROM pos) AS n_tok,
-             |               (SELECT count(*) FROM pr) AS n_p)
-             |SELECT w1, w2, c_ab,
-             |  round(ln(c_ab::DOUBLE * n_tok * n_tok /
-             |           (n_p::DOUBLE * u1.cw * u2.cw)), 4) AS pmi
-             |FROM cp JOIN uni u1 ON cp.w1 = u1.w
-             |        JOIN uni u2 ON cp.w2 = u2.w, tot
-             |WHERE c_ab >= 5
-             |ORDER BY c_ab DESC, w1, w2 LIMIT 50""".stripMargin)),
+      Some(PmiOracleSql)),
+
+    // [ext] PMI at STEADY STATE: the same top-50 computed from MERGED
+    // per-batch states (doc_id parity split) — `pmiState` partials sum
+    // into exactly the full-corpus state (minCount applies at read time,
+    // so pairs crossing the threshold only after a later batch are not
+    // lost). The oracle is the identical full-recompute SQL: the hash
+    // match IS the merge ≡ full proof, per-row.
+    Q("text_pmi_incremental",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        Text.pmiFromState(
+          Text.mergePmiState(
+            Text.pmiState(docs.filter(col("doc_id") % 2 === 0), 3)
+              .unionByName(
+                Text.pmiState(docs.filter(col("doc_id") % 2 =!= 0), 3))),
+          topK = 50, minCount = 5)
+      },
+      Some(PmiOracleSql)),
 
     // X6: per-language/source aggregates (exact integer sums).
     Q("text_lang_stats",

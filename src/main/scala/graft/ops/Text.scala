@@ -525,8 +525,23 @@ object Text {
     * ln's cross-engine 1-ulp wobble (same discipline as DSIR's scores).
     */
   def pmiPairs(docs: DataFrame, window: Int, topK: Int, minCount: Long,
+               textCol: String = "text"): DataFrame =
+    pmiFromState(pmiState(docs, window, textCol), topK, minCount)
+
+  /** The mergeable frequency state behind `pmiPairs`: UNFILTERED windowed
+    * pair counts (`kind = 'p'`) and unigram counts (`kind = 'u'`) in one
+    * frame — the incremental-view pattern (`IncrAgg`/`percentileState`/
+    * `mergeBigramLm`): partials built from independent ingest batches merge
+    * by summing counts into a state identical to one built from the union,
+    * and both PMI totals (N_tokens, N_pairs) are recoverable as state sums,
+    * so a refresh reads the O(vocab + vocab²-observed) state, never the raw
+    * history. minCount filtering happens at READ time (`pmiFromState`) —
+    * a state filtered at build time would under-merge counts that cross
+    * the threshold only after a later batch.
+    */
+  def pmiState(docs: DataFrame, window: Int,
                textCol: String = "text"): DataFrame = {
-    require(window >= 1 && topK >= 1)
+    require(window >= 1)
     // Tokenized once, referenced by the unigram branch and `window` pair
     // branches — same MEMORY_ONLY multi-reference rationale as the dedup
     // shingle caches.
@@ -541,24 +556,41 @@ object Text {
         .select(least(col("p")("0"), col("p")("1")).as("w1"),
           greatest(col("p")("0"), col("p")("1")).as("w2"))
     }.reduce(_.unionByName(_))
-    val cp = pairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c_ab"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .select(lit("p").as("kind"), col("w1"), col("w2"), col("c"))
+      .unionByName(
+        toks.select(explode(col("l")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .select(lit("u").as("kind"), col("w").as("w1"),
+            lit(null).cast("string").as("w2"), col("c")))
+  }
+
+  /** Merge unioned `pmiState` partials: one keyed sum. */
+  def mergePmiState(partials: DataFrame): DataFrame =
+    partials.groupBy(col("kind"), col("w1"), col("w2"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Top-k PMI collocations from a `(kind, w1, w2, c)` state — the read
+    * side of the incremental pair above; `pmiPairs` is exactly
+    * `pmiFromState(pmiState(docs))`. Ranked by the EXACT integer count
+    * (ties on the pair strings); the float PMI is a reported value, never
+    * the sort key, rounded 4dp to absorb ln's cross-engine 1-ulp wobble.
+    */
+  def pmiFromState(state: DataFrame, topK: Int, minCount: Long): DataFrame = {
+    require(topK >= 1)
+    // Referenced three times (pair branch, unigram join sides, totals) —
+    // persisting the O(vocab) state avoids recomputing its lineage per
+    // reference.
+    val st = state.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cp = st.filter(col("kind") === "p")
+      .select(col("w1"), col("w2"), col("c").as("c_ab"))
       .filter(col("c_ab") >= minCount)
-    // Referenced three times (both PMI join sides + the token total) —
-    // persisting the O(vocab) state avoids re-running the corpus-sized
-    // explode+count pass per reference.
-    val uni = toks.select(explode(col("l")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    // 1-row totals, broadcast: token count from the unigram state, pair
-    // count in closed form from the per-doc lengths (Σ_d max(m−d, 0)) —
-    // no second pass over the exploded pairs.
-    val totals = broadcast(
-      uni.agg(sum(col("cw")).as("n_tok")).crossJoin(
-        toks.select((1 to window).map(d =>
-            sum(greatest(m - d, lit(0)).cast("long")).as(s"_p$d")): _*)
-          .select((1 to window).map(d => col(s"_p$d"))
-            .reduce(_ + _).as("n_p"))))
+    val uni = st.filter(col("kind") === "u")
+      .select(col("w1").as("w"), col("c").as("cw"))
+    // 1-row totals, broadcast: both corpus sizes are state sums.
+    val totals = broadcast(st.agg(
+      sum(when(col("kind") === "u", col("c"))).as("n_tok"),
+      sum(when(col("kind") === "p", col("c"))).as("n_p")))
     cp.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
       .crossJoin(totals)

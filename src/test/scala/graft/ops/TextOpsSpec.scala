@@ -252,6 +252,30 @@ class TextOpsSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("mergePmiState: merged batch states equal the full-corpus state") {
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "b c d"), (2L, "a b a b"),
+      (3L, "x"), (4L, "c d e f")).toDF("doc_id", "text")
+    def asMap(st: org.apache.spark.sql.DataFrame) = st
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2))) -> r.getLong(3)).toMap
+    val full = asMap(Text.pmiState(docs, window = 2))
+    val merged = asMap(Text.mergePmiState(
+      Text.pmiState(docs.filter($"doc_id" % 2 === 0), window = 2)
+        .unionByName(Text.pmiState(docs.filter($"doc_id" % 2 =!= 0), window = 2))))
+    assert(full.nonEmpty && merged == full)
+    // a pair split across batches keeps full multiplicity
+    assert(full(("p", "a", Some("b"))) >= 4L)
+    // and the read side agrees row-for-row with the one-shot path
+    val direct = Text.pmiPairs(docs, window = 2, topK = 100, minCount = 2)
+      .collect().toSeq
+    val viaMerge = Text.pmiFromState(Text.mergePmiState(
+        Text.pmiState(docs.filter($"doc_id" % 2 === 0), window = 2)
+          .unionByName(Text.pmiState(docs.filter($"doc_id" % 2 =!= 0), window = 2))),
+      topK = 100, minCount = 2).collect().toSeq
+    assert(direct == viaMerge)
+  }
+
   test("mergeBigramLm: merged batch counts equal the full recompute") {
     val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "b c d"),
       (3L, "x"), (4L, "a b")).toDF("doc_id", "text")
