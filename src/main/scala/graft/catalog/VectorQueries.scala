@@ -334,8 +334,14 @@ object VectorQueries extends Catalog {
     Q("sim_knn_triangles",
       (s, dir) => {
         val knn = Vectors.knnGraph(load(s, dir, "embeddings"), 0.4, 5)
+        // Persisted: trianglesPerNode references its edge input three
+        // times (both symmetrization branches + the orientation build);
+        // un-cached, each reference replays the whole kNN construction —
+        // banded join, verify, per-node window — which tripled this
+        // query's cost. Edge-list-sized, MEMORY_ONLY.
         val und = knn.select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         graft.ops.Graph.trianglesPerNode(und)
           .select(col("node").as("vec_id"), col("triangles"))
           .orderBy(col("vec_id"))
