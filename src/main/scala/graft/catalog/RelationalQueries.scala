@@ -170,6 +170,35 @@ object RelationalQueries extends Catalog {
              |  GROUP BY c_custkey) t
              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
 
+    // FULL OUTER join — both null-producing sides exercised (23 rich
+    // customers without urgent orders, 1167 urgent-order customers outside
+    // the rich slice at sf0.01): the reconciliation join shape (ledger vs
+    // ledger) where either side may be missing. One shuffle keyed on the
+    // join key; output carries the coalesced key + side flag so null
+    // semantics are hash-pinned, not just counted.
+    Q("join_full_outer",
+      (s, dir) => {
+        val cust = load(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"))
+        val urgent = load(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+        cust.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_custkey").isNotNull.as("in_rich"),
+            coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+          .orderBy(col("custkey"))
+      },
+      Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+             |o AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+             |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             |  (c_custkey IS NOT NULL) AS in_rich,
+             |  coalesce(n_urgent, 0)::BIGINT AS n_urgent
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // AS-OF join (no native Spark operator): each click enriched with the
     // user's most recent purchase value at or before the click. Implemented
     // as UNION + running last_value (one shuffle on the key, O(n) work —
