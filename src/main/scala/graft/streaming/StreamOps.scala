@@ -658,6 +658,44 @@ object StreamOps {
       .parquet(s"$vocabRoot/batch=$batchId")
   }
 
+  /** Streaming collocation state: each micro-batch's windowed pair +
+    * unigram counts (`Text.pmiState` — the mergeable PMI frame) land under
+    * `stateDir/batch=<id>`; the top-k read side (`pmiTopK`) merges all
+    * partials with one keyed sum, so the merged state — and therefore the
+    * collocation report — is identical to one built from the union of
+    * every batch (TextQueries' `text_pmi_incremental` pins the same
+    * equivalence against the full-recompute oracle). Same exactly-once
+    * state-dir contract as the other sinks: each write overwrites exactly
+    * its own `batch=` dir, so crash-replay of an uncommitted batch is
+    * idempotent; `Load.compactPartitioned` folds delta dirs on
+    * maintenance cadence (partials stay partials — counts re-sum).
+    */
+  def pmiSink(docs: DataFrame, stateDir: String, checkpoint: String,
+              window: Int): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        pmiDocumentBatch(batch, id, stateDir, window)
+      }
+
+  /** One micro-batch of `pmiSink`, public for direct testing and crash
+    * replay.
+    */
+  def pmiDocumentBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                       window: Int): Unit =
+    graft.ops.Text.pmiState(batch, window).write.mode("overwrite")
+      .parquet(s"$stateDir/batch=$batchId")
+
+  /** Read side of `pmiSink`: top-k collocations from the merged stored
+    * state — never the raw document history.
+    */
+  def pmiTopK(spark: SparkSession, stateDir: String, topK: Int,
+              minCount: Long): DataFrame =
+    graft.ops.Text.pmiFromState(
+      graft.ops.Text.mergePmiState(
+        spark.read.parquet(stateDir).drop("batch")),
+      topK, minCount)
+
   /** Streaming distribution-drift monitoring: every micro-batch is scored
     * (`Quality.psiDriftFromCounts`) against the reference histogram
     * accumulated by PRIOR batches, then its own `(bucket, n)` histogram

@@ -569,6 +569,41 @@ class StreamOpsSpec extends SparkSpec {
       Set(("en", "alpha", 1L), ("en", "beta", 1L), ("en", "gamma", 1L)))
   }
 
+  test("pmiSink: merged stream state reproduces the one-shot collocations; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("pmi-src")
+    val state = tmpDir("pmi-state")
+    val ckpt = tmpDir("pmi-ckpt")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"lang":"en","text":"$text"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    writeFile("b1.json", Seq(doc(1, "a b c a b"), doc(2, "b c d")))
+    writeFile("b2.json", Seq(doc(3, "a b a b"), doc(4, "c d e f")))
+    val q = StreamOps.pmiSink(
+      StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+      state, ckpt, window = 2).trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    val fullDocs = Seq((1L, "a b c a b"), (2L, "b c d"),
+      (3L, "a b a b"), (4L, "c d e f")).toDF("doc_id", "text")
+    def streamed = StreamOps.pmiTopK(spark, state, topK = 100, minCount = 2)
+      .collect().toSeq
+    val oneShot = graft.ops.Text.pmiPairs(fullDocs, window = 2,
+      topK = 100, minCount = 2).collect().toSeq
+    assert(streamed.nonEmpty && streamed == oneShot)
+
+    // crash-replay of the LAST batch: the rewrite lands in exactly its own
+    // batch dir, so the merged state — and the report — is unchanged
+    val b2 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b2.json")
+    StreamOps.pmiDocumentBatch(b2, 1L, state, window = 2)
+    assert(streamed == oneShot)
+  }
+
   test("driftSink: batches score against prior histograms only; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.Quality
