@@ -1132,6 +1132,33 @@ object RelationalQueries extends Catalog {
              |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)) t
              |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin)),
 
+    // W1b: the distribution window functions — ntile quartiles,
+    // percent_rank, cume_dist — per status over the exact-cents price
+    // order. The o_orderkey tiebreak makes the sort a TOTAL order (no
+    // peer groups), so all three are engine-deterministic; the 6dp round
+    // on the two ratios is belt-and-braces (they're exact small-int
+    // divisions in double anyway). Every row hash-checked, not a sample.
+    Q("window_ntile_dist",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(Exact.cents(col("o_totalprice")), col("o_orderkey"))
+        load(s, dir, "orders")
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("tile"),
+            col("pr"), col("cd"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus,
+             |  ntile(4) OVER w AS tile,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |  ORDER BY ${cents("o_totalprice")}, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     Q("window_lag_lead",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
