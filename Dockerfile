@@ -32,7 +32,9 @@ ENV TZ=UTC
 
 # Healthcheck: the pipeline's first successful run creates the etl_runs
 # table directory inside the warehouse — its absence after startup means
-# no run has completed.
+# no run has completed. The path must match `database.path` in
+# config/pipeline_config.json; if you point the config elsewhere, update
+# this line too.
 HEALTHCHECK --interval=60s --timeout=10s --retries=3 \
     CMD test -d /app/data/warehouse/etl_runs || exit 1
 

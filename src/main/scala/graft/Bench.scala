@@ -82,21 +82,25 @@ object Bench {
     // MEDIAN — robust to one contention spike AND to the first run's
     // one-time codegen-compile cost; all raw timings land in
     // BENCH_LOCAL.json so the aggregation stays auditable.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
+    val runs = (scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").trim.toInt)
+      .getOrElse(3)) max 1
     // (name, reported median, ok, all raw timings)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // Drop ALL cached blocks before EVERY timed run, including the
+      // first: Spark's CacheManager matches persist() calls by
+      // canonicalized plan, so a query sharing a sub-plan with an earlier
+      // query (or with its own earlier run) silently reuses MEMORY_ONLY
+      // frames and measures probe-only cost — flattering exactly the
+      // queries (rebuild-from-text dedup) whose build cost is the number.
+      // The stored-index prewarm frames are re-read from parquet after
+      // this (never re-derived from text), which is the steady-state
+      // contract anyway.
+      spark.catalog.clearCache()
       val (t1, ok1) = timeOne(name, fn)
       // A failed query is not re-run: its failure must stay visible, not
       // be averaged with retries.
       val all = if (!ok1) Seq((t1, ok1)) else (t1, ok1) +: (2 to runs).map { _ =>
-        // Drop ALL cached blocks before each re-run: Spark's CacheManager
-        // matches persist() calls by canonicalized plan, so a second run of
-        // the same query silently reuses the first run's MEMORY_ONLY
-        // frames and measures probe-only cost — flattering exactly the
-        // queries (rebuild-from-text dedup) whose build cost is the number.
-        // The stored-index prewarm frames are re-read from parquet after
-        // this (never re-derived from text), which is the steady-state
-        // contract anyway.
         spark.catalog.clearCache()
         timeOne(name, fn)
       }

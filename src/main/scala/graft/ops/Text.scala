@@ -540,13 +540,23 @@ object Text {
     * the threshold only after a later batch.
     */
   def pmiState(docs: DataFrame, window: Int,
-               textCol: String = "text"): DataFrame = {
-    require(window >= 1)
+               textCol: String = "text"): DataFrame =
     // Tokenized once, referenced by the unigram branch and `window` pair
     // branches — same MEMORY_ONLY multi-reference rationale as the dedup
-    // shingle caches.
-    val toks = docs.select(tokens(col(textCol)).as("l"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // shingle caches. Long-running callers that invoke this per micro-
+    // batch must manage the cache themselves via `pmiStateFromTokens`
+    // (see StreamOps.pmiDocumentBatch) — a per-batch persist with no
+    // unpersist would accumulate dead entries for the stream's life.
+    pmiStateFromTokens(
+      docs.select(tokens(col(textCol)).as("l"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY),
+      window)
+
+  /** `pmiState` from an already-tokenized `(l: array<string>)` frame, no
+    * caching — the caller owns the frame's persist/unpersist lifecycle.
+    */
+  def pmiStateFromTokens(toks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
     val m = size(col("l"))
     val pairs = (1 to window).map { d =>
       toks.filter(m > d)
@@ -576,12 +586,18 @@ object Text {
     * (ties on the pair strings); the float PMI is a reported value, never
     * the sort key, rounded 4dp to absorb ln's cross-engine 1-ulp wobble.
     */
-  def pmiFromState(state: DataFrame, topK: Int, minCount: Long): DataFrame = {
+  def pmiFromState(state: DataFrame, topK: Int, minCount: Long,
+                   cache: Boolean = true): DataFrame = {
     require(topK >= 1)
     // Referenced three times (pair branch, unigram join sides, totals) —
     // persisting the O(vocab) state avoids recomputing its lineage per
-    // reference.
-    val st = state.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // reference. Pass cache=false when the state is already a stored
+    // table (a parquet read costs less than a leaked session cache entry
+    // per monitoring call — see StreamOps.pmiTopK).
+    val st =
+      if (cache)
+        state.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      else state
     val cp = st.filter(col("kind") === "p")
       .select(col("w1"), col("w2"), col("c").as("c_ab"))
       .filter(col("c_ab") >= minCount)

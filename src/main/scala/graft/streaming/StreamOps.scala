@@ -679,22 +679,33 @@ object StreamOps {
       }
 
   /** One micro-batch of `pmiSink`, public for direct testing and crash
-    * replay.
+    * replay. Owns its token cache's lifecycle — persisted for the
+    * multi-branch state build, unpersisted once the write commits, so a
+    * long-lived stream never accumulates dead per-batch cache entries
+    * (same explicit-unpersist discipline as the dedup sinks).
     */
   def pmiDocumentBatch(batch: DataFrame, batchId: Long, stateDir: String,
-                       window: Int): Unit =
-    graft.ops.Text.pmiState(batch, window).write.mode("overwrite")
-      .parquet(s"$stateDir/batch=$batchId")
+                       window: Int): Unit = {
+    val toks = batch
+      .select(graft.ops.Text.tokens(col("text")).as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try
+      graft.ops.Text.pmiStateFromTokens(toks, window).write.mode("overwrite")
+        .parquet(s"$stateDir/batch=$batchId")
+    finally toks.unpersist(false)
+  }
 
   /** Read side of `pmiSink`: top-k collocations from the merged stored
-    * state — never the raw document history.
+    * state — never the raw document history. cache=false: the state is a
+    * parquet-backed table, so re-reading it per branch costs less than
+    * leaking one session cache entry per monitoring call.
     */
   def pmiTopK(spark: SparkSession, stateDir: String, topK: Int,
               minCount: Long): DataFrame =
     graft.ops.Text.pmiFromState(
       graft.ops.Text.mergePmiState(
         spark.read.parquet(stateDir).drop("batch")),
-      topK, minCount)
+      topK, minCount, cache = false)
 
   /** Streaming distribution-drift monitoring: every micro-batch is scored
     * (`Quality.psiDriftFromCounts`) against the reference histogram

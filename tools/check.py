@@ -5,20 +5,14 @@ graft.Verify <sfDir> <outDir>"`:
 for each query output parquet, executes the matching oracle SQL in DuckDB
 over the same testdata parquet tables and compares schema-sorted values.
 """
-import sys, json, glob, os
-import duckdb
+import sys, glob
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+from oracle_common import parse_args, connect, load_oracle, query_names
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(out_dir)
-               if os.path.isdir(os.path.join(out_dir, d)))
+sf_dir, out_dir = parse_args(sys.argv)
+con = connect(sf_dir)
+oracle = load_oracle(out_dir)
+names = query_names(out_dir)
 
 ok = bad = skip = 0
 for name in names:

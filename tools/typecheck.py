@@ -7,27 +7,22 @@ Spark output parquet column types (both read through DuckDB so the type
 names are comparable), flagging any mismatch — especially HUGEINT /
 INT128 leaks from un-cast sum() windows or // division.
 """
-import sys, json, glob, os
-import duckdb
+import glob
+import sys
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+from oracle_common import parse_args, connect, load_oracle, query_names
 
-con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(
-        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+sf_dir, out_dir = parse_args(sys.argv)
+con = connect(sf_dir)
+oracle = load_oracle(out_dir)
 
-oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(out_dir)
-               if os.path.isdir(os.path.join(out_dir, d)))
 
 def coltypes(rel):
     return dict(zip(rel.columns, [str(t) for t in rel.types]))
 
+
 bad = ok = skip = 0
-for name in names:
+for name in query_names(out_dir):
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files or name not in oracle:
         skip += 1
