@@ -357,6 +357,49 @@ object TextQueries extends Catalog {
       },
       Some(PmiOracleSql)),
 
+    // [ext] TextRank keyword extraction (Mihalcea & Tarau 2004): integer
+    // PageRank over the word co-occurrence graph — the PMI pair state's
+    // edges (count ≥ 3) undirected, 3 fixed iterations of the same
+    // all-long rank arithmetic as graph_pagerank, top-25 by (rank, token).
+    // The full composition is vocab-sized after the one corpus-scan state
+    // build; the oracle replays pair counts, the undirected closure, and
+    // every unrolled iteration, so the ranks are bit-exact, not "close".
+    Q("text_textrank_keywords",
+      (s, dir) => {
+        val edges = Text.pmiState(load(s, dir, "documents"), 3)
+          .filter(col("kind") === "p" && col("c") >= 3)
+          .select(col("w1").as("src"), col("w2").as("dst"))
+        graft.ops.Graph.pageRankBp(graft.ops.Graph.undirect(edges), 3)
+          .select(col("node").as("token"), col("rank_bp"))
+          .orderBy(col("rank_bp").desc, col("token"))
+          .limit(25)
+      },
+      Some {
+        def step(prev: String) =
+          s"""SELECT u.dst AS node,
+             |  1500 + sum((85 * r.rank_bp) // (100 * d.outdeg)) AS rank_bp
+             |FROM und u JOIN deg d ON u.src = d.src
+             |           JOIN $prev r ON u.src = r.node
+             |GROUP BY u.dst""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+           |pos AS (SELECT doc_id, i, l[i] AS tok
+           |        FROM t, unnest(range(1, len(l)+1)) AS u(i)),
+           |pr AS (SELECT least(a.tok, b.tok) AS w1,
+           |              greatest(a.tok, b.tok) AS w2
+           |       FROM pos a JOIN pos b
+           |       ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 3),
+           |cp AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+           |e0 AS (SELECT w1 AS src, w2 AS dst FROM cp WHERE c >= 3),
+           |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+           |r0 AS (SELECT src AS node, 10000::BIGINT AS rank_bp FROM deg),
+           |r1 AS (${step("r0")}),
+           |r2 AS (${step("r1")}),
+           |r3 AS (${step("r2")})
+           |SELECT node AS token, rank_bp::BIGINT AS rank_bp FROM r3
+           |ORDER BY rank_bp DESC, token LIMIT 25""".stripMargin
+      }),
+
     // X6: per-language/source aggregates (exact integer sums).
     Q("text_lang_stats",
       (s, dir) => load(s, dir, "documents")
