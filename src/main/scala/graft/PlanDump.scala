@@ -43,7 +43,9 @@ object PlanDump {
       "text_bigram_lm_incremental", "pipeline_lm_filter", "events_ab_lift",
       "basket_components", "basket_clustering_coeff", "retrieval_hybrid_rrf",
       "dedup_ngram_jaccard", "agg_approx_percentile",
-      "text_pmi_pairs", "dedup_cross_source_matrix")
+      "text_pmi_pairs", "dedup_cross_source_matrix",
+      "text_pmi_incremental", "text_textrank_keywords",
+      "window_ntile_dist", "join_full_outer", "sim_knn_triangles")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
