@@ -40,6 +40,77 @@ object CurateQueries extends Catalog {
 
   val all: Seq[Q] = Seq(
 
+    // [ext] The dataset datasheet in one query — the corpus-card summary a
+    // training-data pipeline publishes with every release (docs, language/
+    // source coverage, size, exact length percentiles, exact-dup count),
+    // long-format (metric, value) and ALL integer-exact so the whole card
+    // hash-matches. Costs: one aggregate scan (counts/sums/distinct-md5),
+    // one tokenize scan, and the scale-safe two-level percentile on the
+    // distinct-length frame — no global sort, no window over rows.
+    Q("pipeline_corpus_card",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val base = docs.agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("source")).as("n_sources"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(size(graft.ops.Text.tokens(col("text")))).as("total_tokens"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_distinct"))
+          .select(array(
+            struct(lit("n_docs").as("metric"),
+              col("n_docs").cast("long").as("value")),
+            struct(lit("n_langs").as("metric"),
+              col("n_langs").cast("long").as("value")),
+            struct(lit("n_sources").as("metric"),
+              col("n_sources").cast("long").as("value")),
+            struct(lit("total_chars").as("metric"),
+              col("total_chars").cast("long").as("value")),
+            struct(lit("total_tokens").as("metric"),
+              col("total_tokens").cast("long").as("value")),
+            struct(lit("exact_dup_docs").as("metric"),
+              (col("n_docs") - col("n_distinct")).cast("long").as("value")))
+            .as("a"))
+          .select(explode(col("a")).as("m"))
+          .select(col("m.metric").as("metric"), col("m.value").as("value"))
+        val pct = graft.ops.Relational
+          .nearestRankPercentiles(docs, col("n_chars"), Seq(0.5, 0.9))
+          .select(concat(lit("p"),
+              (col("quantile") * 100).cast("int").cast("string"),
+              lit("_chars")).as("metric"),
+            col("value").cast("long").as("value"))
+        base.unionByName(pct).orderBy(col("metric"))
+      },
+      Some("""WITH base AS (SELECT count(*) AS n_docs,
+             |    count(DISTINCT lang) AS n_langs,
+             |    count(DISTINCT source) AS n_sources,
+             |    sum(n_chars)::BIGINT AS total_chars,
+             |    count(DISTINCT md5(text)) AS n_distinct
+             |  FROM documents),
+             |tok AS (SELECT sum(len(string_split(text, ' ')))::BIGINT
+             |          AS total_tokens FROM documents),
+             |f AS (SELECT n_chars AS v, count(*) AS c FROM documents
+             |      GROUP BY 1),
+             |cum AS (SELECT v, c,
+             |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+             |  FROM f),
+             |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |pct AS (SELECT q, v FROM cum,
+             |    (SELECT unnest([0.5, 0.9]) AS q) qs, n
+             |  WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+             |    AND hi - c < floor(q * (n - 1))::BIGINT + 1)
+             |SELECT metric, value FROM (
+             |  SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM base
+             |  UNION ALL SELECT 'n_langs', n_langs::BIGINT FROM base
+             |  UNION ALL SELECT 'n_sources', n_sources::BIGINT FROM base
+             |  UNION ALL SELECT 'total_chars', total_chars FROM base
+             |  UNION ALL SELECT 'total_tokens', total_tokens FROM tok
+             |  UNION ALL SELECT 'exact_dup_docs',
+             |    (n_docs - n_distinct)::BIGINT FROM base
+             |  UNION ALL SELECT 'p50_chars', v::BIGINT FROM pct WHERE q = 0.5
+             |  UNION ALL SELECT 'p90_chars', v::BIGINT FROM pct WHERE q = 0.9
+             |) t ORDER BY metric""".stripMargin)),
+
     // Deterministic train/val/test split: membership is a pure function of
     // md5(doc_id) — stable across runs, engines, and data growth (unlike
     // seeded randomSplit, which depends on partition order). Per-row
