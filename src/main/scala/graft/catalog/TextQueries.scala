@@ -1070,6 +1070,41 @@ object TextQueries extends Catalog {
              |md5(text) AS content_md5, n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // [ext] Frame sampling over opaque media payloads — the video-style
+    // "pick k representative frames" plumbing (deterministic stride over
+    // the byte stream standing in for frame decode, same honest-stub
+    // stance as the codec seam: the slicing/explode/schema/ordering are
+    // the real deliverable, the 16-byte windows stand in for decoded
+    // frames). Map-side explode of a fixed 4-slot sequence + one binary
+    // substring per frame; no shuffle at all before the output sort.
+    Q("multimodal_frame_sample",
+      (s, dir) => load(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+        .withColumn("n_bytes", expr("octet_length(blob)").cast("long"))
+        // both engines slice the UPPERCASE hex encoding (DuckDB 1.0 has no
+        // BLOB substring): hex offset of 1-based byte offset o is 2(o−1)+1,
+        // a 16-byte frame is 32 hex chars, and the digest runs over those
+        // ASCII chars on both sides.
+        .withColumn("h", hex(col("blob")))
+        .select(col("doc_id"), col("h"), col("n_bytes"),
+          explode(sequence(lit(0L), lit(3L))).as("frame_index"))
+        .withColumn("boff",
+          lit(1L) + col("frame_index") * greatest(expr("n_bytes div 4"), lit(1L)))
+        .filter(col("boff") <= col("n_bytes"))
+        .select(col("doc_id"), col("frame_index"),
+          md5(expr("substr(h, (boff - 1) * 2 + 1, 32)").cast("binary"))
+            .as("frame_md5"))
+        .orderBy(col("doc_id"), col("frame_index")),
+      Some("""WITH b AS (SELECT doc_id, hex(text::BLOB) AS h,
+             |    octet_length(text::BLOB)::BIGINT AS n_bytes FROM documents),
+             |fr AS (SELECT doc_id, k AS frame_index,
+             |    1 + k * greatest(n_bytes // 4, 1) AS boff, h, n_bytes
+             |  FROM b, (SELECT unnest(range(4)) AS k) ks)
+             |SELECT doc_id, frame_index,
+             |  md5(substring(h, ((boff - 1) * 2 + 1)::INT, 32)) AS frame_md5
+             |FROM fr WHERE boff <= n_bytes
+             |ORDER BY doc_id, frame_index""".stripMargin)),
+
     // Multimodal decode path: batched per-partition feature extraction
     // behind the pluggable codec seam (stub codec — container ships no
     // image/audio libs; the Spark plumbing is the deliverable).
