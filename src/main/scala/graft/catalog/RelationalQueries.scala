@@ -199,6 +199,29 @@ object RelationalQueries extends Catalog {
              |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
              |ORDER BY custkey""".stripMargin)),
 
+    // Bucketed CO-LOCATED fact-fact join — the layout answer to "this join
+    // is too big to broadcast and too hot to shuffle every run": orders
+    // and lineitem stored bucketed on the join key (StoredIndexes
+    // .bucketedSales, built once per session like the dedup indexes), so
+    // the sort-merge join reads both sides pre-partitioned and pre-sorted
+    // with ZERO exchange below it (PlanContractSpec pins that shape); the
+    // only shuffle is the priority rollup's own. At warehouse scale this
+    // is the difference between one layout write at ingest and a full
+    // 2-sided shuffle per query.
+    Q("join_bucketed_colocated",
+      (s, dir) => {
+        val (ords, li) = StoredIndexes.bucketedSales(s, dir)
+        ords.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(graft.ops.Exact.cents(col("l_extendedprice"))).as("sum_cents"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+             |  sum(${cents("l_extendedprice")})::BIGINT AS sum_cents
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // AS-OF join (no native Spark operator): each click enriched with the
     // user's most recent purchase value at or before the click. Implemented
     // as UNION + running last_value (one shuffle on the key, O(n) work —

@@ -205,6 +205,29 @@ object StoredIndexes {
   /** Force all stored-state builds and warm the read-back frames — the
     * bench warmup hook that keeps the timed `*_indexed` queries probe-only.
     */
+  /** Bucketed co-located fact tables: orders and lineitem written ONCE per
+    * (session, sf-dir) as bucketed tables on the join key (o_orderkey /
+    * l_orderkey, same bucket count), the layout a warehouse maintains so
+    * its hot fact-fact join never shuffles. The catalog's bucketed-join
+    * twin (`join_bucketed_colocated`) then measures the steady-state
+    * zero-exchange probe, not the one-time layout write (prewarmed by
+    * Bench like the other stored state). Table names carry an sf-dir
+    * suffix so multiple corpora can coexist in one session catalog.
+    */
+  def bucketedSales(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = cacheFor(s).computeIfAbsent(s"$dir|bucketed_sales", _ => {
+      val wh = newTempDir("graft-bkt-")
+      val ld = new graft.etl.Load(wh)
+      val sfx = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val on = s"graft_bkt_orders_$sfx"
+      val ln = s"graft_bkt_lineitem_$sfx"
+      ld.writeBucketed(load(s, dir, "orders"), on, 8, Seq("o_orderkey"))
+      ld.writeBucketed(load(s, dir, "lineitem"), ln, 8, Seq("l_orderkey"))
+      Seq(s.table(on), s.table(ln))
+    })
+    (v(0), v(1))
+  }
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     val (t, b) = minHash(s, dir); t.count(); b.count()
     val (n, c) = cosine(s, dir); n.count(); c.count()
@@ -212,6 +235,7 @@ object StoredIndexes {
     ivf(s, dir)._1.count()
     aggState(s, dir).count()
     dsirLm(s, dir).count()
+    bucketedSales(s, dir)._1.count()
     spanIdx(s, dir, 7).count()
     spanIdx(s, dir, 10).count()
     // run (and memoize) the geometry pre-flights too — the timed probes

@@ -41,6 +41,29 @@ class PlanContractSpec extends SparkSpec {
       s"lineitem ReadSchema too wide: ${liScans.map(_.schema.simpleString)}")
   }
 
+  test("bucketed co-located join: zero exchange below the fact-fact join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // At spec scale the planner would broadcast the tiny side (fine at
+    // runtime, AQE's call) — disable auto-broadcast so the plan under test
+    // is the one a warehouse-scale fact-fact join gets, where bucketing is
+    // the claim: a sort-merge join with NO shuffle under either side.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = q("join_bucketed_colocated")
+      val joins = p.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty,
+        "expected a sort-merge join over the bucketed sides")
+      joins.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.isEmpty,
+          "bucketed join input shuffled — bucket layout not being used")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("banded similarity queries contain NO nested-loop join") {
     Seq("dedup_embedding_cosine", "sim_ann_lsh", "dedup_minhash",
       "dedup_ngram_jaccard", "curate_decontaminate").foreach { name =>
