@@ -1085,6 +1085,31 @@ object RelationalQueries extends Catalog {
              |FROM r JOIN cum ON cum.hi >= r.rk AND cum.hi - cum.c < r.rk
              |ORDER BY quantile""".stripMargin)),
 
+    // Interpolated (PERCENTILE_CONT) percentiles — the other standard
+    // quantile definition next to agg_percentiles' nearest-rank: position
+    // h = q·(n−1), linear mix of the two bracketing values. Same two-level
+    // cumulative-count machinery (no global sort/window); the one double
+    // multiply-add per quantile rounds to 6dp, absorbing cross-engine ulp.
+    // Oracle: DuckDB's native quantile_cont — an INDEPENDENT
+    // implementation of the same type-7 definition, so the match checks
+    // the formula itself, not a replay.
+    Q("agg_percentile_cont",
+      (s, dir) => Relational.interpolatedPercentiles(
+          load(s, dir, "orders"), Exact.cents(col("o_totalprice")),
+          Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("quantile"), round(col("value") / 100.0, 6).as("price")),
+      Some(s"""WITH t AS (SELECT ${cents("o_totalprice")} AS c FROM orders)
+             |SELECT quantile, round(value / 100.0, 6) AS price FROM (
+             |  SELECT 0.25::DOUBLE AS quantile,
+             |    round(quantile_cont(c, 0.25), 6) AS value FROM t
+             |  UNION ALL SELECT 0.5::DOUBLE,
+             |    round(quantile_cont(c, 0.5), 6) FROM t
+             |  UNION ALL SELECT 0.75::DOUBLE,
+             |    round(quantile_cont(c, 0.75), 6) FROM t
+             |  UNION ALL SELECT 0.95::DOUBLE,
+             |    round(quantile_cont(c, 0.95), 6) FROM t) u
+             |ORDER BY quantile""".stripMargin)),
+
     // Grouped percentiles: same integer rank selection, partitioned per
     // order priority.
     Q("agg_percentiles_by",

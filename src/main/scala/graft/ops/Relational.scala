@@ -422,6 +422,40 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Interpolated (PERCENTILE_CONT / type-7) percentiles from the same
+    * scale-safe two-level cumulative counts as the nearest-rank family:
+    * position h = q·(n−1) (0-based), result = v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉−v⌊h⌋).
+    * Both bracketing ranks resolve against the distinct-value cumulative
+    * frame via rank-interval joins (broadcast: the rank list is
+    * O(quantiles)); NO global sort or row window anywhere. The single
+    * double multiply-add happens once per quantile at the very end —
+    * rounded 6dp, which absorbs cross-engine ulp on the interpolation.
+    */
+  def interpolatedPercentiles(df: DataFrame, value: Column,
+                              quantiles: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cum = globalValueCumCounts(df, value)
+    val ranks = quantiles.toDF("quantile")
+      .crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
+      .select(col("quantile"),
+        (floor(col("quantile") * (col("n") - 1)) + 1L).as("r1"),
+        least(floor(col("quantile") * (col("n") - 1)) + 2L, col("n")).as("r2"),
+        (col("quantile") * (col("n") - 1) -
+          floor(col("quantile") * (col("n") - 1))).as("frac"))
+    val lo = cum.join(broadcast(ranks),
+        col("hi") >= col("r1") && (col("hi") - col("c")) < col("r1"))
+      .select(col("quantile"), col("frac"), col("v").as("v1"), col("r2"))
+    val hi = cum.join(broadcast(ranks.select(col("quantile").as("q2"), col("r2"))),
+        col("hi") >= col("r2") && (col("hi") - col("c")) < col("r2"))
+      .select(col("q2"), col("v").as("v2"))
+    lo.join(broadcast(hi), col("quantile") === col("q2"))
+      .select(col("quantile"),
+        round(col("v1").cast("double") +
+          (col("v2") - col("v1")).cast("double") * col("frac"), 6).as("value"))
+      .orderBy(col("quantile"))
+  }
+
   /** Per-group nearest-rank percentiles: `nearestRankPercentiles` with the
     * cumulative count partitioned by `groupCols` and each group's own row
     * count from a partition-wide window — still one groupBy shuffle onto

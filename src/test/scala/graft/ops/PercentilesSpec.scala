@@ -61,4 +61,23 @@ class PercentilesSpec extends SparkSpec {
     assert(st == Set(("a", 10, 1L), ("a", 20, 2L), ("a", 30, 1L),
       ("a", 90, 1L), ("b", 5, 2L), ("b", 7, 1L)))
   }
+
+  test("interpolatedPercentiles: bracketing, ties, and single-row edges") {
+    def pct(vals: Seq[Int], qs: Seq[Double]): Map[Double, Double] =
+      Relational.interpolatedPercentiles(vals.toDF("v"), col("v"), qs)
+        .as[(Double, Double)].collect().toMap
+    // n=1: every quantile is the single value (r1 = r2 = 1, frac = 0)
+    assert(pct(Seq(42), Seq(0.0, 0.5, 1.0)) ==
+      Map(0.0 -> 42.0, 0.5 -> 42.0, 1.0 -> 42.0))
+    // exact midpoint between two values: 0 .. 100 at q=0.5 → 50
+    assert(pct(Seq(0, 100), Seq(0.5)) == Map(0.5 -> 50.0))
+    // type-7 on 1..4: h = q·3 → q=0.25 ⇒ 1.75, q=0.5 ⇒ 2.5
+    assert(pct(Seq(1, 2, 3, 4), Seq(0.25, 0.5)) ==
+      Map(0.25 -> 1.75, 0.5 -> 2.5))
+    // ties collapse into one distinct-value row but keep their mass:
+    // 1,1,1,9 → h(0.5) = 1.5 sits inside the run of 1s → exactly 1
+    assert(pct(Seq(1, 1, 1, 9), Seq(0.5)) == Map(0.5 -> 1.0))
+    // q=1.0 returns the max with no out-of-range r2 (least(n) clamp)
+    assert(pct(Seq(3, 1, 7), Seq(1.0)) == Map(1.0 -> 7.0))
+  }
 }
