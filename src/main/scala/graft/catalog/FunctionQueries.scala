@@ -398,6 +398,48 @@ object FunctionQueries extends Catalog {
              |  cents IS NULL AS is_gap
              |FROM j ORDER BY user_id, hour_ts""".stripMargin)),
 
+    // Linear-interpolation gap repair (EventOps.gapFillHourlyInterp) —
+    // events_gapfill's sibling for continuously-varying measures: missing
+    // hours take the straight line between bracketing observed hours
+    // (every gap has both neighbors — the grid spans observed min..max).
+    // EXACT integer millicents via floor division — no float mix, no
+    // rounding-mode sensitivity (a float version hit an exact decimal
+    // half where the two engines' round() disagree).
+    Q("events_interpolate",
+      (s, dir) => EventOps.gapFillHourlyInterp(
+          load(s, dir, "events").filter(col("user_id") % 5 === 0))
+        .orderBy(col("user_id"), col("hour_ts")),
+      Some("""WITH agg AS (
+             |  SELECT user_id, epoch(date_trunc('second', ts))::BIGINT // 3600 AS h,
+             |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+             |  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(h) AS mn, max(h) AS mx
+             |         FROM agg GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS h FROM span),
+             |j AS (SELECT g.user_id, g.h, a.cents
+             |      FROM grid g LEFT JOIN agg a
+             |        ON g.user_id = a.user_id AND g.h = a.h),
+             |w AS (SELECT user_id, h, cents,
+             |  last_value(cents IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY h
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             |  last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY h
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             |  first_value(cents IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY h
+             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             |  first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS)
+             |    OVER (PARTITION BY user_id ORDER BY h
+             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+             |  FROM j)
+             |SELECT user_id, h * 3600 AS hour_ts,
+             |  (CASE WHEN cents IS NOT NULL THEN cents * 1000
+             |    ELSE ((pv * (nh - h) + nv * (h - ph)) * 1000) // (nh - ph)
+             |   END)::BIGINT AS filled_milli,
+             |  cents IS NULL AS is_gap
+             |FROM w ORDER BY user_id, hour_ts""".stripMargin)),
+
     // Exponentially decayed counts with a 1-day half life in EXACT
     // integer arithmetic (EventOps.decayedCounts): weight = 10000 div
     // 2^age_days — recency weighting with zero float-order sensitivity.

@@ -310,6 +310,52 @@ object EventOps {
         col("filled_value"), col("cents").isNull.as("is_gap"))
   }
 
+  /** `gapFillHourly`'s LINEAR-INTERPOLATION sibling: missing hours take
+    * the straight line between the bracketing observed hours instead of
+    * carrying the last value forward — the standard time-series repair
+    * for continuously-varying measures (LOCF fits step-like state). The
+    * grid spans each user's observed [min, max] hour, so every gap has
+    * BOTH neighbors by construction — no one-sided edge case. Same scale
+    * shape as the LOCF variant: per-user keyed windows over the hourly
+    * aggregate, never a global window.
+    *
+    * The interpolated value is EXACT integer millicents:
+    * `(pv·(nh−h) + nv·(h−ph)) · 1000 div (nh−ph)` — a float mix hits
+    * exact decimal halves (hour fractions like 1/2 of odd cents), where
+    * Spark's shortest-decimal HALF_UP round and DuckDB's raw-binary round
+    * disagree by one final digit; integer truncating division has no
+    * rounding mode at all. Requires non-negative values (then the
+    * numerator is non-negative and Spark `div` ≡ DuckDB `//`) — true of
+    * the events corpus and asserted row-by-row by the oracle hash.
+    */
+  def gapFillHourlyInterp(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val back = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val agg = events
+      .groupBy(col("user_id"),
+        (unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+      .agg(sum(Exact.cents(col("value"))).as("cents"))
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("h")).as("_mn"), max(col("h")).as("_mx"))
+      .select(col("user_id"),
+        explode(sequence(col("_mn"), col("_mx"))).as("h"))
+    val obsH = when(col("cents").isNotNull, col("h"))
+    grid.join(agg, Seq("user_id", "h"), "left_outer")
+      .withColumn("_pv", last(col("cents"), ignoreNulls = true).over(back))
+      .withColumn("_ph", last(obsH, ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col("cents"), ignoreNulls = true).over(fwd))
+      .withColumn("_nh", first(obsH, ignoreNulls = true).over(fwd))
+      .withColumn("filled_milli",
+        when(col("cents").isNotNull, col("cents") * 1000L)
+          .otherwise(expr(
+            "((_pv * (_nh - h) + _nv * (h - _ph)) * 1000) div (_nh - _ph)")))
+      .select(col("user_id"), (col("h") * 3600).as("hour_ts"),
+        col("filled_milli"), col("cents").isNull.as("is_gap"))
+  }
+
   /** Exponentially decayed event counts per type with a one-day half
     * life, in EXACT integer arithmetic: an event aged `a` days (vs the
     * newest event) weighs `10000 div 2^a` basis points, so the decayed
