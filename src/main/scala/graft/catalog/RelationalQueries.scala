@@ -1085,6 +1085,35 @@ object RelationalQueries extends Catalog {
              |FROM r JOIN cum ON cum.hi >= r.rk AND cum.hi - cum.c < r.rk
              |ORDER BY quantile""".stripMargin)),
 
+    // Exact mode (most frequent value) per group, ties to the smallest
+    // value — spelled out as count + rank on BOTH engines rather than a
+    // native mode() whose tie-breaking is engine-defined. The window runs
+    // over the distinct-value frequency frame (O(distinct) per group),
+    // never the raw rows.
+    Q("agg_mode_exact",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("qty"))
+        load(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            Exact.cents(col("l_quantity")).as("qty"))
+          .groupBy(col("l_returnflag"), col("qty"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("qty").as("mode_qty_cents"),
+            col("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH f AS (
+             |  SELECT l_returnflag, ${cents("l_quantity")} AS qty,
+             |         count(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             |        ORDER BY cnt DESC, qty) AS rn FROM f)
+             |SELECT l_returnflag, qty AS mode_qty_cents, cnt
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Interpolated (PERCENTILE_CONT) percentiles — the other standard
     // quantile definition next to agg_percentiles' nearest-rank: position
     // h = q·(n−1), linear mix of the two bracketing values. Same two-level
@@ -1206,6 +1235,37 @@ object RelationalQueries extends Catalog {
              |WINDOW w AS (PARTITION BY o_orderstatus
              |  ORDER BY ${cents("o_totalprice")}, o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // W1c: the value window functions — first/last/nth over an explicit
+    // frame. The (date, orderkey) sort is a total order, and last_value
+    // uses the FULL partition frame (the default current-row frame makes
+    // last_value ≡ the row itself — the classic footgun, pinned here the
+    // correct way on both engines).
+    Q("window_value_fns",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val full = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        load(s, dir, "orders")
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .withColumn("last_key", last(col("o_orderkey")).over(full))
+          .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("first_key"), col("last_key"), col("second_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_key,
+             |  last_value(o_orderkey) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS last_key,
+             |  nth_value(o_orderkey, 2) OVER w AS second_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     Q("window_lag_lead",
       (s, dir) => {
