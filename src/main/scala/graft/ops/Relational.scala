@@ -435,7 +435,10 @@ object Relational {
                               quantiles: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Referenced by BOTH bracketing joins (and the total) — persist the
+    // O(distinct) cumulative frame or the bucketing pass runs twice.
     val cum = globalValueCumCounts(df, value)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ranks = quantiles.toDF("quantile")
       .crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
       .select(col("quantile"),
