@@ -1139,6 +1139,29 @@ object RelationalQueries extends Catalog {
              |    round(quantile_cont(c, 0.95), 6) FROM t) u
              |ORDER BY quantile""".stripMargin)),
 
+    // Grouped PERCENTILE_CONT: the type-7 interpolation per order
+    // priority, windows over O(distinct per group) rows. Oracle: DuckDB's
+    // native grouped quantile_cont — independent implementation, so the
+    // match validates the definition per group.
+    Q("agg_percentile_cont_by",
+      (s, dir) => Relational.interpolatedPercentilesBy(
+          load(s, dir, "orders"), Seq("o_orderpriority"),
+          Exact.cents(col("o_totalprice")), Seq(0.5, 0.9))
+        .select(col("o_orderpriority"), col("quantile"),
+          round(col("value") / 100.0, 6).as("price")),
+      Some(s"""WITH t AS (SELECT o_orderpriority,
+             |    ${cents("o_totalprice")} AS c FROM orders)
+             |SELECT o_orderpriority, quantile,
+             |  round(value / 100.0, 6) AS price FROM (
+             |  SELECT o_orderpriority, 0.5::DOUBLE AS quantile,
+             |    round(quantile_cont(c, 0.5), 6) AS value
+             |  FROM t GROUP BY o_orderpriority
+             |  UNION ALL
+             |  SELECT o_orderpriority, 0.9::DOUBLE,
+             |    round(quantile_cont(c, 0.9), 6)
+             |  FROM t GROUP BY o_orderpriority) u
+             |ORDER BY o_orderpriority, quantile""".stripMargin)),
+
     // Grouped percentiles: same integer rank selection, partitioned per
     // order priority.
     Q("agg_percentiles_by",

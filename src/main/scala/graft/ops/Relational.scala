@@ -459,6 +459,53 @@ object Relational {
       .orderBy(col("quantile"))
   }
 
+  /** Per-group `interpolatedPercentiles`: same type-7 definition with the
+    * cumulative count partitioned by `groupCols` over the mergeable
+    * `percentileState` frame — windows run over O(distinct per group)
+    * rows, the rank list broadcasts, and the single double multiply-add
+    * per (group, quantile) rounds 6dp.
+    */
+  def interpolatedPercentilesBy(df: DataFrame, groupCols: Seq[String],
+                                value: Column,
+                                quantiles: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val byGroup = Window.partitionBy(g: _*)
+    val cum = percentileState(df, groupCols, value)
+      .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byGroup))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val qdf = broadcast(quantiles.toDF("quantile"))
+    val ranks = cum.select(g :+ col("n"): _*).distinct().crossJoin(qdf)
+      .select(g ++ Seq(col("quantile"),
+        (floor(col("quantile") * (col("n") - 1)) + 1L).as("r1"),
+        least(floor(col("quantile") * (col("n") - 1)) + 2L, col("n")).as("r2"),
+        (col("quantile") * (col("n") - 1) -
+          floor(col("quantile") * (col("n") - 1))).as("frac")): _*)
+    val gJoin = groupCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    val lo = cum.as("l").join(ranks.as("r"),
+        gJoin && col("l.hi") >= col("r.r1") &&
+          (col("l.hi") - col("l.c")) < col("r.r1"))
+      .select(groupCols.map(c => col(s"l.$c")) ++
+        Seq(col("r.quantile"), col("r.frac"), col("l.v").as("v1"),
+          col("r.r2")): _*)
+    val hi2 = cum.as("l").join(ranks.as("r"),
+        gJoin && col("l.hi") >= col("r.r2") &&
+          (col("l.hi") - col("l.c")) < col("r.r2"))
+      .select(groupCols.map(c => col(s"l.$c").as(s"_g_$c")) ++
+        Seq(col("r.quantile").as("_q2"), col("l.v").as("v2")): _*)
+    val backJoin = groupCols.map(c => col(c) === col(s"_g_$c"))
+      .reduce(_ && _) && col("quantile") === col("_q2")
+    lo.join(hi2, backJoin)
+      .select(g ++ Seq(col("quantile"),
+        round(col("v1").cast("double") +
+          (col("v2") - col("v1")).cast("double") * col("frac"), 6)
+          .as("value")): _*)
+      .orderBy(g :+ col("quantile"): _*)
+  }
+
   /** Per-group nearest-rank percentiles: `nearestRankPercentiles` with the
     * cumulative count partitioned by `groupCols` and each group's own row
     * count from a partition-wide window — still one groupBy shuffle onto
