@@ -1000,6 +1000,22 @@ object RelationalQueries extends Catalog {
              |FROM events GROUP BY user_id
              |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin)),
 
+    // CMS at STEADY STATE: one fixed-size sketch per ingest batch
+    // (event_id % 4), merged cell-wise — exact addition of same-geometry
+    // counters, so the merged sketch is bit-identical to the one-pass
+    // sketch and the SAME oracle proves it (Sketch
+    // .heavyHittersCmsIncremental). Raw history is never re-scanned by
+    // the sketch side at steady state.
+    Q("agg_heavy_hitters_incremental",
+      (s, dir) => Sketch.heavyHittersCmsIncremental(
+          load(s, dir, "events"), pmod(col("event_id"), lit(4)),
+          col("user_id"), k = 10, eps = 0.001, confidence = 0.99, seed = 42)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("exact_n").desc, col("user_id")),
+      Some("""SELECT user_id, count(*) AS exact_n, TRUE AS cms_ok
+             |FROM events GROUP BY user_id
+             |ORDER BY exact_n DESC, user_id LIMIT 10""".stripMargin)),
+
     Q("agg_rollup",
       (s, dir) => load(s, dir, "customer")
         .join(broadcast(load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))

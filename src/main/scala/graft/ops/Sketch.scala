@@ -38,13 +38,46 @@ object Sketch {
   def heavyHittersCms(df: DataFrame, key: Column, k: Int,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val spark = df.sparkSession
     // distributed one-pass sketch; the collect is ONE bounded binary row
     val bytes = df.agg(
         count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
       .head.getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    verdictFrame(df, cms, key, k, eps)
+  }
+
+  /** The INCREMENTAL sibling: one CMS per ingest batch (batches defined by
+    * `batchTag`), merged cell-wise — count-min merging is exact addition
+    * of same-geometry counter arrays, so the merged sketch is
+    * BIT-IDENTICAL to the one-pass sketch over the union (same seed ⇒
+    * same hash rows), and the error contract carries over unchanged. The
+    * production shape this pins: each ingest batch ships its fixed-size
+    * sketch, the aggregator folds them, raw history is never re-scanned.
+    * The collect is bounded by (#batches × sketch size) — both
+    * config-sized. The catalog twin shares `agg_heavy_hitters_cms`'s
+    * oracle verbatim: the hash match IS the merge ≡ one-pass proof.
+    */
+  def heavyHittersCmsIncremental(df: DataFrame, batchTag: Column, key: Column,
+                                 k: Int, eps: Double = 0.001,
+                                 confidence: Double = 0.99,
+                                 seed: Int = 42): DataFrame = {
+    val parts = df.groupBy(batchTag.as("_b"))
+      .agg(count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .collect().map(_.getAs[Array[Byte]]("s"))
+    require(parts.nonEmpty, "no batches to sketch")
+    val merged = parts
+      .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    verdictFrame(df, merged, key, k, eps)
+  }
+
+  /** Shared read side: exact top-k next to the sketch estimates with the
+    * CMS error contract as an oracle-checkable verdict.
+    */
+  private def verdictFrame(df: DataFrame, cms: CountMinSketch, key: Column,
+                           k: Int, eps: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
     val slack = (eps * cms.totalCount).toLong
     // exact candidates: one keyed shuffle + pushed top-k (bounded collect)
     val top = df.groupBy(key.as("key"))
