@@ -45,7 +45,10 @@ object PlanDump {
       "dedup_ngram_jaccard", "agg_approx_percentile",
       "text_pmi_pairs", "dedup_cross_source_matrix",
       "text_pmi_incremental", "text_textrank_keywords",
-      "window_ntile_dist", "join_full_outer", "sim_knn_triangles")
+      "window_ntile_dist", "join_full_outer", "sim_knn_triangles",
+      "join_bucketed_colocated", "agg_percentile_cont",
+      "agg_percentile_cont_by", "events_interpolate",
+      "pipeline_corpus_card", "multimodal_frame_sample")
     println("## entry (regional revenue: scan → 4 broadcast joins → agg → sort)")
     println("```")
     println(SparkEntry.entry(spark).queryExecution.executedPlan.toString)
