@@ -76,7 +76,7 @@ object CurateQueries extends Catalog {
         val pct = graft.ops.Relational
           .nearestRankPercentiles(docs, col("n_chars"), Seq(0.5, 0.9))
           .select(concat(lit("p"),
-              (col("quantile") * 100).cast("int").cast("string"),
+              round(col("quantile") * 100).cast("int").cast("string"),
               lit("_chars")).as("metric"),
             col("value").cast("long").as("value"))
         base.unionByName(pct).orderBy(col("metric"))

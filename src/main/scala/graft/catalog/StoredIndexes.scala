@@ -218,7 +218,12 @@ object StoredIndexes {
     val v = cacheFor(s).computeIfAbsent(s"$dir|bucketed_sales", _ => {
       val wh = newTempDir("graft-bkt-")
       val ld = new graft.etl.Load(wh)
-      val sfx = (dir.hashCode.toLong & 0xffffffffL).toHexString
+      // md5 of the full dir path, not String.hashCode — a 32-bit hash
+      // collision between two corpus dirs would make the second build
+      // silently overwrite the first's catalog tables.
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
       val on = s"graft_bkt_orders_$sfx"
       val ln = s"graft_bkt_lineitem_$sfx"
       ld.writeBucketed(load(s, dir, "orders"), on, 8, Seq("o_orderkey"))

@@ -435,9 +435,15 @@ object Relational {
                               quantiles: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULLs are excluded from the quantile space (PERCENTILE_CONT /
+    // quantile_cont semantics — same rule as rankNormalizeBp): a NULL
+    // would otherwise sort first in the cumulative frame and shift every
+    // bracketing rank.
     // Referenced by BOTH bracketing joins (and the total) — persist the
     // O(distinct) cumulative frame or the bucketing pass runs twice.
-    val cum = globalValueCumCounts(df, value)
+    // MEMORY_ONLY with no unpersist, like the dedup shingle caches:
+    // blocks LRU-evict for real (worst case recompute).
+    val cum = globalValueCumCounts(df.where(value.isNotNull), value)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val ranks = quantiles.toDF("quantile")
       .crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
@@ -472,7 +478,12 @@ object Relational {
     import spark.implicits._
     val g = groupCols.map(col)
     val byGroup = Window.partitionBy(g: _*)
-    val cum = percentileState(df, groupCols, value)
+    // NULL VALUES excluded from the quantile space (quantile_cont
+    // semantics); NULL GROUP KEYS are a group like any other — the
+    // stitching joins below use null-safe equality so that stratum
+    // survives, matching grouped quantile_cont / GROUP BY. Same
+    // LRU-evicting MEMORY_ONLY cache rationale as the global variant.
+    val cum = percentileState(df.where(value.isNotNull), groupCols, value)
       .withColumn("hi", sum(col("c")).over(byGroup.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(byGroup))
@@ -484,7 +495,7 @@ object Relational {
         least(floor(col("quantile") * (col("n") - 1)) + 2L, col("n")).as("r2"),
         (col("quantile") * (col("n") - 1) -
           floor(col("quantile") * (col("n") - 1))).as("frac")): _*)
-    val gJoin = groupCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    val gJoin = groupCols.map(c => col(s"l.$c") <=> col(s"r.$c")).reduce(_ && _)
     val lo = cum.as("l").join(ranks.as("r"),
         gJoin && col("l.hi") >= col("r.r1") &&
           (col("l.hi") - col("l.c")) < col("r.r1"))
@@ -496,7 +507,7 @@ object Relational {
           (col("l.hi") - col("l.c")) < col("r.r2"))
       .select(groupCols.map(c => col(s"l.$c").as(s"_g_$c")) ++
         Seq(col("r.quantile").as("_q2"), col("l.v").as("v2")): _*)
-    val backJoin = groupCols.map(c => col(c) === col(s"_g_$c"))
+    val backJoin = groupCols.map(c => col(c) <=> col(s"_g_$c"))
       .reduce(_ && _) && col("quantile") === col("_q2")
     lo.join(hi2, backJoin)
       .select(g ++ Seq(col("quantile"),

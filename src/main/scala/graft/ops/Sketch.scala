@@ -38,6 +38,7 @@ object Sketch {
   def heavyHittersCms(df: DataFrame, key: Column, k: Int,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
+    require(k >= 1, "k must be >= 1") // fail fast, before the sketch pass
     // distributed one-pass sketch; the collect is ONE bounded binary row
     val bytes = df.agg(
         count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
@@ -61,6 +62,7 @@ object Sketch {
                                  k: Int, eps: Double = 0.001,
                                  confidence: Double = 0.99,
                                  seed: Int = 42): DataFrame = {
+    require(k >= 1, "k must be >= 1") // fail fast, before the sketch pass
     val parts = df.groupBy(batchTag.as("_b"))
       .agg(count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
       .collect().map(_.getAs[Array[Byte]]("s"))

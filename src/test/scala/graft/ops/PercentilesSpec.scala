@@ -80,4 +80,20 @@ class PercentilesSpec extends SparkSpec {
     // q=1.0 returns the max with no out-of-range r2 (least(n) clamp)
     assert(pct(Seq(3, 1, 7), Seq(1.0)) == Map(1.0 -> 7.0))
   }
+
+  test("interpolatedPercentiles: NULL values excluded; NULL group keys survive") {
+    // quantile_cont semantics: NULLs are not part of the quantile space —
+    // [1, 2, NULL] at q=0.5 is 1.5, not the rank-shifted 1.0
+    val withNull = Seq(Some(1), Some(2), None).toDF("v")
+    val r = Relational.interpolatedPercentiles(withNull, col("v"), Seq(0.5))
+      .as[(Double, Double)].collect().toMap
+    assert(r == Map(0.5 -> 1.5))
+    // a NULL group key is a stratum like any other (null-safe join keys)
+    val grouped = Seq((Some("a"), 1), (Some("a"), 3), (None, 10), (None, 20))
+      .toDF("g", "v")
+    val byG = Relational.interpolatedPercentilesBy(grouped, Seq("g"),
+        col("v"), Seq(0.5))
+      .collect().map(row => Option(row.getString(0)) -> row.getDouble(2)).toMap
+    assert(byG == Map(Some("a") -> 2.0, None -> 15.0))
+  }
 }
