@@ -136,6 +136,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interpolatedPercentiles equals the sorted-array type-7 definition on random data") {
+    import spark.implicits._
+    val genCase = for {
+      vals <- Gen.nonEmptyListOf(Gen.choose(-1000, 1000))
+      qs <- Gen.nonEmptyListOf(Gen.choose(0, 100).map(_ / 100.0)).map(_.distinct)
+    } yield (vals.take(60), qs.take(4))
+    forAll(genCase) { case (vals, qs) =>
+      val fast = graft.ops.Relational.interpolatedPercentiles(
+          vals.toDF("v"), col("v"), qs)
+        .as[(Double, Double)].collect().toMap
+      val sorted = vals.sorted.toIndexedSeq
+      val slow = qs.map { q =>
+        val h = q * (sorted.size - 1)
+        val lo = sorted(math.floor(h).toInt)
+        val hi = sorted(math.min(math.floor(h).toInt + 1, sorted.size - 1))
+        q -> BigDecimal(lo.toDouble + (hi - lo).toDouble * (h - math.floor(h)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      assert(fast == slow)
+    }
+  }
+
   test("native ShingleDigests equals sorted xxhash64 of the ShingleSet strings") {
     import spark.implicits._
     val genDoc = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "é"))
