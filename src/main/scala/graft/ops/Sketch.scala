@@ -73,6 +73,26 @@ object Sketch {
     verdictFrame(df, merged, key, k, eps)
   }
 
+  /** Heavy hitters from a STORED per-batch sketch table (the streaming
+    * sink's read side — `StreamOps.cmsSink` writes one serialized sketch
+    * row per micro-batch under `stateDir/batch=<id>`): merge every stored
+    * sketch cell-wise, then the usual verdict against exact counts over
+    * `df`. The collect is bounded by (#batches × sketch size); the fold
+    * cadence (`Load.compactPartitioned` or a re-sketch) bounds #batches.
+    */
+  def heavyHittersCmsStored(spark: SparkSession, stateDir: String,
+                            df: DataFrame, key: Column, k: Int,
+                            eps: Double = 0.001): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val parts = spark.read.parquet(stateDir).select(col("s"))
+      .collect().map(_.getAs[Array[Byte]]("s"))
+    require(parts.nonEmpty, s"no stored sketches under $stateDir")
+    val merged = parts
+      .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    verdictFrame(df, merged, key, k, eps)
+  }
+
   /** Shared read side: exact top-k next to the sketch estimates with the
     * CMS error contract as an oracle-checkable verdict.
     */

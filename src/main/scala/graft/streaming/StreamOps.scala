@@ -707,6 +707,35 @@ object StreamOps {
         spark.read.parquet(stateDir).drop("batch")),
       topK, minCount, cache = false)
 
+  /** Streaming count-min frequency state: each micro-batch reduces to ONE
+    * serialized fixed-size sketch row under `stateDir/batch=<id>` — the
+    * cheapest possible streaming frequency monitor (no per-key state at
+    * all; the sink ships depth×width counters per batch regardless of
+    * cardinality). `Sketch.heavyHittersCmsStored` merges the stored
+    * sketches cell-wise — exact counter addition, so the merged sketch is
+    * bit-identical to a one-pass sketch over the whole stream. Same
+    * exactly-once contract as the other sinks: each write overwrites
+    * exactly its own `batch=` dir.
+    */
+  def cmsSink(rows: DataFrame, stateDir: String, checkpoint: String,
+              key: Column, eps: Double = 0.001, confidence: Double = 0.99,
+              seed: Int = 42): DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        cmsBatch(batch, id, stateDir, key, eps, confidence, seed)
+      }
+
+  /** One micro-batch of `cmsSink`, public for direct testing and crash
+    * replay.
+    */
+  def cmsBatch(batch: DataFrame, batchId: Long, stateDir: String,
+               key: Column, eps: Double, confidence: Double,
+               seed: Int): Unit =
+    batch.agg(count_min_sketch(key, lit(eps), lit(confidence), lit(seed))
+        .as("s"))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+
   /** Streaming distribution-drift monitoring: every micro-batch is scored
     * (`Quality.psiDriftFromCounts`) against the reference histogram
     * accumulated by PRIOR batches, then its own `(bucket, n)` histogram

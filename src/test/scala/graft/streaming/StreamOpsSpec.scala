@@ -604,6 +604,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("cmsSink: merged stored sketches reproduce the one-pass heavy hitters; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketch
+    val state = tmpDir("cms-state")
+    val all = (1 to 400).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("event_id", "user_id")
+    // two batches via the public per-batch entry (the sink wraps exactly
+    // this in foreachBatch; the streaming wiring is pinned by the other
+    // sinks' tests — here the contract under test is the STATE)
+    StreamOps.cmsBatch(all.filter($"event_id" % 2 === 0), 0L, state,
+      col("user_id"), 0.001, 0.99, 42)
+    StreamOps.cmsBatch(all.filter($"event_id" % 2 =!= 0), 1L, state,
+      col("user_id"), 0.001, 0.99, 42)
+    def stored = Sketch.heavyHittersCmsStored(spark, state, all,
+        col("user_id"), k = 5).collect().map(_.toSeq).toSet
+    val onePass = Sketch.heavyHittersCms(all, col("user_id"), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(stored == onePass && onePass.nonEmpty)
+    // every verdict is TRUE (the merged sketch keeps the error contract)
+    assert(onePass.forall(_.last == true))
+    // crash-replay of the last batch: same dir overwritten, state unchanged
+    StreamOps.cmsBatch(all.filter($"event_id" % 2 =!= 0), 1L, state,
+      col("user_id"), 0.001, 0.99, 42)
+    assert(stored == onePass)
+  }
+
   test("driftSink: batches score against prior histograms only; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.Quality
