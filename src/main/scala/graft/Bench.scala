@@ -64,6 +64,40 @@ object Bench {
           s"(${e.getMessage}) — *_indexed timings include their index build")
         false
       }
+    // --- Contention telemetry -------------------------------------------
+    // BENCH_r07 measured 211.7s for a workload an idle box runs in 121.7s;
+    // the driver's number was 1.7x inflated by EXTERNAL load and only a
+    // judge-side re-run caught it. Make the artifact self-interpreting:
+    // (a) record /proc/loadavg before/after, (b) run a fixed trivial-join
+    // canary at start / midpoint / end and report its max/min spread, and
+    // (c) flag "contended": true when the canary spread exceeds 3x — the
+    // signature round-7 showed (a 0.9s broadcast join measured at
+    // [2.1, 5.7, 11.0]s under contention).
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadBefore = loadavg()
+    // Canary: nation ⋈ region broadcast join + agg — a fixed ~0.1s plan
+    // whose cost is pure scheduling + tiny shuffle, so any spread in its
+    // repeats is machine noise, not engine behavior. Built + compiled once
+    // here so timed canary samples never pay first-compile cost.
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.tables.Tables.load(spark, sfDir, "nation")
+        .join(broadcast(graft.tables.Tables.load(spark, sfDir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count("*")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try { canaryOnce(); () } catch { case _: Throwable => }  // compile, untimed
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleCanary(n: Int): Unit =
+      try (1 to n).foreach(_ => canarySamples += canaryOnce())
+      catch { case _: Throwable => }
+    sampleCanary(3)
     def timeOne(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -85,8 +119,17 @@ object Bench {
     val runs = (scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").trim.toInt)
       .getOrElse(3)) max 1
+    // Dev-only filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (same harness, same clearCache/median protocol) — for tuning
+    // a single query without a 174-query run. Unset in driver runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // (name, reported median, ok, all raw timings)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val allQueries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val midpoint = allQueries.size / 2
+    val results = allQueries.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midpoint) sampleCanary(3)
       // Drop ALL cached blocks before EVERY timed run, including the
       // first: Spark's CacheManager matches persist() calls by
       // canonicalized plan, so a query sharing a sub-plan with an earlier
@@ -111,6 +154,34 @@ object Bench {
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
       (name, median, all.forall(_._2), ts)
     }
+    sampleCanary(3)
+    val loadAfter = loadavg()
+    val canarySpread =
+      if (canarySamples.nonEmpty && canarySamples.min > 0)
+        canarySamples.max / canarySamples.min
+      else 0.0
+    val contended = canarySpread > 3.0
+    // Idle-estimate total: sum of per-query MIN of repeats. Under external
+    // contention the min is the least-disturbed sample, so even a
+    // contended driver capture carries a usable lower bound alongside the
+    // median (VERDICT r7 item 8).
+    val totalMin = results.map(_._4.min).sum
+    // Per-query repeat spread (max/min) — lets a reader see exactly WHICH
+    // timings were noise-dominated without re-running anything.
+    val spreads = results.filter(_._4.size > 1).map { case (k, _, _, ts) =>
+      (k, if (ts.min > 0) ts.max / ts.min else 0.0)
+    }
+    val maxSpread = if (spreads.nonEmpty) spreads.map(_._2).max else 0.0
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val contentionJson =
+      s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
+      s""","canary":${canarySamples.map(r3).mkString("[", ",", "]")}""" +
+      s""","canary_spread":${r3(canarySpread)},"contended":$contended""" +
+      s""","max_query_spread":${r3(maxSpread)},"value_min":${r3(totalMin)}"""
+    if (contended) System.err.println(
+      s"[bench] WARNING: CONTENDED RUN — canary spread ${r3(canarySpread)}x " +
+      s"(>3x); medians are inflated by external load. Idle-estimate total " +
+      s"(sum of per-query min) = ${r3(totalMin)}s.")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val timings = results.map { case (k, _, _, ts) =>
@@ -121,7 +192,7 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query must be visible, not folded in as a fast success
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,$contentionJson,"sf":"$sfDir"}"""
     // Full per-query JSON: one line for the log, and a FILE for programmatic
     // reads — the driver captures only the last ~2000 chars of stdout, which
     // a >2500-char 80-query line overflows (BENCH_r1..r4 all have
@@ -139,7 +210,7 @@ object Bench {
       val slowest = results.sortBy(-_._2).take(topN)
         .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(totalMin)},"contended":$contended,"canary_spread":${r3(canarySpread)},"loadavg":"$loadBefore -> $loadAfter","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }
     println(Iterator.range(15, 0, -1).map(compactLine)
       .find(_.length <= 1800).getOrElse(compactLine(0)))
