@@ -314,10 +314,17 @@ object EventOps {
     * the straight line between the bracketing observed hours instead of
     * carrying the last value forward — the standard time-series repair
     * for continuously-varying measures (LOCF fits step-like state). The
-    * grid spans each user's observed [min, max] hour, so every gap has
-    * BOTH neighbors by construction — no one-sided edge case. Same scale
-    * shape as the LOCF variant: per-user keyed windows over the hourly
-    * aggregate, never a global window.
+    * grid spans each user's observed [min, max] hour, so every MISSING
+    * hour has both neighbors by construction. One edge case remains: an
+    * observed hour whose aggregate is NULL (every event value NULL in
+    * that hour) counts toward the span but not toward the neighbor scan
+    * (`obsH` below), so if such an hour sits at a user's span boundary
+    * the rows between it and the nearest truly-observed hour have only
+    * one neighbor and yield a NULL `filled_milli` with `is_gap = true`
+    * — a silent NULL, mirrored exactly by the DuckDB oracle (same
+    * one-sided window semantics), so cross-engine parity holds. Same
+    * scale shape as the LOCF variant: per-user keyed windows over the
+    * hourly aggregate, never a global window.
     *
     * The interpolated value is EXACT integer millicents:
     * `(pv·(nh−h) + nv·(h−ph)) · 1000 div (nh−ph)` — a float mix hits

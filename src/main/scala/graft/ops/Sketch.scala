@@ -79,18 +79,28 @@ object Sketch {
     * sketch cell-wise, then the usual verdict against exact counts over
     * `df`. The collect is bounded by (#batches × sketch size); the fold
     * cadence (`Load.compactPartitioned` or a re-sketch) bounds #batches.
+    *
+    * The error bound's eps is DERIVED from the merged sketch's own
+    * geometry (`relativeError()`), never caller-supplied: the sketches'
+    * width was fixed by whatever eps the SINK was configured with, and a
+    * reader guessing a different eps would silently compute the wrong
+    * slack and a wrong `cms_ok` verdict (seed/width mismatches fail
+    * loudly in `mergeInPlace`; eps drift would not).
     */
   def heavyHittersCmsStored(spark: SparkSession, stateDir: String,
-                            df: DataFrame, key: Column, k: Int,
-                            eps: Double = 0.001): DataFrame = {
+                            df: DataFrame, key: Column, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    require(fs.exists(dir) && fs.listStatus(dir).exists(_.isDirectory),
+      s"no stored sketches under $stateDir (has the cmsSink committed a batch yet?)")
     val parts = spark.read.parquet(stateDir).select(col("s"))
       .collect().map(_.getAs[Array[Byte]]("s"))
     require(parts.nonEmpty, s"no stored sketches under $stateDir")
     val merged = parts
       .map(b => CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b)))
       .reduce { (a, b) => a.mergeInPlace(b); a }
-    verdictFrame(df, merged, key, k, eps)
+    verdictFrame(df, merged, key, k, merged.relativeError())
   }
 
   /** Shared read side: exact top-k next to the sketch estimates with the

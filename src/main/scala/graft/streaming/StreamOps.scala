@@ -701,11 +701,18 @@ object StreamOps {
     * leaking one session cache entry per monitoring call.
     */
   def pmiTopK(spark: SparkSession, stateDir: String, topK: Int,
-              minCount: Long): DataFrame =
+              minCount: Long): DataFrame = {
+    // explicit no-state-yet guard: before the first committed batch the
+    // raw parquet read would throw an opaque unable-to-infer-schema error
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    require(fs.exists(dir) && fs.listStatus(dir).exists(_.isDirectory),
+      s"no stored PMI state under $stateDir (has the pmiSink committed a batch yet?)")
     graft.ops.Text.pmiFromState(
       graft.ops.Text.mergePmiState(
         spark.read.parquet(stateDir).drop("batch")),
       topK, minCount, cache = false)
+  }
 
   /** Streaming count-min frequency state: each micro-batch reduces to ONE
     * serialized fixed-size sketch row under `stateDir/batch=<id>` — the

@@ -630,6 +630,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(stored == onePass)
   }
 
+  test("stored-state read sides fail with a descriptive error before the first batch") {
+    import org.apache.spark.sql.functions._
+    val empty = tmpDir("no-state")
+    val eCms = intercept[IllegalArgumentException] {
+      graft.ops.Sketch.heavyHittersCmsStored(spark, s"$empty/cms",
+        (1 to 3).map(_.toLong).toDF("user_id"), col("user_id"), k = 3)
+    }
+    assert(eCms.getMessage.contains("no stored sketches"))
+    val ePmi = intercept[IllegalArgumentException] {
+      StreamOps.pmiTopK(spark, s"$empty/pmi", topK = 5, minCount = 1)
+    }
+    assert(ePmi.getMessage.contains("no stored PMI state"))
+  }
+
   test("driftSink: batches score against prior histograms only; replay idempotent") {
     import org.apache.spark.sql.functions._
     import graft.ops.Quality
