@@ -176,6 +176,52 @@ object TextQueries extends Catalog {
        |FROM b LEFT JOIN corp ON b.span = corp.span
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Merge budget for text_bpe_train — small enough that the unrolled
+    * oracle stays tractable, large enough to exercise symbol-on-symbol
+    * merges (iterations 6+ merge PAIRS OF MERGED symbols, e.g. m+er).
+    */
+  private val BpeK = 10
+
+  /** The unrolled K-iteration DuckDB twin of `Text.bpeTrain`: v0 is the
+    * char-split word-frequency table; each stage k recounts adjacent
+    * pairs (p_k), takes the deterministic argmax (t_k), and folds the
+    * greedy left-to-right merge into every sequence (v_k) with
+    * `list_reduce` — the exact fold `bpeTrain` runs via `aggregate`.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val head =
+      s"""WITH words AS (
+         |  SELECT w, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest($Toks) AS w FROM documents) t GROUP BY w),
+         |v0 AS (SELECT n, array_to_string(
+         |  list_transform(range(1, len(w)+1), i -> substr(w, i, 1)), ' ')
+         |  AS seq FROM words)""".stripMargin
+    val stages = (1 to k).map { i =>
+      s""",
+         |p$i AS (SELECT pair, sum(n)::BIGINT AS n_pairs FROM (
+         |    SELECT n, unnest(CASE WHEN len(l) < 2 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(l)),
+         |        j -> l[j] || ' ' || l[j+1]) END) AS pair
+         |    FROM (SELECT n, string_split(seq, ' ') AS l FROM v${i - 1}) q) s
+         |  GROUP BY pair),
+         |t$i AS (SELECT pair, n_pairs FROM p$i
+         |        ORDER BY n_pairs DESC, pair LIMIT 1),
+         |v$i AS (SELECT v.n, list_reduce(string_split(v.seq, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN x = split_part(t.pair, ' ', 2)
+         |        AND (acc = split_part(t.pair, ' ', 1)
+         |             OR ends_with(acc, ' ' || split_part(t.pair, ' ', 1)))
+         |      THEN left(acc, len(acc) - len(split_part(t.pair, ' ', 1)))
+         |           || replace(t.pair, ' ', '')
+         |      ELSE acc || ' ' || x END) AS seq
+         |  FROM v${i - 1} v, t$i t)""".stripMargin
+    }.mkString
+    val union = (1 to k)
+      .map(i => s"SELECT $i::BIGINT AS iter, pair, n_pairs FROM t$i")
+      .mkString(" UNION ALL ")
+    s"$head$stages\nSELECT * FROM ($union) u ORDER BY iter"
+  }
+
   val all: Seq[Q] = Seq(
 
     // X1: corpus word counts (explode + two-phase aggregate), top 20.
@@ -198,6 +244,17 @@ object TextQueries extends Catalog {
              |  FROM words WHERE length(w) >= 2)
              |SELECT pair, count(*) AS n_pairs FROM pairs
              |GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 50""".stripMargin)),
+
+    // [ext] the full iterative BPE trainer: K greedy merge rounds over the
+    // vocabulary-sized word-frequency table (Text.bpeTrain). The oracle is
+    // the UNROLLED K-stage CTE twin — each stage recounts pairs, picks the
+    // same (count DESC, pair ASC) argmax, and replays the greedy
+    // left-to-right merge as a list_reduce fold — so the whole merge
+    // TRAJECTORY (not just one round) is pinned bit-identically.
+    Q("text_bpe_train",
+      (s, dir) => Text.bpeTrain(load(s, dir, "documents"), k = BpeK)
+        .orderBy(col("iter")),
+      Some(bpeTrainOracle(BpeK))),
 
     // [ext] CCNet-style corpus-frequency doc scores (integer-exact).
     Q("text_unigram_doc_score",

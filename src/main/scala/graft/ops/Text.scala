@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Text-analysis operators for LLM-style data pipelines (SURVEY §2.9 X1/X6 +
   * north-star extensions): tokenization, language ID, quality scoring, token
@@ -98,6 +99,77 @@ object Text {
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n_pairs"))
+
+  /** The full iterative BPE vocabulary TRAINER (Sennrich et al. 2016) —
+    * `bpePairCounts` is one statistics round; this runs the fixed-K merge
+    * LOOP: count adjacent symbol pairs weighted by word frequency, merge
+    * the most frequent pair into one symbol everywhere it occurs
+    * (greedy left-to-right, the reference algorithm's scan order), and
+    * recount. Output: the K learned merges in order — (iter, pair,
+    * n_pairs), the tokenizer's merge table.
+    *
+    * Scale shape — the standard iterative-trainer pattern (same as
+    * `Graph.pageRank`): ALL per-iteration state lives in the DISTINCT-WORD
+    * frequency table (vocabulary-sized, never corpus-sized — the corpus is
+    * tokenized exactly once), each iteration is one map-side pair explode
+    * + keyed sum, and the only driver synchronization is a ONE-ROW collect
+    * of the argmax pair (K rows total — bounded by the merge budget, not
+    * the data). State is re-persisted per iteration and the predecessor
+    * unpersisted, so lineage and cache stay O(1) across iterations.
+    *
+    * Ties break (count DESC, pair ASC) — a deterministic total order, so
+    * the whole merge trajectory replays bit-identically in the oracle's
+    * unrolled-CTE twin. The pair is encoded "a b" (space-joined); symbols
+    * never contain spaces (words come from a whitespace tokenizer), so the
+    * space-joined symbol-sequence encoding is unambiguous and the greedy
+    * merge is a string fold: append each symbol, or — when the running
+    * sequence ends with `a` and the next symbol is `b` — replace that
+    * trailing `a` with the merged symbol `ab`.
+    */
+  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    // vocabulary-sized state: (corpus frequency, space-joined symbol seq)
+    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(col("n"), concat_ws(" ",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("seq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    for (it <- 1 to k) {
+      val l = split(col("seq"), " ")
+      val counts = vocab
+        .filter(size(l) >= 2)
+        .select(col("n"), explode(transform(sequence(lit(1), size(l) - 1),
+          j => concat(element_at(l, j), lit(" "), element_at(l, j + 1))))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("n_pairs"))
+      // the iteration's sync barrier: ONE bounded row (the argmax pair)
+      counts.orderBy(col("n_pairs").desc, col("pair").asc).limit(1)
+        .collect().headOption.foreach { top =>
+          val pair = top.getString(0)
+          merges += Row(it.toLong, pair, top.getLong(1))
+          val Array(a, b) = pair.split(" ", 2)
+          val merged = aggregate(
+            slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+            element_at(l, 1),
+            (acc, x) => when(x === lit(b) &&
+                (acc === lit(a) || acc.endsWith(lit(" " + a))),
+              concat(acc.substr(lit(1), length(acc) - length(lit(a))),
+                lit(a + b)))
+              .otherwise(concat(acc, lit(" "), x)))
+          val next = vocab.select(col("n"), merged.as("seq")).persist()
+          next.count() // materialize before releasing the parent cache
+          vocab.unpersist(); vocab = next
+        }
+    }
+    vocab.unpersist()
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(merges.toSeq: _*)),
+      StructType(Seq(StructField("iter", LongType),
+        StructField("pair", StringType), StructField("n_pairs", LongType))))
+  }
 
   /** Corpus-frequency document scores (the CCNet-style LM-filter shape,
     * kept integer-exact so the oracle hash-compares): per document, the

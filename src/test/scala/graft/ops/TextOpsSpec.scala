@@ -33,6 +33,43 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Map("ab" -> 3L, "bc" -> 2L))
   }
 
+  test("bpeTrain: merge trajectory matches an independent reference BPE") {
+    // independent reference: the textbook dict-based trainer (Sennrich '16)
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Long, String, Long)] = {
+      var vocab = words.map { case (w, n) => (w.map(_.toString).toVector, n) }
+      (1 to k).flatMap { it =>
+        val counts = vocab.toSeq.flatMap { case (syms, n) =>
+          syms.zip(syms.drop(1)).map(p => (p, n))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+          vocab = vocab.map { case (syms, cnt) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) { // greedy left-to-right scan
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), cnt)
+          }
+          Some((it.toLong, s"$a $b", n))
+        }
+      }
+    }
+    // corpus with ties, single-char words, and symbol-on-symbol merges
+    val text = "low low low lower lower lowest a be be"
+    val docs = Seq((1L, text), (2L, "low lowest")).toDF("doc_id", "text")
+    val words = (text.split(" ") ++ "low lowest".split(" "))
+      .groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val got = Text.bpeTrain(docs, k = 6).as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == refBpe(words, 6))
+    // sanity: later iterations DID merge merged symbols (pair with len>2 side)
+    assert(got.exists { case (_, p, _) => p.split(" ").exists(_.length > 1) })
+  }
+
   test("unigramDocScores: sum_freq is the sum of corpus frequencies per occurrence") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     // corpus freqs: a=3, b=1, c=1
