@@ -3,6 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.functions._
 import graft.etl.Layout
 import graft.ops.{EventOps, Exact}
+import graft.streaming.StreamOps
 import graft.tables.Tables.load
 
 /** Scalar-function families (SURVEY §2.7), flatten/explode generators
@@ -125,6 +126,41 @@ object FunctionQueries extends Catalog {
              |event_type, count(*) AS n_events,
              |sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0 AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // §2.8 late-data/watermark semantics, batch-checkable: events arrive in
+    // day-indexed micro-batches with a synthetic late cohort (event_id%37=0
+    // delayed TWO batches — far beyond the 1 h watermark delay, so their
+    // hourly windows were already evicted when they arrive); the model
+    // (StreamOps.watermarkTumblingModel) drops exactly those and keeps
+    // everything else. The streaming twin in StreamOpsSpec proves the model
+    // ≡ a real withWatermark append-mode run on a controlled feed.
+    Q("stream_late_tumbling",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+        val arrival = floor(unix_timestamp(col("ts")) / 86400L) +
+          when(col("event_id") % 37 === 0, 2L).otherwise(0L)
+        StreamOps.watermarkTumblingModel(ev, arrival, delaySec = 3600L)
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch(date_trunc('second', ts))::BIGINT AS sec,
+             |    event_type, value,
+             |    epoch(date_trunc('second', ts))::BIGINT // 86400
+             |      + CASE WHEN event_id % 37 = 0 THEN 2 ELSE 0 END AS b
+             |  FROM events),
+             |pb AS (SELECT b, max(sec) AS mx FROM e GROUP BY b),
+             |wm AS (SELECT b, max(mx) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600
+             |    AS wm FROM pb),
+             |kept AS (SELECT e.sec, e.event_type, e.value
+             |  FROM e JOIN wm USING (b)
+             |  WHERE wm.wm IS NULL OR (e.sec // 3600 + 1) * 3600 > wm.wm)
+             |SELECT (sec // 3600) * 3600 AS window_start, event_type,
+             |  count(*) AS n_events,
+             |  sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0
+             |    AS sum_value
+             |FROM kept GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
 
     // Funnel analysis (EventOps.funnel): users progressing
     // signup → view → click → purchase, each step within 24 h of the

@@ -38,6 +38,54 @@ object StreamOps {
                      watermark: String = "30 minutes"): DataFrame =
     EventOps.tumblingCounts(events.withWatermark("ts", watermark), width)
 
+  /** BATCH-CHECKABLE model of the watermark's LATE-DATA semantics for a
+    * tumbling windowed aggregation — the piece `tumblingCounts` alone
+    * can't pin, because a batch oracle never sees arrival order.
+    *
+    * The model replays Structured Streaming's contract exactly:
+    *  - rows arrive in micro-batches (`batchCol` — any deterministic
+    *    arrival grouping);
+    *  - the watermark in effect WHILE batch k processes is
+    *    max(event time over batches < k) − delay — Spark advances the
+    *    watermark only at batch boundaries, from data fully processed
+    *    before the batch started (no watermark yet for the first batch);
+    *  - an arriving row is DROPPED iff its tumbling window's END ≤ that
+    *    watermark (the window's state was already evicted); a row merely
+    *    older than the watermark whose window is still open aggregates
+    *    normally.
+    * Output: (window_start, event_type, n_events, sum_value) over the
+    * kept rows — `tumblingCounts`' schema, minus the dropped late data.
+    *
+    * Scale shape: the only non-keyed step is the running max over
+    * PER-BATCH maxima — a #batches-sized frame (bounded metadata, not
+    * the stream), broadcast back onto the events; everything else is the
+    * usual keyed window aggregate. StreamOpsSpec's twin proves this model
+    * emits exactly what a real `withWatermark` + append-mode query does
+    * on a controlled out-of-order feed.
+    */
+  def watermarkTumblingModel(events: DataFrame, batchCol: Column,
+                             delaySec: Long,
+                             width: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = events.withColumn("_b", batchCol)
+    val perBatch = e.groupBy(col("_b"))
+      .agg(max(unix_timestamp(col("ts"))).as("_mx"))
+    // strictly-earlier running max: unpartitioned, but over #batches rows
+    val wmFrame = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = perBatch.select(col("_b"),
+      (max(col("_mx")).over(wmFrame) - delaySec).as("_wm"))
+    e.join(broadcast(wm), "_b")
+      .withColumn("_w", window(col("ts"), width))
+      .filter(col("_wm").isNull ||
+        unix_timestamp(col("_w.end")) > col("_wm"))
+      .groupBy(col("_w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dollars(sum(Exact.cents(col("value")))).as("sum_value"))
+      .select(unix_timestamp(col("_w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** Session windows per user with watermark-bounded state — delegates to
     * the oracle-checked batch definition (`EventOps.sessionize`).
     */

@@ -630,6 +630,65 @@ class StreamOpsSpec extends SparkSpec {
     assert(stored == onePass)
   }
 
+  test("watermarkTumblingModel: batch model emits exactly what real withWatermark append drops/keeps") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("late-events")
+    def ev(id: Long, ts: String, tpe: String, v: Double) =
+      s"""{"event_id":$id,"ts":"$ts","user_id":1,"event_type":"$tpe","value":$v,"props":"{}"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5) // distinct mtimes → deterministic micro-batch order
+    }
+    // batch 0: on-time events; max ts 01:25 → model watermark 01:15 after
+    writeFile("b0.json", Seq(
+      ev(1, "2026-01-01T00:10:00Z", "click", 1.0),
+      ev(2, "2026-01-01T00:50:00Z", "click", 2.0),
+      ev(3, "2026-01-01T01:25:00Z", "view", 1.0)))
+    // batch 1: e11 older than max-seen but its [01:00,02:00) window is
+    // still open → KEPT; e12 on-time → advances max to 02:30. This batch
+    // also serves as the INTERVENING batch: the engine's watermark commit
+    // lags one batch behind the model's documented one-batch contract
+    // (eviction is the cutoff — see the test above), so the late arrival
+    // below sits ≥2 batches after the advancing data, where BOTH
+    // mechanics agree it must drop.
+    writeFile("b1.json", Seq(
+      ev(11, "2026-01-01T01:20:00Z", "view", 8.0),
+      ev(12, "2026-01-01T02:30:00Z", "click", 1.0)))
+    // batch 2: late event for the long-closed [00:00,01:00) window —
+    // dropped under the model (wm 02:20) and the engine (wm 01:15) alike
+    writeFile("b2.json", Seq(ev(21, "2026-01-01T00:20:00Z", "click", 4.0)))
+    // batch 3: flush sentinel pushes the final watermark past every real
+    // window so append mode emits them all; its own window stays open
+    writeFile("b3.json", Seq(ev(31, "2026-01-01T12:00:00Z", "sentinel", 0.0)))
+
+    val streamed = runToMemory(
+      StreamOps.tumblingCounts(
+        StreamOps.readEventStream(spark, dir, maxFilesPerTrigger = Some(1)),
+        width = "1 hour", watermark = "10 minutes"),
+      "late_tumbling", "append")
+      .filter("event_type <> 'sentinel'")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    val batch = spark.read.schema("event_id BIGINT, ts TIMESTAMP, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .json(dir)
+    val model = StreamOps.watermarkTumblingModel(batch,
+        floor(col("event_id") / 10), delaySec = 600L, width = "1 hour")
+      .filter("event_type <> 'sentinel'") // model keeps the open window too
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    assert(streamed == model)
+    // hand-computed: e21 dropped; e11 kept despite arriving after newer data
+    val byKey = model.map(r => (r(0), r(1)) -> (r(2), r(3))).toMap
+    assert(byKey.size == 3)
+    assert(byKey((1767225600L, "click")) == (2L, 3.0))  // 00:00 e1+e2, no e21
+    assert(byKey((1767229200L, "view")) == (2L, 9.0))   // 01:00 e3+e11
+    assert(byKey((1767232800L, "click")) == (1L, 1.0))  // 02:00 e12
+  }
+
   test("stored-state read sides fail with a descriptive error before the first batch") {
     import org.apache.spark.sql.functions._
     val empty = tmpDir("no-state")
