@@ -214,6 +214,26 @@ object VectorQueries extends Catalog {
       },
       Some(IvfOracle)),
 
+    // X4 IVF with Lloyd REFINEMENT actually running (lloydIters=2): refined
+    // float-mean centroids are aggregation-order-dependent, so the oracle
+    // pins the algorithm's INVARIANTS instead of values — per-round
+    // objective monotonicity and the recall@5 floor vs brute-force exact —
+    // as a constant all-TRUE verdict table (a refinement regression flips a
+    // row and fails the hash). DedupVectorsSpec pins the same invariants
+    // with live objective numbers.
+    Q("sim_ann_ivf_refined",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        Vectors.ivfRefinedVerdict(emb, emb.filter(col("vec_id") % 100 === 0),
+          5, centroidEvery = 50, nprobe = 2, lloydIters = 2,
+          recallFloorBp = 8000L)
+      },
+      Some("""SELECT metric, ok FROM (VALUES
+             |  ('objective_monotone_r1', TRUE),
+             |  ('objective_monotone_r2', TRUE),
+             |  ('recall_floor', TRUE)) v(metric, ok)
+             |ORDER BY metric""".stripMargin)),
+
     // X4 IVF at STEADY STATE: the same probe against a STORED index
     // (centroids + cell-partitioned inverted lists, built once per session
     // via StoredIndexes — Bench prewarms it outside the timed region). The

@@ -496,31 +496,102 @@ object Vectors {
     */
   private def centroidFrame(n: DataFrame, centroidEvery: Int, maxCentroids: Int,
                             lloydIters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seeds = broadcast(n
       .filter(col("xid") % centroidEvery === 0)
       .orderBy(col("xid")).limit(maxCentroids)
       .select(col("xid").as("cid"), col("xv").as("cv"), col("xn").as("cn")))
-    (1 to lloydIters).foldLeft(seeds) { (c, _) =>
-      val cellMeans = n.join(c, lit(true))
-        .withColumn("c_cos", dot(col("xv"), col("cv")) / (col("xn") * col("cn")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("xid")).orderBy(col("c_cos").desc, col("cid").asc)))
-        .filter(col("crk") === 1)
-        // mean of DIRECTION-NORMALIZED members: Σcos(x, c) is maximized by
-        // the mean of x/|x|, not of x — with the raw mean, rounds would not
-        // be provably monotone in the objective when member norms vary
-        .select(col("cid"),
-          posexplode(transform(col("xv"),
-            v => v.cast("double") / col("xn"))).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"),
-          transform(col("pm"), x => x.getField("m")).as("cv"))
-        .withColumn("cn", norm(col("cv")))
-      broadcast(cellMeans)
-    }
+    (1 to lloydIters).foldLeft(seeds)((c, _) => lloydRound(n, c))
+  }
+
+  /** One spherical-k-means round: assign every corpus vector to its best
+    * centroid, replace each centroid with the mean of its members'
+    * DIRECTION-NORMALIZED vectors — Σcos(x, c) is maximized by the mean of
+    * x/|x|, not of x; with the raw mean, rounds would not be provably
+    * monotone in the objective when member norms vary.
+    */
+  private def lloydRound(n: DataFrame, c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellMeans = n.join(c, lit(true))
+      .withColumn("c_cos", dot(col("xv"), col("cv")) / (col("xn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("xid")).orderBy(col("c_cos").desc, col("cid").asc)))
+      .filter(col("crk") === 1)
+      .select(col("cid"),
+        posexplode(transform(col("xv"),
+          v => v.cast("double") / col("xn"))).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"),
+        transform(col("pm"), x => x.getField("m")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    broadcast(cellMeans)
+  }
+
+  /** The Lloyd-REFINED IVF path as an oracle-checkable VERDICT: refined
+    * centroid values are float means and therefore aggregation-order-
+    * dependent, so the trajectory can never be value-pinned — what CAN be
+    * pinned (and is, both here and in DedupVectorsSpec) are the
+    * algorithm's invariants:
+    *  - the spherical-k-means objective (mean best-centroid cosine) is
+    *    monotonically non-decreasing over each refinement round;
+    *  - retrieval recall@k of the refined index vs brute-force exact
+    *    top-k stays at or above `recallFloorBp`.
+    * Output: one (metric, ok) row per invariant — the oracle asserts the
+    * constant all-TRUE table, so a refinement regression fails the round's
+    * hash compare.
+    *
+    * Scale shape: each Lloyd round and each objective evaluation is one
+    * broadcast-centroid pass over the corpus + a (cell, dim)-keyed mean;
+    * the ground truth is the same broadcast-queries brute-force pass
+    * `sim_cosine_topk` already pays. The only collects are three 1-row
+    * objective scalars and one 2-value recall count.
+    */
+  def ivfRefinedVerdict(corpus: DataFrame, queries: DataFrame, k: Int,
+                        centroidEvery: Int = 50, nprobe: Int = 2,
+                        maxCentroids: Int = 128, lloydIters: Int = 2,
+                        recallFloorBp: Long = 8000L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(lloydIters >= 1, "refined path needs at least one Lloyd round")
+    val spark = corpus.sparkSession
+    val n = normedPrefixed(corpus, "x", idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def objective(c: DataFrame): Double = n.join(c, lit(true))
+      .withColumn("c_cos", dot(col("xv"), col("cv")) / (col("xn") * col("cn")))
+      .groupBy(col("xid")).agg(max(col("c_cos")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+    val seeds = centroidFrame(n, centroidEvery, maxCentroids, 0)
+    // fold the rounds, keeping each round's objective (1-row collects)
+    val (cents, objs) = (1 to lloydIters)
+      .foldLeft((seeds, Vector(objective(seeds)))) { case ((c, os), _) =>
+        val next = lloydRound(n, c)
+        (next, os :+ objective(next))
+      }
+    val lists = nearestCellsFrame(n, cents, "x", 1)
+    val probes = nearestCellsFrame(
+      normedPrefixed(queries, "q", idCol, vecCol), cents, "q", nprobe)
+    val ivf = probes.join(lists, "cell")
+      .filter(col("qid") =!= col("xid"))
+      .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
+        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+    val ivfTop = Relational.topKPerGroup(ivf, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // bounded: two scalar counts
+    val hits = ivfTop.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1))).head.getLong(0)
+    val total = exact.agg(count(lit(1))).head.getLong(0)
+    exact.unpersist(); n.unpersist()
+    val recallOk = total > 0 && hits * 10000L >= recallFloorBp * total
+    val rows = objs.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+      (s"objective_monotone_r${i + 1}", cur >= prev - 1e-9)
+    }.toSeq :+ ("recall_floor", recallOk)
+    import spark.implicits._
+    rows.toDF("metric", "ok").orderBy(col("metric"))
   }
 
   /** Public inspection surface for the IVF index build: the centroid table

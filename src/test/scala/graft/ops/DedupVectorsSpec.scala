@@ -436,6 +436,12 @@ class DedupVectorsSpec extends SparkSpec {
       nprobe = 1, lloydIters = 2)).intersect(exact).size.toDouble / exact.size
     info(f"refined IVF recall@5 at nprobe=1: $refined%.2f")
     assert(refined >= 0.8, s"refined IVF recall@5 $refined below 0.8")
+    // the catalog's verdict surface reports the same invariants as all-ok
+    val verdict = Vectors.ivfRefinedVerdict(emb, q, 5, centroidEvery = 50,
+        nprobe = 2, lloydIters = 2, recallFloorBp = 8000L)
+      .as[(String, Boolean)].collect().toMap
+    assert(verdict == Map("objective_monotone_r1" -> true,
+      "objective_monotone_r2" -> true, "recall_floor" -> true))
   }
 
   test("IVF stored index: append-then-probe equals a full rebuild; probe prunes to probed cells") {
