@@ -297,6 +297,63 @@ object RelationalQueries extends Catalog {
              |  epoch(date_trunc('second', ts))::BIGINT AS ts_epoch, next_purchase
              |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
 
+    // NEAREST as-of (Relational.asofJoinNearest): each click enriched with
+    // the CLOSEST purchase either way; gap ties (incl. simultaneous) go
+    // backward. ONE keyed shuffle serves both directions — the tagged
+    // union with a backward running-carry and a forward one over the same
+    // sort order; the oracle replays that exact construction with DuckDB's
+    // IGNORE NULLS window pair plus the same gap-compare CASE.
+    Q("join_asof_nearest",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        Relational.asofJoinNearest(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("value"), rightTie = Seq("p_event_id"))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"),
+            col("value").as("near_purchase"),
+            col("asof_dir"), col("asof_gap"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS event_id,
+             |    value, event_id AS tie,
+             |    epoch(date_trunc('second', ts))::BIGINT AS rts
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 1 AS side, event_id,
+             |    NULL::DOUBLE AS value, NULL::BIGINT AS tie, NULL::BIGINT AS rts
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(value IGNORE NULLS) OVER pb AS bv,
+             |    last_value(rts IGNORE NULLS) OVER pb AS brts,
+             |    first_value(value IGNORE NULLS) OVER pf AS fv,
+             |    first_value(rts IGNORE NULLS) OVER pf AS frts,
+             |    epoch(date_trunc('second', ts))::BIGINT AS lts
+             |  FROM u
+             |  WINDOW pb AS (PARTITION BY user_id
+             |      ORDER BY ts, side, tie ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING),
+             |    pf AS (PARTITION BY user_id
+             |      ORDER BY ts, side, tie ASC NULLS FIRST
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+             |p AS (SELECT *,
+             |    (frts IS NULL OR (brts IS NOT NULL AND lts - brts <= frts - lts))
+             |      AS use_back
+             |  FROM w WHERE side = 1)
+             |SELECT event_id, user_id, lts AS ts_epoch,
+             |  CASE WHEN use_back THEN bv ELSE fv END AS near_purchase,
+             |  CASE WHEN brts IS NULL AND frts IS NULL THEN NULL
+             |       WHEN use_back THEN 'backward' ELSE 'forward' END AS asof_dir,
+             |  CASE WHEN brts IS NULL AND frts IS NULL THEN NULL
+             |       WHEN use_back THEN lts - brts ELSE frts - lts END AS asof_gap
+             |FROM p ORDER BY event_id""".stripMargin)),
+
     Q("join_semi",
       (s, dir) => load(s, dir, "customer")
         .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),
@@ -689,6 +746,42 @@ object RelationalQueries extends Catalog {
              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
              |SELECT a AS node, min(b) AS component
              |FROM reach GROUP BY a ORDER BY node""".stripMargin)),
+
+    // Label-propagation communities of the co-purchase graph (Graph
+    // .labelPropagation, Raghavan et al. 2007): K synchronous rounds of
+    // adopt-the-most-frequent-neighbor-label, ties to the smallest — a
+    // deterministic trajectory the oracle replays as unrolled per-round
+    // CTEs (count → argmax window), exactly like graph_pagerank's
+    // unrolled iterations. Finds denser sub-communities WITHIN the
+    // connected components basket_components labels.
+    Q("graph_lpa_communities",
+      (s, dir) => graft.ops.Graph.labelPropagation(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2),
+          iters = 4, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some {
+        val head =
+          """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            |           FROM lineitem),
+            |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+            |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+            |       GROUP BY 1, 2),
+            |e AS (SELECT a, b FROM pr WHERE s >= 2),
+            |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)""".stripMargin
+        val rounds = (1 to 4).map { i =>
+          s""",
+             |c$i AS (SELECT s.a, l.lbl, count(*) AS c
+             |  FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
+             |l$i AS (SELECT a AS node, lbl FROM (
+             |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+             |      ORDER BY c DESC, lbl) AS rk FROM c$i) t
+             |  WHERE rk = 1)""".stripMargin
+        }.mkString
+        s"$head$rounds\nSELECT node, lbl AS community FROM l4 ORDER BY node"
+      }),
 
     // Local clustering coefficient of the co-purchase graph (Graph
     // .clusteringCoefficientBp = degree aggregate + degree-oriented

@@ -182,18 +182,20 @@ object TextQueries extends Catalog {
     */
   private val BpeK = 10
 
-  /** The unrolled K-iteration DuckDB twin of `Text.bpeTrain`: v0 is the
-    * char-split word-frequency table; each stage k recounts adjacent
-    * pairs (p_k), takes the deterministic argmax (t_k), and folds the
-    * greedy left-to-right merge into every sequence (v_k) with
-    * `list_reduce` — the exact fold `bpeTrain` runs via `aggregate`.
+  /** The unrolled K-iteration DuckDB chain shared by `text_bpe_train`
+    * and `text_bpe_apply`: v0 is the char-split word-frequency table;
+    * each stage k recounts adjacent pairs (p_k), takes the deterministic
+    * argmax (t_k), and folds the greedy left-to-right merge into every
+    * sequence (v_k) with `list_reduce` — the exact fold `bpeTrain` runs
+    * via `aggregate`. The word column rides along so the apply twin can
+    * join the final segmentation back to documents.
     */
-  private def bpeTrainOracle(k: Int): String = {
+  private def bpeChain(k: Int): String = {
     val head =
       s"""WITH words AS (
          |  SELECT w, count(*)::BIGINT AS n
          |  FROM (SELECT unnest($Toks) AS w FROM documents) t GROUP BY w),
-         |v0 AS (SELECT n, array_to_string(
+         |v0 AS (SELECT w, n, array_to_string(
          |  list_transform(range(1, len(w)+1), i -> substr(w, i, 1)), ' ')
          |  AS seq FROM words)""".stripMargin
     val stages = (1 to k).map { i =>
@@ -206,7 +208,7 @@ object TextQueries extends Catalog {
          |  GROUP BY pair),
          |t$i AS (SELECT pair, n_pairs FROM p$i
          |        ORDER BY n_pairs DESC, pair LIMIT 1),
-         |v$i AS (SELECT v.n, list_reduce(string_split(v.seq, ' '),
+         |v$i AS (SELECT v.w, v.n, list_reduce(string_split(v.seq, ' '),
          |    (acc, x) -> CASE
          |      WHEN x = split_part(t.pair, ' ', 2)
          |        AND (acc = split_part(t.pair, ' ', 1)
@@ -216,11 +218,28 @@ object TextQueries extends Catalog {
          |      ELSE acc || ' ' || x END) AS seq
          |  FROM v${i - 1} v, t$i t)""".stripMargin
     }.mkString
+    s"$head$stages"
+  }
+
+  private def bpeTrainOracle(k: Int): String = {
     val union = (1 to k)
       .map(i => s"SELECT $i::BIGINT AS iter, pair, n_pairs FROM t$i")
       .mkString(" UNION ALL ")
-    s"$head$stages\nSELECT * FROM ($union) u ORDER BY iter"
+    s"${bpeChain(k)}\nSELECT * FROM ($union) u ORDER BY iter"
   }
+
+  /** `text_bpe_apply`'s twin: join the chain's FINAL segmentation back to
+    * per-(doc, word) occurrence counts — subtokens per doc, all integer.
+    */
+  private def bpeApplyOracle(k: Int): String =
+    s"""${bpeChain(k)},
+       |docw AS (SELECT doc_id, w, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id, unnest($Toks) AS w FROM documents) t
+       |  GROUP BY doc_id, w)
+       |SELECT doc_id, sum(c)::BIGINT AS n_words,
+       |  sum(c * len(string_split(v.seq, ' ')))::BIGINT AS n_bpe_tokens
+       |FROM docw JOIN v$k v USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -255,6 +274,17 @@ object TextQueries extends Catalog {
       (s, dir) => Text.bpeTrain(load(s, dir, "documents"), k = BpeK)
         .orderBy(col("iter")),
       Some(bpeTrainOracle(BpeK))),
+
+    // [ext] APPLY the trained tokenizer: per-doc word + BPE-subtoken
+    // counts under the K-merge vocabulary text_bpe_train learns — the
+    // trainer's final segmented vocab is the apply table (no
+    // re-segmentation); doc occurrences collapse map-side before the
+    // vocabulary-sized join. Oracle = the same unrolled chain, final
+    // stage joined back to documents.
+    Q("text_bpe_apply",
+      (s, dir) => Text.bpeTokenCounts(load(s, dir, "documents"), k = BpeK)
+        .orderBy(col("doc_id")),
+      Some(bpeApplyOracle(BpeK))),
 
     // [ext] CCNet-style corpus-frequency doc scores (integer-exact).
     Q("text_unigram_doc_score",

@@ -124,6 +124,47 @@ object Graph {
         .otherwise(expr("(20000 * triangles) div (degree * (degree - 1))")))
   }
 
+  /** Fixed-iteration SYNCHRONOUS label propagation (Raghavan, Albert &
+    * Kumara 2007) over an undirected edge list of UNIQUE canonical pairs:
+    * every node starts labeled with its own id; each round it adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST label —
+    * a deterministic total order, so the whole trajectory replays
+    * bit-identically in an unrolled SQL twin (same discipline as
+    * `pageRankBp`). Unlike `connectedComponents` (one label per connected
+    * component), LPA finds DENSER sub-communities inside a component.
+    * Fixed `iters` rather than convergence detection: synchronous LPA can
+    * oscillate on bipartite-ish structures, so a fixed budget IS the
+    * deterministic semantics, not an approximation of one.
+    *
+    * Scale shape: the symmetric edge list is pre-shuffled and cached on
+    * the per-iteration join key once (the `pageRankBp` trick — zero edge
+    * exchange per round); each round is one keyed join + one (node,
+    * label) count + one per-node argmax window, all node/edge-sized.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       srcCol: String, dstCol: String): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).sortWithinPartitions(col("b"))
+      .persist(MEMORY_ONLY)
+    sym.count()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a").as("node"), col("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Fixed-iteration PageRank in basis points over `edges(src, dst)`:
     * r₀(v) = `baseBp`; r_{k+1}(v) = 15%·baseBp + Σ_{(u,v)∈E}
     * (85·r_k(u)) div (100·outdeg(u)). All-long arithmetic with truncating

@@ -654,6 +654,82 @@ object Relational {
         leftCols.map(col) ++ rightVals.map(col): _*)
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction='nearest')` shape): each
+    * left row enriched with whichever same-key right row is closest in
+    * time, looking BOTH ways; exact ties — including a simultaneous right
+    * row, gap 0 — go to the backward side. Emits `asof_dir`
+    * ('backward'/'forward'/null) and `asof_gap` (whole seconds, from
+    * second-truncated epochs — both engines truncate identically) next to
+    * the chosen values, so every pick is auditable.
+    *
+    * Scale shape: ONE keyed shuffle serves both directions — the same
+    * tagged-union frame as `asofJoin`, with a backward running-carry
+    * frame (unbounded preceding → current) and a forward one (next row →
+    * unbounded following) over the SAME sort order. Within equal (key,
+    * ts): backward's `last` picks the greatest tie, forward's `first`
+    * picks the smallest — each direction takes the row nearest the
+    * boundary from its own side, exactly like the one-directional joins.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String],
+                      rightTie: Seq[String] = Nil): DataFrame = {
+    val keyCols = keys.map(col)
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
+    val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
+    val reserved = Seq("_ts", "_side", "_rts")
+    require(!(left.columns ++ right.columns).exists(c =>
+        reserved.contains(c) || c.startsWith("_b_") || c.startsWith("_f_")),
+      s"inputs must not already have ${reserved.mkString("/")}/_b_*/_f_* columns")
+    require(leftCols.intersect(rightCarry).isEmpty,
+      s"left columns ${leftCols.intersect(rightCarry).mkString(", ")} collide " +
+        "with right value/tie columns — rename one side first")
+    // gap arithmetic in whole-second epochs for timestamp columns, raw
+    // values for numeric time axes — both deterministic on both engines
+    def epochOf(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case org.apache.spark.sql.types.TimestampType => unix_timestamp(c)
+        case _ => c.cast("long")
+      }
+    val l = left.select(
+      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
+        leftCols.map(col) ++
+        rightCarry.map(v => lit(null).cast(right.schema(v).dataType).as(v)) :+
+        lit(null).cast("long").as("_rts"): _*)
+    val r = right.select(
+      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCarry.map(col) :+
+        epochOf(col(rightTs), right.schema(rightTs).dataType).as("_rts"): _*)
+    val ord = col("_ts").asc +: col("_side").asc +:
+      rightTie.map(col(_).asc_nulls_first)
+    val wb = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withBoth = (rightVals :+ "_rts").foldLeft(l.unionByName(r)) { (df, v) =>
+      df.withColumn(s"_b_$v", last(col(v), ignoreNulls = true).over(wb))
+        .withColumn(s"_f_$v", first(col(v), ignoreNulls = true).over(wf))
+    }
+    val lts = epochOf(col("_ts"), left.schema(leftTs).dataType)
+    val bGap = lts - col("_b__rts")
+    val fGap = col("_f__rts") - lts
+    val noMatch = col("_b__rts").isNull && col("_f__rts").isNull
+    val useBack = col("_f__rts").isNull ||
+      (col("_b__rts").isNotNull && bGap <= fGap)
+    withBoth.filter(col("_side") === 1)
+      .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++ leftCols.map(col) ++
+        rightVals.map(v =>
+          when(useBack, col(s"_b_$v")).otherwise(col(s"_f_$v")).as(v)) ++
+        Seq(
+          when(noMatch, lit(null).cast("string"))
+            .when(useBack, lit("backward")).otherwise(lit("forward"))
+            .as("asof_dir"),
+          when(noMatch, lit(null).cast("long"))
+            .when(useBack, bGap).otherwise(fGap).cast("long")
+            .as("asof_gap")): _*)
+  }
+
   /** Skew-resistant equi-join: salt the (skewed) left side into `salts`
     * sub-keys and replicate the right side across all salts, so one hot key
     * spreads over `salts` reducers instead of melting one. The salt is a

@@ -127,16 +127,51 @@ object Text {
     * trailing `a` with the merged symbol `ab`.
     */
   def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    require(k >= 1, "k must be >= 1")
     val spark = docs.sparkSession
-    // vocabulary-sized state: (corpus frequency, space-joined symbol seq)
+    val (merges, vocab) = bpeTrainState(docs, k, textCol)
+    vocab.unpersist()
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        merges.map(m => Row(m._1, m._2, m._3)): _*)),
+      StructType(Seq(StructField("iter", LongType),
+        StructField("pair", StringType), StructField("n_pairs", LongType))))
+  }
+
+  /** The greedy left-to-right merge of pair (a, b) over a space-joined
+    * symbol sequence, as one fold expression (see `bpeTrain`'s doc).
+    */
+  private def bpeMergeExpr(seqCol: Column, a: String, b: String): Column = {
+    val l = split(seqCol, " ")
+    aggregate(
+      slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+      element_at(l, 1),
+      (acc, x) => when(x === lit(b) &&
+          (acc === lit(a) || acc.endsWith(lit(" " + a))),
+        concat(acc.substr(lit(1), length(acc) - length(lit(a))),
+          lit(a + b)))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** The trainer's engine: returns the merge table AND the final
+    * segmented vocabulary `(w, n, seq)` — still persisted; the caller
+    * owns the unpersist (or keeps it as the tokenizer's apply table).
+    */
+  private def bpeTrainState(docs: DataFrame, k: Int, textCol: String)
+      : (Seq[(Long, String, Long)], DataFrame) = {
+    require(k >= 1, "k must be >= 1")
+    // vocabulary-sized state: (word, corpus freq, space-joined symbol seq)
+    // empty-token guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
+    // not empty (the bpePairCounts gotcha) — an empty word must char-split
+    // to [""] on both engines, not a phantom 2-symbol sequence
     var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("n"), concat_ws(" ",
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))).as("seq"))
+      .select(col("w"), col("n"),
+        when(length(col("w")) === 0, lit(""))
+          .otherwise(concat_ws(" ",
+            transform(sequence(lit(1), length(col("w"))),
+              i => col("w").substr(i, lit(1))))).as("seq"))
       .persist()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (it <- 1 to k) {
       val l = split(col("seq"), " ")
       val counts = vocab
@@ -149,26 +184,39 @@ object Text {
       counts.orderBy(col("n_pairs").desc, col("pair").asc).limit(1)
         .collect().headOption.foreach { top =>
           val pair = top.getString(0)
-          merges += Row(it.toLong, pair, top.getLong(1))
+          merges += ((it.toLong, pair, top.getLong(1)))
           val Array(a, b) = pair.split(" ", 2)
-          val merged = aggregate(
-            slice(l, lit(2), greatest(size(l) - 1, lit(0))),
-            element_at(l, 1),
-            (acc, x) => when(x === lit(b) &&
-                (acc === lit(a) || acc.endsWith(lit(" " + a))),
-              concat(acc.substr(lit(1), length(acc) - length(lit(a))),
-                lit(a + b)))
-              .otherwise(concat(acc, lit(" "), x)))
-          val next = vocab.select(col("n"), merged.as("seq")).persist()
+          val next = vocab.select(col("w"), col("n"),
+            bpeMergeExpr(col("seq"), a, b).as("seq")).persist()
           next.count() // materialize before releasing the parent cache
           vocab.unpersist(); vocab = next
         }
     }
-    vocab.unpersist()
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](java.util.Arrays.asList(merges.toSeq: _*)),
-      StructType(Seq(StructField("iter", LongType),
-        StructField("pair", StringType), StructField("n_pairs", LongType))))
+    (merges.toSeq, vocab)
+  }
+
+  /** APPLY the trained tokenizer: per-document word and BPE-subtoken
+    * counts under the K-merge vocabulary `bpeTrain` learns — the
+    * "token budget with the tokenizer you actually trained" statistic
+    * (plain `tokenCountBpe` approximates with a fixed regex).
+    *
+    * The trainer's final segmented vocabulary IS the apply table — no
+    * re-segmentation pass: per-(doc, word) occurrence counts collapse
+    * map-side, join the vocabulary-sized `(w, #subtokens)` frame, and
+    * one keyed sum yields the doc totals. All integer-exact.
+    */
+  def bpeTokenCounts(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val (_, vocab) = bpeTrainState(docs, k, textCol)
+    val perDoc = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    perDoc.join(
+        vocab.select(col("w"),
+          size(split(col("seq"), " ")).cast("long").as("ns")), "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("ns")).as("n_bpe_tokens"))
   }
 
   /** Corpus-frequency document scores (the CCNet-style LM-filter shape,

@@ -13,7 +13,8 @@ object ScratchPR {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
     val names = if (args.nonEmpty) args.toSeq
       else Seq("graph_pagerank", "sim_knn_graph", "dedup_containment",
         "curate_dsir_select", "agg_outlier_mad")
@@ -22,7 +23,7 @@ object ScratchPR {
       catch { case _: Throwable => }
     }
     names.foreach { name =>
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to runs).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir).count()

@@ -106,4 +106,36 @@ class GraphSpec extends SparkSpec {
       .groupBy(identity).map { case (n, occ) => n -> occ.size.toLong }
     assert(tris.nonEmpty && got == want)
   }
+
+  test("labelPropagation: splits bridged triangles that components merge; matches reference") {
+    // two triangles joined by one bridge: ONE connected component, but LPA
+    // should settle on a label per triangle
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    // independent reference: textbook synchronous LPA, ties to min label
+    def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+      var lbl = nbrs.keys.map(n => n -> n).toMap
+      (1 to iters).foreach { _ =>
+        lbl = nbrs.map { case (n, ns) =>
+          val counts = ns.map(lbl).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lbl
+    }
+    val got = Graph.labelPropagation(pairs.toDF("a", "b"), iters = 4, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLpa(pairs, 4))
+    // the two triangles carry different labels; each is internally uniform
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(5L) == got(6L) && got(6L) == got(7L))
+    assert(got(1L) != got(5L))
+    // while connectedComponents sees a single component
+    val comps = Graph.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().map(_._2).distinct
+    assert(comps.length == 1)
+  }
 }

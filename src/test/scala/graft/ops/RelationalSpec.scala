@@ -59,6 +59,30 @@ class RelationalSpec extends SparkSpec {
     assert(out("c3").isEmpty)          // key with no right rows
   }
 
+  test("asofJoinNearest: closest right row either way; gap ties go backward") {
+    val left = Seq(
+      (1L, 10L, "c1"),  // simultaneous right rows at 10 → backward gap 0; tie rid 2
+      (1L, 13L, "c2"),  // back at 10 (gap 3) vs fwd at 14 (gap 1) → forward
+      (1L, 20L, "c3"),  // only backward candidates → backward to 14, gap 6
+      (1L, 4L,  "c4"),  // only forward candidates → forward to 10, gap 6; tie rid 1
+      (1L, 12L, "c5"),  // gap 2 BOTH ways (10 vs 14) → tie goes backward
+      (2L, 50L, "c6"))  // key with no right rows → all null
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0, 1L), (1L, 10L, 200.0, 2L),
+      (1L, 14L, 300.0, 3L)).toDF("k", "t", "v", "rid")
+    val out = Relational.asofJoinNearest(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightTie = Seq("rid"))
+      .select("tag", "v", "asof_dir", "asof_gap").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("c1") == ((Some(200.0), Some("backward"), Some(0L))))
+    assert(out("c2") == ((Some(300.0), Some("forward"), Some(1L))))
+    assert(out("c3") == ((Some(300.0), Some("backward"), Some(6L))))
+    assert(out("c4") == ((Some(100.0), Some("forward"), Some(6L))))
+    assert(out("c5") == ((Some(200.0), Some("backward"), Some(2L))))
+    assert(out("c6") == ((None, None, None)))
+  }
+
   test("binnedRangeJoin equals the naive range join, exactly once per pair") {
     // negative coordinates, intervals spanning 1..many bins, touching
     // endpoints (half-open), and points outside every interval

@@ -68,6 +68,33 @@ class TextOpsSpec extends SparkSpec {
     assert(got == refBpe(words, 6))
     // sanity: later iterations DID merge merged symbols (pair with len>2 side)
     assert(got.exists { case (_, p, _) => p.split(" ").exists(_.length > 1) })
+
+    // apply side: subtoken counts per doc under the same reference merges
+    def refSegment(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      refBpe(words, 6).foreach { case (_, pair, _) =>
+        val Array(a, b) = pair.split(" ", 2)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val applied = Text.bpeTokenCounts(docs, k = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exp1 = text.split(" ")
+    assert(applied(1L) == (exp1.length.toLong,
+      exp1.map(refSegment(_).toLong).sum))
+    val exp2 = "low lowest".split(" ")
+    assert(applied(2L) == (exp2.length.toLong,
+      exp2.map(refSegment(_).toLong).sum))
+    // merges actually compress: fewer subtokens than characters
+    assert(applied(1L)._2 < exp1.map(_.length.toLong).sum)
   }
 
   test("unigramDocScores: sum_freq is the sum of corpus frequencies per occurrence") {
