@@ -201,6 +201,21 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => }
+    // Round-stamped copy so each round's full per-query results SURVIVE
+    // the next round's run (the r8 run overwrote r7's BENCH_LOCAL.json,
+    // destroying the idle per-query reference — VERDICT r8 item 7). The
+    // current round = highest driver-written BENCH_r{N}.json + 1; falls
+    // back silently if the repo dir isn't readable (e.g. dev runs from
+    // elsewhere).
+    try {
+      val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val round = if (rs.isEmpty) 0 else rs.max + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
+        fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     // Compact LAST line, sized to fit the driver's ~2000-char tail whole:
     // total + failures + the slowest queries (the ones worth comparing
     // round over round). The slowest list SHRINKS until the line fits —

@@ -65,6 +65,81 @@ object RelationalQueries extends Catalog {
       |FROM f
       |ORDER BY o_custkey, vf, vt NULLS FIRST, attr_val""".stripMargin
 
+  /** Basket/graph oracle twins — each shared VERBATIM by a
+    * rebuild-from-lineitem query and its stored-edge `_indexed` twin
+    * (`StoredIndexes.basketEdges`): the stored co-purchase edge table
+    * must reproduce the from-scratch graph results exactly.
+    */
+  private val BasketPairOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |           FROM lineitem),
+      |pr AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS support
+      |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY 1, 2)
+      |SELECT part_a, part_b, support FROM pr
+      |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
+
+  private val BasketComponentsOracle =
+    """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o,
+      |    l_partkey AS p FROM lineitem),
+      |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+      |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY 1, 2),
+      |e0 AS (SELECT a, b FROM pr WHERE s >= 2),
+      |edges AS (
+      |  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+      |  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      |SELECT a AS node, min(b) AS component
+      |FROM reach GROUP BY a ORDER BY node""".stripMargin
+
+  private def lpaOracle(iters: Int): String = {
+    val head =
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+        |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM pr WHERE s >= 2),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |c$i AS (SELECT s.a, l.lbl, count(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT a AS node, lbl FROM (
+         |    SELECT a, lbl, row_number() OVER (PARTITION BY a
+         |      ORDER BY c DESC, lbl) AS rk FROM c$i) t
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString
+    s"$head$rounds\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
+  }
+
+  private val BasketClusteringOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |           FROM lineitem),
+      |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+      |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM pr WHERE s >= 2),
+      |deg AS (SELECT u AS node, count(*) AS degree FROM
+      |  (SELECT a AS u FROM e UNION ALL SELECT b FROM e) s GROUP BY u),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, count(*) AS triangles FROM
+      |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |   UNION ALL SELECT z FROM tri) t GROUP BY node)
+      |SELECT d.node, degree, coalesce(triangles, 0) AS triangles,
+      |  CASE WHEN degree < 2 THEN 0
+      |    ELSE (20000 * coalesce(triangles, 0))
+      |         // (degree * (degree - 1)) END AS coeff_bp
+      |FROM deg d LEFT JOIN tn ON d.node = tn.node
+      |ORDER BY d.node""".stripMargin
+
   /** Flagship: revenue per region — scan → 4 joins (dims broadcast) → agg →
     * sort. The plan to check at scale: lineitem never shuffles until the
     * final groupBy on 5 region names; AQE coalesces the tiny aggregate.
@@ -301,8 +376,11 @@ object RelationalQueries extends Catalog {
     // the CLOSEST purchase either way; gap ties (incl. simultaneous) go
     // backward. ONE keyed shuffle serves both directions — the tagged
     // union with a backward running-carry and a forward one over the same
-    // sort order; the oracle replays that exact construction with DuckDB's
-    // IGNORE NULLS window pair plus the same gap-compare CASE.
+    // sort order, each carrying a single (rts, value) STRUCT so the pick
+    // is atomic (a NULL right value comes from the nearest row, never a
+    // farther one); the oracle replays that exact construction with
+    // DuckDB's IGNORE NULLS window pair over the same struct plus the
+    // same gap-compare CASE.
     Q("join_asof_nearest",
       (s, dir) => {
         val ev = load(s, dir, "events")
@@ -330,10 +408,12 @@ object RelationalQueries extends Catalog {
              |  FROM events WHERE event_type = 'click'),
              |w AS (
              |  SELECT *,
-             |    last_value(value IGNORE NULLS) OVER pb AS bv,
-             |    last_value(rts IGNORE NULLS) OVER pb AS brts,
-             |    first_value(value IGNORE NULLS) OVER pf AS fv,
-             |    first_value(rts IGNORE NULLS) OVER pf AS frts,
+             |    last_value(CASE WHEN side = 0 AND rts IS NOT NULL
+             |      THEN {'rts': rts, 'v': value} END IGNORE NULLS)
+             |      OVER pb AS b,
+             |    first_value(CASE WHEN side = 0 AND rts IS NOT NULL
+             |      THEN {'rts': rts, 'v': value} END IGNORE NULLS)
+             |      OVER pf AS f,
              |    epoch(date_trunc('second', ts))::BIGINT AS lts
              |  FROM u
              |  WINDOW pb AS (PARTITION BY user_id
@@ -343,15 +423,15 @@ object RelationalQueries extends Catalog {
              |      ORDER BY ts, side, tie ASC NULLS FIRST
              |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
              |p AS (SELECT *,
-             |    (frts IS NULL OR (brts IS NOT NULL AND lts - brts <= frts - lts))
+             |    (f.rts IS NULL OR (b.rts IS NOT NULL AND lts - b.rts <= f.rts - lts))
              |      AS use_back
              |  FROM w WHERE side = 1)
              |SELECT event_id, user_id, lts AS ts_epoch,
-             |  CASE WHEN use_back THEN bv ELSE fv END AS near_purchase,
-             |  CASE WHEN brts IS NULL AND frts IS NULL THEN NULL
+             |  CASE WHEN use_back THEN b.v ELSE f.v END AS near_purchase,
+             |  CASE WHEN b.rts IS NULL AND f.rts IS NULL THEN NULL
              |       WHEN use_back THEN 'backward' ELSE 'forward' END AS asof_dir,
-             |  CASE WHEN brts IS NULL AND frts IS NULL THEN NULL
-             |       WHEN use_back THEN lts - brts ELSE frts - lts END AS asof_gap
+             |  CASE WHEN b.rts IS NULL AND f.rts IS NULL THEN NULL
+             |       WHEN use_back THEN lts - b.rts ELSE f.rts - lts END AS asof_gap
              |FROM p ORDER BY event_id""".stripMargin)),
 
     Q("join_semi",
@@ -710,13 +790,19 @@ object RelationalQueries extends Catalog {
           col("support"))
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(50),
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |           FROM lineitem),
-             |pr AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS support
-             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
-             |       GROUP BY 1, 2)
-             |SELECT part_a, part_b, support FROM pr
-             |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin)),
+      Some(BasketPairOracle)),
+
+    // STEADY STATE: the same top-50 against the STORED co-purchase edge
+    // table (StoredIndexes.basketEdges, prewarmed by Bench) — timed cost
+    // is the pushed TakeOrdered over the warm edge frame, not the
+    // distinct + self-join rebuild. Same oracle.
+    Q("basket_pair_support_indexed",
+      (s, dir) => StoredIndexes.basketEdges(s, dir)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("support"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(50),
+      Some(BasketPairOracle)),
 
     // Connected components of the co-purchase graph (Graph
     // .connectedComponents over basketPairs support ≥ 2): min-id labels
@@ -731,21 +817,16 @@ object RelationalQueries extends Catalog {
             .filter(col("support") >= 2),
           "item_a", "item_b")
         .orderBy(col("node")),
-      Some("""WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o,
-             |    l_partkey AS p FROM lineitem),
-             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
-             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
-             |       GROUP BY 1, 2),
-             |e0 AS (SELECT a, b FROM pr WHERE s >= 2),
-             |edges AS (
-             |  SELECT a, b FROM e0 UNION SELECT b, a FROM e0
-             |  UNION SELECT a, a FROM e0 UNION SELECT b, b FROM e0),
-             |reach AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-             |SELECT a AS node, min(b) AS component
-             |FROM reach GROUP BY a ORDER BY node""".stripMargin)),
+      Some(BasketComponentsOracle)),
+
+    // STEADY STATE: components over the STORED edge table — timed cost is
+    // the union-find / min-label engine alone. Same oracle.
+    Q("basket_components_indexed",
+      (s, dir) => graft.ops.Graph.connectedComponents(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
+          "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(BasketComponentsOracle)),
 
     // Label-propagation communities of the co-purchase graph (Graph
     // .labelPropagation, Raghavan et al. 2007): K synchronous rounds of
@@ -761,27 +842,17 @@ object RelationalQueries extends Catalog {
             .filter(col("support") >= 2),
           iters = 4, "item_a", "item_b")
         .orderBy(col("node")),
-      Some {
-        val head =
-          """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-            |           FROM lineitem),
-            |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
-            |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
-            |       GROUP BY 1, 2),
-            |e AS (SELECT a, b FROM pr WHERE s >= 2),
-            |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-            |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym)""".stripMargin
-        val rounds = (1 to 4).map { i =>
-          s""",
-             |c$i AS (SELECT s.a, l.lbl, count(*) AS c
-             |  FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
-             |l$i AS (SELECT a AS node, lbl FROM (
-             |    SELECT a, lbl, row_number() OVER (PARTITION BY a
-             |      ORDER BY c DESC, lbl) AS rk FROM c$i) t
-             |  WHERE rk = 1)""".stripMargin
-        }.mkString
-        s"$head$rounds\nSELECT node, lbl AS community FROM l4 ORDER BY node"
-      }),
+      Some(lpaOracle(4))),
+
+    // STEADY STATE: LPA over the STORED edge table — timed cost is the 4
+    // synchronous label rounds alone (keyed join + count + per-node
+    // argmax window per round). Same oracle.
+    Q("graph_lpa_communities_indexed",
+      (s, dir) => graft.ops.Graph.labelPropagation(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
+          iters = 4, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(lpaOracle(4))),
 
     // Local clustering coefficient of the co-purchase graph (Graph
     // .clusteringCoefficientBp = degree aggregate + degree-oriented
@@ -794,26 +865,17 @@ object RelationalQueries extends Catalog {
             .filter(col("support") >= 2),
           "item_a", "item_b")
         .orderBy(col("node")),
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |           FROM lineitem),
-             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
-             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
-             |       GROUP BY 1, 2),
-             |e AS (SELECT a, b FROM pr WHERE s >= 2),
-             |deg AS (SELECT u AS node, count(*) AS degree FROM
-             |  (SELECT a AS u FROM e UNION ALL SELECT b FROM e) s GROUP BY u),
-             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-             |        FROM e e1 JOIN e e2 ON e2.a = e1.b
-             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-             |tn AS (SELECT node, count(*) AS triangles FROM
-             |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
-             |   UNION ALL SELECT z FROM tri) t GROUP BY node)
-             |SELECT d.node, degree, coalesce(triangles, 0) AS triangles,
-             |  CASE WHEN degree < 2 THEN 0
-             |    ELSE (20000 * coalesce(triangles, 0))
-             |         // (degree * (degree - 1)) END AS coeff_bp
-             |FROM deg d LEFT JOIN tn ON d.node = tn.node
-             |ORDER BY d.node""".stripMargin)),
+      Some(BasketClusteringOracle)),
+
+    // STEADY STATE: clustering coefficient over the STORED edge table —
+    // timed cost is degrees + degree-oriented wedge join alone. Same
+    // oracle.
+    Q("basket_clustering_coeff_indexed",
+      (s, dir) => graft.ops.Graph.clusteringCoefficientBp(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
+          "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(BasketClusteringOracle)),
 
     // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
     // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy

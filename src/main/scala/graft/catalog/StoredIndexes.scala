@@ -233,6 +233,44 @@ object StoredIndexes {
     (v(0), v(1))
   }
 
+  /** Stored co-purchase edge table `(item_a, item_b, support)` over
+    * `dir`'s lineitem — the graph every basket/graph query walks.
+    * `basket_pair_support`, `basket_components`, `graph_lpa_communities`
+    * and `basket_clustering_coeff` each rebuild it inside their own timed
+    * run (their oracles must replay construction); their `_indexed` twins
+    * read THIS frame, so the timed cost is the graph algorithm itself —
+    * the steady state of a pipeline that maintains the edge list
+    * incrementally. Stored UNFILTERED; support thresholds are a filter on
+    * the warm frame.
+    */
+  def basketEdges(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|basket_edges", _ => {
+      val d = newTempDir("graft-basket-")
+      graft.ops.Relational.basketPairs(
+          load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
+  /** Stored BPE segmented vocabulary `(w, n, seq)` over `dir`'s documents
+    * at the catalog's merge budget (`TextQueries.BpeK`) — the apply table
+    * a tokenizer pipeline trains ONCE. The `text_bpe_apply_indexed` twin
+    * times ONLY per-doc collapse + one vocab-sized join; its rebuild
+    * sibling (`text_bpe_apply`) re-runs the K-round training loop so the
+    * unrolled-CTE oracle can replay construction.
+    */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|bpe_vocab", _ => {
+      val d = newTempDir("graft-bpevocab-")
+      val v = graft.ops.Text.bpeVocabulary(
+        load(s, dir, "documents"), TextQueries.BpeK)
+      v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      v.unpersist()
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
   def prewarm(s: SparkSession, dir: String): Unit = {
     val (t, b) = minHash(s, dir); t.count(); b.count()
     val (n, c) = cosine(s, dir); n.count(); c.count()
@@ -243,6 +281,8 @@ object StoredIndexes {
     bucketedSales(s, dir)._1.count()
     spanIdx(s, dir, 7).count()
     spanIdx(s, dir, 10).count()
+    basketEdges(s, dir).count()
+    bpeVocab(s, dir).count()
     // run (and memoize) the geometry pre-flights too — the timed probes
     // then start straight at candidate generation, like an ingest loop's
     // steady-state iterations after its first batch

@@ -180,7 +180,7 @@ object TextQueries extends Catalog {
     * oracle stays tractable, large enough to exercise symbol-on-symbol
     * merges (iterations 6+ merge PAIRS OF MERGED symbols, e.g. m+er).
     */
-  private val BpeK = 10
+  private[catalog] val BpeK = 10
 
   /** The unrolled K-iteration DuckDB chain shared by `text_bpe_train`
     * and `text_bpe_apply`: v0 is the char-split word-frequency table;
@@ -230,16 +230,22 @@ object TextQueries extends Catalog {
 
   /** `text_bpe_apply`'s twin: join the chain's FINAL segmentation back to
     * per-(doc, word) occurrence counts — subtokens per doc, all integer.
+    *
+    * NB: `bpeChain(k)` is already stripMargin'ed and its merge-fold stages
+    * contain continuation lines beginning with whitespace + `||`; a second
+    * stripMargin over the interpolated chain would eat the first pipe and
+    * leave a bare `|` binary operator (DuckDB binder error). So — exactly
+    * like `bpeTrainOracle` — strip ONLY the new suffix and concatenate.
     */
   private def bpeApplyOracle(k: Int): String =
-    s"""${bpeChain(k)},
-       |docw AS (SELECT doc_id, w, count(*)::BIGINT AS c
-       |  FROM (SELECT doc_id, unnest($Toks) AS w FROM documents) t
-       |  GROUP BY doc_id, w)
-       |SELECT doc_id, sum(c)::BIGINT AS n_words,
-       |  sum(c * len(string_split(v.seq, ' ')))::BIGINT AS n_bpe_tokens
-       |FROM docw JOIN v$k v USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"${bpeChain(k)},\n" +
+      s"""docw AS (SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest($Toks) AS w FROM documents) t
+         |  GROUP BY doc_id, w)
+         |SELECT doc_id, sum(c)::BIGINT AS n_words,
+         |  sum(c * len(string_split(v.seq, ' ')))::BIGINT AS n_bpe_tokens
+         |FROM docw JOIN v$k v USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -283,6 +289,20 @@ object TextQueries extends Catalog {
     // stage joined back to documents.
     Q("text_bpe_apply",
       (s, dir) => Text.bpeTokenCounts(load(s, dir, "documents"), k = BpeK)
+        .orderBy(col("doc_id")),
+      Some(bpeApplyOracle(BpeK))),
+
+    // [ext] APPLY at STEADY STATE: the same per-doc counts against the
+    // STORED segmented vocabulary (trained once per session via
+    // StoredIndexes — Bench prewarms it outside the timed region). The
+    // timed cost is per-(doc, word) map-side collapse + ONE vocab-sized
+    // join + keyed sum — no K-round training loop, no argmax barriers:
+    // what every batch after the first pays in a production token-budget
+    // pipeline. Same oracle: the stored vocabulary must reproduce the
+    // from-scratch segmentation exactly.
+    Q("text_bpe_apply_indexed",
+      (s, dir) => Text.bpeTokenCountsIndexed(
+          load(s, dir, "documents"), StoredIndexes.bpeVocab(s, dir))
         .orderBy(col("doc_id")),
       Some(bpeApplyOracle(BpeK))),
 

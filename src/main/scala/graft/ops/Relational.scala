@@ -660,7 +660,13 @@ object Relational {
     * row, gap 0 — go to the backward side. Emits `asof_dir`
     * ('backward'/'forward'/null) and `asof_gap` (whole seconds, from
     * second-truncated epochs — both engines truncate identically) next to
-    * the chosen values, so every pick is auditable.
+    * the chosen values, so every pick is auditable: each direction
+    * carries ONE struct of (_rts, values…), so the returned values —
+    * including a genuine NULL in a right value column — and the gap
+    * always describe the SAME nearest right row, exactly pandas
+    * `merge_asof(direction='nearest')`. (Per-column ignoreNulls carries
+    * would instead skip a NULL value back to a farther row while the gap
+    * still described the nearest one.)
     *
     * Scale shape: ONE keyed shuffle serves both directions — the same
     * tagged-union frame as `asofJoin`, with a backward running-carry
@@ -677,10 +683,9 @@ object Relational {
     val keyCols = keys.map(col)
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
-    val reserved = Seq("_ts", "_side", "_rts")
-    require(!(left.columns ++ right.columns).exists(c =>
-        reserved.contains(c) || c.startsWith("_b_") || c.startsWith("_f_")),
-      s"inputs must not already have ${reserved.mkString("/")}/_b_*/_f_* columns")
+    val reserved = Seq("_ts", "_side", "_rts", "_b", "_f")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"inputs must not already have ${reserved.mkString("/")} columns")
     require(leftCols.intersect(rightCarry).isEmpty,
       s"left columns ${leftCols.intersect(rightCarry).mkString(", ")} collide " +
         "with right value/tie columns — rename one side first")
@@ -707,20 +712,28 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
       .rowsBetween(1, Window.unboundedFollowing)
-    val withBoth = (rightVals :+ "_rts").foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(s"_b_$v", last(col(v), ignoreNulls = true).over(wb))
-        .withColumn(s"_f_$v", first(col(v), ignoreNulls = true).over(wf))
-    }
+    // ONE struct per direction: (_rts, values…) ride together, so a pick
+    // is atomic — NULL right values are returned as-is from the nearest
+    // row, never skipped to a farther one. Right rows without a usable
+    // timestamp (NULL _rts) are never candidates, matching the previous
+    // per-column carry.
+    val pick = when(col("_side") === 0 && col("_rts").isNotNull,
+      struct(col("_rts") +: rightVals.map(col): _*))
+    val withBoth = l.unionByName(r)
+      .withColumn("_b", last(pick, ignoreNulls = true).over(wb))
+      .withColumn("_f", first(pick, ignoreNulls = true).over(wf))
+    val bRts = col("_b").getField("_rts")
+    val fRts = col("_f").getField("_rts")
     val lts = epochOf(col("_ts"), left.schema(leftTs).dataType)
-    val bGap = lts - col("_b__rts")
-    val fGap = col("_f__rts") - lts
-    val noMatch = col("_b__rts").isNull && col("_f__rts").isNull
-    val useBack = col("_f__rts").isNull ||
-      (col("_b__rts").isNotNull && bGap <= fGap)
+    val bGap = lts - bRts
+    val fGap = fRts - lts
+    val noMatch = col("_b").isNull && col("_f").isNull
+    val useBack = col("_f").isNull || (col("_b").isNotNull && bGap <= fGap)
     withBoth.filter(col("_side") === 1)
       .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++ leftCols.map(col) ++
         rightVals.map(v =>
-          when(useBack, col(s"_b_$v")).otherwise(col(s"_f_$v")).as(v)) ++
+          when(useBack, col("_b").getField(v))
+            .otherwise(col("_f").getField(v)).as(v)) ++
         Seq(
           when(noMatch, lit(null).cast("string"))
             .when(useBack, lit("backward")).otherwise(lit("forward"))

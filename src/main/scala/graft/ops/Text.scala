@@ -181,8 +181,20 @@ object Text {
           .as("pair"))
         .groupBy("pair").agg(sum(col("n")).as("n_pairs"))
       // the iteration's sync barrier: ONE bounded row (the argmax pair)
-      counts.orderBy(col("n_pairs").desc, col("pair").asc).limit(1)
-        .collect().headOption.foreach { top =>
+      val topOpt = counts.orderBy(col("n_pairs").desc, col("pair").asc)
+        .limit(1).collect().headOption
+      // Fail FAST if the corpus runs out of mergeable pairs before k
+      // rounds: a silent stop here would diverge from the unrolled
+      // oracle twin, whose stage v_i cross-joins a then-EMPTY t_i and
+      // collapses the vocabulary to zero rows (train oracle degrades
+      // consistently, but the APPLY oracle would return zero doc rows
+      // while Spark kept returning real counts). k must not exceed the
+      // corpus's available merge count — loud beats wrong.
+      require(topOpt.isDefined,
+        s"BPE pair counts ran dry at iteration $it of $k — this corpus " +
+          s"supports only ${it - 1} merges; lower k (the unrolled CTE " +
+          "oracle cannot replay a dry merge round)")
+      topOpt.foreach { top =>
           val pair = top.getString(0)
           merges += ((it.toLong, pair, top.getLong(1)))
           val Array(a, b) = pair.split(" ", 2)
@@ -208,6 +220,27 @@ object Text {
   def bpeTokenCounts(docs: DataFrame, k: Int, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     val (_, vocab) = bpeTrainState(docs, k, textCol)
+    bpeTokenCountsIndexed(docs, vocab, idCol, textCol)
+  }
+
+  /** The trainer's final segmented vocabulary `(w, n, seq)` — the apply
+    * table a production tokenizer pipeline trains ONCE and stores (see
+    * `StoredIndexes.bpeVocab`); `bpeTokenCountsIndexed` consumes it.
+    * Returned persisted; the caller owns the unpersist / storage.
+    */
+  def bpeVocabulary(docs: DataFrame, k: Int,
+                    textCol: String = "text"): DataFrame =
+    bpeTrainState(docs, k, textCol)._2
+
+  /** APPLY against a PREBUILT segmented vocabulary `(w, seq)` — the
+    * steady-state tokenizer path: per-(doc, word) occurrence counts
+    * collapse map-side, then ONE vocabulary-sized join + keyed sum. No
+    * training loop, no argmax barriers — this is what every batch after
+    * the first pays in a production token-budget pipeline.
+    */
+  def bpeTokenCountsIndexed(docs: DataFrame, vocab: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
     val perDoc = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))

@@ -587,6 +587,18 @@ object Vectors {
     val total = exact.agg(count(lit(1))).head.getLong(0)
     exact.unpersist(); n.unpersist()
     val recallOk = total > 0 && hits * 10000L >= recallFloorBp * total
+    // The verdict table is hash-compared against a constant all-TRUE
+    // oracle, so the MEASURED margin must be visible somewhere a flake
+    // can be diagnosed from: log the basis-point recall and the objective
+    // trajectory (stderr — never part of the compared result). Observed
+    // recall at the shipped config is 9800–10000 bp vs the 8000 bp floor,
+    // deliberately wide headroom for the float-mean order-dependence of
+    // the refined centroids.
+    val recallBp = if (total > 0) hits * 10000L / total else -1L
+    System.err.println(
+      s"[ivfRefinedVerdict] recall=${recallBp}bp (floor $recallFloorBp, " +
+        s"margin ${recallBp - recallFloorBp}bp, $hits/$total) " +
+        s"objectives=${objs.map(o => f"$o%.6f").mkString(" -> ")}")
     val rows = objs.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
       (s"objective_monotone_r${i + 1}", cur >= prev - 1e-9)
     }.toSeq :+ ("recall_floor", recallOk)
