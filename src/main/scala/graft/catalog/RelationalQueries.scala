@@ -434,6 +434,70 @@ object RelationalQueries extends Catalog {
              |       WHEN use_back THEN lts - b.rts ELSE f.rts - lts END AS asof_gap
              |FROM p ORDER BY event_id""".stripMargin)),
 
+    // NEAREST as-of with a TOLERANCE bound (pandas merge_asof
+    // tolerance=1 day): a purchase farther than 86400 s — judged per
+    // direction BEFORE the nearest pick — is no candidate at all; a
+    // click with no in-bound purchase gets NULL value/dir/gap. Same
+    // single-shuffle struct-carry machinery; the oracle adds the same
+    // per-direction gap bound to the candidate predicates.
+    Q("join_asof_nearest_tol",
+      (s, dir) => {
+        val ev = load(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"),
+            col("event_id").as("p_event_id"))
+        Relational.asofJoinNearest(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("value"), rightTie = Seq("p_event_id"),
+            toleranceSec = Some(86400L))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("ts_epoch"),
+            col("value").as("near_purchase"),
+            col("asof_dir"), col("asof_gap"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, ts, 0 AS side, NULL::BIGINT AS event_id,
+             |    value, event_id AS tie,
+             |    epoch(date_trunc('second', ts))::BIGINT AS rts
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ts, 1 AS side, event_id,
+             |    NULL::DOUBLE AS value, NULL::BIGINT AS tie, NULL::BIGINT AS rts
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(CASE WHEN side = 0 AND rts IS NOT NULL
+             |      THEN {'rts': rts, 'v': value} END IGNORE NULLS)
+             |      OVER pb AS b,
+             |    first_value(CASE WHEN side = 0 AND rts IS NOT NULL
+             |      THEN {'rts': rts, 'v': value} END IGNORE NULLS)
+             |      OVER pf AS f,
+             |    epoch(date_trunc('second', ts))::BIGINT AS lts
+             |  FROM u
+             |  WINDOW pb AS (PARTITION BY user_id
+             |      ORDER BY ts, side, tie ASC NULLS FIRST
+             |      ROWS UNBOUNDED PRECEDING),
+             |    pf AS (PARTITION BY user_id
+             |      ORDER BY ts, side, tie ASC NULLS FIRST
+             |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+             |p AS (SELECT *,
+             |    (b.rts IS NOT NULL AND lts - b.rts <= 86400) AS bok,
+             |    (f.rts IS NOT NULL AND f.rts - lts <= 86400) AS fok
+             |  FROM w WHERE side = 1),
+             |q AS (SELECT *,
+             |    (NOT fok OR (bok AND lts - b.rts <= f.rts - lts)) AS use_back
+             |  FROM p)
+             |SELECT event_id, user_id, lts AS ts_epoch,
+             |  CASE WHEN NOT bok AND NOT fok THEN NULL
+             |       WHEN use_back THEN b.v ELSE f.v END AS near_purchase,
+             |  CASE WHEN NOT bok AND NOT fok THEN NULL
+             |       WHEN use_back THEN 'backward' ELSE 'forward' END AS asof_dir,
+             |  CASE WHEN NOT bok AND NOT fok THEN NULL
+             |       WHEN use_back THEN lts - b.rts ELSE f.rts - lts END AS asof_gap
+             |FROM q ORDER BY event_id""".stripMargin)),
+
     Q("join_semi",
       (s, dir) => load(s, dir, "customer")
         .join(load(s, dir, "orders").filter(col("o_orderstatus") === "F"),

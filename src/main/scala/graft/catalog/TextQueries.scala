@@ -306,6 +306,33 @@ object TextQueries extends Catalog {
         .orderBy(col("doc_id")),
       Some(bpeApplyOracle(BpeK))),
 
+    // [ext] GPT-style sequence PACKING (Curate.packSequences): concat
+    // documents in doc_id order, split at fixed 512-token boundaries —
+    // per doc its global token offset and first/last sequence ids, the
+    // pretraining shard layout. The global offset is the two-level
+    // cumulative-sum machinery (NO global window — approx bucket bounds
+    // → within-bucket window → broadcast offsets); the oracle replays it
+    // as one DuckDB running sum. All integer.
+    Q("curate_pack_sequences",
+      (s, dir) => graft.ops.Curate.packSequences(
+          load(s, dir, "documents"), seqLen = 512)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS c
+             |           FROM documents),
+             |cum AS (SELECT doc_id, c,
+             |    sum(c) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS hi
+             |  FROM t)
+             |SELECT doc_id, c AS n_tokens, (hi - c)::BIGINT AS tok_start,
+             |  (CASE WHEN c = 0 THEN NULL
+             |        ELSE (hi - c) // 512 END)::BIGINT AS seq_first,
+             |  (CASE WHEN c = 0 THEN NULL
+             |        ELSE (hi - 1) // 512 END)::BIGINT AS seq_last,
+             |  (CASE WHEN c = 0 THEN 0
+             |        ELSE (hi - 1) // 512 - (hi - c) // 512 + 1
+             |   END)::BIGINT AS n_seqs
+             |FROM cum ORDER BY doc_id""".stripMargin)),
+
     // [ext] CCNet-style corpus-frequency doc scores (integer-exact).
     Q("text_unigram_doc_score",
       (s, dir) => Text.unigramDocScores(load(s, dir, "documents"))

@@ -14,10 +14,18 @@ import graft.tables.Tables.load
 object VectorQueries extends Catalog {
 
   // Oracle-SQL fragments: explicit-formula cosine between DOUBLE[] a and b.
+  // 6dp rounding is floor(x·1e6 + 0.5)/1e6 — the VERBATIM mirror of
+  // `Vectors.round6` (pure IEEE multiply → add → floor → divide, identical
+  // on both engines by construction; round() would compare Spark's
+  // shortest-decimal-repr BigDecimal rounding against DuckDB's binary
+  // rounding, a latent boundary-mismatch class — and the BigDecimal
+  // round-trip per pair was the sf1 kNN verify's dominant CPU cost).
+  private def round6Sql(x: String) =
+    s"floor(($x) * 1000000 + 0.5) / 1000000.0"
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
   private def cosSql(a: String, b: String) =
-    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 6)"
+    round6Sql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
 
   // Shared by every incremental-embedding variant (the % 7 original, the
   // steady-state-split rebuild sibling, and the stored-index twin): ONE
@@ -58,7 +66,7 @@ object VectorQueries extends Catalog {
        |    FROM n, c WHERE n.vec_id % 100 = 0) t WHERE crk <= 2),
        |s AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    round(${dotSql("p.e", "a.e")} / (p.nrm * a.nrm), 6) AS cosine
+       |    ${round6Sql(s"${dotSql("p.e", "a.e")} / (p.nrm * a.nrm)")} AS cosine
        |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)
        |SELECT query_id, rank, neighbor_id, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -276,7 +284,7 @@ object VectorQueries extends Catalog {
              |    FROM n, c) t WHERE crk = 1),
              |dup AS (SELECT DISTINCT b.vec_id
              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
-             |  WHERE round(${dotSql("a.e", "b.e")} / (a.nrm * b.nrm), 6) >= 0.4)
+             |  WHERE ${round6Sql(s"${dotSql("a.e", "b.e")} / (a.nrm * b.nrm)")} >= 0.4)
              |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
              |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
              |ORDER BY a.vec_id""".stripMargin)),

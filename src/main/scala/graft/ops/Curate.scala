@@ -337,4 +337,37 @@ object Curate {
       "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
     regexp_replace(noEmail, "[0-9]{6,}", "<NUM>")
   }
+
+  /** GPT-style sequence PACKING: documents are concatenated in
+    * deterministic `idCol` order and split into fixed `seqLen`-token
+    * training sequences (documents straddle boundaries — the standard
+    * pretraining layout). Per document: its token count, its global
+    * token offset, and the first/last sequence ids it lands in —
+    * everything a packer needs to materialize sequence shards, plus the
+    * waste-free budget accounting (`n_seqs` per doc; total sequences =
+    * max(seq_last)+1).
+    *
+    * Scale shape: the global running token offset is
+    * `Relational.globalKeyedCumSum` — the same range-partitioned
+    * two-level machinery as the exact percentiles (approx bucket bounds
+    * → within-bucket window → broadcast bucket offsets), so there is NO
+    * global single-partition window; everything downstream is a pure
+    * per-row projection. All integer arithmetic — bit-identical on any
+    * engine.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    Relational.globalKeyedCumSum(docs, col(idCol),
+        size(Text.tokens(col(textCol))).cast("long"))
+      .select(col("v").as(idCol), col("c").as("n_tokens"),
+        (col("hi") - col("c")).as("tok_start"), col("hi"))
+      .select(col(idCol), col("n_tokens"), col("tok_start"),
+        when(col("n_tokens") > 0,
+          expr(s"tok_start div ${seqLen}L")).as("seq_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(tok_start + n_tokens - 1) div ${seqLen}L")).as("seq_last"))
+      .withColumn("n_seqs",
+        coalesce(col("seq_last") - col("seq_first") + 1, lit(0L)))
+  }
 }

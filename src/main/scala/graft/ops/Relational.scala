@@ -285,11 +285,29 @@ object Relational {
     * global window anywhere; the approx bounds affect only bucket
     * BALANCE, never the exact counts.
     */
-  def globalValueCumCounts(df: DataFrame, value: Column): DataFrame = {
-    val spark = df.sparkSession
+  def globalValueCumCounts(df: DataFrame, value: Column): DataFrame =
+    cumFromFreq(
+      df.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c")),
+      df.select(value.as("v")).schema.head.dataType)
+
+  /** Weighted sibling of `globalValueCumCounts`: per distinct key,
+    * `(v, c, hi)` where `c` is the key's total WEIGHT and `hi` the exact
+    * global running weight over keys ≤ v — same range-partitioned
+    * two-level shape (no global window), summing a weight instead of
+    * counting rows. The running-offset backbone of sequence packing
+    * (`Curate.packSequences`), where the weight is a token count.
+    */
+  def globalKeyedCumSum(df: DataFrame, key: Column, weight: Column): DataFrame =
+    cumFromFreq(
+      df.select(key.as("v"), weight.cast("long").as("w"))
+        .groupBy("v").agg(sum(col("w")).as("c")),
+      df.select(key.as("v")).schema.head.dataType)
+
+  private def cumFromFreq(freq0: DataFrame,
+                          vType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = freq0.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val freq = df.select(value.as("v"))
-      .groupBy("v").agg(count(lit(1)).as("c"))
+    val freq = freq0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // The double cast used for bucketing must be MONOTONE in v's own sort
     // order, or (bucket offset + within-bucket rank) is not the global rank.
@@ -297,7 +315,6 @@ object Relational {
     // STRING column casts cleanly but sorts lexicographically ("10" < "9"),
     // which would silently mis-bucket. Everything else degrades to a single
     // bucket: still exact, just not balanced.
-    val vType = df.select(value.as("v")).schema.head.dataType
     val monotoneCast = vType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
       vType == org.apache.spark.sql.types.TimestampType
     val bounds: Seq[Double] =
@@ -675,11 +692,17 @@ object Relational {
     * ts): backward's `last` picks the greatest tie, forward's `first`
     * picks the smallest — each direction takes the row nearest the
     * boundary from its own side, exactly like the one-directional joins.
+    *
+    * `toleranceSec` (pandas `merge_asof(tolerance=...)`): when set, a
+    * right row farther than the bound — per direction, before the
+    * nearest pick — is no candidate; a left row with no in-bound
+    * candidate gets NULL values/dir/gap, same as no match at all.
     */
   def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTs: String, rightTs: String,
                       rightVals: Seq[String],
-                      rightTie: Seq[String] = Nil): DataFrame = {
+                      rightTie: Seq[String] = Nil,
+                      toleranceSec: Option[Long] = None): DataFrame = {
     val keyCols = keys.map(col)
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct
@@ -727,12 +750,22 @@ object Relational {
     val lts = epochOf(col("_ts"), left.schema(leftTs).dataType)
     val bGap = lts - bRts
     val fGap = fRts - lts
-    val noMatch = col("_b").isNull && col("_f").isNull
-    val useBack = col("_f").isNull || (col("_b").isNotNull && bGap <= fGap)
+    // pandas merge_asof `tolerance`: a candidate farther than the bound is
+    // no candidate at all — evaluated per DIRECTION before the nearest
+    // pick, so a within-bound forward row wins over a closer-side
+    // out-of-bound backward row. (isNotNull first: false && null = false,
+    // so a missing direction is cleanly "not ok", never three-valued.)
+    def inTol(g: Column): Column =
+      toleranceSec.map(t => g <= lit(t)).getOrElse(lit(true))
+    val bOk = col("_b").isNotNull && inTol(bGap)
+    val fOk = col("_f").isNotNull && inTol(fGap)
+    val noMatch = !bOk && !fOk
+    val useBack = !fOk || (bOk && bGap <= fGap)
     withBoth.filter(col("_side") === 1)
       .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++ leftCols.map(col) ++
         rightVals.map(v =>
-          when(useBack, col("_b").getField(v))
+          when(noMatch, lit(null).cast(right.schema(v).dataType))
+            .when(useBack, col("_b").getField(v))
             .otherwise(col("_f").getField(v)).as(v)) ++
         Seq(
           when(noMatch, lit(null).cast("string"))

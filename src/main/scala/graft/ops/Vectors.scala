@@ -46,7 +46,7 @@ object Vectors {
       norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
@@ -64,6 +64,21 @@ object Vectors {
   private def normedById(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
 
+  /** 6-dp half-up rounding as PURE double arithmetic:
+    * `floor(x·1e6 + 0.5) / 1e6`, mirrored VERBATIM in every vector oracle
+    * (`floor(x * 1000000 + 0.5) / 1000000.0`) so both engines execute the
+    * identical IEEE multiply → add → floor → divide and parity is exact by
+    * construction. Replaces `round(x, 6)` in the per-PAIR verify paths:
+    * Catalyst's Round on DoubleType allocates and parses a BigDecimal per
+    * row (Double.toString → BigDecimal → setScale → toDouble) — measured
+    * as the dominant CPU sink of the banded kNN verify at sf1 (hundreds of
+    * millions of candidate pairs × string round-trips) — and rounds the
+    * SHORTEST-DECIMAL repr while DuckDB rounds the binary value, a latent
+    * cross-engine mismatch class this formula removes entirely.
+    */
+  private[graft] def round6(x: Column): Column =
+    floor(x * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Banded packed-sign signatures of a normed frame: (id, sig, bkey). */
   private def bandedSigs(nv: DataFrame, signs: Array[Array[Double]],
                          planesPerBand: Int, bands: Int): DataFrame =
@@ -78,7 +93,7 @@ object Vectors {
     * the two.
     */
   private def cosVerify(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame = {
-    val cos = round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+    val cos = round6(dot(col("av"), col("bv")) / (col("an") * col("bn")))
     cand
       .join(left.select(col("id").as("i"), col("v").as("av"), col("nrm").as("an")), "i")
       .join(right.select(col("id").as("j"), col("v").as("bv"), col("nrm").as("bn")), "j")
@@ -88,7 +103,7 @@ object Vectors {
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = normedById(vectors, idCol, vecCol)
-    val cos = round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+    val cos = round6(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
     // Both predicates live in the join condition ON PURPOSE, id-order first:
     // left alone, Catalyst pushes the later cosine filter into the join
     // AHEAD of the cheap id comparison, doubling the dot-product work
@@ -188,7 +203,20 @@ object Vectors {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val v = normedById(vectors, idCol, vecCol).persist(storage)
     val banded = bandedSigs(v, signs, planesPerBand, bands).persist(storage)
-    val cand = banded.as("a").join(banded.as("b"),
+    // The pair join's OUTPUT is quadratic in band-bucket sizes while its
+    // INPUT is one row per (vector, band) — left alone, the streamed side
+    // inherits the embedding SCAN's partitioning, so a corpus small
+    // enough to broadcast-join runs every candidate pair in as few tasks
+    // as the parquet had splits (the sf1 spot-check measured 31 of 32
+    // cores idle under a one-split scan). Repartition the probe side to
+    // the session's shuffle parallelism: candidate enumeration + verify
+    // then fan out with config, not with input splits. (Spark builds the
+    // un-repartitioned right side when both qualify for broadcast; at
+    // broadcast-infeasible scale the join becomes a keyed shuffle on
+    // bkey and this tiny pre-shuffle is absorbed by it.)
+    val parts = vectors.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = banded.repartition(parts, col("id")).as("a")
+      .join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
             planesPerBand, bands))
@@ -574,7 +602,7 @@ object Vectors {
     val ivf = probes.join(lists, "cell")
       .filter(col("qid") =!= col("xid"))
       .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
-        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+        round6(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("cosine"))
     val ivfTop = Relational.topKPerGroup(ivf, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
       .select(col("query_id"), col("neighbor_id"))
@@ -659,7 +687,7 @@ object Vectors {
     val scored = probes.join(lists, "cell")
       .filter(col("qid") =!= col("xid"))
       .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
-        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+        round6(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
@@ -704,7 +732,7 @@ object Vectors {
       .join(lists.select(col("cell"), col("xid").as("aid"),
         col("xv").as("av"), col("xn").as("an")), "cell")
       .filter(col("aid") < col("bid"))
-      .filter(round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+      .filter(round6(dot(col("av"), col("bv")) / (col("an") * col("bn")))
         >= threshold)
       .select(col("bid")).distinct()
     lists.select(col("xid"), col("cell"))
@@ -828,7 +856,7 @@ object Vectors {
     val scored = probes.join(pruned, "cell")
       .filter(col("qid") =!= col("xid"))
       .select(col("qid").as("query_id"), col("xid").as("neighbor_id"),
-        round(dot(col("qv"), col("xv")) / (col("qn") * col("xn")), 6).as("cosine"))
+        round6(dot(col("qv"), col("xv")) / (col("qn") * col("xn"))).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
@@ -875,7 +903,7 @@ object Vectors {
       .select(col("query_id"), col("neighbor_id"))
     val scored = cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round6(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     Relational.topKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }

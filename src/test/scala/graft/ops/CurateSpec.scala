@@ -235,4 +235,30 @@ class CurateSpec extends SparkSpec {
         s"shard $shard not ordered by unit hash")
     }
   }
+
+  test("packSequences: offsets equal the sequential scan; boundaries, " +
+      "straddles, and partitioning invariance") {
+    // token counts 3,5,2,7,1 at L=4:
+    //   d1 [0,3)  → seqs 0..0;  d2 [3,8)  → 0..1 (straddles);
+    //   d3 [8,10) → 2..2;       d4 [10,17) → 2..4 (straddles two bounds);
+    //   d5 [17,18) → 4..4
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "a b"),
+      (4L, "a b c d e f g"), (5L, "a")).toDF("doc_id", "text")
+    val expected = Map(
+      1L -> (3L, 0L, Some(0L), Some(0L), 1L),
+      2L -> (5L, 3L, Some(0L), Some(1L), 2L),
+      3L -> (2L, 8L, Some(2L), Some(2L), 1L),
+      4L -> (7L, 10L, Some(2L), Some(4L), 3L),
+      5L -> (1L, 17L, Some(4L), Some(4L), 1L))
+    for (parts <- Seq(1, 7)) {
+      val out = Curate.packSequences(docs.repartition(parts), seqLen = 4)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]),
+            r.getLong(5)))).toMap
+      assert(out == expected, s"parts=$parts")
+    }
+  }
 }

@@ -242,7 +242,8 @@ class DedupVectorsSpec extends SparkSpec {
     val banded = Vectors.cosineIncremental(nv, cv, 0.4)
       .collect().map(_.toSeq).toSet
     // quadratic reference: every (new, prior) pair scored exactly
-    val cos = round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 6)
+    val cos = Vectors.round6(
+      Vectors.cosine(col("a.embedding"), col("b.embedding")))
     val quad = emb.as("a").join(emb.as("b"),
         col("a.vec_id") % 7 === 0 && col("a.vec_id") =!= col("b.vec_id") &&
           (col("b.vec_id") % 7 =!= 0 || col("b.vec_id") < col("a.vec_id")))
@@ -361,8 +362,10 @@ class DedupVectorsSpec extends SparkSpec {
     def cos(a: Array[Float], b: Array[Float]): Double = {
       def dot(x: Array[Float], y: Array[Float]) =
         x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
-      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // floor(x·1e6 + 0.5)/1e6 — the same pure-double 6dp rounding as
+      // Vectors.round6 (and its oracle mirror)
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+        * 1e6 + 0.5) / 1e6
     }
     // Taking the CELL ASSIGNMENT as given (the oracle pins it), a vec must
     // be dropped iff some smaller-id same-cell vec has cosine ≥ threshold.

@@ -83,6 +83,39 @@ class RelationalSpec extends SparkSpec {
     assert(out("c6") == ((None, None, None)))
   }
 
+  test("asofJoinNearest: a NULL right value is returned from the NEAREST " +
+      "row (value and gap describe the same row — merge_asof semantics)") {
+    val left = Seq((1L, 11L, "c1")).toDF("k", "t", "tag")
+    // nearest right row (t=10, gap 1) has v=NULL; a farther row (t=2)
+    // has a real value — per-column ignoreNulls carry would leak 7.0
+    val right = Seq((1L, 2L, Some(7.0), 1L), (1L, 10L, None, 2L))
+      .toDF("k", "t", "v", "rid")
+    val r = Relational.asofJoinNearest(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightTie = Seq("rid"))
+      .select("v", "asof_dir", "asof_gap").collect().head
+    assert(r.isNullAt(0), "NULL value of the nearest row must survive")
+    assert(r.getString(1) == "backward" && r.getLong(2) == 1L)
+  }
+
+  test("asofJoinNearest tolerance: out-of-bound candidates are dropped " +
+      "per direction BEFORE the nearest pick") {
+    val left = Seq(
+      (1L, 100L, "inb"),   // back at 95 (gap 5, in), fwd at 130 (gap 30, out) → backward
+      (1L, 128L, "fwd"),   // back at 95 (gap 33, out), fwd at 130 (gap 2, in) → forward
+      (1L, 300L, "none"))  // nearest is 130 (gap 170, out) → no match
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, 1.0, 1L), (1L, 130L, 2.0, 2L))
+      .toDF("k", "t", "v", "rid")
+    val out = Relational.asofJoinNearest(left, right, Seq("k"), "t", "t",
+        Seq("v"), rightTie = Seq("rid"), toleranceSec = Some(10L))
+      .select("tag", "v", "asof_dir", "asof_gap").collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("inb") == ((Some(1.0), Some("backward"), Some(5L))))
+    assert(out("fwd") == ((Some(2.0), Some("forward"), Some(2L))))
+    assert(out("none") == ((None, None, None)))
+  }
+
   test("binnedRangeJoin equals the naive range join, exactly once per pair") {
     // negative coordinates, intervals spanning 1..many bins, touching
     // endpoints (half-open), and points outside every interval
