@@ -135,6 +135,23 @@ object CurateQueries extends Catalog {
       Some(s"""SELECT doc_id, lang, n_chars FROM documents
              |WHERE $UnitHash < 0.2 ORDER BY doc_id""".stripMargin)),
 
+    // EXACT stratified sample (Curate.stratifiedSample): exactly 25 docs
+    // per language, smallest-unit-hash-first — eval-set construction
+    // where Bernoulli sampling's count variance is unacceptable. One
+    // group-partitioned window (group-sized sorts, like shardAssign);
+    // membership AND in-sample rank are pure functions of the keys, so
+    // re-runs/partitioning never move a row. Oracle replays hash + rank.
+    Q("curate_stratified_sample",
+      (s, dir) => Curate.stratifiedSample(load(s, dir, "documents"),
+          Seq(col("lang")), col("doc_id"), 25)
+        .select(col("lang"), col("doc_id"), col("pos"))
+        .orderBy(col("lang"), col("pos")),
+      Some(s"""SELECT lang, doc_id, pos FROM (
+             |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             |    ORDER BY $UnitHash, doc_id) AS pos
+             |  FROM documents) t
+             |WHERE pos <= 25 ORDER BY lang, pos""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing ≥ 3 word 3-gram
     // shingles with any "benchmark" doc (every 100th doc stands in for a
     // held-out eval set). The benchmark side is tiny → broadcast join on the

@@ -333,6 +333,32 @@ object TextQueries extends Catalog {
              |   END)::BIGINT AS n_seqs
              |FROM cum ORDER BY doc_id""".stripMargin)),
 
+    // [ext] the packing MANIFEST (Curate.packManifest): one row per
+    // (sequence, contributing doc) with the token count it contributes —
+    // the writer input for materializing packed shards. Pure integer
+    // interval-overlap arithmetic on the cumulative offsets; explode
+    // fan-out = straddle count, output-sized. Oracle: the same running
+    // sum + unnest(range) + min/max overlap.
+    Q("curate_pack_manifest",
+      (s, dir) => graft.ops.Curate.packManifest(
+          load(s, dir, "documents"), seqLen = 512)
+        .orderBy(col("seq_id"), col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS c
+             |           FROM documents),
+             |cum AS (SELECT doc_id, c,
+             |    sum(c) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             |      AS hi
+             |  FROM t),
+             |spans AS (SELECT doc_id, (hi - c)::BIGINT AS st, c
+             |  FROM cum WHERE c > 0),
+             |m AS (SELECT doc_id, st, c,
+             |    unnest(range(st // 512, (st + c - 1) // 512 + 1)) AS seq_id
+             |  FROM spans)
+             |SELECT seq_id, doc_id,
+             |  (least(st + c, (seq_id + 1) * 512)
+             |    - greatest(st, seq_id * 512))::BIGINT AS n_tok_in_seq
+             |FROM m ORDER BY seq_id, doc_id""".stripMargin)),
+
     // [ext] CCNet-style corpus-frequency doc scores (integer-exact).
     Q("text_unigram_doc_score",
       (s, dir) => Text.unigramDocScores(load(s, dir, "documents"))

@@ -355,6 +355,29 @@ object Curate {
     * per-row projection. All integer arithmetic — bit-identical on any
     * engine.
     */
+  /** EXACT per-stratum deterministic sample: within each group, keep the
+    * `n` rows with the smallest `unitHash(key)` (ties → key) — eval-set /
+    * holdout construction with EXACTLY n rows per stratum (a Bernoulli
+    * `hashSample` only approximates the count), membership a pure
+    * function of the keys present (re-runs and partitioning never move a
+    * row; an append can only displace rows at the boundary rank).
+    * Emits `pos` = the 1-based in-sample hash rank. Scale shape: ONE
+    * window partitioned by the stratum — group-sized sorts, exactly like
+    * `shardAssign`; nothing global.
+    */
+  def stratifiedSample(df: DataFrame, groups: Seq[Column], key: Column,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("_u") && !df.columns.contains("pos"),
+      "input must not already have _u/pos columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups: _*).orderBy(col("_u"), key)
+    df.withColumn("_u", unitHash(key))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= n)
+      .drop("_u")
+  }
+
   def packSequences(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
@@ -370,4 +393,25 @@ object Curate {
       .withColumn("n_seqs",
         coalesce(col("seq_last") - col("seq_first") + 1, lit(0L)))
   }
+
+  /** The packing MANIFEST — `packSequences` exploded to one row per
+    * (sequence, contributing document): `(seq_id, doc_id,
+    * n_tok_in_seq)`, the exact writer input for materializing packed
+    * training shards (group by seq_id, concatenate each doc's token
+    * slice). The explode fan-out per doc is its straddle count
+    * (⌈n_tokens/seqLen⌉ + 1 worst case) — output-sized, never quadratic;
+    * the contribution arithmetic is pure integer min/max overlap of
+    * [tok_start, tok_start+n) with [seq·L, (seq+1)·L).
+    */
+  def packManifest(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    packSequences(docs, seqLen, idCol, textCol)
+      .filter(col("n_tokens") > 0)
+      .select(col(idCol), col("tok_start"), col("n_tokens"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        (least(col("tok_start") + col("n_tokens"),
+            (col("seq_id") + 1) * seqLen)
+          - greatest(col("tok_start"), col("seq_id") * seqLen))
+          .as("n_tok_in_seq"))
 }

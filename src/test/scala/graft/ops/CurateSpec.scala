@@ -261,4 +261,45 @@ class CurateSpec extends SparkSpec {
       assert(out == expected, s"parts=$parts")
     }
   }
+
+  test("packManifest: per-doc contributions sum to its token count; " +
+      "every sequence except the last holds exactly seqLen tokens") {
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Curate.packManifest(docs, seqLen = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = m.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tokCounts = (1L to 40L).map(i => i -> (i % 7 + 1)).toMap
+    assert(byDoc == tokCounts)
+    val bySeq = m.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tot) =>
+      if (s < lastSeq) assert(tot == 8L, s"seq $s holds $tot")
+      else assert(tot >= 1L && tot <= 8L)
+    }
+    assert(m.forall(_._3 >= 1L), "no empty contributions")
+  }
+
+  test("stratifiedSample: exactly n per stratum, partition-invariant, " +
+      "membership stable under append except at the boundary") {
+    val docs = (1L to 300L).map(i => (i, s"lang${i % 3}"))
+      .toDF("doc_id", "lang")
+    def sample(df: DataFrame, parts: Int): Set[(String, Long, Long)] =
+      Curate.stratifiedSample(df.repartition(parts),
+          Seq(col("lang")), col("doc_id"), 10)
+        .select("lang", "doc_id", "pos")
+        .as[(String, Long, Long)].collect().toSet
+    val s1 = sample(docs, 1)
+    assert(s1.groupBy(_._1).forall(_._2.size == 10), "exactly 10 per lang")
+    assert(sample(docs, 13) == s1, "partitioning moved a row")
+    assert(s1.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).toSeq.sorted == (1L to 10L) }, "dense in-sample ranks")
+    // appending new rows can only displace from the boundary inward:
+    // surviving members keep their relative hash order
+    val s2 = sample(docs.union(
+      (301L to 400L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")), 1)
+    val survivors = s1.map(r => (r._1, r._2)) intersect s2.map(r => (r._1, r._2))
+    assert(survivors.size >= 15, "appends should not evict most members")
+  }
 }
