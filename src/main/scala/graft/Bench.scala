@@ -161,6 +161,19 @@ object Bench {
         canarySamples.max / canarySamples.min
       else 0.0
     val contended = canarySpread > 3.0
+    // The canary's absolute LEVEL (median) is the cross-round normalizer
+    // the spread can't provide: a uniformly slower host (VM migration,
+    // steal) inflates every query the same way without tripping the
+    // spread flag — r9 measured the identical fixed-cost canary 1.4×
+    // slower than r8's capture on an "idle" box. Divide totals by the
+    // canary median before comparing rounds.
+    val canaryMedian =
+      if (canarySamples.isEmpty) 0.0
+      else {
+        val s = canarySamples.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
     // Idle-estimate total: sum of per-query MIN of repeats. Under external
     // contention the min is the least-disturbed sample, so even a
     // contended driver capture carries a usable lower bound alongside the
@@ -176,7 +189,7 @@ object Bench {
     val contentionJson =
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
       s""","canary":${canarySamples.map(r3).mkString("[", ",", "]")}""" +
-      s""","canary_spread":${r3(canarySpread)},"contended":$contended""" +
+      s""","canary_spread":${r3(canarySpread)},"canary_median":${r3(canaryMedian)},"contended":$contended""" +
       s""","max_query_spread":${r3(maxSpread)},"value_min":${r3(totalMin)}"""
     if (contended) System.err.println(
       s"[bench] WARNING: CONTENDED RUN — canary spread ${r3(canarySpread)}x " +
@@ -225,7 +238,7 @@ object Bench {
       val slowest = results.sortBy(-_._2).take(topN)
         .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(totalMin)},"contended":$contended,"canary_spread":${r3(canarySpread)},"loadavg":"$loadBefore -> $loadAfter","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(totalMin)},"contended":$contended,"canary_spread":${r3(canarySpread)},"canary_median":${r3(canaryMedian)},"loadavg":"$loadBefore -> $loadAfter","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }
     println(Iterator.range(15, 0, -1).map(compactLine)
       .find(_.length <= 1800).getOrElse(compactLine(0)))
