@@ -19,6 +19,16 @@ object Bench {
       // shrink those stages to size instead of keeping one task per core.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
+      // Split small files into more input partitions than the 128m default
+      // would: map-side work rooted at a scan (shingling, gram hashing,
+      // char splitting) parallelizes only as far as the SCAN's splits, and
+      // a 30 MB single-file corpus otherwise runs that whole phase on one
+      // of 32 cores (sf1 spot-check: curate_dsir_select 25 s → 8 s from
+      // this alone). 8m ≈ corpus-file size / cores at the bench SFs; a
+      // real cluster reading 100 TB has thousands of natural splits and
+      // tunes this the same way (brief: "size maxPartitionBytes so
+      // partitions fit in executor memory at the target SF").
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay one-time session costs (whole-stage-codegen

@@ -242,12 +242,18 @@ object Curate {
       k, buckets)
   }
 
-  /** Hashed-bigram occurrences `(doc_id, b)` — the DSIR feature stream. */
+  /** Hashed-bigram occurrences `(doc_id, b)` — the DSIR feature stream.
+    * Bigrams via `zip_with(slice, slice)` — the split is a per-ROW
+    * argument, never re-evaluated inside the per-ELEMENT lambda (see
+    * `Text.bigrams`; the transform/element_at form re-split the whole
+    * document once per bigram — sf1 measured curate_dsir_select 3×
+    * slower from exactly that).
+    */
   private def dsirGrams(df: DataFrame, buckets: Int): DataFrame = {
     val toks = split(col("text"), " ")
-    df.select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    df.select(col("doc_id"), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .as("g"))
       .select(col("doc_id"),
         (conv(substring(md5(col("g").cast("binary")), 1, 7), 16, 10)

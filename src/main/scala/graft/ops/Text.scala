@@ -32,12 +32,23 @@ object Text {
   /** Adjacent whitespace-token bigrams, in document order with
     * multiplicity (`"a b c"` → `["a b", "b c"]`; <2 tokens → empty).
     * Per-row array op — no shuffle, no per-pair join.
+    *
+    * Shape note: built as `zip_with(slice, slice)` — the tokenizing
+    * `split` is referenced only by per-ROW arguments, never inside the
+    * per-ELEMENT lambda. The earlier `transform(sequence(...), i =>
+    * element_at(toks, i))` form embedded the split expression at every
+    * element_at site (Column vals are expression COPIES, and HOF lambdas
+    * re-evaluate captures per element), re-splitting the whole document
+    * once per bigram — O(tokens²) chars per row, the dominant cost of
+    * every bigram query at sf1.
     */
   def bigrams(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
   }
 
   /** Bigram language model from a reference corpus: `(bg, lm_freq)` — the
@@ -173,11 +184,14 @@ object Text {
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (it <- 1 to k) {
+      // zip_with(slice, slice) — not transform(sequence, element_at):
+      // see `bigrams` (captures re-evaluate per element)
       val l = split(col("seq"), " ")
       val counts = vocab
         .filter(size(l) >= 2)
-        .select(col("n"), explode(transform(sequence(lit(1), size(l) - 1),
-          j => concat(element_at(l, j), lit(" "), element_at(l, j + 1))))
+        .select(col("n"), explode(zip_with(
+            slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .as("pair"))
         .groupBy("pair").agg(sum(col("n")).as("n_pairs"))
       // the iteration's sync barrier: ONE bounded row (the argmax pair)
@@ -444,8 +458,6 @@ object Text {
   def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = transform(sequence(lit(0), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
     def topShare(grams: Column, out: String) =
       docs.select(col(idCol), explode(grams).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
@@ -453,8 +465,7 @@ object Text {
         .agg(Exact.ratioBp(max(col("c")), sum(col("c"))).as(out))
     docs.select(col(idCol))
       .join(topShare(toks, "top_token_bp"), Seq(idCol), "left")
-      .join(topShare(when(size(toks) >= 2, bigrams)
-        .otherwise(array().cast("array<string>")), "top_bigram_bp"), Seq(idCol), "left")
+      .join(topShare(bigrams(col(textCol)), "top_bigram_bp"), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("top_token_bp"), lit(0L)).as("top_token_bp"),
         coalesce(col("top_bigram_bp"), lit(0L)).as("top_bigram_bp"))
