@@ -588,6 +588,39 @@ object TextQueries extends Catalog {
              |  / len(l)) AS BIGINT) AS stopword_bp
              |FROM (SELECT doc_id, $Toks AS l FROM documents) t ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-rules composite quality filter (Rae et al. 2021 App. A):
+    // token-count window, mean-token-length window, alpha-word share,
+    // ≥2 distinct stopwords — per-rule booleans + the conjunction, all
+    // exact integers, one narrow map-side projection. Thresholds chosen
+    // so every rule except alpha fails real rows at sf0.01 (72 docs
+    // fail overall) — the counts are load-bearing, not all-TRUE.
+    Q("text_quality_gopher",
+      (s, dir) => Text.gopherQualityFlags(load(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len_bp"),
+          col("alpha_word_bp"), col("stop_hits"), col("r_count"),
+          col("r_avg_len"), col("r_alpha"), col("r_stop"), col("pass"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |m AS (SELECT doc_id, len(l)::BIGINT AS n_tokens,
+             |  CAST(floor(list_sum(list_transform(l, x -> length(x)))::DOUBLE
+             |    * 10000 / len(l)) AS BIGINT) AS avg_token_len_bp,
+             |  CAST(floor(len(list_filter(l,
+             |      x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             |    * 10000 / len(l)) AS BIGINT) AS alpha_word_bp,
+             |  len(list_intersect(list_distinct(l), $EnStop))::BIGINT
+             |    AS stop_hits
+             |  FROM t)
+             |SELECT doc_id, n_tokens, avg_token_len_bp, alpha_word_bp,
+             |  stop_hits,
+             |  n_tokens BETWEEN 20 AND 100000 AS r_count,
+             |  avg_token_len_bp BETWEEN 40000 AND 100000 AS r_avg_len,
+             |  alpha_word_bp >= 7000 AS r_alpha,
+             |  stop_hits >= 2 AS r_stop,
+             |  (n_tokens BETWEEN 20 AND 100000)
+             |    AND (avg_token_len_bp BETWEEN 40000 AND 100000)
+             |    AND alpha_word_bp >= 7000 AND stop_hits >= 2 AS pass
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Character-level Shannon entropy — the "text vs noise/base64/binary
     // spill" quality signal next to the token ratios. Exact integer char
     // counts on both engines; H = log2(N) − (Σ n·log2 n)/N so the only

@@ -357,6 +357,49 @@ object Text {
         Exact.ratioBp(size(filter(toks, t => array_contains(stop, t))).cast("long"), nTok))
   }
 
+  /** Gopher-style composite quality FILTER (Rae et al. 2021, Appendix A —
+    * the rule family most pretraining corpora gate on): per document, the
+    * four cheap structural signals and one boolean per rule plus the
+    * conjunction:
+    *   - token count within [minTokens, maxTokens];
+    *   - mean token length within [minAvgLenBp, maxAvgLenBp] (floor basis
+    *     points of characters per token — integer-exact, no float ties);
+    *   - share of tokens containing an ASCII letter ≥ minAlphaBp;
+    *   - at least `minStopHits` DISTINCT common stopwords present (the
+    *     "contains 2 of the stop set" rule — also a cheap language gate).
+    * All metrics are exact integers; the rules compile to one narrow
+    * map-side projection over the token array (no shuffle at all until a
+    * consumer aggregates), which is the right shape for a filter that
+    * runs over every document of a 100 TB corpus.
+    */
+  def gopherQualityFlags(docs: DataFrame,
+                         minTokens: Long = 20, maxTokens: Long = 100000,
+                         minAvgLenBp: Long = 40000, maxAvgLenBp: Long = 100000,
+                         minAlphaBp: Long = 7000, minStopHits: Long = 2,
+                         textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val stop = array(Lexicons.head._2.map(lit): _*)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len_bp",
+        Exact.ratioBp(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), nTok))
+      .withColumn("alpha_word_bp",
+        Exact.ratioBp(
+          size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long"), nTok))
+      .withColumn("stop_hits",
+        size(array_intersect(array_distinct(toks), stop)).cast("long"))
+      .withColumn("r_count",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("r_avg_len",
+        col("avg_token_len_bp") >= minAvgLenBp &&
+          col("avg_token_len_bp") <= maxAvgLenBp)
+      .withColumn("r_alpha", col("alpha_word_bp") >= minAlphaBp)
+      .withColumn("r_stop", col("stop_hits") >= minStopHits)
+      .withColumn("pass",
+        col("r_count") && col("r_avg_len") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Character-level Shannon entropy per document, in bits —
     * H = −Σ_c (n_c/N)·log2(n_c/N) over the document's characters. The
     * cheap "is this text or noise/binary-spill/compressed junk" signal a

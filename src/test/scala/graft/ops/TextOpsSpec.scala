@@ -352,4 +352,24 @@ class TextOpsSpec extends SparkSpec {
     assert(full.nonEmpty && merged == full)
     assert(full("a b") == 4L)  // multiplicity survives across batches
   }
+
+  test("gopherQualityFlags: each rule fails exactly its planted doc") {
+    val good = (1 to 30).map(_ => "the quicker and lazier doggos").mkString(" ")
+    val docs = Seq(
+      (1L, good),                               // passes everything
+      (2L, "the and of to"),                    // too short → r_count
+      (3L, (1 to 30).map(_ => "the a of xx").mkString(" ")), // avg len < 4
+      (4L, (1 to 30).map(_ => "12345 67890 4711 0815").mkString(" ")), // no alpha, no stopwords
+      (5L, (1 to 30).map(_ => "zorp blick frumble quex").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Text.gopherQualityFlags(docs)
+      .select("doc_id", "r_count", "r_avg_len", "r_alpha", "r_stop", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, true, true, true, true, true)))
+    assert(!out(2L)._2 && !out(2L)._6)          // count rule
+    assert(!out(3L)._3 && !out(3L)._6)          // avg-length rule
+    assert(!out(4L)._4 && !out(4L)._5 && !out(4L)._6) // alpha + stop rules
+    assert(out(5L)._4 && !out(5L)._5 && !out(5L)._6)  // stop rule only
+  }
 }
