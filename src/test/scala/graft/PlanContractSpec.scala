@@ -287,4 +287,70 @@ class PlanContractSpec extends SparkSpec {
       case t: TakeOrderedAndProjectExec => t }.nonEmpty),
       "dsir rank window must run over the top-k output only")
   }
+
+  test("banded pair joins fan out by config, not by input splits (r9 sf1 fix)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // The quadratic-OUTPUT pair enumeration must sit above a round-robin/
+    // hash repartition to the session's shuffle parallelism — without it,
+    // a corpus small enough to broadcast-join runs every candidate pair in
+    // as few tasks as the parquet scan had splits (sf1 measured 31 of 32
+    // cores idle and 272 s for a 9 s query). The contract: somewhere below
+    // the banded join sits a ShuffleExchange whose partitioning is the
+    // configured parallelism — the explicit repartition(parts, id), which
+    // survives into the initial plan regardless of AQE's later choices.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // the repartition sits INSIDE the persisted pair frame's cached plan —
+    // descend through InMemoryRelations, which plain collect() won't
+    def deepCollect[A](p: SparkPlan)(
+        pf: PartialFunction[SparkPlan, A]): Seq[A] = {
+      // cached plans arrive wrapped in AdaptiveSparkPlanExec, whose child
+      // is a field, not a tree edge — unwrap before traversing
+      val unwrapped = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case other => other
+      }
+      val here = unwrapped.collect(pf)
+      val cached = unwrapped.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          deepCollect(s.relation.cachedPlan)(pf)
+      }.flatten
+      here ++ cached
+    }
+    for (name <- Seq("sim_knn_graph", "dedup_embedding_cosine")) {
+      val p = q(name)
+      val exch = deepCollect(p) {
+        case e: ShuffleExchangeLike
+          if e.outputPartitioning.numPartitions == parts &&
+            e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(exch.nonEmpty,
+        s"$name must repartition the banded probe side to $parts partitions")
+    }
+  }
+
+  test("round-9 additions: no global windows, no cartesians, map-side gopher") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    for (name <- Seq("curate_pack_sequences", "curate_pack_manifest",
+        "curate_stratified_sample", "join_asof_nearest_tol",
+        "text_quality_gopher", "text_bpe_apply_indexed",
+        "basket_pair_support_indexed", "graph_lpa_communities_indexed")) {
+      val p = q(name)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name plans a CartesianProduct")
+      assert(p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name plans an unpartitioned window — the two-level cumulative " +
+          "machinery must be keeping packing offsets off a global window")
+    }
+    // gopher is a pure filter: one projection chain, no shuffle at all
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val gopher = q("text_quality_gopher")
+    val preSort = gopher.collect { case e: ShuffleExchangeLike => e }
+    // the catalog query adds an orderBy for the deterministic dump — at
+    // most that single range-partition exchange is allowed
+    assert(preSort.size <= 1,
+      s"text_quality_gopher must be map-side (got ${preSort.size} exchanges)")
+  }
 }
