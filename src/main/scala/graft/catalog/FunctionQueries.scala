@@ -370,6 +370,53 @@ object FunctionQueries extends Catalog {
              |      6) END AS chi2
              |FROM w""".stripMargin)),
 
+    // CUPED-adjusted A/B revenue readout (EventOps.abCuped, Deng et al.
+    // 2013): pre-period purchase cents as the covariate, θ from pooled
+    // exact Decimal/HUGEINT moments with ONE double division (6dp), the
+    // adjusted lift from exact integer-valued means and the rounded θ —
+    // every float step bit-replayable. Split mid-month so both periods
+    // carry real revenue.
+    Q("events_ab_cuped",
+      (s, dir) => graft.ops.EventOps.abCuped(load(s, dir, "events"),
+        "purchase", "2024-01-16 00:00:00"),
+      Some("""WITH pu AS (SELECT user_id, user_id % 2 AS arm,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |        AND ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |        AND ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT arm, count(*)::HUGEINT AS n,
+             |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+             |  FROM pu GROUP BY arm),
+             |w AS (SELECT
+             |    sum(CASE WHEN arm = 0 THEN n END) AS dn0,
+             |    sum(CASE WHEN arm = 0 THEN sx END) AS dsx0,
+             |    sum(CASE WHEN arm = 0 THEN sy END) AS dsy0,
+             |    sum(CASE WHEN arm = 1 THEN n END) AS dn1,
+             |    sum(CASE WHEN arm = 1 THEN sx END) AS dsx1,
+             |    sum(CASE WHEN arm = 1 THEN sy END) AS dsy1,
+             |    sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+             |    sum(sxy) AS tsxy, sum(sxx) AS tsxx
+             |  FROM a),
+             |t AS (SELECT *,
+             |    CASE WHEN tn * tsxx - tsx * tsx = 0 THEN NULL
+             |      ELSE round((tn * tsxy - tsx * tsy)::DOUBLE
+             |        / (tn * tsxx - tsx * tsx)::DOUBLE, 6) END AS theta
+             |  FROM w)
+             |SELECT dn0::BIGINT AS n0, dn1::BIGINT AS n1,
+             |  dsx0::BIGINT AS sum_x0, dsx1::BIGINT AS sum_x1,
+             |  dsy0::BIGINT AS sum_y0, dsy1::BIGINT AS sum_y1, theta,
+             |  round(dsy0::DOUBLE / dn0::DOUBLE
+             |    - dsy1::DOUBLE / dn1::DOUBLE, 6) AS raw_lift_cents,
+             |  round((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
+             |    - theta * (dsx0::DOUBLE / dn0::DOUBLE
+             |               - dsx1::DOUBLE / dn1::DOUBLE), 6)
+             |    AS adj_lift_cents
+             |FROM t""".stripMargin)),
+
     Q("pivot_event_counts",
       (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
         .orderBy(col("user_id")),

@@ -265,6 +265,65 @@ object EventOps {
         .as("chi2"))
   }
 
+  /** CUPED-adjusted A/B revenue readout (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing Pre-
+    * Experiment Data"): per user, x = `convType` value cents BEFORE
+    * `splitTs` (the pre-experiment covariate) and y = value cents on/after
+    * it (the experiment metric); θ = cov(x,y)/var(x) pooled over all
+    * users; each arm's adjusted mean is ȳ_a − θ·(x̄_a − x̄), so the
+    * adjusted lift is (ȳ₀−ȳ₁) − θ·(x̄₀−x̄₁) — same expectation as the raw
+    * lift, variance reduced by the covariate's explanatory power.
+    *
+    * Determinism: per-user sums are exact cents; the arm/global moment
+    * sums are exact Decimal(38,0) (`Relational.momentSums` — reduction-
+    * order-free); doubles enter only in θ's single division (6dp) and the
+    * mean arithmetic on exact integer-valued doubles, so the oracle
+    * replays every bit. Scale shape: one keyed user aggregate → a 2-row
+    * arm aggregate → one 1-row combine; nothing data-sized past the
+    * first groupBy. Zero pre-period variance → NULL θ and adjusted lift
+    * (CUPED undefined); means are CENTS.
+    */
+  def abCuped(events: DataFrame, convType: String,
+              splitTs: String): DataFrame = {
+    val split = lit(splitTs).cast("timestamp")
+    val isConv = col("event_type") === convType
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(isConv && col("ts") < split,
+          Exact.cents(col("value")))), lit(0L)).as("x"),
+        coalesce(sum(when(isConv && col("ts") >= split,
+          Exact.cents(col("value")))), lit(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val arms = Relational.momentSums(perUser, Seq("arm"), col("x"), col("y"))
+    def armCol(a: Int, c: String) = sum(when(col("arm") === a, col(c)))
+    val wide = arms.agg(
+      armCol(0, "_n").as("dn0"), armCol(0, "_sx").as("dsx0"),
+      armCol(0, "_sy").as("dsy0"),
+      armCol(1, "_n").as("dn1"), armCol(1, "_sx").as("dsx1"),
+      armCol(1, "_sy").as("dsy1"),
+      sum(col("_n")).as("tn"), sum(col("_sx")).as("tsx"),
+      sum(col("_sy")).as("tsy"), sum(col("_sxy")).as("tsxy"),
+      sum(col("_sxx")).as("tsxx"))
+    val thetaDen = col("tn") * col("tsxx") - col("tsx") * col("tsx")
+    val thetaNum = col("tn") * col("tsxy") - col("tsx") * col("tsy")
+    val theta = when(thetaDen === lit(0).cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)), lit(null))
+      .otherwise(round(thetaNum.cast("double") / thetaDen.cast("double"), 6))
+    def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    val rawLift =
+      mean(col("dsy0"), col("dn0")) - mean(col("dsy1"), col("dn1"))
+    val xGap = mean(col("dsx0"), col("dn0")) - mean(col("dsx1"), col("dn1"))
+    wide.select(
+      col("dn0").cast("long").as("n0"), col("dn1").cast("long").as("n1"),
+      col("dsx0").cast("long").as("sum_x0"),
+      col("dsx1").cast("long").as("sum_x1"),
+      col("dsy0").cast("long").as("sum_y0"),
+      col("dsy1").cast("long").as("sum_y1"),
+      theta.as("theta"),
+      round(rawLift, 6).as("raw_lift_cents"),
+      round(rawLift - theta * xGap, 6).as("adj_lift_cents"))
+  }
+
   def transitions(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -126,8 +126,8 @@ object Relational {
     * shared by `groupTrend` and `groupCorrelation`. Integer accumulation
     * is reduction-order-free; doubles enter only in the callers' single
     * final division. */
-  private def momentSums(df: DataFrame, groups: Seq[String], x: Column,
-                         y: Column): DataFrame =
+  private[ops] def momentSums(df: DataFrame, groups: Seq[String], x: Column,
+                              y: Column): DataFrame =
     df.select(groups.map(col) ++
         Seq(x.cast(Dec38).as("_x"), y.cast(Dec38).as("_y")): _*)
       .groupBy(groups.map(col): _*)

@@ -398,6 +398,39 @@ class RelationalSpec extends SparkSpec {
     assert(none.isNullAt(7) && none.getLong(6) == 0L)
   }
 
+  test("abCuped: hand-computed theta and adjusted lift; zero-variance null") {
+    import java.sql.Timestamp
+    val pre = Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = Timestamp.valueOf("2024-01-20 00:00:00")
+    // (user, pre-cents, post-cents): arm0 = {u0: (100,300), u2: (200,500)},
+    // arm1 = {u1: (100,200), u3: (300,500)}
+    val ev = Seq(
+      (0L, "purchase", pre, 1.00), (0L, "purchase", post, 3.00),
+      (2L, "purchase", pre, 2.00), (2L, "purchase", post, 5.00),
+      (1L, "purchase", pre, 1.00), (1L, "purchase", post, 2.00),
+      (3L, "purchase", pre, 3.00), (3L, "purchase", post, 5.00),
+      (0L, "click", pre, 99.0) // non-conversion events are ignored
+    ).toDF("user_id", "event_type", "ts", "value")
+    val r = EventOps.abCuped(ev, "purchase", "2024-01-16 00:00:00")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)       // n0, n1
+    assert(r.getLong(2) == 300L && r.getLong(3) == 400L)   // sum_x0/1
+    assert(r.getLong(4) == 800L && r.getLong(5) == 700L)   // sum_y0/1
+    // theta = (4·300000 − 700·1500)/(4·150000 − 700²) = 150000/110000
+    val theta = r.getDouble(6)
+    assert(math.abs(theta - 1.363636) < 1e-9, s"theta=$theta")
+    assert(math.abs(r.getDouble(7) - 50.0) < 1e-9)         // raw lift
+    // adj = 50 − θ·(150 − 200) = 50 + 50·θ
+    assert(math.abs(r.getDouble(8) - (50.0 + 50.0 * theta)) < 1e-6)
+    // all users identical pre-period → var(x)=0 → theta and adj NULL
+    val flat = EventOps.abCuped(
+      ev.withColumn("value", when(col("ts") === pre, 1.0)
+        .otherwise(col("value"))), "purchase", "2024-01-16 00:00:00")
+      .collect().head
+    assert(flat.isNullAt(6) && flat.isNullAt(8) &&
+      math.abs(flat.getDouble(7) - 50.0) < 1e-9)
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0
