@@ -417,6 +417,55 @@ object FunctionQueries extends Catalog {
              |    AS adj_lift_cents
              |FROM t""".stripMargin)),
 
+    // Segmented CUPED (EventOps.abCupedBy): the same adjustment WITHIN
+    // each user stratum — per-segment θ and adjusted lift, the
+    // heterogeneous-treatment-effect readout. Segment = (user_id div 2)
+    // % 3: deterministic, arm-independent (user_id % 2 is the arm, so
+    // div-2 strata contain both arms).
+    Q("events_ab_cuped_by",
+      (s, dir) => graft.ops.EventOps.abCupedBy(load(s, dir, "events"),
+          "purchase", "2024-01-16 00:00:00",
+          expr("(user_id div 2) % 3").cast("long"))
+        .orderBy(col("seg")),
+      Some("""WITH pu AS (SELECT user_id, user_id % 2 AS arm,
+             |    (user_id // 2) % 3 AS seg,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |        AND ts < TIMESTAMP '2024-01-16'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS x,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |        AND ts >= TIMESTAMP '2024-01-16'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+             |  FROM events GROUP BY 1, 2, 3),
+             |a AS (SELECT seg, arm, count(*)::HUGEINT AS n,
+             |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+             |  FROM pu GROUP BY seg, arm),
+             |w AS (SELECT seg,
+             |    sum(CASE WHEN arm = 0 THEN n END) AS dn0,
+             |    sum(CASE WHEN arm = 0 THEN sx END) AS dsx0,
+             |    sum(CASE WHEN arm = 0 THEN sy END) AS dsy0,
+             |    sum(CASE WHEN arm = 1 THEN n END) AS dn1,
+             |    sum(CASE WHEN arm = 1 THEN sx END) AS dsx1,
+             |    sum(CASE WHEN arm = 1 THEN sy END) AS dsy1,
+             |    sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+             |    sum(sxy) AS tsxy, sum(sxx) AS tsxx
+             |  FROM a GROUP BY seg),
+             |t AS (SELECT *,
+             |    CASE WHEN tn * tsxx - tsx * tsx = 0 THEN NULL
+             |      ELSE round((tn * tsxy - tsx * tsy)::DOUBLE
+             |        / (tn * tsxx - tsx * tsx)::DOUBLE, 6) END AS theta
+             |  FROM w)
+             |SELECT seg, dn0::BIGINT AS n0, dn1::BIGINT AS n1,
+             |  dsx0::BIGINT AS sum_x0, dsx1::BIGINT AS sum_x1,
+             |  dsy0::BIGINT AS sum_y0, dsy1::BIGINT AS sum_y1, theta,
+             |  round(dsy0::DOUBLE / dn0::DOUBLE
+             |    - dsy1::DOUBLE / dn1::DOUBLE, 6) AS raw_lift_cents,
+             |  round((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
+             |    - theta * (dsx0::DOUBLE / dn0::DOUBLE
+             |               - dsx1::DOUBLE / dn1::DOUBLE), 6)
+             |    AS adj_lift_cents
+             |FROM t ORDER BY seg""".stripMargin)),
+
     Q("pivot_event_counts",
       (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
         .orderBy(col("user_id")),

@@ -284,19 +284,46 @@ object EventOps {
     * (CUPED undefined); means are CENTS.
     */
   def abCuped(events: DataFrame, convType: String,
-              splitTs: String): DataFrame = {
+              splitTs: String): DataFrame =
+    cupedCore(cupedPerUser(events, convType, splitTs), Nil)
+
+  /** Segmented CUPED: the same adjustment computed WITHIN each stratum —
+    * per-segment θ (each segment's own covariance structure) and
+    * per-segment adjusted lift, the heterogeneous-treatment-effect
+    * readout. `segment` must be a deterministic function of `user_id`
+    * (a user attribute — anything else would straddle arms), evaluated
+    * on the per-user frame. One extra grouping key end to end; output is
+    * one row per segment, segment-sized.
+    */
+  def abCupedBy(events: DataFrame, convType: String, splitTs: String,
+                segment: Column): DataFrame =
+    cupedCore(
+      cupedPerUser(events, convType, splitTs).withColumn("seg", segment),
+      Seq("seg"))
+
+  /** Per-user (x = pre-period cents, y = post-period cents, arm). */
+  private def cupedPerUser(events: DataFrame, convType: String,
+                           splitTs: String): DataFrame = {
     val split = lit(splitTs).cast("timestamp")
     val isConv = col("event_type") === convType
-    val perUser = events.groupBy(col("user_id"))
+    events.groupBy(col("user_id"))
       .agg(
         coalesce(sum(when(isConv && col("ts") < split,
           Exact.cents(col("value")))), lit(0L)).as("x"),
         coalesce(sum(when(isConv && col("ts") >= split,
           Exact.cents(col("value")))), lit(0L)).as("y"))
       .withColumn("arm", (col("user_id") % 2).cast("long"))
-    val arms = Relational.momentSums(perUser, Seq("arm"), col("x"), col("y"))
+  }
+
+  /** The moment → θ → adjusted-lift pipeline, per `segCols` stratum
+    * (global when empty). See `abCuped` for the determinism argument.
+    */
+  private def cupedCore(perUser: DataFrame,
+                        segCols: Seq[String]): DataFrame = {
+    val arms = Relational.momentSums(perUser, segCols :+ "arm",
+      col("x"), col("y"))
     def armCol(a: Int, c: String) = sum(when(col("arm") === a, col(c)))
-    val wide = arms.agg(
+    val wide = arms.groupBy(segCols.map(col): _*).agg(
       armCol(0, "_n").as("dn0"), armCol(0, "_sx").as("dsx0"),
       armCol(0, "_sy").as("dsy0"),
       armCol(1, "_n").as("dn1"), armCol(1, "_sx").as("dsx1"),
@@ -313,7 +340,7 @@ object EventOps {
     val rawLift =
       mean(col("dsy0"), col("dn0")) - mean(col("dsy1"), col("dn1"))
     val xGap = mean(col("dsx0"), col("dn0")) - mean(col("dsx1"), col("dn1"))
-    wide.select(
+    wide.select(segCols.map(col) ++ Seq(
       col("dn0").cast("long").as("n0"), col("dn1").cast("long").as("n1"),
       col("dsx0").cast("long").as("sum_x0"),
       col("dsx1").cast("long").as("sum_x1"),
@@ -321,7 +348,7 @@ object EventOps {
       col("dsy1").cast("long").as("sum_y1"),
       theta.as("theta"),
       round(rawLift, 6).as("raw_lift_cents"),
-      round(rawLift - theta * xGap, 6).as("adj_lift_cents"))
+      round(rawLift - theta * xGap, 6).as("adj_lift_cents")): _*)
   }
 
   def transitions(events: DataFrame): DataFrame = {

@@ -431,6 +431,19 @@ class RelationalSpec extends SparkSpec {
       math.abs(flat.getDouble(7) - 50.0) < 1e-9)
   }
 
+  test("abCupedBy: each segment row equals abCuped on that segment alone") {
+    val ev = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val seg = expr("(user_id div 2) % 3").cast("long")
+    val by = EventOps.abCupedBy(ev, "purchase", "2024-01-16 00:00:00", seg)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(by.keySet == Set(0L, 1L, 2L))
+    for (s <- by.keys) {
+      val solo = EventOps.abCuped(ev.filter(seg === s),
+        "purchase", "2024-01-16 00:00:00").collect().head.toSeq
+      assert(by(s) == solo, s"segment $s diverges from the solo run")
+    }
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0
