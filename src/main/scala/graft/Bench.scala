@@ -28,7 +28,10 @@ object Bench {
       // real cluster reading 100 TB has thousands of natural splits and
       // tunes this the same way (brief: "size maxPartitionBytes so
       // partitions fit in executor memory at the target SF").
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // Env-overridable for A/B measurement (r10: bisecting the sf0.1
+      // graph_pagerank cost of the 8m sf1 fix).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: pay one-time session costs (whole-stage-codegen
@@ -79,10 +82,12 @@ object Bench {
     // the driver's number was 1.7x inflated by EXTERNAL load and only a
     // judge-side re-run caught it. Make the artifact self-interpreting:
     // (a) record /proc/loadavg before/after, (b) run a fixed trivial-join
-    // canary at start / midpoint / end and report its max/min spread, and
-    // (c) flag "contended": true when the canary spread exceeds 3x — the
-    // signature round-7 showed (a 0.9s broadcast join measured at
-    // [2.1, 5.7, 11.0]s under contention).
+    // canary at start / end and every ~32 queries and report its max/min
+    // spread, and (c) flag "contended": true when the canary spread
+    // exceeds 3x — the signature round-7 showed (a 0.9s broadcast join
+    // measured at [2.1, 5.7, 11.0]s under contention) — OR when any
+    // query's own repeat spread exceeds the burst bound (r9's capture
+    // hid a 90s spike between canary checkpoints).
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(" ")
@@ -134,12 +139,24 @@ object Bench {
     // a single query without a 174-query run. Unset in driver runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A query whose own repeats spread wider than this gets ONE extra
+    // repeat (median-of-4): the r9 driver capture carried a 90 s spike in
+    // one repeat of a 5 s query — with 3 samples a single burst drags the
+    // median; a 4th sample restores it to the idle value while the raw
+    // array still shows the spike. The same bound feeds the contended
+    // flag below: the start/middle/end canary protocol missed that burst
+    // entirely because it fell between checkpoints.
+    val spreadBound = 4.0
+    def spreadOf(ts: Seq[Double]): Double =
+      if (ts.size > 1 && ts.min > 0) ts.max / ts.min else 0.0
     // (name, reported median, ok, all raw timings)
     val allQueries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val midpoint = allQueries.size / 2
     val results = allQueries.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == midpoint) sampleCanary(3)
+      // Canary every ~32 queries, not just start/middle/end: a
+      // contention burst shorter than half the run can otherwise fall
+      // between samples and inflate medians with no flag (r9 capture).
+      if (idx > 0 && idx % 32 == 0) sampleCanary(1)
       // Drop ALL cached blocks before EVERY timed run, including the
       // first: Spark's CacheManager matches persist() calls by
       // canonicalized plan, so a query sharing a sub-plan with an earlier
@@ -153,10 +170,19 @@ object Bench {
       val (t1, ok1) = timeOne(name, fn)
       // A failed query is not re-run: its failure must stay visible, not
       // be averaged with retries.
-      val all = if (!ok1) Seq((t1, ok1)) else (t1, ok1) +: (2 to runs).map { _ =>
+      val base = if (!ok1) Seq((t1, ok1)) else (t1, ok1) +: (2 to runs).map { _ =>
         spark.catalog.clearCache()
         timeOne(name, fn)
       }
+      // Burst rescue: one extra repeat when this query's own repeats
+      // disagree by > spreadBound — the median then has a majority of
+      // undisturbed samples even if one landed inside a burst.
+      val all =
+        if (base.forall(_._2) && base.size > 1 &&
+            spreadOf(base.map(_._1)) > spreadBound) {
+          spark.catalog.clearCache()
+          base :+ timeOne(name, fn)
+        } else base
       val ts = all.map(_._1)
       val sorted = ts.sorted
       val median =
@@ -170,7 +196,18 @@ object Bench {
       if (canarySamples.nonEmpty && canarySamples.min > 0)
         canarySamples.max / canarySamples.min
       else 0.0
-    val contended = canarySpread > 3.0
+    // Per-query repeat spread (max/min) — lets a reader see exactly WHICH
+    // timings were noise-dominated without re-running anything.
+    val spreads = results.filter(_._4.size > 1).map { case (k, _, _, ts) =>
+      (k, spreadOf(ts))
+    }
+    val maxSpread = if (spreads.nonEmpty) spreads.map(_._2).max else 0.0
+    // Contended when EITHER signal trips: the canary spread (sustained
+    // load across checkpoints) OR any query's own repeat spread (a burst
+    // the canary sampling missed — r9 shipped contended:false around a
+    // 19.6× query spread; per-query repeats ARE a denser contention
+    // sensor than any canary cadence can be).
+    val contended = canarySpread > 3.0 || maxSpread > spreadBound
     // The canary's absolute LEVEL (median) is the cross-round normalizer
     // the spread can't provide: a uniformly slower host (VM migration,
     // steal) inflates every query the same way without tripping the
@@ -189,12 +226,6 @@ object Bench {
     // contended driver capture carries a usable lower bound alongside the
     // median (VERDICT r7 item 8).
     val totalMin = results.map(_._4.min).sum
-    // Per-query repeat spread (max/min) — lets a reader see exactly WHICH
-    // timings were noise-dominated without re-running anything.
-    val spreads = results.filter(_._4.size > 1).map { case (k, _, _, ts) =>
-      (k, if (ts.min > 0) ts.max / ts.min else 0.0)
-    }
-    val maxSpread = if (spreads.nonEmpty) spreads.map(_._2).max else 0.0
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val contentionJson =
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"""" +
@@ -202,8 +233,9 @@ object Bench {
       s""","canary_spread":${r3(canarySpread)},"canary_median":${r3(canaryMedian)},"contended":$contended""" +
       s""","max_query_spread":${r3(maxSpread)},"value_min":${r3(totalMin)}"""
     if (contended) System.err.println(
-      s"[bench] WARNING: CONTENDED RUN — canary spread ${r3(canarySpread)}x " +
-      s"(>3x); medians are inflated by external load. Idle-estimate total " +
+      s"[bench] WARNING: CONTENDED RUN — canary spread ${r3(canarySpread)}x" +
+      s" (>3x) or max query spread ${r3(maxSpread)}x (>${spreadBound}x); " +
+      s"medians are inflated by external load. Idle-estimate total " +
       s"(sum of per-query min) = ${r3(totalMin)}s.")
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -230,11 +262,19 @@ object Bench {
     // current round = highest driver-written BENCH_r{N}.json + 1; falls
     // back silently if the repo dir isn't readable (e.g. dev runs from
     // elsewhere).
-    try {
+    // Only FULL-catalog runs get a round-stamped copy (a BENCH_ONLY
+    // subset overwriting the full-run history would be worse than no
+    // copy), and an already-existing stamp is never overwritten — two
+    // local runs in one round bump to the next free slot instead of the
+    // second destroying the first (ADVICE r9).
+    if (only.isEmpty) try {
       val rs = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => "BENCH_r(\\d+)\\.json".r
           .findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      val round = if (rs.isEmpty) 0 else rs.max + 1
+      var round = if (rs.isEmpty) 0 else rs.max + 1
+      while (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json")))
+        round += 1
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"BENCH_LOCAL_r$round%02d.json"),
         fullJson.getBytes("UTF-8"))

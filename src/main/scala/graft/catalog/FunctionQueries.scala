@@ -363,11 +363,11 @@ object FunctionQueries extends Catalog {
              |  (c0 * 10000) // n0 - (c1 * 10000) // n1 AS lift_bp,
              |  CASE WHEN (c0 + c1) = 0 OR (n0 - c0 + n1 - c1) = 0
              |         OR n0 = 0 OR n1 = 0 THEN NULL
-             |    ELSE round(((n0 + n1)::HUGEINT
+             |    ELSE floor((((n0 + n1)::HUGEINT
              |        * (c0::HUGEINT * (n1 - c1) - (n0 - c0)::HUGEINT * c1)
              |        * (c0::HUGEINT * (n1 - c1) - (n0 - c0)::HUGEINT * c1))::DOUBLE
-             |      / (n0::HUGEINT * n1 * (c0 + c1) * (n0 - c0 + n1 - c1))::DOUBLE,
-             |      6) END AS chi2
+             |      / (n0::HUGEINT * n1 * (c0 + c1) * (n0 - c0 + n1 - c1))::DOUBLE)
+             |      * 1000000 + 0.5) / 1000000.0 END AS chi2
              |FROM w""".stripMargin)),
 
     // CUPED-adjusted A/B revenue readout (EventOps.abCuped, Deng et al.
@@ -403,18 +403,20 @@ object FunctionQueries extends Catalog {
              |  FROM a),
              |t AS (SELECT *,
              |    CASE WHEN tn * tsxx - tsx * tsx = 0 THEN NULL
-             |      ELSE round((tn * tsxy - tsx * tsy)::DOUBLE
-             |        / (tn * tsxx - tsx * tsx)::DOUBLE, 6) END AS theta
+             |      ELSE floor(((tn * tsxy - tsx * tsy)::DOUBLE
+             |        / (tn * tsxx - tsx * tsx)::DOUBLE)
+             |        * 1000000 + 0.5) / 1000000.0 END AS theta
              |  FROM w)
              |SELECT dn0::BIGINT AS n0, dn1::BIGINT AS n1,
              |  dsx0::BIGINT AS sum_x0, dsx1::BIGINT AS sum_x1,
              |  dsy0::BIGINT AS sum_y0, dsy1::BIGINT AS sum_y1, theta,
-             |  round(dsy0::DOUBLE / dn0::DOUBLE
-             |    - dsy1::DOUBLE / dn1::DOUBLE, 6) AS raw_lift_cents,
-             |  round((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
+             |  floor((dsy0::DOUBLE / dn0::DOUBLE
+             |    - dsy1::DOUBLE / dn1::DOUBLE) * 1000000 + 0.5) / 1000000.0
+             |    AS raw_lift_cents,
+             |  floor(((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
              |    - theta * (dsx0::DOUBLE / dn0::DOUBLE
-             |               - dsx1::DOUBLE / dn1::DOUBLE), 6)
-             |    AS adj_lift_cents
+             |               - dsx1::DOUBLE / dn1::DOUBLE))
+             |    * 1000000 + 0.5) / 1000000.0 AS adj_lift_cents
              |FROM t""".stripMargin)),
 
     // Segmented CUPED (EventOps.abCupedBy): the same adjustment WITHIN
@@ -452,18 +454,20 @@ object FunctionQueries extends Catalog {
              |  FROM a GROUP BY seg),
              |t AS (SELECT *,
              |    CASE WHEN tn * tsxx - tsx * tsx = 0 THEN NULL
-             |      ELSE round((tn * tsxy - tsx * tsy)::DOUBLE
-             |        / (tn * tsxx - tsx * tsx)::DOUBLE, 6) END AS theta
+             |      ELSE floor(((tn * tsxy - tsx * tsy)::DOUBLE
+             |        / (tn * tsxx - tsx * tsx)::DOUBLE)
+             |        * 1000000 + 0.5) / 1000000.0 END AS theta
              |  FROM w)
              |SELECT seg, dn0::BIGINT AS n0, dn1::BIGINT AS n1,
              |  dsx0::BIGINT AS sum_x0, dsx1::BIGINT AS sum_x1,
              |  dsy0::BIGINT AS sum_y0, dsy1::BIGINT AS sum_y1, theta,
-             |  round(dsy0::DOUBLE / dn0::DOUBLE
-             |    - dsy1::DOUBLE / dn1::DOUBLE, 6) AS raw_lift_cents,
-             |  round((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
+             |  floor((dsy0::DOUBLE / dn0::DOUBLE
+             |    - dsy1::DOUBLE / dn1::DOUBLE) * 1000000 + 0.5) / 1000000.0
+             |    AS raw_lift_cents,
+             |  floor(((dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE)
              |    - theta * (dsx0::DOUBLE / dn0::DOUBLE
-             |               - dsx1::DOUBLE / dn1::DOUBLE), 6)
-             |    AS adj_lift_cents
+             |               - dsx1::DOUBLE / dn1::DOUBLE))
+             |    * 1000000 + 0.5) / 1000000.0 AS adj_lift_cents
              |FROM t ORDER BY seg""".stripMargin)),
 
     Q("pivot_event_counts",

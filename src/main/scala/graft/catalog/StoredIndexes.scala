@@ -240,17 +240,19 @@ object StoredIndexes {
     * run (their oracles must replay construction); their `_indexed` twins
     * read THIS frame, so the timed cost is the graph algorithm itself —
     * the steady state of a pipeline that maintains the edge list
-    * incrementally. Stored UNFILTERED; support thresholds are a filter on
-    * the warm frame.
+    * incrementally (`Relational.appendToBasketEdges` folds each ingest
+    * batch of whole orders in at delta cost; the read below is the
+    * consolidating keyed sum, cached warm, so probes see one row per
+    * pair regardless of how many appends accumulated). Stored UNFILTERED;
+    * support thresholds are a filter on the warm frame.
     */
   def basketEdges(s: SparkSession, dir: String): DataFrame =
     cacheFor(s).computeIfAbsent(s"$dir|basket_edges", _ => {
       val d = newTempDir("graft-basket-")
-      graft.ops.Relational.basketPairs(
-          load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      graft.ops.Relational.writeBasketEdges(
+        load(s, dir, "lineitem"), d, "l_orderkey", "l_partkey")
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-      Seq(s.read.parquet(d).persist(mem))
+      Seq(graft.ops.Relational.readBasketEdges(s, d).persist(mem))
     }).head
 
   /** Stored BPE segmented vocabulary `(w, n, seq)` over `dir`'s documents

@@ -317,7 +317,7 @@ object TextQueries extends Catalog {
       (s, dir) => graft.ops.Curate.packSequences(
           load(s, dir, "documents"), seqLen = 512)
         .orderBy(col("doc_id")),
-      Some(s"""WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS c
+      Some(s"""WITH t AS (SELECT doc_id, coalesce(len($Toks), 0)::BIGINT AS c
              |           FROM documents),
              |cum AS (SELECT doc_id, c,
              |    sum(c) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
@@ -343,7 +343,7 @@ object TextQueries extends Catalog {
       (s, dir) => graft.ops.Curate.packManifest(
           load(s, dir, "documents"), seqLen = 512)
         .orderBy(col("seq_id"), col("doc_id")),
-      Some(s"""WITH t AS (SELECT doc_id, len($Toks)::BIGINT AS c
+      Some(s"""WITH t AS (SELECT doc_id, coalesce(len($Toks), 0)::BIGINT AS c
              |           FROM documents),
              |cum AS (SELECT doc_id, c,
              |    sum(c) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)

@@ -387,8 +387,13 @@ object Curate {
   def packSequences(docs: DataFrame, seqLen: Long, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    // NULL text ⇒ 0 tokens, NOT size(NULL): Spark's size() yields NULL (or
+    // -1 under the legacy flag), and either would silently corrupt the
+    // running offset of EVERY subsequent document. The oracle coalesces
+    // identically, so a null-text doc is an empty doc on both engines.
     Relational.globalKeyedCumSum(docs, col(idCol),
-        size(Text.tokens(col(textCol))).cast("long"))
+        when(col(textCol).isNotNull,
+          size(Text.tokens(col(textCol))).cast("long")).otherwise(0L))
       .select(col("v").as(idCol), col("c").as("n_tokens"),
         (col("hi") - col("c")).as("tok_start"), col("hi"))
       .select(col(idCol), col("n_tokens"), col("tok_start"),

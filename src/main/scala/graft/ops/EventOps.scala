@@ -261,7 +261,7 @@ object EventOps {
       (expr("(c0 * 10000) div n0") - expr("(c1 * 10000) div n1"))
         .as("lift_bp"),
       when(den === lit(0).cast(dec), lit(null))
-        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(Vectors.round6(num.cast("double") / den.cast("double")))
         .as("chi2"))
   }
 
@@ -333,9 +333,15 @@ object EventOps {
       sum(col("_sxx")).as("tsxx"))
     val thetaDen = col("tn") * col("tsxx") - col("tsx") * col("tsx")
     val thetaNum = col("tn") * col("tsxy") - col("tsx") * col("tsy")
+    // Vectors.round6, not Catalyst round(x, 6): Round-on-double does a
+    // per-row BigDecimal string round-trip AND rounds the shortest-decimal
+    // repr where DuckDB rounds the binary value — the floor formula is the
+    // identical IEEE sequence on both engines (mirrored in both CUPED
+    // oracles), so a tie at the 6th decimal cannot diverge.
     val theta = when(thetaDen === lit(0).cast(
         org.apache.spark.sql.types.DecimalType(38, 0)), lit(null))
-      .otherwise(round(thetaNum.cast("double") / thetaDen.cast("double"), 6))
+      .otherwise(Vectors.round6(
+        thetaNum.cast("double") / thetaDen.cast("double")))
     def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
     val rawLift =
       mean(col("dsy0"), col("dn0")) - mean(col("dsy1"), col("dn1"))
@@ -347,8 +353,8 @@ object EventOps {
       col("dsy0").cast("long").as("sum_y0"),
       col("dsy1").cast("long").as("sum_y1"),
       theta.as("theta"),
-      round(rawLift, 6).as("raw_lift_cents"),
-      round(rawLift - theta * xGap, 6).as("adj_lift_cents")): _*)
+      Vectors.round6(rawLift).as("raw_lift_cents"),
+      Vectors.round6(rawLift - theta * xGap).as("adj_lift_cents")): _*)
   }
 
   def transitions(events: DataFrame): DataFrame = {

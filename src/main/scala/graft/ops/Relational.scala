@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,62 @@ object Relational {
         .as("_p"))
       .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  /** Co-purchase edge index lifecycle — the incremental-maintenance story
+    * for the basket/graph family (`StoredIndexes.basketEdges` is the
+    * session-cached consumer). `write*` bootstraps the table from the full
+    * fact history; `appendTo*` folds ONE ingest batch in at delta cost
+    * (the batch's own pair counts land as additional rows — delta-sized
+    * IO, no rewrite of the accumulated table); `read*` is the single
+    * consolidation point (one edge-sized keyed sum over the per-batch
+    * partials — the mergeable-partial-aggregate pattern of `IncrAgg`, and
+    * exactly what a warm probe caches); `compact*` optionally rewrites the
+    * partials into one row per pair when many appends have accumulated.
+    *
+    * Contract: a BASKET MUST NOT STRADDLE BATCHES — pairs are enumerated
+    * within a batch, so a basket split across two appends would lose its
+    * cross-batch pairs. Baskets here are orders (the reference's unit of
+    * atomic ingest), so the contract is the natural one: append whole
+    * orders. Under it, append-then-read ≡ `basketPairs` over the union of
+    * all batches, which the spec pins exactly.
+    */
+  def writeBasketEdges(df: DataFrame, dir: String, basketCol: String,
+                       itemCol: String): Unit =
+    basketPairs(df, basketCol, itemCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+
+  /** Fold one batch of whole baskets into the stored edge table. */
+  def appendToBasketEdges(batch: DataFrame, dir: String, basketCol: String,
+                          itemCol: String): Unit =
+    basketPairs(batch, basketCol, itemCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+
+  /** The consolidated edge view `(item_a, item_b, support)` — one keyed
+    * sum over however many per-batch partial rows the appends left.
+    */
+  def readBasketEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("support")).as("support"))
+
+  /** Rewrite accumulated per-batch partials as one row per pair (run on a
+    * maintenance cadence, not per append — the read path is already
+    * correct without it; this just re-bounds the partial-row count).
+    * Two-phase via a temp sibling dir: consolidating INTO the dir being
+    * read would truncate the source mid-scan.
+    */
+  def compactBasketEdges(spark: SparkSession, dir: String): Unit = {
+    val tmp = dir.stripSuffix("/") + "__compact"
+    readBasketEdges(spark, dir)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    val root = java.nio.file.Paths.get(tmp)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** Per-group exact OLS trend line ŷ = slope·x + intercept over integer
@@ -703,6 +759,9 @@ object Relational {
                       rightVals: Seq[String],
                       rightTie: Seq[String] = Nil,
                       toleranceSec: Option[Long] = None): DataFrame = {
+    require(toleranceSec.forall(_ >= 0),
+      s"toleranceSec must be >= 0, got ${toleranceSec.get} " +
+        "(a negative bound silently matches nothing)")
     val keyCols = keys.map(col)
     val leftCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
     val rightCarry = (rightVals ++ rightTie.filterNot(rightVals.contains)).distinct

@@ -75,6 +75,13 @@ object Vectors {
     * millions of candidate pairs × string round-trips) — and rounds the
     * SHORTEST-DECIMAL repr while DuckDB rounds the binary value, a latent
     * cross-engine mismatch class this formula removes entirely.
+    *
+    * Negative-tie semantics: floor(x·1e6 + 0.5) rounds a NEGATIVE value
+    * sitting exactly on a 6th-decimal tie toward +infinity (−0.1234565 →
+    * −0.123456), unlike HALF_UP's away-from-zero (−0.123457). This is
+    * deliberate half-up-on-the-number-line rounding; parity holds because
+    * every oracle replays the identical formula, but callers comparing
+    * against a HALF_UP source should know negative ties differ.
     */
   private[graft] def round6(x: Column): Column =
     floor(x * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)

@@ -26,4 +26,13 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** True when the session's SQL cache manager holds ZERO cached plans.
+    * Read-only introspection (the CacheManager is `private[sql]`) used by
+    * specs to pin the iterative graph ops' lifecycle contract: after a
+    * deep-iteration call returns, every persist() it issued must be gone.
+    */
+  def sqlCacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -138,4 +138,43 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().map(_._2).distinct
     assert(comps.length == 1)
   }
+
+  test("deep-iteration lifecycle: iters=16 truncates lineage and drops caches") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // two triangles + a bridge + an isolated pair — enough structure that
+    // 16 synchronous rounds exercise real label/rank movement
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (8L, 9L)).toDF("a", "b")
+    // Reference trajectories from the NO-checkpoint path (cadence beyond
+    // the iteration count): the deep path must reproduce them exactly —
+    // checkpointing is a lifecycle change, never a semantic one.
+    val lpaShallow = Graph.labelPropagation(pairs, 16, "a", "b",
+      checkpointEvery = 100).as[(Long, Long)].collect().toMap
+    val und = Graph.undirect(pairs.select(col("a").as("src"),
+      col("b").as("dst")))
+    val prShallow = Graph.pageRankBp(und, 16, checkpointEvery = 100)
+      .as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+
+    val lpaDeep = Graph.labelPropagation(pairs, 16, "a", "b")
+    // caches dropped the moment the call returns (result is materialized)
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "labelPropagation(iters=16) must unpersist its edge cache on exit")
+    // bounded plan depth: the returned frame reads materialized rows — no
+    // 16-round join lineage to re-optimize or recover through
+    assert(lpaDeep.queryExecution.analyzed.collect {
+      case j: Join => j }.isEmpty,
+      "deep LPA result must be checkpoint-backed, not a 16-round join plan")
+    assert(lpaDeep.as[(Long, Long)].collect().toMap == lpaShallow)
+
+    spark.catalog.clearCache()
+    val prDeep = Graph.pageRankBp(und, 16)
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "pageRankBp(iters=16) must unpersist deg/withDeg on exit")
+    assert(prDeep.queryExecution.analyzed.collect {
+      case j: Join => j }.isEmpty,
+      "deep PageRank result must be checkpoint-backed")
+    assert(prDeep.as[(Long, Long)].collect().toMap == prShallow)
+  }
 }

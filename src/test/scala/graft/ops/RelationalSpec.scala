@@ -377,6 +377,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
   }
 
+  test("basket edge index: append-then-read ≡ full rebuild; compact preserves") {
+    // 9 baskets across 3 ingest batches (whole baskets per batch — the
+    // documented contract); overlapping pairs across batches so the
+    // consolidating sum is load-bearing: (10,20) appears in all 3 batches.
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 40L),
+      (4L, 10L), (4L, 20L), (4L, 40L),
+      (5L, 20L), (5L, 30L),
+      (6L, 50L),
+      (7L, 10L), (7L, 20L),
+      (8L, 30L), (8L, 40L), (8L, 50L),
+      (9L, 10L))
+    val all = rows.toDF("o", "p")
+    def batch(m: Long) = rows.filter(_._1 % 3 == m).toDF("o", "p")
+    val dir = tmpDir("basket-edges")
+    Relational.writeBasketEdges(batch(0), dir, "o", "p")
+    Relational.appendToBasketEdges(batch(1), dir, "o", "p")
+    Relational.appendToBasketEdges(batch(2), dir, "o", "p")
+    val want = Relational.basketPairs(all, "o", "p")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Relational.readBasketEdges(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // appends leave per-batch partial rows; compact folds to one per pair
+    assert(spark.read.parquet(dir).count() > want.size)
+    Relational.compactBasketEdges(spark, dir)
+    assert(spark.read.parquet(dir).count() == want.size)
+    assert(Relational.readBasketEdges(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet == want)
+  }
+
   test("abLift: hand 2x2 contingency, bp rates, and chi-square") {
     import java.sql.Timestamp
     val t0 = new Timestamp(0L)
