@@ -253,7 +253,12 @@ object Bench {
     // a >2500-char 80-query line overflows (BENCH_r1..r4 all have
     // "parsed": null for exactly this reason).
     println(fullJson)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // Subset (BENCH_ONLY) runs write a SIBLING file: BENCH_LOCAL.json is
+    // the tracked full-catalog record, and a 4-query tuning run silently
+    // replacing it would destroy the per-query reference it exists for.
+    val localFile =
+      if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_ONLY.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(localFile),
       fullJson.getBytes("UTF-8"))
     catch { case _: Throwable => }
     // Round-stamped copy so each round's full per-query results SURVIVE

@@ -868,6 +868,35 @@ object RelationalQueries extends Catalog {
         .limit(50),
       Some(BasketPairOracle)),
 
+    // INCREMENTAL MAINTENANCE, driver-checked end to end: bootstrap the
+    // stored edge table from the corpus orders (l_orderkey % 20 != 0),
+    // fold the batch orders in via appendToBasketEdges (delta-sized — the
+    // steady-state maintenance write), then answer the same top-50 from
+    // the consolidating read. Baskets ARE orders, so the % 20 split can't
+    // straddle one (the append contract); corpus ∪ batch = full lineitem,
+    // so the SAME full-rebuild oracle must hash-match — proving
+    // append-then-read ≡ rebuild at the driver gate, not just in specs.
+    // Fresh temp dir per call: append is stateful, and a bench re-run
+    // folding the same batch twice would silently double its support.
+    Q("basket_pair_support_incremental",
+      (s, dir) => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-basket-incr-").toString
+        val li = load(s, dir, "lineitem")
+        graft.ops.Relational.writeBasketEdges(
+          li.filter(col("l_orderkey") % 20 =!= 0), d,
+          "l_orderkey", "l_partkey")
+        graft.ops.Relational.appendToBasketEdges(
+          li.filter(col("l_orderkey") % 20 === 0), d,
+          "l_orderkey", "l_partkey")
+        graft.ops.Relational.readBasketEdges(s, d)
+          .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+            col("support"))
+          .orderBy(col("support").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      },
+      Some(BasketPairOracle)),
+
     // Connected components of the co-purchase graph (Graph
     // .connectedComponents over basketPairs support ≥ 2): min-id labels
     // from the same size-gated union-find / min-label-propagation engine
