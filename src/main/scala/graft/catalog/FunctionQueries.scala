@@ -470,6 +470,127 @@ object FunctionQueries extends Catalog {
              |    * 1000000 + 0.5) / 1000000.0 AS adj_lift_cents
              |FROM t ORDER BY seg""".stripMargin)),
 
+    // Fixed-horizon power readout (EventOps.abPower): from the observed
+    // per-arm cents moments, the minimum detectable effect at the current
+    // sample size and the required per-arm n to detect the observed delta
+    // (α=5% two-sided, power 80%; Z = z_{.975}+z_{.80} = 2.801585 as ONE
+    // literal). Exact Decimal/HUGEINT moments; doubles only in mirrored
+    // divisions, one IEEE sqrt, and literal multiplies.
+    Q("events_ab_power",
+      (s, dir) => graft.ops.EventOps.abPower(load(s, dir, "events"),
+        "purchase"),
+      Some("""WITH pu AS (SELECT user_id, user_id % 2 AS arm,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT arm, count(*)::HUGEINT AS n,
+             |    sum(y)::HUGEINT AS sy, sum(y::HUGEINT * y) AS syy
+             |  FROM pu GROUP BY arm),
+             |w AS (SELECT
+             |    sum(CASE WHEN arm = 0 THEN n END) AS dn0,
+             |    sum(CASE WHEN arm = 0 THEN sy END) AS dsy0,
+             |    sum(CASE WHEN arm = 0 THEN syy END) AS dsyy0,
+             |    sum(CASE WHEN arm = 1 THEN n END) AS dn1,
+             |    sum(CASE WHEN arm = 1 THEN sy END) AS dsy1,
+             |    sum(CASE WHEN arm = 1 THEN syy END) AS dsyy1
+             |  FROM a),
+             |t AS (SELECT *,
+             |    CASE WHEN dn0 + dn1 <= 2 THEN NULL
+             |      ELSE ((dn0 * dsyy0 - dsy0 * dsy0)::DOUBLE / dn0::DOUBLE
+             |          + (dn1 * dsyy1 - dsy1 * dsy1)::DOUBLE / dn1::DOUBLE)
+             |        / (dn0 + dn1 - 2)::DOUBLE END AS s2,
+             |    dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE
+             |      AS delta
+             |  FROM w)
+             |SELECT dn0::BIGINT AS n0, dn1::BIGINT AS n1,
+             |  floor((dsy0::DOUBLE / dn0::DOUBLE) * 1000000 + 0.5)
+             |    / 1000000.0 AS mean0_cents,
+             |  floor((dsy1::DOUBLE / dn1::DOUBLE) * 1000000 + 0.5)
+             |    / 1000000.0 AS mean1_cents,
+             |  floor(delta * 1000000 + 0.5) / 1000000.0 AS delta_cents,
+             |  floor(s2 * 1000000 + 0.5) / 1000000.0 AS s2_cents2,
+             |  floor((2.801585::DOUBLE * sqrt(s2 * (1::DOUBLE / dn0::DOUBLE
+             |      + 1::DOUBLE / dn1::DOUBLE))) * 1000000 + 0.5)
+             |    / 1000000.0 AS mde_cents,
+             |  CASE WHEN delta = 0 THEN NULL
+             |    ELSE ceil((2::DOUBLE * s2
+             |        * (2.801585::DOUBLE * 2.801585::DOUBLE))
+             |      / (delta * delta))::BIGINT END AS n_required
+             |FROM t""".stripMargin)),
+
+    // Always-valid sequential readout (EventOps.abSequential — mSPRT,
+    // Johari et al. 2017): mixture log-likelihood ratio under a N(0, τ²)
+    // effect prior and the peeking-safe p-value min(1, e^(−logΛ)).
+    // ln/exp (the two not-correctly-rounded steps) are taken on
+    // 6dp-prerounded arguments, mirrored here verbatim.
+    Q("events_ab_sequential",
+      (s, dir) => graft.ops.EventOps.abSequential(load(s, dir, "events"),
+        "purchase", 10000.0),
+      Some("""WITH pu AS (SELECT user_id, user_id % 2 AS arm,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+             |  FROM events GROUP BY 1, 2),
+             |a AS (SELECT arm, count(*)::HUGEINT AS n,
+             |    sum(y)::HUGEINT AS sy, sum(y::HUGEINT * y) AS syy
+             |  FROM pu GROUP BY arm),
+             |w AS (SELECT
+             |    sum(CASE WHEN arm = 0 THEN n END) AS dn0,
+             |    sum(CASE WHEN arm = 0 THEN sy END) AS dsy0,
+             |    sum(CASE WHEN arm = 0 THEN syy END) AS dsyy0,
+             |    sum(CASE WHEN arm = 1 THEN n END) AS dn1,
+             |    sum(CASE WHEN arm = 1 THEN sy END) AS dsy1,
+             |    sum(CASE WHEN arm = 1 THEN syy END) AS dsyy1
+             |  FROM a),
+             |t AS (SELECT *,
+             |    CASE WHEN dn0 + dn1 <= 2 THEN NULL
+             |      ELSE ((dn0 * dsyy0 - dsy0 * dsy0)::DOUBLE / dn0::DOUBLE
+             |          + (dn1 * dsyy1 - dsy1 * dsy1)::DOUBLE / dn1::DOUBLE)
+             |        / (dn0 + dn1 - 2)::DOUBLE END AS s2,
+             |    dsy0::DOUBLE / dn0::DOUBLE - dsy1::DOUBLE / dn1::DOUBLE
+             |      AS delta
+             |  FROM w),
+             |u AS (SELECT *,
+             |    s2 * (1::DOUBLE / dn0::DOUBLE + 1::DOUBLE / dn1::DOUBLE)
+             |      AS v
+             |  FROM t),
+             |q AS (SELECT *,
+             |    floor((0.5::DOUBLE * ln(floor((v / (v + 10000::DOUBLE))
+             |          * 1000000 + 0.5) / 1000000.0)
+             |        + (delta * delta * 10000::DOUBLE)
+             |          / (2::DOUBLE * v * (v + 10000::DOUBLE)))
+             |      * 1000000 + 0.5) / 1000000.0 AS llr
+             |  FROM u)
+             |SELECT dn0::BIGINT AS n0, dn1::BIGINT AS n1,
+             |  floor(delta * 1000000 + 0.5) / 1000000.0 AS delta_cents,
+             |  CASE WHEN s2 IS NULL OR v <= 0 THEN NULL
+             |    ELSE floor(v * 1000000 + 0.5) / 1000000.0 END AS v_cents2,
+             |  CASE WHEN s2 IS NULL OR v <= 0 THEN NULL ELSE llr END
+             |    AS log_lambda,
+             |  CASE WHEN s2 IS NULL OR v <= 0 THEN NULL
+             |    ELSE floor(least(1::DOUBLE, exp(-llr)) * 1000000 + 0.5)
+             |      / 1000000.0 END AS p_always_valid
+             |FROM q""".stripMargin)),
+
+    // Stream-stream interval join, driver-checked through its BATCH twin:
+    // StreamOps.clicksAfterSignup is ONE definition run in two modes —
+    // the streaming spec proves the watermarked stream-stream join
+    // matches this batch run; here the batch run is pinned to the naive
+    // SQL interval join. Each click pairs with every same-user signup at
+    // most 1 hour earlier (equi-key + bounded event-time distance — the
+    // canonical streaming-enrichment shape whose state the watermark
+    // bounds).
+    Q("stream_join_interval",
+      (s, dir) => graft.streaming.StreamOps.clicksAfterSignup(
+          load(s, dir, "events"))
+        .orderBy(col("user_id"), col("click_id"), col("signup_epoch")),
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+             |  epoch(date_trunc('second', s.ts))::BIGINT AS signup_epoch,
+             |  epoch(date_trunc('second', c.ts))::BIGINT AS click_epoch
+             |FROM events c JOIN events s ON c.user_id = s.user_id
+             |  AND c.event_type = 'click' AND s.event_type = 'signup'
+             |  AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL '1 hour'
+             |ORDER BY user_id, click_id, signup_epoch""".stripMargin)),
+
     Q("pivot_event_counts",
       (s, dir) => EventOps.pivotCounts(load(s, dir, "events"))
         .orderBy(col("user_id")),

@@ -257,6 +257,25 @@ object TextQueries extends Catalog {
              |FROM (SELECT unnest($Toks) AS token FROM documents) t
              |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
 
+    // [ext] hashing-trick featurization (Text.featureHash, Weinberger
+    // et al. 2009): md5-bucketed token features with ±1 sign — the
+    // fastText/VW input shape, no vocabulary pass. Bucket and sign are
+    // md5-prefix arithmetic replayed verbatim by the oracle (the
+    // unitHash portability discipline); one explode + keyed count.
+    Q("text_feature_hashing",
+      (s, dir) => Text.featureHash(load(s, dir, "documents"), 64)
+        .orderBy(col("doc_id"), col("bucket")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($Toks) AS tok
+             |  FROM documents),
+             |b AS (SELECT doc_id,
+             |    ('0x' || substr(md5(tok), 1, 7))::BIGINT % 64 AS bucket,
+             |    CASE WHEN ('0x' || substr(md5(tok), 8, 1))::BIGINT % 2 = 0
+             |      THEN 1 ELSE -1 END AS sgn
+             |  FROM t WHERE tok <> '')
+             |SELECT doc_id, bucket, count(*) AS tf,
+             |  sum(sgn)::BIGINT AS weight
+             |FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin)),
+
     // [ext] one BPE merge-statistics round: adjacent symbol-pair counts,
     // top 50 under a deterministic (count DESC, pair ASC) total order.
     Q("text_bpe_pair_counts",

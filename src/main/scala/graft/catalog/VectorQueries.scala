@@ -391,6 +391,48 @@ object VectorQueries extends Catalog {
              |      UNION ALL SELECT z FROM tri) t
              |GROUP BY node ORDER BY vec_id""".stripMargin)),
 
+    // 2-core of the kNN graph (Graph.kCore, Seidman 1983): peel nodes of
+    // degree < 2 for 4 fixed rounds — pendant chains and isolated pairs
+    // pruned, the cycle-bound tight semantic clusters kept (cohesion
+    // filtering, the density end of the sim_knn_triangles signal). The
+    // oracle replays the SAME τ=0.4 top-5 edge build as sim_knn_graph,
+    // then the exact 4-round peel trajectory as unrolled CTEs (the
+    // pageRankBp/LPA discipline); 4 rounds ≥ the peel depth here, so the
+    // output IS the converged 2-core (spec pins rounds+1 ≡ rounds).
+    Q("sim_knn_kcore",
+      (s, dir) => {
+        val knn = Vectors.knnGraph(load(s, dir, "embeddings"), 0.4, 5)
+        val und = knn.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+        graft.ops.Graph.kCore(und, k = 2, rounds = 4)
+          .select(col("node").as("vec_id"), col("degree"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val head =
+          s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+             |        ${cosSql("a.e", "b.e")} AS cosine
+             |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY src
+             |        ORDER BY cosine DESC, dst) AS rank
+             |      FROM p WHERE cosine >= 0.4),
+             |e0 AS (SELECT DISTINCT least(src, dst) AS a,
+             |         greatest(src, dst) AS b FROM r WHERE rank <= 5)""".stripMargin
+        val rounds = (1 to 4).map { i =>
+          s""",
+             |k$i AS (SELECT n FROM (SELECT a AS n FROM e${i - 1}
+             |    UNION ALL SELECT b FROM e${i - 1}) t
+             |  GROUP BY n HAVING count(*) >= 2),
+             |e$i AS (SELECT a, b FROM e${i - 1}
+             |  WHERE a IN (SELECT n FROM k$i) AND b IN (SELECT n FROM k$i))""".stripMargin
+        }.mkString
+        s"""$head$rounds
+           |SELECT node AS vec_id, count(*) AS degree
+           |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) t
+           |GROUP BY node ORDER BY vec_id""".stripMargin
+      }),
+
     // Hybrid retrieval (Retrieval.rrfFuse): dense cosine top-10 and
     // lexical token-set-Jaccard top-10 for the same query documents
     // (documents and embeddings share the 0-499 id space), fused by

@@ -301,6 +301,117 @@ object EventOps {
       cupedPerUser(events, convType, splitTs).withColumn("seg", segment),
       Seq("seg"))
 
+  /** Per-user conversion cents + arm moments, one row per arm pair:
+    * (n0, sy0, syy0, n1, sy1, syy1) as exact Decimal(38,0) — the shared
+    * front half of the power / sequential readouts. One user-keyed
+    * aggregate → 2-row arm aggregate → 1-row combine; nothing data-sized
+    * past the first groupBy (the `abCuped` scale shape).
+    */
+  private def armMoments(events: DataFrame, convType: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === convType,
+        Exact.cents(col("value")))), lit(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+      .withColumn("_y", col("y").cast(dec))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_y")).as("_sy"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    def armCol(a: Int, c: String) = sum(when(col("arm") === a, col(c)))
+    arms.agg(
+      armCol(0, "_n").as("dn0"), armCol(0, "_sy").as("dsy0"),
+      armCol(0, "_syy").as("dsyy0"),
+      armCol(1, "_n").as("dn1"), armCol(1, "_sy").as("dsy1"),
+      armCol(1, "_syy").as("dsyy1"))
+  }
+
+  /** Pooled within-arm variance (cents²) from the exact arm moments:
+    * s² = ((n₀Σy₀²−(Σy₀)²)/n₀ + (n₁Σy₁²−(Σy₁)²)/n₁) / (n₀+n₁−2)
+    * — numerators exact Decimal(38,0),
+    * then two divisions and one outer division in double, the identical
+    * IEEE sequence the oracles replay. NULL when n₀+n₁ ≤ 2.
+    */
+  private def pooledVar: Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nv0 = col("dn0") * col("dsyy0") - col("dsy0") * col("dsy0")
+    val nv1 = col("dn1") * col("dsyy1") - col("dsy1") * col("dsy1")
+    val dfree = (col("dn0") + col("dn1") - lit(2).cast(dec)).cast("double")
+    when(col("dn0") + col("dn1") <= lit(2).cast(dec), lit(null))
+      .otherwise(
+        (nv0.cast("double") / col("dn0").cast("double")
+          + nv1.cast("double") / col("dn1").cast("double")) / dfree)
+  }
+
+  private def armDelta: Column =
+    col("dsy0").cast("double") / col("dn0").cast("double") -
+      col("dsy1").cast("double") / col("dn1").cast("double")
+
+  /** Fixed-horizon power readout for the two-arm cents metric: given the
+    * observed per-arm moments, the minimum detectable effect at the
+    * CURRENT sample size and the required per-arm n to detect the
+    * OBSERVED delta — the "how much longer must this test run" answer,
+    * at α = 5% two-sided, power 80% (z constants 1.959964 / 0.841621,
+    * their sum as the single literal Z = 2.801585):
+    *   mde = Z·√(s²·(1/n₀+1/n₁)),   n_req = ⌈2·s²·Z²/δ̂²⌉.
+    * Determinism: exact Decimal moments; doubles enter in divisions, one
+    * IEEE sqrt, and literal multiplies — all bit-replayed by the oracle.
+    * δ̂ = 0 → NULL n_required (no finite answer); output cents are 6dp.
+    */
+  def abPower(events: DataFrame, convType: String): DataFrame = {
+    val z = lit(2.801585)
+    val s2 = pooledVar
+    val vDelta = s2 * (lit(1.0) / col("dn0").cast("double")
+      + lit(1.0) / col("dn1").cast("double"))
+    val delta = armDelta
+    armMoments(events, convType).select(
+      col("dn0").cast("long").as("n0"), col("dn1").cast("long").as("n1"),
+      Vectors.round6(col("dsy0").cast("double") / col("dn0").cast("double"))
+        .as("mean0_cents"),
+      Vectors.round6(col("dsy1").cast("double") / col("dn1").cast("double"))
+        .as("mean1_cents"),
+      Vectors.round6(delta).as("delta_cents"),
+      Vectors.round6(s2).as("s2_cents2"),
+      Vectors.round6(z * sqrt(vDelta)).as("mde_cents"),
+      when(delta === 0.0, lit(null)).otherwise(
+        ceil(lit(2.0) * s2 * (z * z) / (delta * delta)).cast("long"))
+        .as("n_required"))
+  }
+
+  /** Always-valid sequential readout (mSPRT, Johari et al. 2017 "Peeking
+    * at A/B Tests"): the mixture likelihood ratio of the two-sample mean
+    * difference under a N(0, τ²) effect prior,
+    *   log Λ = ½·ln(V/(V+τ²)) + δ̂²·τ² / (2·V·(V+τ²)),  V = s²(1/n₀+1/n₁),
+    * and the always-valid p-value p = min(1, e^(−log Λ)) — valid at EVERY
+    * interim look, the peeking-safe companion to `abPower`'s fixed-horizon
+    * test. τ² (cents²) is the caller's prior effect scale.
+    *
+    * Determinism note: ln/exp are the two steps not guaranteed correctly
+    * rounded across engines (unlike ÷ and √), so both are taken on
+    * 6dp-PREROUNDED arguments and the results are rounded again — a
+    * divergence would need a value within one ulp of a 0.5e-6 boundary.
+    * V = 0 (zero variance) → NULL readout.
+    */
+  def abSequential(events: DataFrame, convType: String,
+                   tauSq: Double = 10000.0): DataFrame = {
+    require(tauSq > 0, s"tauSq must be > 0, got $tauSq")
+    val t2 = lit(tauSq)
+    val s2 = pooledVar
+    val v = s2 * (lit(1.0) / col("dn0").cast("double")
+      + lit(1.0) / col("dn1").cast("double"))
+    val delta = armDelta
+    val llr = Vectors.round6(
+      lit(0.5) * log(Vectors.round6(v / (v + t2)))
+        + delta * delta * t2 / (lit(2.0) * v * (v + t2)))
+    val guarded = when(s2.isNull || v <= 0.0, lit(null))
+    armMoments(events, convType).select(
+      col("dn0").cast("long").as("n0"), col("dn1").cast("long").as("n1"),
+      Vectors.round6(delta).as("delta_cents"),
+      guarded.otherwise(Vectors.round6(v)).as("v_cents2"),
+      guarded.otherwise(llr).as("log_lambda"),
+      guarded.otherwise(Vectors.round6(least(lit(1.0), exp(-llr))))
+        .as("p_always_valid"))
+  }
+
   /** Per-user (x = pre-period cents, y = post-period cents, arm). */
   private def cupedPerUser(events: DataFrame, convType: String,
                            splitTs: String): DataFrame = {

@@ -250,4 +250,48 @@ object Graph {
       materialized
     } else ranks
   }
+
+  /** Fixed-round k-core peeling over CANONICAL undirected edges
+    * (`a` < `b`, distinct): each round drops every node whose degree in
+    * the CURRENT residual graph is < `k`, plus all its edges. Output:
+    * `(node, degree)` for nodes still present after `rounds` peels, with
+    * their residual degree — the standard density filter (Seidman 1983);
+    * on a similarity graph the 2-core is the cycle-bound clusters with
+    * pendant chains pruned (tight-cluster extraction, the SemDeDup-style
+    * cohesion signal).
+    *
+    * Fixed `rounds`, not run-to-fixpoint, so an oracle can replay the
+    * exact trajectory as unrolled CTEs (the `pageRankBp` /
+    * `labelPropagation` discipline); callers wanting the true k-core pick
+    * `rounds` ≥ the peel depth (spec asserts rounds+1 ≡ rounds at
+    * convergence).
+    *
+    * Scale shape: each round is one node-keyed degree count + two
+    * edge-keyed semi-joins — edge-sized keyed shuffles, nothing
+    * collected. The residual edge set SHRINKS every round but each round
+    * references the previous one several times (degree build + both
+    * semi-joins), so every round materializes via `localCheckpoint` —
+    * bounded plan depth by construction (a lazy chain would grow the
+    * logical tree ~3× per round), and the first checkpoint doubles as the
+    * single materialization of a possibly-expensive edge-build lineage
+    * (the kNN construction, for the semantic-core query).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            a: String = "a", b: String = "b"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col(a).cast("long").as("a"),
+      col(b).cast("long").as("b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -29,6 +29,35 @@ object Text {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Hashing-trick featurization (Weinberger et al. 2009, the
+    * fastText/Vowpal-Wabbit input shape): every token lands in bucket
+    * md5(token) mod `dim` with a ±1 sign from the next md5 nibble, and the
+    * sparse (doc, bucket) → (tf, signed weight) rows come out of ONE
+    * explode + keyed count — no vocabulary pass, no dictionary broadcast,
+    * new tokens at inference hash to the same buckets for free. The md5
+    * prefix (not a JVM hash) keeps the bucket assignment engine-portable
+    * and eternally stable — the `Curate.unitHash` discipline.
+    *
+    * Scale shape: explode is map-side; a doc's tokens sit in one
+    * partition, so the (doc_id, bucket) partial aggregate collapses to
+    * ≤ `dim` rows per doc BEFORE the shuffle — shuffle volume is
+    * O(docs·dim), independent of corpus length.
+    */
+  def featureHash(docs: DataFrame, dim: Int,
+                  textCol: String = "text"): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val tok = col("tok")
+    val h = conv(substring(md5(tok.cast("binary")), 1, 7), 16, 10)
+      .cast("long")
+    val sgn = when(conv(substring(md5(tok.cast("binary")), 8, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(tok =!= "")
+      .select(col("doc_id"), (h % dim).as("bucket"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"), sum(col("sgn")).as("weight"))
+  }
+
   /** Adjacent whitespace-token bigrams, in document order with
     * multiplicity (`"a b c"` → `["a b", "b c"]`; <2 tokens → empty).
     * Per-row array op — no shuffle, no per-pair join.

@@ -177,4 +177,21 @@ class GraphSpec extends SparkSpec {
       "deep PageRank result must be checkpoint-backed")
     assert(prDeep.as[(Long, Long)].collect().toMap == prShallow)
   }
+
+  test("kCore: hand-traced peel cascade, round truncation, convergence") {
+    // triangle {1,2,3} + pendant chain 3—4—5 + isolated edge 6—7
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L)).toDF("a", "b")
+    def core(k: Int, rounds: Int) =
+      Graph.kCore(und, k, rounds).as[(Long, Long)].collect().toMap
+    // k=2 round 1 drops 5, 6, 7 (degree 1); round 2 drops 4 (its degree
+    // FELL to 1 when 5 left — the cascade); round 3 is stable
+    assert(core(2, 1) == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    assert(core(2, 3) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // converged: extra rounds change nothing
+    assert(core(2, 4) == core(2, 3))
+    // k=1 keeps every non-isolated node; k=3 empties this graph
+    assert(core(1, 2).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(core(3, 2).isEmpty)
+  }
 }

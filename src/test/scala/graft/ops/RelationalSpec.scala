@@ -477,6 +477,52 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("abPower: hand-computed mde and required n; zero-delta null") {
+    // arm0 (even users): y = 300, 100; arm1 (odd): y = 200, 400.
+    // pooled s2 = ((300-200)^2+(100-200)^2 + (200-300)^2+(400-300)^2)/2
+    //           = 20000;  delta = 200 - 300 = -100
+    val ev = Seq((0L, 3.00), (2L, 1.00), (1L, 2.00), (3L, 4.00))
+      .toDF("user_id", "value").withColumn("event_type", lit("purchase"))
+    val r = EventOps.abPower(ev, "purchase").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 200.0 && r.getDouble(3) == 300.0)
+    assert(r.getDouble(4) == -100.0)
+    assert(r.getDouble(5) == 20000.0)
+    val z = 2.801585
+    assert(math.abs(r.getDouble(6) - z * math.sqrt(20000.0)) < 1e-6)
+    assert(r.getLong(7) ==
+      math.ceil(2.0 * 20000.0 * (z * z) / (100.0 * 100.0)).toLong)
+    // both arms identical means → delta 0 → no finite required n
+    val flat = EventOps.abPower(
+      ev.withColumn("value", lit(2.0)), "purchase").collect().head
+    assert(flat.getDouble(4) == 0.0 && flat.isNullAt(7))
+  }
+
+  test("abSequential: hand-computed mSPRT log-lambda; zero-variance null") {
+    val ev = Seq((0L, 3.00), (2L, 1.00), (1L, 2.00), (3L, 4.00))
+      .toDF("user_id", "value").withColumn("event_type", lit("purchase"))
+    val r = EventOps.abSequential(ev, "purchase", tauSq = 10000.0)
+      .collect().head
+    // V = s2·(1/2+1/2) = 20000; ratio = 2/3 (6dp 0.666667);
+    // llr = 0.5·ln(0.666667) + (-100)²·10⁴/(2·20000·30000)
+    val llr = math.floor((0.5 * math.log(0.666667)
+      + 100.0 * 100.0 * 10000.0 / (2.0 * 20000.0 * 30000.0)) * 1e6 + 0.5) / 1e6
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == -100.0)
+    assert(r.getDouble(3) == 20000.0)
+    assert(math.abs(r.getDouble(4) - llr) < 1e-9, s"llr=${r.getDouble(4)}")
+    // llr < 0 here → evidence favors the null → p clamps to 1
+    assert(r.getDouble(5) == 1.0)
+    // zero variance → V = 0 → NULL readout (delta still reported)
+    val flat = EventOps.abSequential(
+      ev.withColumn("value", lit(2.0)), "purchase").collect().head
+    assert(flat.isNullAt(3) && flat.isNullAt(4) && flat.isNullAt(5))
+    // negative prior scale is a caller bug, not a NULL
+    intercept[IllegalArgumentException] {
+      EventOps.abSequential(ev, "purchase", tauSq = -1.0)
+    }
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0

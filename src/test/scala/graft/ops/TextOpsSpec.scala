@@ -372,4 +372,27 @@ class TextOpsSpec extends SparkSpec {
     assert(!out(4L)._4 && !out(4L)._5 && !out(4L)._6) // alpha + stop rules
     assert(out(5L)._4 && !out(5L)._5 && !out(5L)._6)  // stop rule only
   }
+
+  test("featureHash: md5 buckets and signs by hand; tf sums to token count") {
+    // md5("alpha") = 2c1743a3… → bucket 0x2c1743a % 64 = 58, 8th nibble
+    // 3 (odd) → sign −1; md5("beta") = 987bcab0… → bucket 43, nibble 0
+    // (even) → +1. Repeats accumulate tf and signed weight; empty-string
+    // tokens (doc 2's double space) are dropped, not hashed.
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta  beta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Text.featureHash(docs, 64)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      (1L, 58L) -> ((2L, -2L)), (1L, 43L) -> ((1L, 1L)),
+      (2L, 43L) -> ((2L, 2L))))
+    // invariant on real data: Σtf per doc = its non-empty token count
+    val corpus = graft.tables.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+    val sums = graft.ops.Text.featureHash(corpus, 16)
+      .groupBy("doc_id").agg(sum("tf").as("s"))
+    val want = corpus.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+    assert(sums.join(want, "doc_id").filter(col("s") =!= col("w")).count() == 0)
+  }
 }
