@@ -433,6 +433,116 @@ object VectorQueries extends Catalog {
            |GROUP BY node ORDER BY vec_id""".stripMargin
       }),
 
+    // Per-label centroid-distance outliers (Vectors.centroidOutliers):
+    // top-5 farthest members per label — mislabeled/contamination review
+    // candidates. Centroid = mean of floats made order-free by
+    // fixed-point scaling (floor(x·1e6+0.5)) + exact HUGEINT/Decimal
+    // sums; the oracle replays scaling, division, distance fold, and
+    // ranking bit-for-bit.
+    Q("vector_centroid_outliers",
+      (s, dir) => Vectors.centroidOutliers(load(s, dir, "embeddings"), 5)
+        .select(col("label"), col("vec_id"), col("dist2"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("label"), col("rank")),
+      Some("""WITH v AS (SELECT label::BIGINT AS label, vec_id,
+             |    embedding::DOUBLE[] AS e FROM embeddings),
+             |t AS (SELECT label, i, floor(e[i] * 1000000 + 0.5)::HUGEINT
+             |    AS xs FROM v, range(1, 65) r(i)),
+             |cen AS (SELECT label, i, sum(xs) AS sx, count(*) AS n
+             |  FROM t GROUP BY 1, 2),
+             |ca AS (SELECT label, list(sx::DOUBLE / n::DOUBLE ORDER BY i)
+             |    AS cv FROM cen GROUP BY label),
+             |d AS (SELECT v.label, v.vec_id,
+             |    floor((list_sum(list_transform(range(1, 65), i ->
+             |        (floor(e[i] * 1000000 + 0.5) - cv[i])
+             |        * (floor(e[i] * 1000000 + 0.5) - cv[i])))
+             |      / 1000000000000::DOUBLE) * 1000000 + 0.5) / 1000000.0
+             |      AS dist2
+             |  FROM v JOIN ca USING (label))
+             |SELECT label, vec_id, dist2, rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY label
+             |    ORDER BY dist2 DESC, vec_id) AS rank FROM d) t
+             |WHERE rank <= 5 ORDER BY label, rank""".stripMargin)),
+
+    // MMR diversity re-rank (Retrieval.mmrRerank, Carbonell & Goldstein
+    // 1998) over the SAME dense retriever pool as retrieval_hybrid_rrf's
+    // cosine side: top-10 cosine candidates per query, then 5 greedy
+    // picks trading relevance against redundancy (λ=0.7). The oracle
+    // replays the pool build, the within-pool similarity matrix, and the
+    // exact 5-round greedy trajectory as unrolled CTEs.
+    Q("retrieval_mmr_rerank",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 100 === 0)
+          .orderBy(col("vec_id")).limit(40)
+        val cand = Vectors.cosineTopK(emb, q, 10)
+          .select(col("query_id"), col("neighbor_id"),
+            col("cosine").as("rel"))
+        val withVec = cand.join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("v")), Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"), col("v"))
+        val sims = withVec.alias("x").join(withVec.alias("y"),
+            col("x.query_id") === col("y.query_id") &&
+              col("x.neighbor_id") =!= col("y.neighbor_id"))
+          .select(col("x.query_id").as("query_id"),
+            col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+            Vectors.round6(Vectors.cosine(col("x.v"), col("y.v")))
+              .as("sim"))
+        graft.ops.Retrieval.mmrRerank(cand, sims, selectK = 5, lam = 0.7)
+          .select(col("query_id"), col("pick").cast("long").as("pick"),
+            col("neighbor_id"), col("score"))
+          .orderBy(col("query_id"), col("pick"))
+      },
+      Some {
+        val head =
+          s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |qs AS (SELECT vec_id, e FROM v WHERE vec_id % 100 = 0
+             |  ORDER BY vec_id LIMIT 40),
+             |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    ${cosSql("q.e", "c.e")} AS rel
+             |  FROM qs q JOIN v c ON q.vec_id <> c.vec_id),
+             |cand AS (SELECT query_id, neighbor_id, rel FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY rel DESC, neighbor_id) AS rk FROM sc) t
+             |  WHERE rk <= 10),
+             |cv AS (SELECT c.query_id, c.neighbor_id, v.e
+             |  FROM cand c JOIN v ON v.vec_id = c.neighbor_id),
+             |pp AS (SELECT x.query_id, x.neighbor_id AS a,
+             |    y.neighbor_id AS b, ${cosSql("x.e", "y.e")} AS sim
+             |  FROM cv x JOIN cv y ON x.query_id = y.query_id
+             |    AND x.neighbor_id <> y.neighbor_id),
+             |s0 AS (SELECT NULL::BIGINT AS query_id,
+             |    NULL::BIGINT AS neighbor_id, NULL::BIGINT AS pick,
+             |    NULL::DOUBLE AS score WHERE false)""".stripMargin
+        val scoreExpr =
+          """floor((0.7::DOUBLE * c.rel - (1::DOUBLE - 0.7::DOUBLE)
+            |        * coalesce(m.ms, 0::DOUBLE)) * 1000000 + 0.5)
+            |      / 1000000.0""".stripMargin
+        val rounds = (1 to 5).map { r =>
+          s""",
+             |s$r AS (SELECT * FROM s${r - 1} UNION ALL
+             |  SELECT query_id, neighbor_id, $r::BIGINT AS pick, score
+             |  FROM (
+             |    SELECT c.query_id, c.neighbor_id,
+             |      $scoreExpr AS score,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY $scoreExpr DESC, c.neighbor_id) AS rk
+             |    FROM cand c
+             |    LEFT JOIN (SELECT p.query_id, p.a, max(p.sim) AS ms
+             |        FROM pp p JOIN s${r - 1} s ON p.query_id = s.query_id
+             |          AND p.b = s.neighbor_id
+             |        GROUP BY 1, 2) m
+             |      ON m.query_id = c.query_id AND m.a = c.neighbor_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM s${r - 1} s2
+             |      WHERE s2.query_id = c.query_id
+             |        AND s2.neighbor_id = c.neighbor_id)
+             |  ) t WHERE rk = 1)""".stripMargin
+        }.mkString
+        s"""$head$rounds
+           |SELECT query_id, pick, neighbor_id, score FROM s5
+           |ORDER BY query_id, pick""".stripMargin
+      }),
+
     // Hybrid retrieval (Retrieval.rrfFuse): dense cosine top-10 and
     // lexical token-set-Jaccard top-10 for the same query documents
     // (documents and embeddings share the 0-499 id space), fused by

@@ -38,4 +38,61 @@ object Retrieval {
     Relational.topKPerGroup(scored, Seq(col("qid")),
       Seq(col("rrf_score").desc, col("id").asc), topK, rankCol = "rank")
   }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick `selectK` results per query, each round's pick maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈picked} sim(d,s)` — relevance traded
+    * against redundancy, the diversity re-rank every RAG stack bolts onto
+    * its retriever. Inputs are score frames, not vectors — `cand(query_id,
+    * neighbor_id, rel)` is the retriever's pool, `pairSims(query_id, a, b,
+    * sim)` the within-pool similarities (both pre-rounded 6dp by the
+    * caller) — so the op composes with any retrieval surface, like
+    * `rrfFuse`.
+    *
+    * Determinism: score = round6(λ·rel − (1−λ)·max sim); ties break on
+    * neighbor_id. `1−λ` is computed as the Scala double `1.0 - λ` and the
+    * oracle writes literally `(1::DOUBLE - λ::DOUBLE)` so both engines
+    * bake the identical IEEE constant (0.7 → 0.30000000000000004 — NOT
+    * the decimal literal 0.3).
+    *
+    * Scale shape: the sequential-greedy recurrence is inherently K
+    * rounds, but each round is pool-sized keyed work (anti-join + max-sim
+    * aggregate + per-query argmax window over ≤ poolK rows per query) —
+    * nothing corpus-sized moves after the retriever built the pool. Each
+    * round `localCheckpoint`s the selection (kCore discipline: the round
+    * references it three times, a lazy chain would grow the plan ~3×
+    * per round).
+    */
+  def mmrRerank(cand: DataFrame, pairSims: DataFrame, selectK: Int,
+                lam: Double): DataFrame = {
+    require(selectK >= 1, s"selectK must be >= 1, got $selectK")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1], got $lam")
+    import org.apache.spark.sql.expressions.Window
+    val c = cand.select(col("query_id"), col("neighbor_id"), col("rel"))
+      .localCheckpoint()
+    val p = pairSims.select(col("query_id"), col("a"), col("b"), col("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    var selected = c.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("pick"), lit(0.0).as("score")).limit(0).localCheckpoint()
+    for (r <- 1 to selectK) {
+      val rem = c.join(selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = p.join(selected.select(col("query_id"),
+          col("neighbor_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a")).agg(max(col("sim")).as("ms"))
+      val pickR = rem.join(ms.select(col("query_id"),
+          col("a").as("neighbor_id"), col("ms")),
+          Seq("query_id", "neighbor_id"), "left")
+        .withColumn("score", Vectors.round6(lit(lam) * col("rel")
+          - lit(1.0 - lam) * coalesce(col("ms"), lit(0.0))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(r).as("pick"),
+          col("score"))
+      selected = selected.unionByName(pickR).localCheckpoint()
+    }
+    selected
+  }
 }

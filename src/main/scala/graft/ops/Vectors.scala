@@ -51,6 +51,54 @@ object Vectors {
       Seq(col("cosine").desc, col("neighbor_id").asc), k, rankCol = "rank")
   }
 
+  /** Per-label centroid-distance outliers: the `topN` vectors FARTHEST
+    * from their label's mean vector — the mislabeled/contaminated-cluster
+    * candidates a curation pass reviews (the pruning signal of
+    * SemDeDup-style cluster hygiene, applied to labels).
+    *
+    * The centroid is the mean of FLOATS — a naive double sum is
+    * reduction-order-dependent and can't hash-match an oracle. So each
+    * component is fixed-point scaled first (`floor(x·1e6 + 0.5)`, the
+    * round6 discipline) and summed as exact Decimal(38,0) — order-free —
+    * and doubles reappear only in the centroid division and the distance
+    * fold, both bit-replayed. Output `dist2` is squared Euclidean
+    * distance in original units (6dp).
+    *
+    * Scale shape: one posexplode → (label, dim)-keyed exact sum (shuffle
+    * O(labels·dims)), centroid arrays broadcast back (labels·dims tiny),
+    * distance is one narrow map-side fold per vector, then a per-label
+    * top-N window over label-sized groups.
+    */
+  def centroidOutliers(emb: DataFrame, topN: Int,
+                       labelCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def scaled(x: Column): Column = floor(x * lit(1e6) + lit(0.5))
+    val base = emb.select(col(labelCol).cast("long").as("label"),
+      col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cen = base
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("label"), col("i"), scaled(col("x")).cast(dec).as("xs"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xs")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        (col("sx").cast("double") / col("n").cast("double")).as("c"))
+    val carr = cen.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val d = base.join(broadcast(carr), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round6(dot(
+          zip_with(col("v"), col("cv"),
+            (x, cc) => scaled(x).cast("double") - cc),
+          zip_with(col("v"), col("cv"),
+            (x, cc) => scaled(x).cast("double") - cc)) / lit(1e12))
+          .as("dist2"))
+    Relational.topKPerGroup(d, Seq(col("label")),
+      Seq(col("dist2").desc, col("vec_id").asc), topN, rankCol = "rank")
+  }
+
   /** All pairs with cosine ≥ threshold — embedding-space near-dup detection,
     * QUADRATIC REFERENCE implementation (BroadcastNestedLoopJoin). Kept as
     * the correctness baseline `cosineNearDupPairsBanded` is proven against;

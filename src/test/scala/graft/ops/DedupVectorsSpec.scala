@@ -573,4 +573,29 @@ class DedupVectorsSpec extends SparkSpec {
       _.map(_._2).toSeq.sorted).toMap
     assert(ranks.values.forall(rs => rs == (1 to rs.length)))
   }
+
+  test("centroidOutliers: hand-computed exact-mean distances, label isolation") {
+    // label 0 on a line: x = 0, 4, 1 → centroid 5/3; label 1: two points
+    // equidistant from their centroid → vec_id breaks the tie.
+    val emb = Seq(
+      (0L, 1L, Array(0f, 0f)), (0L, 2L, Array(4f, 0f)),
+      (0L, 3L, Array(1f, 0f)),
+      (1L, 4L, Array(0f, 2f)), (1L, 5L, Array(0f, 4f)))
+      .toDF("label", "vec_id", "embedding")
+    val got = Vectors.centroidOutliers(emb, 2)
+      .select(col("label"), col("vec_id"), col("dist2"), col("rank"))
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    // replay the op's exact float math: scaled components, decimal-exact
+    // mean, double distance, 6dp
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val c0 = (0.0 + 4e6 + 1e6) / 3.0
+    def d0(x: Double) = r6(((x * 1e6 - c0) * (x * 1e6 - c0)) / 1e12)
+    assert(got((0L, 1)) == ((2L, d0(4.0))))   // farthest: x = 4
+    assert(got((0L, 2)) == ((1L, d0(0.0))))
+    // label 1: both at distance 1 from centroid (0,3) → lower vec_id first
+    assert(got((1L, 1))._1 == 4L && got((1L, 2))._1 == 5L)
+    assert(got((1L, 1))._2 == 1.0 && got((1L, 2))._2 == 1.0)
+    assert(got.size == 4)
+  }
 }

@@ -26,4 +26,33 @@ class RetrievalSpec extends SparkSpec {
       .select(col("qid"), col("id")).as[(String, String)].collect().toSet
     assert(got == Set(("q1", "A"), ("q2", "X")))
   }
+
+  test("mmrRerank: diversity beats redundancy; exhausted pool stops early") {
+    // one query, candidates a(rel .9), b(.8), c(.5); a~b nearly duplicate
+    // (sim .9), c orthogonal. Greedy λ=.7: pick a, then c BEATS the
+    // higher-relevance b (b's redundancy penalty .3·.9), then b last.
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.5))
+      .toDF("query_id", "neighbor_id", "rel")
+    val sims = Seq(
+      (1L, 10L, 11L, 0.9), (1L, 11L, 10L, 0.9),
+      (1L, 10L, 12L, 0.0), (1L, 12L, 10L, 0.0),
+      (1L, 11L, 12L, 0.0), (1L, 12L, 11L, 0.0))
+      .toDF("query_id", "a", "b", "sim")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Retrieval.mmrRerank(cand, sims, selectK = 3, lam = 0.7)
+      .select(col("query_id"), col("pick"), col("neighbor_id"), col("score"))
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(t => (t._2, t._3)).toSeq ==
+      Seq((1, 10L), (2, 12L), (3, 11L)))
+    assert(got(0)._4 == r6(0.7 * 0.9))
+    assert(got(1)._4 == r6(0.7 * 0.5 - (1.0 - 0.7) * 0.0))
+    assert(got(2)._4 == r6(0.7 * 0.8 - (1.0 - 0.7) * 0.9))
+    // selectK beyond the pool: rounds past exhaustion emit nothing
+    assert(Retrieval.mmrRerank(cand, sims, selectK = 5, lam = 0.7)
+      .count() == 3)
+    // λ=1: pure relevance order, no penalty
+    assert(Retrieval.mmrRerank(cand, sims, selectK = 3, lam = 1.0)
+      .orderBy("pick").select("neighbor_id")
+      .as[Long].collect().toSeq == Seq(10L, 11L, 12L))
+  }
 }
