@@ -353,4 +353,37 @@ class PlanContractSpec extends SparkSpec {
     assert(preSort.size <= 1,
       s"text_quality_gopher must be map-side (got ${preSort.size} exchanges)")
   }
+
+  test("round-10 additions: no cartesians/global windows; shapes hold") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (name <- Seq("events_ab_power", "events_ab_sequential",
+        "text_feature_hashing", "vector_centroid_outliers",
+        "stream_join_interval", "retrieval_mmr_rerank", "sim_knn_kcore")) {
+      val p = q(name)
+      assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$name plans a CartesianProduct")
+      assert(p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$name plans an unpartitioned window")
+    }
+    // the stream-join batch twin is an EQUI join on user_id with the
+    // interval bounds as residual — never a nested loop over events²
+    assert(q("stream_join_interval").collect {
+      case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "stream_join_interval must join on the user_id equi-key")
+    // centroid arrays are label-sized — their join back to the vectors
+    // must broadcast, not shuffle the corpus
+    assert(q("vector_centroid_outliers").collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "vector_centroid_outliers must broadcast the centroid arrays")
+    // feature hashing is explode + ONE keyed aggregate (+ the dump's
+    // range exchange): a third shuffle means the doc-local partial
+    // aggregation collapsed somewhere
+    val fh = q("text_feature_hashing")
+    val fhEx = fh.collect { case e: ShuffleExchangeLike => e }
+    assert(fhEx.size <= 2,
+      s"text_feature_hashing must be one aggregate + sort " +
+        s"(got ${fhEx.size} exchanges)")
+  }
 }
