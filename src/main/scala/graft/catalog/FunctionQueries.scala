@@ -571,6 +571,57 @@ object FunctionQueries extends Catalog {
              |      / 1000000.0 END AS p_always_valid
              |FROM q""".stripMargin)),
 
+    // Deterministic Poisson-bootstrap CI on the A/B lift (EventOps
+    // .abBootstrapCI, Chamandy et al. 2012): 32 replicates, each user's
+    // per-replicate weight inverse-CDF-looked-up from the md5 unit hash
+    // of user:rep — reproducible, engine-portable "randomness", so the
+    // whole resampling distribution hash-matches. Nearest-rank
+    // 2.5/50/97.5 percentiles from one sorted array aggregate.
+    Q("events_ab_bootstrap",
+      (s, dir) => graft.ops.EventOps.abBootstrapCI(load(s, dir, "events"),
+        "purchase", 32),
+      Some("""WITH pu AS (SELECT user_id, user_id % 2 AS arm,
+             |    coalesce(sum(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS y
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, y, arm, unnest(range(0, 32)) AS rep
+             |  FROM pu),
+             |h AS (SELECT rep, arm, y,
+             |    ('0x' || substr(md5(user_id::VARCHAR || ':'
+             |      || rep::VARCHAR), 1, 7))::BIGINT / 268435456.0 AS u
+             |  FROM r),
+             |wt AS (SELECT rep, arm, y,
+             |    CASE WHEN u < 0.36787944117144233::DOUBLE THEN 0
+             |      WHEN u < 0.7357588823428847::DOUBLE THEN 1
+             |      WHEN u < 0.9196986029286058::DOUBLE THEN 2
+             |      WHEN u < 0.9810118431238462::DOUBLE THEN 3
+             |      WHEN u < 0.9963401531726563::DOUBLE THEN 4
+             |      WHEN u < 0.9994058151824183::DOUBLE THEN 5
+             |      WHEN u < 0.9999167588507119::DOUBLE THEN 6
+             |      ELSE 7 END AS w
+             |  FROM h),
+             |g AS (SELECT rep,
+             |    sum(CASE WHEN arm = 0 THEN w END) AS n0,
+             |    sum(CASE WHEN arm = 0 THEN w * y END) AS s0,
+             |    sum(CASE WHEN arm = 1 THEN w END) AS n1,
+             |    sum(CASE WHEN arm = 1 THEN w * y END) AS s1
+             |  FROM wt GROUP BY rep),
+             |l AS (SELECT rep,
+             |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+             |      floor((s0::DOUBLE / n0::DOUBLE - s1::DOUBLE / n1::DOUBLE)
+             |        * 1000000 + 0.5) / 1000000.0 END AS lift
+             |  FROM g),
+             |a AS (SELECT list_sort(list(lift)) AS ls FROM l
+             |  WHERE lift IS NOT NULL)
+             |SELECT len(ls)::BIGINT AS n_reps,
+             |  ls[(floor(0.025::DOUBLE * (len(ls) - 1)) + 1)::BIGINT]
+             |    AS lift_p025,
+             |  ls[(floor(0.5::DOUBLE * (len(ls) - 1)) + 1)::BIGINT]
+             |    AS lift_p500,
+             |  ls[(floor(0.975::DOUBLE * (len(ls) - 1)) + 1)::BIGINT]
+             |    AS lift_p975
+             |FROM a""".stripMargin)),
+
     // Stream-stream interval join, driver-checked through its BATCH twin:
     // StreamOps.clicksAfterSignup is ONE definition run in two modes —
     // the streaming spec proves the watermarked stream-stream join

@@ -412,6 +412,73 @@ object EventOps {
         .as("p_always_valid"))
   }
 
+  /** Per-replicate Poisson-bootstrap lift estimates (Chamandy et al.
+    * 2012, "Estimating uncertainty for massive data streams" — the
+    * standard bootstrap at scale: resampling n-out-of-n is impossible
+    * distributed, but giving each unit an independent Poisson(1) weight
+    * per replicate is one map-side pass). DETERMINISTIC: the weight is
+    * not random but inverse-CDF-looked-up from `Curate.unitHash(user:rep)`
+    * — md5-derived, engine-portable, stable across runs AND across `b`
+    * (replicate r's weights don't depend on how many replicates exist,
+    * so growing b extends the series without rewriting it).
+    *
+    * Output: `(rep, lift)` — lift = weighted arm-0 mean − arm-1 mean in
+    * cents (6dp), NULL when a replicate zeroes out an arm entirely.
+    * Scale shape: user aggregate → b-way map-side explode → ONE keyed
+    * aggregate with b groups; shuffle volume O(b), corpus-independent.
+    */
+  def bootstrapLifts(events: DataFrame, convType: String,
+                     b: Int): DataFrame = {
+    require(b >= 1, s"b must be >= 1, got $b")
+    val perUser = events.groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === convType,
+        Exact.cents(col("value")))), lit(0L)).as("y"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val rep = perUser.select(col("user_id"), col("y"), col("arm"),
+      explode(sequence(lit(0), lit(b - 1))).as("rep"))
+    val u = Curate.unitHash(concat_ws(":", col("user_id"), col("rep")))
+    // Poisson(1) inverse CDF — cumulative e^{-1}·Σ 1/k! as full-precision
+    // double literals, mirrored verbatim (::DOUBLE) in the oracle; mass
+    // beyond 6 (8.3e-5) collapses to 7, a bias far below CI resolution.
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9999167588507119, 6L)
+      .otherwise(7L)
+    rep.select(col("rep"), col("arm"), w.as("w"), col("y"))
+      .groupBy(col("rep"))
+      .agg(sum(when(col("arm") === 0, col("w"))).as("n0"),
+        sum(when(col("arm") === 0, col("w") * col("y"))).as("s0"),
+        sum(when(col("arm") === 1, col("w"))).as("n1"),
+        sum(when(col("arm") === 1, col("w") * col("y"))).as("s1"))
+      .select(col("rep"),
+        when(col("n0") > 0 && col("n1") > 0, Vectors.round6(
+          col("s0").cast("double") / col("n0").cast("double")
+            - col("s1").cast("double") / col("n1").cast("double")))
+          .as("lift"))
+  }
+
+  /** Bootstrap CI readout: nearest-rank 2.5/50/97.5 percentiles of the
+    * `b` replicate lifts (the repo's floor(q·(n−1))+1 convention),
+    * picked from ONE sorted array aggregate — no global window, no
+    * driver loop. A CI excluding 0 is the "significant at 5%" readout
+    * with none of the normality assumptions `abPower` leans on.
+    */
+  def abBootstrapCI(events: DataFrame, convType: String,
+                    b: Int = 32): DataFrame = {
+    def pick(q: Double) = element_at(col("ls"),
+      (floor(lit(q) * (size(col("ls")) - 1)) + 1).cast("int"))
+    bootstrapLifts(events, convType, b)
+      .filter(col("lift").isNotNull)
+      .agg(sort_array(collect_list(col("lift"))).as("ls"))
+      .select(size(col("ls")).cast("long").as("n_reps"),
+        pick(0.025).as("lift_p025"), pick(0.5).as("lift_p500"),
+        pick(0.975).as("lift_p975"))
+  }
+
   /** Per-user (x = pre-period cents, y = post-period cents, arm). */
   private def cupedPerUser(events: DataFrame, convType: String,
                            splitTs: String): DataFrame = {

@@ -523,6 +523,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapLifts: b-stable replicate series; CI = nearest-rank picks") {
+    val ev = graft.tables.Tables.load(spark, "/root/testdata/sf0.001",
+      "events")
+    def lifts(b: Int) = EventOps.bootstrapLifts(ev, "purchase", b)
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    val l8 = lifts(8)
+    val l16 = lifts(16)
+    // replicate r's weights never depend on how many replicates exist:
+    // growing b EXTENDS the series, the shared prefix is bit-identical
+    assert(l8 == l16.filter(_._1 < 8) && l16.size == 16)
+    // deterministic "randomness": a re-run reproduces every lift
+    assert(lifts(8) == l8)
+    // CI picks are exactly the repo's nearest-rank convention over the
+    // sorted replicate lifts
+    val all = EventOps.bootstrapLifts(ev, "purchase", 32)
+      .collect().flatMap(r => Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .sorted
+    def rank(q: Double) = all(math.floor(q * (all.length - 1)).toInt)
+    val ci = EventOps.abBootstrapCI(ev, "purchase", 32).collect().head
+    assert(ci.getLong(0) == all.length)
+    assert(ci.getDouble(1) == rank(0.025))
+    assert(ci.getDouble(2) == rank(0.5))
+    assert(ci.getDouble(3) == rank(0.975))
+    assert(ci.getDouble(1) <= ci.getDouble(2) &&
+      ci.getDouble(2) <= ci.getDouble(3))
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0
