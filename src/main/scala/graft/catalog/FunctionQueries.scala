@@ -622,6 +622,51 @@ object FunctionQueries extends Catalog {
              |    AS lift_p975
              |FROM a""".stripMargin)),
 
+    // Sample-ratio-mismatch gate (EventOps.abSrm): exact integer χ² on
+    // the realized arm counts vs the designed 50/50 — the hygiene check
+    // that invalidates every other readout when it fires.
+    Q("events_ab_srm",
+      (s, dir) => graft.ops.EventOps.abSrm(load(s, dir, "events")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |w AS (SELECT
+             |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+             |      AS n0,
+             |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+             |      AS n1
+             |  FROM u),
+             |c AS (SELECT *, CASE WHEN n0 + n1 = 0 THEN NULL
+             |    ELSE floor((((n0 - n1)::HUGEINT * (n0 - n1))::DOUBLE
+             |      / (n0 + n1)::DOUBLE) * 1000000 + 0.5) / 1000000.0 END
+             |    AS chi2
+             |  FROM w)
+             |SELECT n0, n1, (n0 * 10000) // (n0 + n1) AS share0_bp, chi2,
+             |  chi2 > 3.841459::DOUBLE AS srm_flag
+             |FROM c""".stripMargin)),
+
+    // CUSUM drift alerts (EventOps.cusumAlerts, Page 1954): the
+    // sequential recurrence S = max(0, S + (x − k)) expressed as TWO
+    // cumulative windows via the prefix-min identity — exact integer
+    // cents, group-sized sorts. k = 5400 cents (above the value mean),
+    // h = 100000: 237 real alert rows at sf0.01, counts load-bearing.
+    Q("events_cusum_alerts",
+      (s, dir) => graft.ops.EventOps.cusumAlerts(load(s, dir, "events"),
+          driftCents = 5400L, threshCents = 100000L)
+        .orderBy(col("event_type"), col("event_id")),
+      Some("""WITH c AS (SELECT event_type, event_id, ts,
+             |    CAST(round(value * 100) AS BIGINT) - 5400 AS d
+             |  FROM events),
+             |p AS (SELECT *, sum(d) OVER (PARTITION BY event_type
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS pc
+             |  FROM c),
+             |q AS (SELECT *, min(pc) OVER (PARTITION BY event_type
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS pmin
+             |  FROM p)
+             |SELECT event_type, event_id,
+             |  epoch(date_trunc('second', ts))::BIGINT AS ts_epoch,
+             |  (pc - least(0, pmin))::BIGINT AS s
+             |FROM q WHERE pc - least(0, pmin) > 100000
+             |ORDER BY event_type, event_id""".stripMargin)),
+
     // Stream-stream interval join, driver-checked through its BATCH twin:
     // StreamOps.clicksAfterSignup is ONE definition run in two modes —
     // the streaming spec proves the watermarked stream-stream join

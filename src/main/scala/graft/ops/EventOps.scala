@@ -479,6 +479,59 @@ object EventOps {
         pick(0.975).as("lift_p975"))
   }
 
+  /** Sample-ratio-mismatch check (the first experimentation-hygiene gate:
+    * a 50/50 split whose realized user counts are detectably off means
+    * the assignment or logging is broken and every readout downstream is
+    * suspect). For the even split, Pearson's χ² collapses to the exact
+    * integer form (n₀−n₁)²/(n₀+n₁) — one double division, 6dp; flagged
+    * against the 1-df 95% critical value 3.841459. One distinct + one
+    * 2-group aggregate; nothing data-sized past the distinct.
+    */
+  def abSrm(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = events.select(col("user_id")).distinct()
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val wide = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val diff = (col("n0") - col("n1")).cast(dec)
+    val tot = (col("n0") + col("n1")).cast(dec)
+    val chi2 = when(tot === lit(0).cast(dec), lit(null))
+      .otherwise(Vectors.round6(
+        (diff * diff).cast("double") / tot.cast("double")))
+    wide.select(col("n0"), col("n1"),
+      expr("(n0 * 10000) div (n0 + n1)").as("share0_bp"),
+      chi2.as("chi2"), (chi2 > 3.841459).as("srm_flag"))
+  }
+
+  /** CUSUM drift alerts over the per-type event-value series (Page 1954):
+    * the one-sided CUSUM recurrence S_i = max(0, S_{i−1} + (x_i − k))
+    * flags sustained upward drift of size ≥ k long before any fixed-window
+    * mean moves — the change-detection complement to the PSI snapshot
+    * drift report. The sequential recurrence looks window-inexpressible,
+    * but the classic prefix-min identity S_i = P_i − min(0, min_{j≤i} P_j)
+    * (P = running sum of x−k) turns it into TWO cumulative windows, both
+    * partitioned by event_type — group-sized sorts, exact integer cents
+    * end to end, no iteration, no state machine.
+    * Output: the alert rows (S_i > `threshCents`) only.
+    */
+  def cusumAlerts(events: DataFrame, driftCents: Long,
+                  threshCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshCents > 0, s"threshCents must be > 0, got $threshCents")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("event_type"), col("event_id"), col("ts"),
+        (Exact.cents(col("value")) - lit(driftCents)).as("d"))
+      .withColumn("pc", sum(col("d")).over(w))
+      .withColumn("pmin", min(col("pc")).over(w))
+      .withColumn("s", col("pc") - least(lit(0L), col("pmin")))
+      .filter(col("s") > threshCents)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_epoch"), col("s"))
+  }
+
   /** Per-user (x = pre-period cents, y = post-period cents, arm). */
   private def cupedPerUser(events: DataFrame, convType: String,
                            splitTs: String): DataFrame = {

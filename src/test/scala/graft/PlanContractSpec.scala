@@ -358,9 +358,10 @@ class PlanContractSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     for (name <- Seq("events_ab_power", "events_ab_sequential",
-        "events_ab_bootstrap", "text_feature_hashing",
-        "vector_centroid_outliers", "stream_join_interval",
-        "retrieval_mmr_rerank", "sim_knn_kcore")) {
+        "events_ab_bootstrap", "events_ab_srm", "events_cusum_alerts",
+        "text_feature_hashing", "vector_centroid_outliers",
+        "stream_join_interval", "retrieval_mmr_rerank",
+        "sim_knn_kcore")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

@@ -550,6 +550,38 @@ class RelationalSpec extends SparkSpec {
       ci.getDouble(2) <= ci.getDouble(3))
   }
 
+  test("abSrm: exact chi2 on arm counts, flag at the 95% critical value") {
+    def ev(users: Seq[Long]) = users.map(u => (u, "click"))
+      .toDF("user_id", "event_type")
+    // 3 even vs 2 odd: chi2 = (3-2)^2/5 = 0.2 — balanced enough
+    val ok = EventOps.abSrm(ev(Seq(0L, 2L, 4L, 1L, 3L))).collect().head
+    assert(ok.getLong(0) == 3L && ok.getLong(1) == 2L)
+    assert(ok.getLong(2) == 6000L)
+    assert(ok.getDouble(3) == 0.2 && !ok.getBoolean(4))
+    // 10 even vs 1 odd: chi2 = 81/11 = 7.3636… > 3.841459 — SRM fires
+    val bad = EventOps.abSrm(ev((0L to 18L by 2) :+ 1L)).collect().head
+    assert(bad.getDouble(3) == math.floor(81.0 / 11.0 * 1e6 + 0.5) / 1e6)
+    assert(bad.getBoolean(4))
+  }
+
+  test("cusumAlerts: prefix-min identity reproduces the CUSUM recurrence") {
+    import java.sql.Timestamp
+    def t(i: Int) = new Timestamp(i * 1000L)
+    // type A, k=10c: d = [2,-2,5,10,-5] → S = [2,0,5,15,10] → alerts at
+    // S>5: events 4 (15) and 5 (10). Type B dips BELOW zero first —
+    // d = [-5,20] → recurrence S = [0,20], NOT the raw prefix sum 15:
+    // the max(0,·) reset is exactly what the least(0, prefix-min) term
+    // reproduces. Independent per type.
+    val ev = Seq(
+      (1L, t(1), "A", 0.12), (2L, t(2), "A", 0.08), (3L, t(3), "A", 0.15),
+      (4L, t(4), "A", 0.20), (5L, t(5), "A", 0.05),
+      (6L, t(1), "B", 0.05), (7L, t(2), "B", 0.30))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventOps.cusumAlerts(ev, driftCents = 10L, threshCents = 5L)
+      .select(col("event_id"), col("s")).as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 15L, 5L -> 10L, 7L -> 20L))
+  }
+
   test("groupTrend: hand-computed slopes, intercepts, and degenerate-x null") {
     val df = Seq(
       // g "up": y = 2x exactly → slope 2, intercept 0
