@@ -876,12 +876,12 @@ object RelationalQueries extends Catalog {
     // straddle one (the append contract); corpus ∪ batch = full lineitem,
     // so the SAME full-rebuild oracle must hash-match — proving
     // append-then-read ≡ rebuild at the driver gate, not just in specs.
-    // Fresh temp dir per call: append is stateful, and a bench re-run
-    // folding the same batch twice would silently double its support.
+    // Fresh temp dir per call (shutdown-cleaned via StoredIndexes'
+    // registry): append is stateful, and a bench re-run folding the same
+    // batch twice would silently double its support.
     Q("basket_pair_support_incremental",
       (s, dir) => {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft-basket-incr-").toString
+        val d = StoredIndexes.newScratchDir("graft-basket-incr-")
         val li = load(s, dir, "lineitem")
         graft.ops.Relational.writeBasketEdges(
           li.filter(col("l_orderkey") % 20 =!= 0), d,

@@ -70,6 +70,13 @@ object StoredIndexes {
     d.toString
   }
 
+  /** Shutdown-cleaned scratch dir for catalog queries that materialize
+    * per-call state (the incremental-maintenance rebuild siblings) — a
+    * raw `createTempDirectory` there would leak an edge-table-sized dir
+    * per bench repeat until reboot.
+    */
+  def newScratchDir(prefix: String): String = newTempDir(prefix)
+
   private def cacheFor(s: SparkSession): ConcurrentHashMap[String, Seq[DataFrame]] =
     built.synchronized {
       val it = built.entrySet.iterator
