@@ -47,8 +47,10 @@ object VectorQueries extends Catalog {
   // centroids + nearest-cell assignment), probe selection AND scoring are
   // all replayed in SQL, so the stored-index probe must reproduce the
   // exact same ranking the from-scratch build does.
-  private lazy val IvfOracle =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  // The IVF WITH-body (index build + probe selection + scoring), shared by
+  // sim_ann_ivf, its stored-index twin, and the recall report.
+  private lazy val IvfCtes =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM v),
        |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
@@ -67,7 +69,10 @@ object VectorQueries extends Catalog {
        |s AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${round6Sql(s"${dotSql("p.e", "a.e")} / (p.nrm * a.nrm)")} AS cosine
-       |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)
+       |  FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id)""".stripMargin
+
+  private lazy val IvfOracle =
+    s"""WITH $IvfCtes
        |SELECT query_id, rank, neighbor_id, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
@@ -221,6 +226,61 @@ object VectorQueries extends Catalog {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(IvfOracle)),
+
+    // ANN recall, MEASURED per query at the driver gate: the exact
+    // overlap between the IVF probe's top-5 and the brute-force top-5 —
+    // both rankings deterministic, so per-query recall is an exact
+    // integer the oracle replays (unlike sim_ann_ivf_refined's boolean
+    // recall FLOOR, this is the per-query quantity an ANN operator's SLA
+    // is written against). nprobe=2 of ~10 populated cells scores ~20%
+    // of the corpus per query — recall_bp quantifies what that buys.
+    Q("sim_ann_recall_report",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        // CAPPED query set (the sim_cosine_topk discipline): the brute
+        // side's broadcast build must be config-bounded, never data-sized
+        val q = emb.filter(col("vec_id") % 100 === 0)
+          .orderBy(col("vec_id")).limit(40)
+        val ann = Vectors.ivfTopK(emb, q, 5, centroidEvery = 50, nprobe = 2)
+          .select(col("query_id"), col("neighbor_id"))
+        val exact = Vectors.cosineTopK(emb, q, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+          .join(ann.join(exact, Seq("query_id", "neighbor_id"))
+            .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+            Seq("query_id"), "left")
+          .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+          .select(col("query_id"), col("n_exact"), col("n_hits"),
+            expr("(n_hits * 10000) div n_exact").as("recall_bp"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH $IvfCtes,
+             |cap AS (SELECT vec_id FROM v WHERE vec_id % 100 = 0
+             |  ORDER BY vec_id LIMIT 40),
+             |ann AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
+             |  WHERE rank <= 5
+             |    AND query_id IN (SELECT vec_id FROM cap)),
+             |bs AS (
+             |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+             |    ${round6Sql(s"${dotSql("q.e", "m.e")} / (q.nrm * m.nrm)")}
+             |      AS cosine
+             |  FROM n q JOIN n m ON q.vec_id <> m.vec_id
+             |  WHERE q.vec_id IN (SELECT vec_id FROM cap)),
+             |ex AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank FROM bs) t
+             |  WHERE rank <= 5),
+             |h AS (SELECT e.query_id, count(a.neighbor_id) AS n_hits
+             |  FROM ex e LEFT JOIN ann a ON a.query_id = e.query_id
+             |    AND a.neighbor_id = e.neighbor_id
+             |  GROUP BY e.query_id)
+             |SELECT query_id, count(*) AS n_exact,
+             |  max(n_hits)::BIGINT AS n_hits,
+             |  (max(n_hits) * 10000) // count(*) AS recall_bp
+             |FROM ex JOIN h USING (query_id)
+             |GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
     // X4 IVF with Lloyd REFINEMENT actually running (lloydIters=2): refined
     // float-mean centroids are aggregation-order-dependent, so the oracle
