@@ -274,7 +274,10 @@ object Graph {
     * bounded plan depth by construction (a lazy chain would grow the
     * logical tree ~3× per round), and the first checkpoint doubles as the
     * single materialization of a possibly-expensive edge-build lineage
-    * (the kNN construction, for the semantic-core query).
+    * (the kNN construction, for the semantic-core query). Storage for a
+    * round's blocks is released by the ContextCleaner once the next
+    * round's reassignment drops the only reference, so peak checkpoint
+    * footprint is O(current + previous round), not O(rounds).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
             a: String = "a", b: String = "b"): DataFrame = {
