@@ -921,6 +921,40 @@ object RelationalQueries extends Catalog {
         .orderBy(col("node")),
       Some(BasketComponentsOracle)),
 
+    // Jaccard link prediction on the co-purchase graph (Graph
+    // .linkPredictionJaccard, Liben-Nowell & Kleinberg 2003): top-50
+    // non-adjacent part pairs by shared-neighbor Jaccard — the
+    // "customers also bought" recommendation primitive. Wedge-generated
+    // candidates (never all-pairs), floor-bp scores, oracle replays the
+    // definitional wedge count / anti-join / degree arithmetic.
+    Q("graph_link_prediction",
+      (s, dir) => graft.ops.Graph.linkPredictionJaccard(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2)
+            .select(col("item_a"), col("item_b")),
+          "item_a", "item_b")
+        .orderBy(col("score_bp").desc, col("item_a"), col("item_b"))
+        .limit(50),
+      Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+             |  FROM bk x JOIN bk y ON x.o = y.o AND x.p < y.p
+             |  GROUP BY 1, 2),
+             |e AS (SELECT a, b FROM pr WHERE s >= 2),
+             |sym AS (SELECT a AS w, b AS n FROM e
+             |  UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT n, count(*) AS d FROM sym GROUP BY n),
+             |wg AS (SELECT s1.n AS x, s2.n AS y, count(*) AS common
+             |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.n < s2.n
+             |  GROUP BY 1, 2),
+             |nw AS (SELECT wg.* FROM wg WHERE NOT EXISTS (
+             |  SELECT 1 FROM e WHERE e.a = wg.x AND e.b = wg.y))
+             |SELECT x AS item_a, y AS item_b, common,
+             |  (common * 10000) // (dx.d + dy.d - common) AS score_bp
+             |FROM nw JOIN deg dx ON dx.n = nw.x JOIN deg dy ON dy.n = nw.y
+             |ORDER BY score_bp DESC, item_a, item_b LIMIT 50""".stripMargin)),
+
     // Label-propagation communities of the co-purchase graph (Graph
     // .labelPropagation, Raghavan et al. 2007): K synchronous rounds of
     // adopt-the-most-frequent-neighbor-label, ties to the smallest — a

@@ -251,6 +251,42 @@ object Graph {
     } else ranks
   }
 
+  /** Jaccard link prediction over CANONICAL undirected edges (`a` < `b`,
+    * distinct): every NON-adjacent pair sharing ≥1 neighbor scored by
+    * |N(x)∩N(y)| / |N(x)∪N(y)| in floor basis points — the classic
+    * common-neighbors recommender ("customers who bought these also
+    * bought…", Liben-Nowell & Kleinberg 2003). Output: `(a, b, common,
+    * score_bp)` for candidate pairs only.
+    *
+    * Scale shape: one wedge self-join keyed on the SHARED neighbor (the
+    * trianglesPerNode join shape — candidate pairs are wedge-generated,
+    * never all-pairs), one keyed count, an anti-join against the edge
+    * set, two node-sized degree joins. Σdeg² bounds the wedge fan-out —
+    * cap hub degrees upstream exactly as `basketPairs` caps baskets. The
+    * edge input is localCheckpointed once: it feeds the symmetric view
+    * twice plus the anti-join, and an expensive build lineage (the
+    * basket self-join) must not replay per reference.
+    */
+  def linkPredictionJaccard(edges: DataFrame, a: String = "a",
+                            b: String = "b"): DataFrame = {
+    val e = edges.select(col(a).cast("long").as("_a"),
+      col(b).cast("long").as("_b")).localCheckpoint()
+    val sym = e.select(col("_a").as("w"), col("_b").as("n"))
+      .unionByName(e.select(col("_b").as("w"), col("_a").as("n")))
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("w"), col("n").as("x"))
+      .join(sym.select(col("w"), col("n").as("y")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("common"))
+    wedges
+      .join(e.select(col("_a").as("x"), col("_b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), Seq("x"))
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), Seq("y"))
+      .select(col("x").as(a), col("y").as(b), col("common"),
+        expr("(common * 10000) div (dx + dy - common)").as("score_bp"))
+  }
+
   /** Fixed-round k-core peeling over CANONICAL undirected edges
     * (`a` < `b`, distinct): each round drops every node whose degree in
     * the CURRENT residual graph is < `k`, plus all its edges. Output:

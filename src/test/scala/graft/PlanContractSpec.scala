@@ -361,7 +361,8 @@ class PlanContractSpec extends SparkSpec {
         "events_ab_bootstrap", "events_ab_srm", "events_cusum_alerts",
         "text_feature_hashing", "vector_centroid_outliers",
         "stream_join_interval", "retrieval_mmr_rerank",
-        "sim_knn_kcore", "sim_ann_recall_report")) {
+        "sim_knn_kcore", "sim_ann_recall_report",
+        "graph_link_prediction")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

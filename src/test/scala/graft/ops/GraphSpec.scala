@@ -178,6 +178,25 @@ class GraphSpec extends SparkSpec {
     assert(prDeep.as[(Long, Long)].collect().toMap == prShallow)
   }
 
+  test("linkPredictionJaccard: hand scores, edges excluded, wedge-only pairs") {
+    // triangle {1,2,3} + pendant 3—4: candidate non-edges are (1,4) and
+    // (2,4), each sharing only neighbor 3: common 1, deg 2 vs 1 →
+    // Jaccard 1/2 → 5000 bp. (1,2)/(1,3)/(2,3) are EDGES → excluded;
+    // no wedge reaches any other pair.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.linkPredictionJaccard(und)
+      .select(col("a"), col("b"), col("common"), col("score_bp"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 1L, 5000L), (2L, 4L, 1L, 5000L)))
+    // square 1-2-3-4-1: both diagonals share BOTH their neighbors —
+    // common 2 over union 2 → perfect 10000 bp
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val diag = Graph.linkPredictionJaccard(sq)
+      .select(col("a"), col("b"), col("score_bp"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(diag == Set((1L, 3L, 10000L), (2L, 4L, 10000L)))
+  }
+
   test("kCore: hand-traced peel cascade, round truncation, convergence") {
     // triangle {1,2,3} + pendant chain 3—4—5 + isolated edge 6—7
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
