@@ -70,6 +70,29 @@ object RelationalQueries extends Catalog {
     * (`StoredIndexes.basketEdges`): the stored co-purchase edge table
     * must reproduce the from-scratch graph results exactly.
     */
+  // Shared by graph_link_prediction and its stored-index twin: the
+  // definitional wedge count / edge anti-join / degree Jaccard over the
+  // support>=2 co-purchase graph.
+  private val LinkPredictionOracle =
+    """WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+      |  FROM bk x JOIN bk y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM pr WHERE s >= 2),
+      |sym AS (SELECT a AS w, b AS n FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT n, count(*) AS d FROM sym GROUP BY n),
+      |wg AS (SELECT s1.n AS x, s2.n AS y, count(*) AS common
+      |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.n < s2.n
+      |  GROUP BY 1, 2),
+      |nw AS (SELECT wg.* FROM wg WHERE NOT EXISTS (
+      |  SELECT 1 FROM e WHERE e.a = wg.x AND e.b = wg.y))
+      |SELECT x AS item_a, y AS item_b, common,
+      |  (common * 10000) // (dx.d + dy.d - common) AS score_bp
+      |FROM nw JOIN deg dx ON dx.n = nw.x JOIN deg dy ON dy.n = nw.y
+      |ORDER BY score_bp DESC, item_a, item_b LIMIT 50""".stripMargin
+
   private val BasketPairOracle =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       |           FROM lineitem),
@@ -936,24 +959,20 @@ object RelationalQueries extends Catalog {
           "item_a", "item_b")
         .orderBy(col("score_bp").desc, col("item_a"), col("item_b"))
         .limit(50),
-      Some("""WITH bk AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |  FROM lineitem),
-             |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
-             |  FROM bk x JOIN bk y ON x.o = y.o AND x.p < y.p
-             |  GROUP BY 1, 2),
-             |e AS (SELECT a, b FROM pr WHERE s >= 2),
-             |sym AS (SELECT a AS w, b AS n FROM e
-             |  UNION ALL SELECT b, a FROM e),
-             |deg AS (SELECT n, count(*) AS d FROM sym GROUP BY n),
-             |wg AS (SELECT s1.n AS x, s2.n AS y, count(*) AS common
-             |  FROM sym s1 JOIN sym s2 ON s1.w = s2.w AND s1.n < s2.n
-             |  GROUP BY 1, 2),
-             |nw AS (SELECT wg.* FROM wg WHERE NOT EXISTS (
-             |  SELECT 1 FROM e WHERE e.a = wg.x AND e.b = wg.y))
-             |SELECT x AS item_a, y AS item_b, common,
-             |  (common * 10000) // (dx.d + dy.d - common) AS score_bp
-             |FROM nw JOIN deg dx ON dx.n = nw.x JOIN deg dy ON dy.n = nw.y
-             |ORDER BY score_bp DESC, item_a, item_b LIMIT 50""".stripMargin)),
+      Some(LinkPredictionOracle)),
+
+    // STEADY STATE: link prediction over the STORED edge table — timed
+    // cost is the wedge/anti-join/degree machinery alone (sf1: the
+    // rebuild sibling is ~26 s, all but ~1 s of it the basket edge
+    // build). Same oracle.
+    Q("graph_link_prediction_indexed",
+      (s, dir) => graft.ops.Graph.linkPredictionJaccard(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2)
+            .select(col("item_a"), col("item_b")),
+          "item_a", "item_b")
+        .orderBy(col("score_bp").desc, col("item_a"), col("item_b"))
+        .limit(50),
+      Some(LinkPredictionOracle)),
 
     // Label-propagation communities of the co-purchase graph (Graph
     // .labelPropagation, Raghavan et al. 2007): K synchronous rounds of
