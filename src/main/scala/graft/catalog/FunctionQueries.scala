@@ -279,6 +279,36 @@ object FunctionQueries extends Catalog {
              |WHERE from_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Sequence-pattern match with a negation guard (EventOps
+    // .sequenceMatch): every signup followed by the user's next purchase
+    // within 6 h with NO error event strictly between — the
+    // MATCH_RECOGNIZE shape funnels can't express. Join-free: guard
+    // events segment each user's stream; a reverse-frame conditional min
+    // finds the next purchase in-segment. Both predicates are
+    // load-bearing at sf0.01: 2017 signups → 966 survive the error guard
+    // → 210 land within the 6 h bound.
+    Q("events_sequence_match",
+      (s, dir) => EventOps.sequenceMatch(load(s, dir, "events"),
+          firstType = "signup", thenType = "purchase",
+          guardType = "error", withinSec = 21600L)
+        .orderBy(col("user_id"), col("first_sec"), col("first_event_id")),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec, event_type
+             |  FROM events),
+             |seg AS (SELECT *, count(CASE WHEN event_type = 'error' THEN 1 END)
+             |    OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS sid FROM e),
+             |nb AS (SELECT *, min(CASE WHEN event_type = 'purchase' THEN sec END)
+             |    OVER (PARTITION BY user_id, sid ORDER BY sec, event_id
+             |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+             |  FROM seg)
+             |SELECT user_id, event_id AS first_event_id, sec AS first_sec,
+             |       nxt AS then_sec, nxt - sec AS gap_sec
+             |FROM nb
+             |WHERE event_type = 'signup' AND nxt IS NOT NULL
+             |  AND nxt <= sec + 21600
+             |ORDER BY user_id, first_sec, first_event_id""".stripMargin)),
+
     Q("window_sliding",
       (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type")),

@@ -688,6 +688,44 @@ object RelationalQueries extends Catalog {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin)),
 
+    // Join-size pre-flight (Relational.joinCardinalityEstimate): the
+    // orders ⋈ lineitem cardinality predicted from two O(buckets)
+    // histogram passes BEFORE running the join — est is a provable upper
+    // bound (err_bp = its overshoot from 65536-bucket collisions, ~23%
+    // at sf0.01, all load-bearing), skew_share_bp the hottest reducer's
+    // share, and the strategy verdict what a planner would pick. Exact
+    // integer arithmetic throughout (Decimal(38,0) products, integral
+    // div) — the oracle replays every bit including the md5 buckets.
+    Q("join_cardinality_estimate",
+      (s, dir) => Relational.joinCardinalityEstimate(
+        load(s, dir, "orders"), col("o_orderkey"),
+        load(s, dir, "lineitem"), col("l_orderkey")),
+      Some("""WITH lb AS (SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 7))::BIGINT
+             |    % 65536 AS b, count(*) AS ca FROM orders GROUP BY 1),
+             |rb AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 7))::BIGINT
+             |    % 65536 AS b, count(*) AS cb FROM lineitem GROUP BY 1),
+             |h AS (SELECT coalesce(ca, 0)::HUGEINT AS ca,
+             |             coalesce(cb, 0)::HUGEINT AS cb
+             |      FROM lb FULL OUTER JOIN rb USING (b)),
+             |s AS (SELECT sum(ca) AS lr, sum(cb) AS rr,
+             |             sum(ca * cb) AS est, max(ca * cb) AS mx FROM h),
+             |x AS (SELECT sum(xa::HUGEINT * xb::HUGEINT) AS ex FROM
+             |    (SELECT o_orderkey AS k, count(*) AS xa FROM orders GROUP BY 1) a
+             |    JOIN (SELECT l_orderkey AS k, count(*) AS xb FROM lineitem
+             |          GROUP BY 1) b USING (k))
+             |SELECT lr::BIGINT AS left_rows, rr::BIGINT AS right_rows,
+             |  65536::BIGINT AS n_buckets, est::BIGINT AS est_pairs,
+             |  ex::BIGINT AS exact_pairs,
+             |  CASE WHEN ex = 0 THEN NULL
+             |       ELSE ((est - ex) * 10000 // ex)::BIGINT END AS err_bp,
+             |  CASE WHEN est = 0 THEN NULL
+             |       ELSE (mx * 10000 // est)::BIGINT END AS skew_share_bp,
+             |  CASE WHEN lr <= 10000 OR rr <= 10000 THEN 'broadcast'
+             |       WHEN est > 0 AND mx * 10000 // est >= 2000
+             |         THEN 'salted_shuffle'
+             |       ELSE 'shuffle' END AS strategy
+             |FROM s, x""".stripMargin)),
+
     Q("agg_count_rows",
       (s, dir) => Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
         .map(t => load(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))

@@ -600,6 +600,48 @@ object EventOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** MATCH_RECOGNIZE-lite sequence matcher with a NEGATION guard: for
+    * every `firstType` event, find the next `thenType` event by the SAME
+    * user within `withinSec` seconds such that NO `guardType` event falls
+    * strictly between them in the user's (ts, event_id) order — the
+    * "signup followed by purchase within 6 h with no error in between"
+    * pattern that funnel counting can't express (funnels ignore
+    * intervening events entirely).
+    *
+    * Join-free plan: guard events split each user's stream into segments
+    * (`sid` = running guard count, so "no guard between A and B" ⇔ same
+    * segment), then a reverse-frame conditional min (1 FOLLOWING ..
+    * UNBOUNDED FOLLOWING) finds each row's next `thenType` second within
+    * its segment. Two events-sized window sorts — the first keyed by
+    * user, the second by (user, segment), a refinement — no join, no
+    * global window, shuffle O(events). Sorts are bounded by one user's
+    * history; at 100 TB the pattern scan stays a per-user streaming pass.
+    */
+  def sequenceMatch(events: DataFrame, firstType: String, thenType: String,
+                    guardType: String, withinSec: Long): DataFrame = {
+    require(withinSec >= 0, s"withinSec must be >= 0, got $withinSec")
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .withColumn("sid",
+        count(when(col("event_type") === guardType, 1)).over(byUser))
+      .withColumn("then_sec",
+        min(when(col("event_type") === thenType, col("sec"))).over(inSeg))
+      .filter(col("event_type") === firstType && col("then_sec").isNotNull &&
+        col("then_sec") <= col("sec") + withinSec)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("sec").as("first_sec"), col("then_sec"),
+        (col("then_sec") - col("sec")).as("gap_sec"))
+  }
+
   /** Hourly resample with gap fill: value-cents aggregated per (user,
     * epoch-hour), each user's [first, last] observed hour densified into
     * a complete grid, and the last observed aggregate carried forward

@@ -1039,4 +1039,74 @@ object Relational {
           pmod(p, lit(64)).cast("int"))) =!= 0L)
     }.reduce(_ && _)
   }
+
+  /** Histogram-sketch join-cardinality estimate — the pre-flight a 100 TB
+    * planner runs BEFORE committing to a join strategy. Each side is
+    * counted into `buckets` engine-portable md5 hash buckets in ONE
+    * map-side partial-count pass (shuffle O(buckets), never O(keys));
+    * the bucket-wise product sum Σ c_L(b)·c_R(b) is a provable UPPER
+    * bound on the true join size |L ⋈ R| (collapsing keys inside a
+    * bucket only adds cross terms), tightening to the exact size as
+    * buckets → distinct keys. The max bucket product exposes
+    * hash-partition skew: its share of the estimate is the fraction of
+    * join work the hottest reducer would carry under a plain shuffle.
+    *
+    * Emits ONE row: side row counts, the estimate, the TRUE join size
+    * (the verification twin — per-key counts joined; production callers
+    * at scale would skip it and pay only the O(buckets) passes), the
+    * estimate's overshoot in basis points, the skew share in basis
+    * points, and the strategy the numbers imply: `broadcast` when a side
+    * fits the row budget, `salted_shuffle` (→ `saltedEquiJoin`) when one
+    * bucket would carry ≥ `skewShareBpLimit` of the join, else plain
+    * `shuffle`. All arithmetic is exact integers — counts widen to
+    * Decimal(38,0) before multiplying, ratios use integral `div` — so an
+    * external engine replays every output bit-for-bit; no float anywhere.
+    */
+  def joinCardinalityEstimate(left: DataFrame, leftKey: Column,
+                              right: DataFrame, rightKey: Column,
+                              buckets: Int = 65536,
+                              broadcastRowLimit: Long = 10000L,
+                              skewShareBpLimit: Long = 2000L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(broadcastRowLimit >= 0 && skewShareBpLimit >= 0,
+      "broadcastRowLimit and skewShareBpLimit must be >= 0")
+    val dec = "decimal(38,0)"
+    def bucket(k: Column): Column =
+      pmod(conv(substring(md5(k.cast("string").cast("binary")), 1, 7), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+    def hist(df: DataFrame, k: Column, cnt: String): DataFrame =
+      df.select(bucket(k).as("b")).groupBy(col("b"))
+        .agg(count(lit(1)).as(cnt))
+    val prod = coalesce(col("ca"), lit(0L)).cast(dec) *
+      coalesce(col("cb"), lit(0L)).cast(dec)
+    val summary = hist(left, leftKey, "ca")
+      .join(hist(right, rightKey, "cb"), Seq("b"), "full_outer")
+      .agg(sum(coalesce(col("ca"), lit(0L))).as("lr"),
+        sum(coalesce(col("cb"), lit(0L))).as("rr"),
+        coalesce(sum(prod), lit(0L).cast(dec)).as("est"),
+        coalesce(max(prod), lit(0L).cast(dec)).as("mx"))
+    // verification twin: the true size from per-key counts (exact even
+    // under bucket collisions; the only part that shuffles O(keys))
+    val exact = left.select(leftKey.as("k")).groupBy(col("k"))
+      .agg(count(lit(1)).as("xa"))
+      .join(right.select(rightKey.as("k")).groupBy(col("k"))
+        .agg(count(lit(1)).as("xb")), Seq("k"))
+      .agg(coalesce(sum(col("xa").cast(dec) * col("xb").cast(dec)),
+        lit(0L).cast(dec)).as("ex"))
+    val skewBp = expr("mx * 10000 div est") // integral div: BIGINT, exact
+    summary.crossJoin(exact).select(
+      col("lr").cast("long").as("left_rows"),
+      col("rr").cast("long").as("right_rows"),
+      lit(buckets.toLong).as("n_buckets"),
+      col("est").cast("long").as("est_pairs"),
+      col("ex").cast("long").as("exact_pairs"),
+      when(col("ex") === 0, lit(null).cast("long"))
+        .otherwise(expr("(est - ex) * 10000 div ex")).as("err_bp"),
+      when(col("est") === 0, lit(null).cast("long"))
+        .otherwise(skewBp).as("skew_share_bp"),
+      when(col("lr") <= broadcastRowLimit || col("rr") <= broadcastRowLimit,
+          "broadcast")
+        .when(col("est") > 0 && skewBp >= skewShareBpLimit, "salted_shuffle")
+        .otherwise("shuffle").as("strategy"))
+  }
 }

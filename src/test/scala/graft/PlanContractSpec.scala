@@ -362,7 +362,8 @@ class PlanContractSpec extends SparkSpec {
         "text_feature_hashing", "vector_centroid_outliers",
         "stream_join_interval", "retrieval_mmr_rerank",
         "sim_knn_kcore", "sim_ann_recall_report",
-        "graph_link_prediction", "graph_link_prediction_indexed")) {
+        "graph_link_prediction", "graph_link_prediction_indexed",
+        "events_sequence_match", "join_cardinality_estimate")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

@@ -187,6 +187,78 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq(("signup", 1L, 4L), ("view", 2L, 2L), ("click", 3L, 1L)))
   }
 
+  test("joinCardinalityEstimate: exact at key resolution, upper bound under " +
+      "collisions, strategy verdicts") {
+    val left = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("k")
+    val right = (1L to 20L).map(k => (k, s"d$k")).toDF("k", "name")
+    // collision-free bucket count → the estimate IS the exact size
+    val r = Relational.joinCardinalityEstimate(left, col("k"), right, col("k"),
+      buckets = 1 << 20, broadcastRowLimit = 0L, skewShareBpLimit = 2000L)
+      .collect().head
+    assert(r.getAs[Long]("left_rows") == 100L)
+    assert(r.getAs[Long]("right_rows") == 20L)
+    assert(r.getAs[Long]("est_pairs") == 100L)
+    assert(r.getAs[Long]("exact_pairs") == 100L)
+    assert(r.getAs[Long]("err_bp") == 0L)
+    // hot key 7 carries 91 of the 100 pairs → 9100 bp ≥ limit
+    assert(r.getAs[Long]("skew_share_bp") == 9100L)
+    assert(r.getAs[String]("strategy") == "salted_shuffle")
+    // a generous row budget flips the verdict to broadcast
+    val b = Relational.joinCardinalityEstimate(left, col("k"), right, col("k"),
+      buckets = 1 << 20, broadcastRowLimit = 1000L).collect().head
+    assert(b.getAs[String]("strategy") == "broadcast")
+    // ONE bucket = the coarsest histogram: est degrades to |L|·|R|, still
+    // an upper bound, and the overshoot is reported honestly
+    val c = Relational.joinCardinalityEstimate(left, col("k"), right, col("k"),
+      buckets = 1, broadcastRowLimit = 0L, skewShareBpLimit = 99999L)
+      .collect().head
+    assert(c.getAs[Long]("est_pairs") == 2000L)
+    assert(c.getAs[Long]("exact_pairs") == 100L)
+    assert(c.getAs[Long]("err_bp") == 190000L)
+    assert(c.getAs[String]("strategy") == "shuffle")
+    // disjoint key sets: exact 0 → err undefined (NULL), not a crash
+    val d = Relational.joinCardinalityEstimate(
+      Seq(100L, 101L).toDF("k"), col("k"), right, col("k"),
+      buckets = 1 << 20, broadcastRowLimit = 0L).collect().head
+    assert(d.getAs[Long]("exact_pairs") == 0L)
+    assert(d.isNullAt(d.fieldIndex("err_bp")))
+    assert(d.getAs[String]("strategy") == "shuffle")
+  }
+
+  test("sequenceMatch: guard segments, inclusive bound, nearest-then") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: signup@100 → purchase@200 (gap 100); error@300 splits;
+      //     signup@400 → purchase@700 at the EXACT bound (400+300)
+      (1L, 1L, ts(100), "signup"), (1L, 2L, ts(200), "purchase"),
+      (1L, 3L, ts(300), "error"),
+      (1L, 4L, ts(400), "signup"), (1L, 5L, ts(700), "purchase"),
+      // u2: error strictly between → rejected despite being in-bound
+      (2L, 6L, ts(100), "signup"), (2L, 7L, ts(150), "error"),
+      (2L, 8L, ts(200), "purchase"),
+      // u3: purchase beyond the bound → rejected
+      (3L, 9L, ts(100), "signup"), (3L, 10L, ts(500), "purchase"),
+      // u4: two signups share the same NEXT purchase — both match
+      (4L, 11L, ts(100), "signup"), (4L, 12L, ts(150), "signup"),
+      (4L, 13L, ts(250), "purchase"),
+      // u5: same-second guard ordered before the purchase by event_id
+      //     still splits the segment → rejected
+      (5L, 14L, ts(100), "signup"), (5L, 15L, ts(200), "error"),
+      (5L, 16L, ts(200), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventOps.sequenceMatch(events, "signup", "purchase", "error", 300L)
+      .select("user_id", "first_event_id", "first_sec", "then_sec", "gap_sec")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 100L, 200L, 100L),
+      (1L, 4L, 400L, 700L, 300L),
+      (4L, 11L, 100L, 250L, 150L),
+      (4L, 12L, 150L, 250L, 100L)))
+    intercept[IllegalArgumentException] {
+      EventOps.sequenceMatch(events, "signup", "purchase", "error", -1L)
+    }
+  }
+
   test("outlierFlags: integer cross-multiplication matches the float definition") {
     // group g: values 0,0,0,0,100 (cents) — mean 20, pop-σ = 40; at 1.5σ
     // (threshold 60) only the 100 is beyond. group h: uniform, none flagged
