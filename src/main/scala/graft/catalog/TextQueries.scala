@@ -1381,6 +1381,99 @@ object TextQueries extends Catalog {
              |  AS features_csv
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual fingerprint extraction (Multimodal.perceptualHashBands):
+    // the classic 64-bit average-hash, computed in the batched decode
+    // seam over payload bytes (production swaps in decoded 8×8 luma,
+    // nothing downstream changes) and emitted as 4 × 16-bit band words —
+    // the blocking keys of the near-dup join below. bit b = blockSum·n ≥
+    // totalSum·blockLen, pure integer cross-multiplication, so the
+    // oracle replays all 64 bits of every document byte-by-byte from
+    // hex(payload).
+    Q("multimodal_phash",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        Multimodal.perceptualHashBands(
+            Multimodal.asMedia(load(s, dir, "documents"),
+              "doc_id", "lang", "text"))
+          .orderBy(col("media_id"), col("band"))
+      },
+      Some("""WITH e AS (SELECT doc_id, hex(text::BLOB) AS hx,
+             |    octet_length(text::BLOB) AS n
+             |  FROM documents WHERE octet_length(text::BLOB) > 0),
+             |bv AS (SELECT doc_id, n, (i * 64) // n AS blk,
+             |    ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT AS v
+             |  FROM e, unnest(range(n)) AS t(i)),
+             |blocks AS (SELECT doc_id, blk, sum(v) AS bsum, count(*) AS blen,
+             |    max(n) AS n FROM bv GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(bsum) AS tsum FROM blocks GROUP BY 1),
+             |bits AS (SELECT d.doc_id, r.b AS blk,
+             |    CASE WHEN bl.blk IS NOT NULL AND bl.bsum * bl.n >= t.tsum * bl.blen
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM (SELECT DISTINCT doc_id FROM blocks) d
+             |  CROSS JOIN (SELECT unnest(range(64)) AS b) r
+             |  LEFT JOIN blocks bl ON bl.doc_id = d.doc_id AND bl.blk = r.b
+             |  JOIN tot t ON t.doc_id = d.doc_id)
+             |SELECT doc_id AS media_id, blk // 16 AS band,
+             |  sum(bit * (1::BIGINT << (blk % 16)::INT))::BIGINT AS band_val
+             |FROM bits GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin)),
+
+    // Perceptual near-dup pairs (Multimodal.perceptualNearDupPairs):
+    // hamming(aHash) ≤ 3 via the lossless pigeonhole band join (4 bands >
+    // 3 flipped bits). The test corpus has no organic perceptual dups —
+    // its ~94 band-collision candidates all verify at hamming 12-33 — so
+    // the instance plants 20 single-byte-edited copies (doc_id % 25,
+    // id +10M, first char → 'X'; SQL-replayable), all 20 of which land at
+    // hamming ≤ 3: the reject path AND the accept path both load-bearing.
+    Q("multimodal_phash_neardup",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val docs = load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val planted = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("X"), expr("substring(text, 2)")).as("text"),
+            col("lang"))
+        Multimodal.perceptualNearDupPairs(
+            Multimodal.asMedia(docs.unionByName(planted),
+              "doc_id", "lang", "text"))
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, 'X' || substr(text, 2)
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |e AS (SELECT doc_id, hex(text::BLOB) AS hx,
+             |    octet_length(text::BLOB) AS n
+             |  FROM docs WHERE octet_length(text::BLOB) > 0),
+             |bv AS (SELECT doc_id, n, (i * 64) // n AS blk,
+             |    ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT AS v
+             |  FROM e, unnest(range(n)) AS t(i)),
+             |blocks AS (SELECT doc_id, blk, sum(v) AS bsum, count(*) AS blen,
+             |    max(n) AS n FROM bv GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(bsum) AS tsum FROM blocks GROUP BY 1),
+             |bits AS (SELECT d.doc_id, r.b AS blk,
+             |    CASE WHEN bl.blk IS NOT NULL AND bl.bsum * bl.n >= t.tsum * bl.blen
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM (SELECT DISTINCT doc_id FROM blocks) d
+             |  CROSS JOIN (SELECT unnest(range(64)) AS b) r
+             |  LEFT JOIN blocks bl ON bl.doc_id = d.doc_id AND bl.blk = r.b
+             |  JOIN tot t ON t.doc_id = d.doc_id),
+             |bands AS (SELECT doc_id, blk // 16 AS band,
+             |    sum(bit * (1::BIGINT << (blk % 16)::INT))::BIGINT AS bval
+             |  FROM bits GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+             |  FROM bands a JOIN bands b
+             |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+             |ham AS (SELECT c.i, c.j,
+             |    sum(bit_count(xor(ba.bval, bb.bval)))::BIGINT AS hamming
+             |  FROM cand c
+             |  JOIN bands ba ON ba.doc_id = c.i
+             |  JOIN bands bb ON bb.doc_id = c.j AND bb.band = ba.band
+             |  GROUP BY 1, 2)
+             |SELECT i AS media_a, j AS media_b, hamming FROM ham
+             |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin)),
+
     // RAG/pretraining chunking: overlapping 32-token windows with 8-token
     // overlap (step 24). Chunk-count and extent arithmetic is integer-only
     // on both engines; the hash match proves every token lands exactly in

@@ -120,4 +120,93 @@ object Multimodal {
                        batchSize: Int = 64): Dataset[MediaFeatures] =
     extractFeatures(
       asMedia(docs, "doc_id", "lang", "text"), new StubCodec(), batchSize)
+
+  /** 64-bit average-hash (aHash) of a payload, returned as `blocks /
+    * bandBits` band words — the perceptual fingerprint of the classic
+    * image near-dup pipeline (split the media into 64 blocks, flag each
+    * block whose mean sample ≥ the global mean), computed here over raw
+    * payload bytes so the stub container stays codec-free; a production
+    * deployment computes the same bits over decoded 8×8 luma and
+    * NOTHING downstream changes. bit b = 1 iff blockSum·n ≥ totalSum·
+    * blockLen — integer cross-multiplication, no division, so an
+    * external SQL engine replays every bit; empty blocks (payloads
+    * shorter than `blocks` bytes) read 0.
+    */
+  def aHashBands(payload: Array[Byte], blocks: Int = 64,
+                 bandBits: Int = 16): Array[Long] = {
+    require(blocks % bandBits == 0, "bandBits must divide blocks")
+    val n = payload.length
+    val bsum = new Array[Long](blocks)
+    val blen = new Array[Long](blocks)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * blocks) / n).toInt
+      val v = (payload(i) & 0xff).toLong
+      bsum(b) += v; blen(b) += 1; tot += v
+      i += 1
+    }
+    val out = new Array[Long](blocks / bandBits)
+    var b = 0
+    while (b < blocks) {
+      if (blen(b) > 0 && bsum(b) * n >= tot * blen(b))
+        out(b / bandBits) |= 1L << (b % bandBits)
+      b += 1
+    }
+    out
+  }
+
+  /** Per-record perceptual-hash bands as a DataFrame `(media_id, band,
+    * band_val)` — the narrow decode-stage pass (mapPartitions, zero
+    * shuffle) that `perceptualNearDupPairs` banded-joins on. Empty
+    * payloads are dropped (no perceptual content to hash).
+    */
+  def perceptualHashBands(media: Dataset[MediaRecord],
+                          bandBits: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.payload.nonEmpty).flatMap { r =>
+        aHashBands(r.payload, bandBits = bandBits).iterator.zipWithIndex
+          .map { case (v, k) => (r.media_id, k.toLong, v) }
+      }
+    }.toDF("media_id", "band", "band_val")
+  }
+
+  /** Perceptual near-duplicate pairs: all payload pairs whose 64-bit
+    * aHash fingerprints differ in ≤ `maxHamming` bits — the image-dedup
+    * primitive (a re-encoded / lightly-edited copy keeps its block-mean
+    * structure, so its fingerprint moves a few bits while a different
+    * image moves ~32). Same provably-lossless pigeonhole blocking as
+    * `Dedup.simHashNearDupPairs`: with 64/bandBits bands > maxHamming,
+    * ≤ maxHamming flipped bits cannot touch every band, so every
+    * qualifying pair exact-matches on ≥ 1 band word — candidates come
+    * from a keyed self-equi-join on (band, band_val), never all pairs,
+    * and the hamming verify is codegen'd bit_count(xor) per band.
+    * Shuffles are keyed on band values and ids; quadratic work is
+    * confined to band-collision buckets.
+    */
+  def perceptualNearDupPairs(media: Dataset[MediaRecord],
+                             maxHamming: Int = 3,
+                             bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    require(64 / bandBits > maxHamming,
+      "losslessness needs bands > maxHamming (pigeonhole)")
+    val bands = perceptualHashBands(media, bandBits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
+      .distinct()
+    cand
+      .join(bands.select(col("media_id").as("i"), col("band"),
+        col("band_val").as("va")), Seq("i"))
+      .join(bands.select(col("media_id").as("j"), col("band"),
+        col("band_val").as("vb")), Seq("j", "band"))
+      .groupBy(col("i").as("media_a"), col("j").as("media_b"))
+      .agg(sum(call_function("bit_count",
+        col("va").bitwiseXOR(col("vb")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

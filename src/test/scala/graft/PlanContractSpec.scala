@@ -363,7 +363,8 @@ class PlanContractSpec extends SparkSpec {
         "stream_join_interval", "retrieval_mmr_rerank",
         "sim_knn_kcore", "sim_ann_recall_report",
         "graph_link_prediction", "graph_link_prediction_indexed",
-        "events_sequence_match", "join_cardinality_estimate")) {
+        "events_sequence_match", "join_cardinality_estimate",
+        "multimodal_phash_neardup")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

@@ -87,6 +87,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHashBands: hand-computed bits, cross-multiplied mean, empty blocks read 0") {
+    // payload [0,10,20,30]: n=4 < 64 blocks → bytes land in blocks
+    // 0/16/32/48 (i*64/4), all other blocks empty → 0. tot=60, each
+    // blen=1: bit = v*4 >= 60 → only v=20 (block 32) and v=30 (block 48).
+    assert(Multimodal.aHashBands(Array[Byte](0, 10, 20, 30)).toSeq ==
+      Seq(0L, 0L, 1L, 1L))
+    // constant payload: every block mean equals the global mean → all 64
+    // bits set (>= is inclusive)
+    assert(Multimodal.aHashBands(Array.fill[Byte](256)(42)).toSeq ==
+      Seq(0xffffL, 0xffffL, 0xffffL, 0xffffL))
+  }
+
+  test("perceptualNearDupPairs: identical and lightly-edited payloads pair up; " +
+      "band collisions with far hamming are rejected") {
+    val base = Array.tabulate(256)(i => (i % 97).toByte)
+    val edited = base.clone(); edited(0) = 'X'.toByte
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", base),
+      Multimodal.MediaRecord(2L, "image", base.clone()),
+      Multimodal.MediaRecord(3L, "image", edited),
+      // constant vs ramp: both have all-ones upper bands → band-collision
+      // candidates, but hamming 32 — must die in the verify
+      Multimodal.MediaRecord(4L, "image", Array.fill[Byte](256)(42)),
+      Multimodal.MediaRecord(5L, "image", Array.tabulate(256)(i => (i / 4).toByte)),
+      Multimodal.MediaRecord(6L, "image", Array.emptyByteArray)))
+    val rows = Multimodal.perceptualNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(rows.forall(_._3 <= 3))
+    assert(rows.find(t => (t._1, t._2) == (1L, 2L)).get._3 == 0L)
+    // sanity: the far pair really was a band-collision candidate
+    val bands = Multimodal.perceptualHashBands(
+      spark.createDataset(Seq(
+        Multimodal.MediaRecord(4L, "image", Array.fill[Byte](256)(42)),
+        Multimodal.MediaRecord(5L, "image",
+          Array.tabulate(256)(i => (i / 4).toByte)))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bands.contains((4L, 3L, 0xffffL)) && bands.contains((5L, 3L, 0xffffL)))
+  }
+
   test("asMedia lifts any table's binary column; documentFeatures runs end-to-end") {
     val docs = Seq((10L, "en", "hello world"), (11L, "de", "hallo"))
       .toDF("doc_id", "lang", "text")
