@@ -27,6 +27,39 @@ object VectorQueries extends Catalog {
   private def cosSql(a: String, b: String) =
     round6Sql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
 
+  // Shared by vector_pq_codebook / vector_pq_encode: the FULL exact-
+  // integer PQ training pipeline in SQL — micro-unit scaling, md5-ordered
+  // seeds, nearest-centroid assignment with (dist, code) tiebreak, one
+  // floor-division Lloyd round, empty cells keeping their seed. Ends at
+  // the trained codebook CTE `cb` (and leaves `sub` in scope for encode).
+  private val PqTrainSql =
+    """WITH v AS (SELECT vec_id AS id,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> floor(x * 1000000.0 + 0.5)::BIGINT) AS sv
+      |  FROM embeddings),
+      |sub AS (SELECT id, s, sv[(s*16+1):(s*16+16)] AS sub
+      |  FROM v, (SELECT unnest(range(4)) AS s) m),
+      |seeds AS (SELECT id,
+      |    row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS code
+      |  FROM v QUALIFY code < 16),
+      |init AS (SELECT sub.s, seeds.code, sub.sub AS cvec
+      |  FROM sub JOIN seeds USING (id)),
+      |d1 AS (SELECT sub.id, sub.s, i.code, sub.sub,
+      |    list_sum(list_transform(range(16), j ->
+      |      (sub.sub[j+1] - i.cvec[j+1]) * (sub.sub[j+1] - i.cvec[j+1]))) AS dist
+      |  FROM sub JOIN init i USING (s)),
+      |a1 AS (SELECT id, s, code, sub FROM (
+      |    SELECT d1.*, row_number() OVER (PARTITION BY id, s
+      |      ORDER BY dist, code) AS rk FROM d1) t WHERE rk = 1),
+      |rf AS (SELECT s, code, p.i AS pos,
+      |    ((sum(sub[p.i+1]) - ((sum(sub[p.i+1]) % count(*) + count(*)) % count(*)))
+      |      // count(*))::BIGINT AS cv
+      |  FROM a1, (SELECT unnest(range(16)) AS i) p GROUP BY 1, 2, 3),
+      |ref AS (SELECT s, code, list(cv ORDER BY pos) AS cvec
+      |  FROM rf GROUP BY 1, 2),
+      |cb AS (SELECT i.s, i.code, coalesce(r.cvec, i.cvec) AS cvec
+      |  FROM init i LEFT JOIN ref r ON r.s = i.s AND r.code = i.code)""".stripMargin
+
   // Shared by every incremental-embedding variant (the % 7 original, the
   // steady-state-split rebuild sibling, and the stored-index twin): ONE
   // oracle template, parameterized only by the batch modulus.
@@ -354,6 +387,52 @@ object VectorQueries extends Catalog {
     // round(): floor has no tie rule to diverge across engines. The scale
     // is the exact float max-|component| widened to double (lossless), and
     // the int vector is serialized to CSV for the hash compare.
+    // Product quantization (ProductQuantizer.train/encode, Jégou et al.
+    // 2011): 4 subspaces × 16 codes over the 64-dim embeddings — the
+    // memory side of billion-scale ANN (4 × 4-bit codes per vector).
+    // Unlike the float Lloyd path (sim_ann_ivf_refined, invariant-verdict
+    // only), training runs on EXACT scaled integers (floor(x·1e6+0.5)
+    // components, native long Σ(a−b)² distances, floor-division means),
+    // so the oracle value-pins the ENTIRE trajectory: seeds, assignment,
+    // refined codebook, every vector's codes and reconstruction error.
+    Q("vector_pq_codebook",
+      (s, dir) => graft.ops.ProductQuantizer.train(load(s, dir, "embeddings"))
+        .select(col("s").cast("long").as("subspace"),
+          col("code").cast("long").as("code"),
+          array_join(transform(col("cvec"), x => x.cast("string")), ",")
+            .as("centroid_csv"))
+        .orderBy(col("subspace"), col("code")),
+      Some(s"""$PqTrainSql
+             |SELECT s::BIGINT AS subspace, code::BIGINT AS code,
+             |  array_to_string(list_transform(cvec, x -> x::VARCHAR), ',')
+             |    AS centroid_csv
+             |FROM cb ORDER BY subspace, code""".stripMargin)),
+
+    Q("vector_pq_encode",
+      (s, dir) => {
+        import graft.ops.ProductQuantizer
+        val e = load(s, dir, "embeddings")
+        ProductQuantizer.encode(e, ProductQuantizer.train(e))
+          .select(col("id").as("vec_id"),
+            array_join(transform(col("codes"), x => x.cast("string")), ",")
+              .as("codes_csv"),
+            col("err"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""$PqTrainSql,
+             |d2 AS (SELECT sub.id, sub.s, cb.code,
+             |    list_sum(list_transform(range(16), j ->
+             |      (sub.sub[j+1] - cb.cvec[j+1]) * (sub.sub[j+1] - cb.cvec[j+1])))
+             |      AS dist
+             |  FROM sub JOIN cb USING (s)),
+             |a2 AS (SELECT id, s, code, dist FROM (
+             |    SELECT d2.*, row_number() OVER (PARTITION BY id, s
+             |      ORDER BY dist, code) AS rk FROM d2) t WHERE rk = 1)
+             |SELECT id AS vec_id,
+             |  string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
+             |  sum(dist)::BIGINT AS err
+             |FROM a2 GROUP BY id ORDER BY vec_id""".stripMargin)),
+
     Q("vector_quantize_int8",
       (s, dir) => {
         import graft.ops.Curate

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayMath
+
+/** Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+  * for Nearest Neighbor Search") — the memory side of billion-scale ANN:
+  * split each d-dim vector into `m` subspaces, k-means each subspace
+  * independently, store every vector as `m` small codes (here 4 × 4-bit) instead
+  * of d floats — a 64× compression at the shipped config — and rank
+  * candidates by codebook-lookup distances. Pairs with the IVF cell
+  * routing already in `ops/Vectors` (IVF chooses WHICH lists to scan, PQ
+  * makes scanning them cheap).
+  *
+  * The differentiator vs the float Lloyd path (`Vectors.ivfRefinedVerdict`,
+  * which can only pin INVARIANTS because float means are aggregation-order-
+  * dependent): training here runs on EXACT scaled integers — components
+  * quantized once via the house floor(x·1e6 + 0.5) contract, distances by
+  * the native long `Σ(a−b)²` kernel, centroid means by floor division —
+  * so the whole trajectory (seeds → assignment → refined codebook → codes)
+  * is deterministic under any partitioning AND value-replayable bit-for-bit
+  * by an external SQL engine. No verdict needed: the oracle hash-compares
+  * the codebook and every vector's codes directly.
+  *
+  * Scale shape: the codebook is config-sized (m·k rows) and broadcast;
+  * assignment is one narrow pass per vector over m·k candidate rows with a
+  * (vector, subspace)-keyed k-row argmin — shuffle O(rows·m), never
+  * O(rows·k). Seeding collects exactly k ids (bounded, like the band-sample
+  * and BPE-argmax collects). Refinement is one (subspace, code, dim)-keyed
+  * integer aggregate.
+  */
+object ProductQuantizer {
+
+  /** Exact micro-unit quantization — the same floor(x·1e6 + 0.5) contract
+    * as `Vectors.round6`/`centroidOutliers`, applied per component.
+    */
+  private def scaledVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Floor division on longs via the non-negative pmod. CROSS-ENGINE TRAP
+    * (cost one oracle round): DuckDB's integer `//` TRUNCATES toward zero
+    * on negatives (-17 // 2 = -8), it does not floor — so the oracle must
+    * subtract the same `(a % b + b) % b` pmod before dividing rather than
+    * use bare `//` on possibly-negative centroid sums.
+    */
+  private def floorDiv(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast("long")
+
+  /** `(id, s, sub)` — every vector's scaled subvector per subspace. The
+    * scaled array is built once per row and sliced m times inside one
+    * projection (multi-reference blocks CollapseProject from inlining the
+    * per-element transform m×).
+    */
+  private def subspaces(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, width: Int): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"), scaledVec(col(vecCol)).as("sv"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s.toLong).as("s"),
+          slice(col("sv"), s * width + 1, width).as("sub"))): _*)).as("x"))
+      .select(col("id"), col("x.s").as("s"), col("x.sub").as("sub"))
+
+  /** Nearest-centroid assignment: broadcast the (m·k)-row codebook, exact
+    * long distances, deterministic (dist, code) argmin per (vector,
+    * subspace).
+    */
+  private def assign(sub: DataFrame, codebook: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("s"))
+      .orderBy(col("dist"), col("code"))
+    sub.join(broadcast(codebook), Seq("s"))
+      .withColumn("dist", ArrayMath.sqDistLongNative(col("sub"), col("cvec")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("id"), col("s"), col("code"), col("sub"), col("dist"))
+  }
+
+  /** Train the codebook: k deterministic seeds (ordered by md5(id) — the
+    * engine-portable shuffle-proof sampling used throughout), one exact-
+    * integer Lloyd round, empty cells keep their seed centroid. Returns
+    * `(s, code, cvec)` with cvec in scaled micro-units.
+    */
+  def train(emb: DataFrame, m: Int = 4, k: Int = 16, dims: Int = 64,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = subspaces(emb, idCol, vecCol, m, dims / m)
+    // bounded collect: exactly k seed ids
+    val seedIds = emb.select(col(idCol).cast("long").as("id"))
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(k).collect().map(_.getLong(0))
+    require(seedIds.length == k, s"need >= $k vectors to seed $k codes")
+    import emb.sparkSession.implicits._
+    val codes = seedIds.toSeq.zipWithIndex
+      .map { case (id, c) => (id, c.toLong) }.toDF("id", "code")
+    val init = sub.join(broadcast(codes), Seq("id"))
+      .select(col("s"), col("code"), col("sub").as("cvec"))
+    val refined = assign(sub, init)
+      .select(col("s"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("s"), col("code"), col("pos"))
+      .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+      .select(col("s"), col("code"), col("pos"),
+        floorDiv(col("sm"), col("n")).as("cv"))
+      .groupBy(col("s"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pm"))
+      .select(col("s"), col("code"),
+        transform(col("pm"), x => x.getField("cv")).as("cvec"))
+    init.as("i").join(refined.as("r"), Seq("s", "code"), "left_outer")
+      .select(col("s"), col("code"),
+        coalesce(col("r.cvec"), col("i.cvec")).as("cvec"))
+  }
+
+  /** Encode every vector against a trained codebook: `(id, codes, err)`
+    * where `codes` is the m per-subspace code ids in subspace order and
+    * `err` the total exact squared reconstruction error in micro²-units.
+    */
+  def encode(emb: DataFrame, codebook: DataFrame,
+             m: Int = 4, dims: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    assign(subspaces(emb, idCol, vecCol, m, dims / m), codebook)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code")))).as("sc"),
+        sum(col("dist")).cast("long").as("err"))
+      .select(col("id"),
+        transform(col("sc"), x => x.getField("code")).as("codes"),
+        col("err"))
+  }
+}

@@ -364,7 +364,8 @@ class PlanContractSpec extends SparkSpec {
         "sim_knn_kcore", "sim_ann_recall_report",
         "graph_link_prediction", "graph_link_prediction_indexed",
         "events_sequence_match", "join_cardinality_estimate",
-        "multimodal_phash_neardup")) {
+        "multimodal_phash_neardup", "vector_pq_codebook",
+        "vector_pq_encode")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.ArrayMath
+import org.apache.spark.sql.functions._
+
+/** Exact-integer product quantization (ops/ProductQuantizer) and its native
+  * long squared-L2 kernel (functions/ArrayMath.SqDistL2Long).
+  */
+class ProductQuantizerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sqDistLongNative: exact long accumulation, null-element skip, " +
+      "float arrays rejected at analysis") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 0L, 3L))).toDF("a", "b")
+    assert(df.select(ArrayMath.sqDistLongNative(col("a"), col("b")))
+      .head.getLong(0) == 9L + 4L + 0L)
+    // null element contributes 0, does not null the distance
+    val dn = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](0L, 5L, 0L)))
+      .toDF("a", "b")
+    assert(dn.select(ArrayMath.sqDistLongNative(col("a"), col("b")))
+      .head.getLong(0) == 1L + 9L)
+    // exactness contract: float/double inputs must fail analysis
+    val fl = Seq((Seq(1.0f), Seq(2.0f))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      fl.select(ArrayMath.sqDistLongNative(col("a"), col("b"))).head
+    }
+  }
+
+  // md5("4") < md5("1") < md5("2") < md5("3"), so with k=2 the seeds are
+  // id 4 (code 0) and id 1 (code 1).
+  private def tinyEmb = Seq(
+    (1L, Seq(0f, 0f, 10f, 10f)),
+    (2L, Seq(0.000001f, 0.000001f, 10f, 10f)), // near v1
+    (3L, Seq(5.000002f, 5f, 0f, 0f)),          // near v4
+    (4L, Seq(5f, 5f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("train: hand-computed seeds, assignment, floor-division Lloyd round") {
+    val cb = ProductQuantizer.train(tinyEmb, m = 2, k = 2, dims = 4)
+      .select(col("s"), col("code"),
+        transform(col("cvec"), _.cast("long")).as("cvec"))
+      .as[(Long, Long, Seq[Long])].collect().toSet
+    assert(cb == Set(
+      // code 0 ← v3, v4: s0 mean = ((5000002+5000000)//2, 5000000)
+      (0L, 0L, Seq(5000001L, 5000000L)),
+      (1L, 0L, Seq(0L, 0L)),
+      // code 1 ← v1, v2: s0 mean = ((0+1)//2, (0+1)//2) = (0, 0)
+      (0L, 1L, Seq(0L, 0L)),
+      (1L, 1L, Seq(10000000L, 10000000L))))
+  }
+
+  test("encode: codes in subspace order, exact reconstruction error") {
+    val e = tinyEmb
+    val got = ProductQuantizer.encode(e,
+        ProductQuantizer.train(e, m = 2, k = 2, dims = 4), m = 2, dims = 4)
+      .select(col("id"), transform(col("codes"), _.cast("long")).as("codes"),
+        col("err"))
+      .as[(Long, Seq[Long], Long)].collect().toSet
+    assert(got == Set(
+      (1L, Seq(1L, 1L), 0L),  // exactly the refined centroid
+      (2L, Seq(1L, 1L), 2L),  // two scaled units off in s0
+      (3L, Seq(0L, 0L), 1L),  // one unit off the floor-divided mean
+      (4L, Seq(0L, 0L), 1L)))
+  }
+
+  test("train is partitioning-invariant (exact integers, no float means)") {
+    val e = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(parts: Int) = ProductQuantizer.train(e.repartition(parts))
+      .select(col("s"), col("code"),
+        array_join(transform(col("cvec"), _.cast("string")), ",").as("c"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(run(1) == run(13))
+    assert(run(1).size == 64) // 4 subspaces x 16 codes, empty cells kept
+  }
+
+  test("train rejects bad geometry and too-small corpora") {
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(tinyEmb, m = 3, k = 2, dims = 4)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuantizer.train(tinyEmb, m = 2, k = 5, dims = 4)
+    }
+  }
+}
