@@ -36,6 +36,8 @@ object ProductQuantizer {
   /** Exact micro-unit quantization — the same floor(x·1e6 + 0.5) contract
     * as `Vectors.round6`/`centroidOutliers`, applied per component.
     */
+  def scaledMicro(v: Column): Column = scaledVec(v)
+
   private def scaledVec(v: Column): Column =
     transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
 
@@ -107,6 +109,37 @@ object ProductQuantizer {
     init.as("i").join(refined.as("r"), Seq("s", "code"), "left_outer")
       .select(col("s"), col("code"),
         coalesce(col("r.cvec"), col("i.cvec")).as("cvec"))
+  }
+
+  /** PQ retrieval by asymmetric distance computation (ADC, Jégou et al.
+    * 2011 §IV): each query precomputes an m×k lookup table of EXACT
+    * subspace distances to the codebook (one broadcast join, m·k rows per
+    * query); every corpus vector is then scored from its m stored codes
+    * alone — m table lookups and adds, the original vectors never read.
+    * That is the entire economics of PQ at 10⁹ vectors: the scan touches
+    * 4-bit codes, not 256-byte floats. Top-k per query by (adc_dist,
+    * neighbor_id) — all integers, fully value-replayable.
+    *
+    * Queries must be config-capped (the `cosineTopK` broadcast
+    * discipline): the scored frame is O(corpus·m·|queries|).
+    */
+  def adcTopK(corpusCodes: DataFrame, codebook: DataFrame, queries: DataFrame,
+              k: Int, m: Int = 4, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val lut = subspaces(queries, idCol, vecCol, m, dims / m)
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("id").as("qid"), col("s"), col("code"),
+        ArrayMath.sqDistLongNative(col("sub"), col("cvec")).as("d"))
+    val cc = corpusCodes.select(col("id"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("id"), col("pos").cast("long").as("s"), col("code"))
+    val adc = cc.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("qid") =!= col("id"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d")).cast("long").as("adc_dist"))
+    Relational.topKPerGroup(adc, Seq(col("query_id")),
+      Seq(col("adc_dist").asc, col("neighbor_id").asc), k, rankCol = "rank")
   }
 
   /** Encode every vector against a trained codebook: `(id, codes, err)`

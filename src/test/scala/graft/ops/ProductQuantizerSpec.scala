@@ -75,6 +75,24 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(run(1).size == 64) // 4 subspaces x 16 codes, empty cells kept
   }
 
+  test("adcTopK: lookup-table distances, deterministic tie order") {
+    val e = tinyEmb
+    val cb = ProductQuantizer.train(e, m = 2, k = 2, dims = 4)
+    val codes = ProductQuantizer.encode(e, cb, m = 2, dims = 4)
+    val q = e.filter(col("vec_id") === 1L)
+    val got = ProductQuantizer.adcTopK(codes, cb, q, 3, m = 2, dims = 4)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rank"))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // v2 shares v1's codes → ADC 0; v3/v4 share codes (0,0) → identical
+    // ADC distance, tie broken by neighbor id
+    assert(got.map(t => (t._2, t._4)).toSeq == Seq((2L, 1), (3L, 2), (4L, 3)))
+    assert(got(0)._3 == 0L)
+    assert(got(1)._3 == got(2)._3)
+    // s0: dist(v1_sub0, c00) = 5000001² + 5000000²; s1: dist to [1e7,1e7]...
+    // = 2·1e14 against c10 = [0,0] owner codes — hand total:
+    assert(got(1)._3 == 50000010000001L + 200000000000000L)
+  }
+
   test("train rejects bad geometry and too-small corpora") {
     intercept[IllegalArgumentException] {
       ProductQuantizer.train(tinyEmb, m = 3, k = 2, dims = 4)
