@@ -510,6 +510,60 @@ object VectorQueries extends Catalog {
              |FROM ex JOIN h USING (query_id)
              |GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
+    // IVF-PQ composed retrieval (ProductQuantizer.ivfpqTopK): the FAISS
+    // default at 10⁹ vectors — IVF cells prune WHICH lists to scan, ADC
+    // scores the survivors from 4-bit codes in m integer adds each.
+    // Float cosines decide only the routing (the deterministic assignment
+    // sim_ann_ivf already pins); every score is exact integers, so the
+    // composed ranking is value-pinned end-to-end.
+    Q("sim_ivfpq_topk",
+      (s, dir) => {
+        import graft.ops.ProductQuantizer
+        val emb = load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 100 === 0)
+          .orderBy(col("vec_id")).limit(40)
+        ProductQuantizer.ivfpqTopK(emb, q, 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""$PqTrainSql,
+             |$PqEncodeCtes,
+             |ve AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |n AS (SELECT vec_id, e, sqrt(${dotSql("e", "e")}) AS nrm FROM ve),
+             |c AS (SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n
+             |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 128),
+             |asg AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT n.vec_id, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC,
+             |          c.cid) AS crk
+             |    FROM n, c) t WHERE crk = 1),
+             |cap AS (SELECT id FROM v WHERE id % 100 = 0
+             |  ORDER BY id LIMIT 40),
+             |probes AS (
+             |  SELECT query_id, cell FROM (
+             |    SELECT n.vec_id AS query_id, c.cid AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${dotSql("n.e", "c.ce")} / (n.nrm * c.cn) DESC,
+             |          c.cid) AS crk
+             |    FROM n, c WHERE n.vec_id IN (SELECT id FROM cap)) t
+             |  WHERE crk <= 2),
+             |cnd AS (SELECT p.query_id AS qid, a.vec_id AS id
+             |  FROM probes p JOIN asg a ON p.cell = a.cell
+             |    AND p.query_id <> a.vec_id),
+             |adc AS (SELECT cnd.qid AS query_id, cnd.id AS neighbor_id,
+             |    sum(q.dist) AS adc_dist
+             |  FROM cnd JOIN a2 ON a2.id = cnd.id
+             |  JOIN d2 q ON q.id = cnd.qid AND q.s = a2.s AND q.code = a2.code
+             |  GROUP BY 1, 2)
+             |SELECT query_id, rank, neighbor_id, adc_dist::BIGINT AS adc_dist
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adc_dist, neighbor_id) AS rank FROM adc) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("vector_quantize_int8",
       (s, dir) => {
         import graft.ops.Curate

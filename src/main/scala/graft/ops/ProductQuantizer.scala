@@ -142,6 +142,49 @@ object ProductQuantizer {
       Seq(col("adc_dist").asc, col("neighbor_id").asc), k, rankCol = "rank")
   }
 
+  /** IVF-PQ — the composition that actually runs at 10⁹ vectors (FAISS's
+    * default index family): IVF cell routing prunes WHICH lists a query
+    * scans (`Vectors.cellAssignments`, nprobe cells of ~corpus/maxCentroids
+    * each), PQ's ADC makes scanning them cheap (m table-adds per candidate
+    * against 4-bit codes, original vectors never read). Candidates per
+    * query are bounded by nprobe · cell size instead of the corpus, and
+    * the scored frame by candidates · m — both config-governed. Ranking
+    * is fully value-replayable: float cosines decide only the routing
+    * (the same deterministic assignment every IVF path here uses), all
+    * scoring is exact integers.
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 4, kCodes: Int = 16, dims: Int = 64,
+                centroidEvery: Int = 50, nprobe: Int = 2,
+                maxCentroids: Int = 128,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = train(corpus, m, kCodes, dims, idCol, vecCol)
+    val codes = encode(corpus, cb, m, dims, idCol, vecCol)
+    val cents = Vectors.ivfCentroids(corpus, centroidEvery, maxCentroids, 0,
+      idCol, vecCol)
+    val lists = Vectors.cellAssignments(corpus, cents, 1, idCol, vecCol)
+    val probes = Vectors.cellAssignments(queries, cents, nprobe, idCol, vecCol)
+      .select(col("cell"), col("id").as("qid"))
+    val lut = subspaces(queries, idCol, vecCol, m, dims / m)
+      .join(broadcast(cb), Seq("s"))
+      .select(col("id").as("qid"), col("s"), col("code"),
+        ArrayMath.sqDistLongNative(col("sub"), col("cvec")).as("d"))
+    // every corpus id lives in exactly ONE cell (keep = 1), so the probe
+    // join emits each (query, candidate) pair at most once — no distinct
+    val cand = probes.join(lists, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
+    val cc = codes.select(col("id"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("id"), col("pos").cast("long").as("s"), col("code"))
+    val adc = cand.join(cc, Seq("id"))
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy(col("qid").as("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("d")).cast("long").as("adc_dist"))
+    Relational.topKPerGroup(adc, Seq(col("query_id")),
+      Seq(col("adc_dist").asc, col("neighbor_id").asc), k, rankCol = "rank")
+  }
+
   /** Encode every vector against a trained codebook: `(id, codes, err)`
     * where `codes` is the m per-subspace code ids in subspace order and
     * `err` the total exact squared reconstruction error in micro²-units.

@@ -708,6 +708,18 @@ object Vectors {
     * be broadcast-bounded (config cap, see `centroidFrame`). Ties break to
     * the smaller centroid id — deterministic across engines.
     */
+  /** Public cell-routing surface: `(cell, id)` for every input row against
+    * a broadcast-bounded centroid table (`ivfCentroids`) — `keep = 1` for
+    * index builds, `keep = nprobe` for query routing. The routing half of
+    * IVF-PQ (`ProductQuantizer.ivfpqTopK`); same deterministic
+    * (cosine DESC, cid) assignment as every other IVF path here.
+    */
+  def cellAssignments(df: DataFrame, cents: DataFrame, keep: Int = 1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    nearestCellsFrame(normedPrefixed(df, "x", idCol, vecCol), cents, "x", keep)
+      .select(col("cell"), col("xid").as("id"))
+
   private def nearestCellsFrame(src: DataFrame, cents: DataFrame,
                                 p: String, keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

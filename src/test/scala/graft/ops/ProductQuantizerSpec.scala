@@ -93,6 +93,22 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(got(1)._3 == 50000010000001L + 200000000000000L)
   }
 
+  test("ivfpqTopK: composed routing + ADC is ranked and partitioning-invariant") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0).orderBy(col("vec_id")).limit(10)
+    def run(parts: Int) = ProductQuantizer.ivfpqTopK(emb.repartition(parts), q, 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_dist"))
+      .as[(Long, Int, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val a = run(1)
+    assert(a.nonEmpty && a.map(_._1).distinct.size == 5)
+    a.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.map(_._2) == (1 to s.length)) // dense ranks
+      assert(s.map(_._4) == s.map(_._4).sorted) // distance-ordered
+    }
+    assert(a == run(13)) // exact-integer scoring, no float means anywhere
+  }
+
   test("train rejects bad geometry and too-small corpora") {
     intercept[IllegalArgumentException] {
       ProductQuantizer.train(tinyEmb, m = 3, k = 2, dims = 4)
