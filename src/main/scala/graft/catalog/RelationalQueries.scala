@@ -223,6 +223,85 @@ object RelationalQueries extends Catalog {
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Composite analytics #1 — the TPC-H Q3 "shipping priority" shape:
+    // a 3-way selective join (segment-filtered broadcast dim, two date
+    // filters pushed to the scans), an orderkey-grouped exact-cents
+    // revenue aggregate over 1180 surviving groups, top-10 by revenue.
+    // The plan IS the point: Catalyst broadcasts the filtered customer
+    // side, pushes every predicate into parquet, and the top-10 runs as
+    // TakeOrderedAndProject on the integer units — the classic composite
+    // a user of the reference's denormalized store could never express.
+    Q("composite_shipping_priority",
+      (s, dir) => load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .join(load(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))
+          .as("units"))
+        .orderBy(col("units").desc, col("l_orderkey")).limit(10)
+        .select(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("order_date"),
+          col("o_orderpriority"),
+          Exact.revenueDollars(col("units")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")),
+      Some(s"""SELECT l_orderkey,
+             |  epoch(date_trunc('second', o_orderdate))::BIGINT AS order_date,
+             |  o_orderpriority, units::DOUBLE / 10000.0 AS revenue
+             |FROM (
+             |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |    sum($RevUnits) AS units
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_mktsegment = 'BUILDING'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01'
+             |    AND l_shipdate > TIMESTAMP '1998-01-01'
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY units DESC, l_orderkey LIMIT 10) t
+             |ORDER BY revenue DESC, l_orderkey""".stripMargin)),
+
+    // Composite analytics #2 — the TPC-H Q10 "returned items" shape: a
+    // 4-way join (two broadcast dims), a year of orders against the 'R'
+    // return flag, customer-grouped revenue over 1017 groups, top-20 —
+    // the standard "who returned the most value" report.
+    Q("composite_returned_items",
+      (s, dir) => load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(load(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01") &&
+            col("o_orderdate") < lit("2000-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))
+          .as("units"))
+        .orderBy(col("units").desc, col("c_custkey")).limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          Exact.revenueDollars(col("units")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")),
+      Some(s"""SELECT c_custkey, c_name, n_name,
+             |  units::DOUBLE / 10000.0 AS revenue
+             |FROM (
+             |  SELECT c_custkey, c_name, n_name, sum($RevUnits) AS units
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1999-01-01'
+             |    AND o_orderdate < TIMESTAMP '2000-01-01'
+             |  GROUP BY 1, 2, 3
+             |  ORDER BY units DESC, c_custkey LIMIT 20) t
+             |ORDER BY revenue DESC, c_custkey""".stripMargin)),
+
     Q("join_inner_equi",
       (s, dir) => load(s, dir, "customer")
         .join(load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))

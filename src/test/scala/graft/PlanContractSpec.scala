@@ -354,6 +354,25 @@ class PlanContractSpec extends SparkSpec {
       s"text_quality_gopher must be map-side (got ${preSort.size} exchanges)")
   }
 
+  test("composite analytics: broadcast dims, pushed filters, partial top-k") {
+    for (name <- Seq("composite_shipping_priority", "composite_returned_items")) {
+      val p = q(name)
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$name must broadcast its dimension side(s)")
+      // the selective predicates must reach the parquet readers — a
+      // composite that scans everything and filters post-join reads the
+      // full fact table at 100 TB
+      val pushed = p.collect { case s: FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+      }
+      assert(pushed.exists(f => f.contains("l_shipdate") ||
+        f.contains("l_returnflag")),
+        s"$name: fact-scan predicate not pushed: $pushed")
+      assert(p.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"$name: top-k must plan as TakeOrderedAndProject, not a full sort")
+    }
+  }
+
   test("round-10 additions: no cartesians/global windows; shapes hold") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
