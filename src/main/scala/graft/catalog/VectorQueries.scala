@@ -564,6 +564,37 @@ object VectorQueries extends Catalog {
              |    ORDER BY adc_dist, neighbor_id) AS rank FROM adc) t
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // STEADY STATE: ADC retrieval against the STORED PQ index — timed
+    // cost is the m-lookup scan alone; train+encode ran once at index
+    // build (StoredIndexes.pq), exactly how a production corpus serves
+    // queries. Same value-pinned oracle replaying the full trajectory:
+    // the stored index must reproduce the rebuilt ranking bit-for-bit.
+    Q("sim_pq_adc_topk_indexed",
+      (s, dir) => {
+        import graft.ops.ProductQuantizer
+        val (cb, codes) = StoredIndexes.pq(s, dir)
+        val q = load(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+          .orderBy(col("vec_id")).limit(40)
+        ProductQuantizer.adcTopK(codes, cb, q, 5)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"), col("adc_dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""$PqTrainSql,
+             |$PqEncodeCtes,
+             |cap AS (SELECT id FROM v WHERE id % 100 = 0
+             |  ORDER BY id LIMIT 40),
+             |adc AS (SELECT q.id AS query_id, a2.id AS neighbor_id,
+             |    sum(q.dist) AS adc_dist
+             |  FROM a2 JOIN d2 q ON q.s = a2.s AND q.code = a2.code
+             |  WHERE q.id IN (SELECT id FROM cap) AND a2.id <> q.id
+             |  GROUP BY 1, 2)
+             |SELECT query_id, rank, neighbor_id, adc_dist::BIGINT AS adc_dist
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY adc_dist, neighbor_id) AS rank FROM adc) t
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     Q("vector_quantize_int8",
       (s, dir) => {
         import graft.ops.Curate

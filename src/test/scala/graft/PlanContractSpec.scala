@@ -384,7 +384,8 @@ class PlanContractSpec extends SparkSpec {
         "graph_link_prediction", "graph_link_prediction_indexed",
         "events_sequence_match", "join_cardinality_estimate",
         "multimodal_phash_neardup", "vector_pq_codebook",
-        "vector_pq_encode", "sim_pq_adc_recall", "sim_ivfpq_topk")) {
+        "vector_pq_encode", "sim_pq_adc_recall", "sim_ivfpq_topk",
+        "sim_pq_adc_topk_indexed")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")
