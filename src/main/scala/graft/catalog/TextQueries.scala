@@ -1588,6 +1588,69 @@ object TextQueries extends Catalog {
     // proves the deletion-variant blocking lossless. Spark side never
     // goes quadratic: explode variants → variant-keyed equi-join →
     // per-candidate verify (ops/Text.fuzzyPairsEd1).
+    // [ext] Blocked Jaro-Winkler record linkage (Text.jaroLinkagePairs,
+    // Jaro 1989 / Winkler 1990) over part names: exact BASIS-POINT scores
+    // from the native integer-rational expression — no float thresholds
+    // to disagree across engines — under the standard same-first-char +
+    // length±2 blocking. The oracle replays the GREEDY MATCH ITSELF with
+    // a recursive CTE (window-bounded smallest-eligible-j per step, mask
+    // in a BIGINT) plus the same rational boost/floor. 216 candidates →
+    // 40 pairs at τ=8800 at sf0.01: blocking, matching, and threshold all
+    // load-bearing.
+    Q("text_jaro_linkage",
+      (s, dir) => graft.ops.Text.jaroLinkagePairs(
+          load(s, dir, "part"), "p_name", minScoreBp = 8800L)
+        .orderBy(col("score_bp").desc, col("name_a"), col("name_b")),
+      Some("""WITH RECURSIVE v AS (SELECT DISTINCT p_name AS w FROM part
+             |  WHERE p_name IS NOT NULL AND length(p_name) > 0),
+             |bl AS (SELECT a.w AS x, c.w AS y, length(a.w) AS l1,
+             |    length(c.w) AS l2,
+             |    greatest(greatest(length(a.w), length(c.w)) // 2 - 1, 0) AS w
+             |  FROM v a JOIN v c ON substr(a.w, 1, 1) = substr(c.w, 1, 1)
+             |    AND abs(length(a.w) - length(c.w)) <= 2 AND a.w < c.w),
+             |rec AS (
+             |  SELECT x, y, l1, l2, w, 0 AS i, 0::BIGINT AS mask, '' AS m1
+             |  FROM bl
+             |  UNION ALL
+             |  SELECT x, y, l1, l2, w, i + 1,
+             |    mask | CASE WHEN j IS NULL THEN 0::BIGINT
+             |                ELSE (1::BIGINT << j::INT) END,
+             |    m1 || CASE WHEN j IS NULL THEN '' ELSE substr(x, i + 1, 1) END
+             |  FROM (
+             |    SELECT r.*, list_min(list_filter(
+             |        range(greatest(0, i - w), least(l2, i + w + 1)),
+             |        jj -> substr(y, jj::INT + 1, 1) = substr(x, i + 1, 1)
+             |          AND (mask >> jj::INT) & 1 = 0)) AS j
+             |    FROM rec r WHERE i < l1) t),
+             |tt AS (SELECT x, y, l1, l2, m1, length(m1) AS m,
+             |    array_to_string(list_transform(
+             |      list_filter(range(l2), jj -> (mask >> jj::INT) & 1 = 1),
+             |      jj -> substr(y, jj::INT + 1, 1)), '') AS m2
+             |  FROM rec WHERE i = l1),
+             |sc AS (SELECT x, y, m, nm, dn, lp FROM (
+             |    SELECT x, y, m,
+             |      m::BIGINT * m * l2 + m::BIGINT * m * l1 +
+             |        (m::BIGINT - coalesce(list_sum(list_transform(range(m),
+             |           p -> CASE WHEN substr(m1, p::INT + 1, 1) <>
+             |                         substr(m2, p::INT + 1, 1)
+             |                THEN 1 ELSE 0 END)), 0) // 2) * l1 * l2 AS nm,
+             |      3::BIGINT * l1 * l2 * m AS dn,
+             |      list_sum(list_transform(range(4), p ->
+             |        CASE WHEN p < least(l1, l2)
+             |              AND substr(x, 1, p::INT + 1) = substr(y, 1, p::INT + 1)
+             |             THEN 1 ELSE 0 END)) AS lp
+             |    FROM tt) s0)
+             |SELECT x AS name_a, y AS name_b, score_bp::BIGINT AS score_bp
+             |FROM (
+             |  SELECT x, y,
+             |    CASE WHEN m = 0 THEN 0
+             |         WHEN nm * 10 > dn * 7
+             |           THEN ((nm * 10 + lp * (dn - nm)) * 10000) // (dn * 10)
+             |         ELSE (nm * 10000) // dn END AS score_bp
+             |  FROM sc) f
+             |WHERE score_bp >= 8800
+             |ORDER BY score_bp DESC, name_a, name_b""".stripMargin)),
+
     Q("text_fuzzy_join",
       (s, dir) => {
         val l = split(lower(col("text")), " ")

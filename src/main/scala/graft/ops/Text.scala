@@ -852,4 +852,39 @@ object Text {
       .orderBy(col("c_ab").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Blocked Jaro-Winkler record linkage over a string column: every pair
+    * of DISTINCT values scoring ≥ `minScoreBp` in exact basis points
+    * (`functions/JaroWinklerBp` — integer rational arithmetic end-to-end,
+    * no float thresholds to disagree across engines), under the standard
+    * record-linkage blocking: same first character (the assumption the
+    * Winkler prefix boost itself encodes) and length within ±2. Blocking
+    * here is the field's standard recall/cost trade (Fellegi-Sunter
+    * practice), NOT a lossless pigeonhole like the simhash bands — a pair
+    * differing in its first character is never considered; the oracle
+    * replays the same blocking, so parity is complete over the declared
+    * candidate set.
+    *
+    * Scale shape: distinct values → one keyed self-equi-join on the block
+    * key with length residual — pair work is Σ per-block², governed by
+    * the value distribution, never |rows|²; the score is one codegen'd
+    * static call per candidate.
+    */
+  def jaroLinkagePairs(df: DataFrame, strCol: String,
+                       minScoreBp: Long): DataFrame = {
+    require(minScoreBp >= 0 && minScoreBp <= 10000,
+      s"minScoreBp must be in [0, 10000], got $minScoreBp")
+    val v = df.select(col(strCol).cast("string").as("w"))
+      .filter(col("w").isNotNull && length(col("w")) > 0).distinct()
+      .select(col("w"), substring(col("w"), 1, 1).as("blk"),
+        length(col("w")).as("len"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") &&
+          abs(col("a.len") - col("b.len")) <= 2 &&
+          col("a.w") < col("b.w"))
+      .select(col("a.w").as("name_a"), col("b.w").as("name_b"),
+        graft.functions.JaroWinklerBp.column(col("a.w"), col("b.w"))
+          .as("score_bp"))
+      .filter(col("score_bp") >= minScoreBp)
+  }
 }

@@ -385,7 +385,7 @@ class PlanContractSpec extends SparkSpec {
         "events_sequence_match", "join_cardinality_estimate",
         "multimodal_phash_neardup", "vector_pq_codebook",
         "vector_pq_encode", "sim_pq_adc_recall", "sim_ivfpq_topk",
-        "sim_pq_adc_topk_indexed")) {
+        "sim_pq_adc_topk_indexed", "text_jaro_linkage")) {
       val p = q(name)
       assert(p.collect { case j: CartesianProductExec => j }.isEmpty,
         s"$name plans a CartesianProduct")

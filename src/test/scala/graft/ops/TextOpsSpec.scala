@@ -395,4 +395,35 @@ class TextOpsSpec extends SparkSpec {
       size(filter(split(col("text"), " "), t => t =!= "")).as("w"))
     assert(sums.join(want, "doc_id").filter(col("s") =!= col("w")).count() == 0)
   }
+
+  test("JaroWinklerBp: textbook scores as exact basis points") {
+    import graft.functions.JaroWinklerBp.scoreStr
+    // Winkler's canonical example: m=6, t=1, l=3 →
+    // jaro = 17/18, jw = 173/180 = 0.96111…
+    assert(scoreStr("MARTHA", "MARHTA") == 9611L)
+    // m=4, t=0, l=2 → jaro = 23/30 > 0.7 → jw = 244/300 = 0.81333…
+    assert(scoreStr("DIXON", "DICKSONX") == 8133L)
+    assert(scoreStr("same", "same") == 10000L)
+    assert(scoreStr("", "") == 10000L)
+    assert(scoreStr("a", "") == 0L && scoreStr("", "a") == 0L)
+    assert(scoreStr("abc", "xyz") == 0L) // no matches
+    // jaro = 5/9 ≤ 0.7: the shared "ab" prefix must NOT boost
+    assert(scoreStr("abcdef", "abzzzz") == 5555L)
+    // symmetric
+    assert(scoreStr("DIXON", "DICKSONX") == scoreStr("DICKSONX", "DIXON"))
+  }
+
+  test("jaroLinkagePairs: blocking excludes first-char mismatches, " +
+      "threshold filters, scores exact") {
+    val df = Seq("martha", "marhta", "xartha", "mzzzzz", "martha")
+      .toDF("nm") // duplicate collapses via distinct
+    val got = Text.jaroLinkagePairs(df, "nm", 9000L)
+      .as[(String, String, Long)].collect().toSet
+    // xartha is 1 edit from martha but first char differs → blocked out;
+    // mzzzzz shares the block but scores far below τ
+    assert(got == Set(("marhta", "martha", 9611L)))
+    intercept[IllegalArgumentException] {
+      Text.jaroLinkagePairs(df, "nm", 10001L)
+    }
+  }
 }
