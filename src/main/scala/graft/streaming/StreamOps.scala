@@ -124,6 +124,54 @@ object StreamOps {
       .toDF("user_id", "n_events", "last_ts")
   }
 
+  /** Streaming twin of `EventOps.sequenceMatch` — the MATCH_RECOGNIZE-lite
+    * pattern (firstType → next thenType within `withinSec`, no guardType
+    * between) as BOUNDED custom state via flatMapGroupsWithState: per
+    * user, state is only the open firstType events still awaiting their
+    * next thenType. A thenType arrival resolves EVERY open first (match
+    * if within the bound; closed either way — its "next then" is now
+    * known), a guardType arrival clears the set, so state empties on
+    * every then/guard and is bounded by concurrently-open firsts.
+    *
+    * Equals the batch operator when each user's events arrive in
+    * (ts, event_id) order ACROSS micro-batches — the per-key-ordered-log
+    * deployment shape; within a micro-batch, arrival order is irrelevant
+    * (events sort before the fold). StreamOpsSpec pins stream ≡ batch
+    * with state carried across micro-batch boundaries.
+    */
+  final case class SeqOpen(firstSec: Long, firstId: Long)
+  final case class SeqMatchState(open: List[SeqOpen])
+  def sequenceMatchStream(spark: SparkSession, events: DataFrame,
+                          firstType: String, thenType: String,
+                          guardType: String, withinSec: Long): DataFrame = {
+    require(withinSec >= 0, s"withinSec must be >= 0, got $withinSec")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SeqMatchState, (Long, Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var open = state.getOption.map(_.open).getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, eid, sec, typ) =>
+            if (typ == guardType) open = Nil
+            else if (typ == thenType) {
+              open.reverse.foreach { a =>
+                if (sec <= a.firstSec + withinSec)
+                  out += ((uid, a.firstId, a.firstSec, sec, sec - a.firstSec))
+              }
+              open = Nil
+            } else if (typ == firstType) open = SeqOpen(sec, eid) :: open
+          }
+          state.update(SeqMatchState(open))
+          out.result().iterator
+      }
+      .toDF("user_id", "first_event_id", "first_sec", "then_sec", "gap_sec")
+  }
+
   /** Stream-stream interval join: each `click` joined to the same user's
     * `signup` that happened at most `horizon` earlier. Both sides carry
     * watermarks and the join condition bounds event-time distance, so join

@@ -131,6 +131,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(!out.exists(_.getAs[Double]("sum_value") == 99.0))
   }
 
+  test("sequenceMatchStream: custom state equals the batch operator, carried " +
+      "across micro-batch boundaries") {
+    val dir = tmpDir("seqmatch-events")
+    def ev(id: Long, sec: Long, uid: Long, typ: String) =
+      s"""{"event_id":$id,"ts":"${java.time.Instant.ofEpochSecond(sec)}",""" +
+        s""""user_id":$uid,"event_type":"$typ","value":0.0,"props":"{}"}"""
+    // batch 1: u1 open signup (resolves in batch 2); u2 open signup
+    // (guarded in batch 2); u3 full in-batch match; u4 open signup
+    // (expires in batch 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part1.json"), Seq(
+      ev(1, 100, 1, "signup"),
+      ev(2, 100, 2, "signup"),
+      ev(3, 100, 3, "signup"), ev(4, 150, 3, "purchase"),
+      ev(5, 100, 4, "signup")
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5) // distinct mtime → file source orders part1 first
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part2.json"), Seq(
+      ev(6, 200, 1, "purchase"),                      // cross-batch match
+      ev(7, 150, 2, "error"), ev(8, 200, 2, "purchase"), // guard kills u2
+      ev(9, 5000, 4, "purchase"),                     // beyond the bound
+      ev(10, 400, 3, "signup"), ev(11, 450, 3, "purchase")
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val streamed = runToMemory(
+      StreamOps.sequenceMatchStream(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir),
+        "signup", "purchase", "error", 300L),
+      "seqmatch", "append")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.sequenceMatch(
+        spark.read.schema(schema).json(dir),
+        "signup", "purchase", "error", 300L)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the expected matches themselves, not just agreement: u1 cross-batch,
+    // u3 twice in-batch; u2 guarded, u4 expired
+    assert(batch.map(r => (r.head, r(1))) ==
+      Set((1L, 1L), (3L, 3L), (3L, 10L)))
+  }
+
   test("clicksAfterSignup: stream-stream interval join matches the batch join") {
     val dir = tmpDir("events-join")
     val rows = Seq(
