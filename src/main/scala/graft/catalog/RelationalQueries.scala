@@ -141,6 +141,27 @@ object RelationalQueries extends Catalog {
     s"$head$rounds\nSELECT node, lbl AS community FROM l$iters ORDER BY node"
   }
 
+  // Shared by graph_bfs_hops and its stored-index twin: hop distance to
+  // the nearest degree>=4 hub of the support>=2 co-purchase graph, capped
+  // at 3 hops — the recursive CTE's UNION dedup bounds the working set at
+  // nodes×(maxHops+1) rows and min() collapses to the nearest seed.
+  private val BasketBfsOracle =
+    """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o,
+      |    l_partkey AS p FROM lineitem),
+      |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+      |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY 1, 2),
+      |e AS (SELECT a, b FROM pr WHERE s >= 2),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+      |bfs AS (
+      |  SELECT node, 0 AS dist FROM deg WHERE d >= 4
+      |  UNION
+      |  SELECT s.b AS node, f.dist + 1 AS dist
+      |  FROM bfs f JOIN sym s ON s.a = f.node WHERE f.dist < 3)
+      |SELECT node, min(dist)::BIGINT AS dist
+      |FROM bfs GROUP BY node ORDER BY node""".stripMargin
+
   private val BasketClusteringOracle =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       |           FROM lineitem),
@@ -618,6 +639,29 @@ object RelationalQueries extends Catalog {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // NULL-AWARE anti join: `NOT IN (subquery)` is NOT the anti join
+    // above — one NULL in the subquery empties the result under
+    // three-valued logic, so Catalyst plans it as a null-aware anti join
+    // (the o_custkey column is nullable; the planner must carry the NULL
+    // check even though this corpus has none). Kept in SQL form because
+    // the DataFrame API has no NOT IN; the build side is the filtered
+    // custkey set — broadcast-sized, so the NAAJ stays a broadcast hash
+    // join, never the nested-loop fallback a non-broadcastable build
+    // would force at 100 TB (filter the subquery side first, always).
+    Q("join_anti_null_aware",
+      (s, dir) => {
+        load(s, dir, "customer").createOrReplaceTempView("naaj_customer")
+        load(s, dir, "orders").createOrReplaceTempView("naaj_orders")
+        s.sql("""SELECT c_custkey, c_mktsegment FROM naaj_customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM naaj_orders
+                                         WHERE o_totalprice > 300000)
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
     Q("join_theta_range",
@@ -1139,6 +1183,30 @@ object RelationalQueries extends Catalog {
           "item_a", "item_b")
         .orderBy(col("node")),
       Some(BasketClusteringOracle)),
+
+    // Multi-source BFS over the co-purchase graph (Graph.bfsHops):
+    // hop distance from every part to its NEAREST hub (degree >= 4),
+    // capped at 3 hops — the hub-proximity feature. One cached symmetric
+    // adjacency, then per round a frontier-keyed join + distinct +
+    // anti-join (frontier/node-sized, never edge-rescans); the
+    // recursive-CTE oracle replays min-dist exactly.
+    Q("graph_bfs_hops",
+      (s, dir) => graft.ops.Graph.bfsHops(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2),
+          minSeedDegree = 4, maxHops = 3, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(BasketBfsOracle)),
+
+    // STEADY STATE: BFS over the STORED edge table — timed cost is the
+    // frontier rounds alone. Same oracle.
+    Q("graph_bfs_hops_indexed",
+      (s, dir) => graft.ops.Graph.bfsHops(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
+          minSeedDegree = 4, maxHops = 3, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(BasketBfsOracle)),
 
     // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
     // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy

@@ -287,6 +287,58 @@ object Graph {
         expr("(common * 10000) div (dx + dy - common)").as("score_bp"))
   }
 
+  /** Multi-source BFS hop distances over CANONICAL undirected edges
+    * (`a` < `b`, distinct): every node within `maxHops` of a SEED — the
+    * nodes whose undirected degree is ≥ `minSeedDegree` — labeled with its
+    * exact hop distance to the NEAREST seed (0 for seeds themselves).
+    * "How far is every item from a hub" is the catalog-proximity feature
+    * recommender and coverage audits derive from a co-occurrence graph; a
+    * fixed `maxHops` keeps the trajectory finite and lets a recursive-CTE
+    * oracle replay it exactly (min-dist is reduction-order-independent).
+    *
+    * Scale shape: the symmetric adjacency is pre-shuffled and cached on
+    * the frontier join key ONCE (the `pageRankBp` trick — zero edge
+    * exchange per round); each round is one keyed join + one distinct +
+    * one anti-join against the visited set, all frontier/node-sized.
+    * Every round's NEW frontier is `localCheckpoint`ed — it is referenced
+    * by both the next round's expansion and the final union, and BFS
+    * lineage would otherwise compound per round (the `kCore` discipline);
+    * the visited union stays lazy over ≤ maxHops+1 materialized leaves,
+    * and the edge cache is dropped before returning, so a long-lived
+    * session retains zero cached frames per call.
+    */
+  def bfsHops(edges: DataFrame, minSeedDegree: Int, maxHops: Int,
+              a: String = "a", b: String = "b"): DataFrame = {
+    require(minSeedDegree >= 1,
+      s"minSeedDegree must be >= 1, got $minSeedDegree")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e0 = edges.select(col(a).cast("long").as("a"),
+      col(b).cast("long").as("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).sortWithinPartitions(col("a"))
+      .persist(MEMORY_ONLY)
+    sym.count()
+    var frontier = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minSeedDegree)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var visited = frontier
+    for (h <- 1 to maxHops) {
+      val next = sym
+        .join(frontier.select(col("node")), col("a") === col("node"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    sym.unpersist()
+    visited
+  }
+
   /** Fixed-round k-core peeling over CANONICAL undirected edges
     * (`a` < `b`, distinct): each round drops every node whose degree in
     * the CURRENT residual graph is < `k`, plus all its edges. Output:

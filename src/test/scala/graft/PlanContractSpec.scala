@@ -412,4 +412,21 @@ class PlanContractSpec extends SparkSpec {
       s"text_feature_hashing must be one aggregate + sort " +
         s"(got ${fhEx.size} exchanges)")
   }
+
+  test("NOT IN plans a null-aware BROADCAST hash anti join, never the " +
+      "nested-loop fallback") {
+    val p = q("join_anti_null_aware")
+    val naaj = p.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j }
+    assert(naaj.nonEmpty,
+      "NOT IN must plan as a null-aware BroadcastHashJoin (the subquery " +
+        "side is filtered to broadcast size by construction)")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "NOT IN must not fall back to BroadcastNestedLoopJoin")
+    // the subquery-side filter reaches the parquet scan
+    assert(p.collect { case s: FileSourceScanExec
+        if s.metadata.get("PushedFilters").exists(_.contains("GreaterThan"))
+      => s }.nonEmpty,
+      "the NOT-IN subquery's price filter must push into the scan")
+  }
 }

@@ -197,6 +197,36 @@ class GraphSpec extends SparkSpec {
     assert(diag == Set((1L, 3L, 10000L), (2L, 4L, 10000L)))
   }
 
+  test("bfsHops: min-dist to nearest seed, hop cap, unreachable excluded") {
+    // Star hub 1 (degree 4) + chain 1—2—6—7—8 off a spoke + disjoint
+    // edge 10—11. Seeds at minSeedDegree=3: only node 1.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 6L),
+      (6L, 7L), (7L, 8L), (10L, 11L)).toDF("a", "b")
+    def bfs(minDeg: Int, hops: Int) =
+      Graph.bfsHops(und, minDeg, hops).as[(Long, Long)].collect().toMap
+    assert(bfs(3, 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 2L))
+    // hop cap binds: 7 appears at maxHops=3, 8 at 4; 10/11 never (their
+    // component has no seed)
+    assert(bfs(3, 4) == bfs(3, 2) ++ Map(7L -> 3L, 8L -> 4L))
+    // multi-source: every degree>=2 node is a seed; non-seeds take the
+    // MIN distance over all seeds
+    assert(bfs(2, 1) == Map(1L -> 0L, 2L -> 0L, 6L -> 0L, 7L -> 0L,
+      3L -> 1L, 4L -> 1L, 5L -> 1L, 8L -> 1L))
+    // maxHops=0 returns exactly the seed set
+    assert(bfs(3, 0) == Map(1L -> 0L))
+    // lifecycle: edge cache dropped on exit, result reads materialized
+    // frontier rounds (no per-round join lineage to re-optimize)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.catalog.clearCache()
+    val out = Graph.bfsHops(und, 3, 4)
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "bfsHops must unpersist its adjacency cache on exit")
+    assert(out.queryExecution.analyzed.collect { case j: Join => j }.isEmpty,
+      "bfsHops result must be checkpoint-backed, not a per-round join plan")
+  }
+
   test("kCore: hand-traced peel cascade, round truncation, convergence") {
     // triangle {1,2,3} + pendant chain 3—4—5 + isolated edge 6—7
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
