@@ -26,6 +26,38 @@ object VectorQueries extends Catalog {
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
   private def cosSql(a: String, b: String) =
     round6Sql(s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))")
+  // Prefix-dim (Matryoshka) variants: the same formulas over dims 1..16.
+  private def dotPreSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 17), i -> $a[i] * $b[i]))"
+  private def cosPreSql(a: String, b: String) =
+    round6Sql(
+      s"${dotPreSql(a, b)} / (sqrt(${dotPreSql(a, a)}) * sqrt(${dotPreSql(b, b)}))")
+
+  // sim_matryoshka_recall: both rankings (full 64-dim and prefix 16-dim)
+  // replayed in SQL over the capped query set, overlap counted per query.
+  private lazy val MatryoshkaOracle =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |qs AS (SELECT vec_id FROM v WHERE vec_id % 50 = 0
+       |  ORDER BY vec_id LIMIT 40),
+       |fk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.e", "c.e")} DESC, c.vec_id) AS rk
+       |    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id IN (SELECT vec_id FROM qs)) t WHERE rk <= 5),
+       |pk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosPreSql("q.e", "c.e")} DESC, c.vec_id) AS rk
+       |    FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id IN (SELECT vec_id FROM qs)) t WHERE rk <= 5),
+       |h AS (SELECT f.query_id, count(*) AS hits
+       |  FROM fk f JOIN pk USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT qs.vec_id AS query_id,
+       |  coalesce(hits, 0)::BIGINT AS hits,
+       |  (coalesce(hits, 0) * 2000)::BIGINT AS recall_bp
+       |FROM qs LEFT JOIN h ON h.query_id = qs.vec_id
+       |ORDER BY query_id""".stripMargin
 
   // Shared by vector_pq_codebook / vector_pq_encode: the FULL exact-
   // integer PQ training pipeline in SQL — micro-unit scaling, md5-ordered
@@ -154,6 +186,35 @@ object VectorQueries extends Catalog {
              |  SELECT *, row_number() OVER (PARTITION BY query_id
              |    ORDER BY cosine DESC, neighbor_id) AS rank FROM s) t
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Matryoshka-prefix retrieval audit (Kusupati et al. 2022): rank the
+    // corpus by cosine over the FIRST 16 of 64 dims, compare the top-5
+    // against the full-dim top-5, report per-query recall@5 in basis
+    // points — the "how much ranking survives a 4× cheaper first-pass
+    // scan" question MRL-trained embeddings are deployed on. Both
+    // rankings reuse the capped brute-force scorer (the sim_cosine_topk
+    // discipline: scored pairs = 2 × corpus × |queries|, a CONFIG bound);
+    // at 100 TB the prefix pass is the one that scans the corpus — 4×
+    // less data read and a 4× shorter dot product per candidate.
+    Q("sim_matryoshka_recall",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+          .orderBy(col("vec_id")).limit(40)
+        def pre(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+        val full = Vectors.cosineTopK(emb, qs, 5)
+        val prefix = Vectors.cosineTopK(pre(emb), pre(qs), 5)
+        val hits = full
+          .join(prefix, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+          .withColumn("recall_bp", col("hits") * 2000)
+          .orderBy(col("query_id"))
+      },
+      Some(MatryoshkaOracle)),
 
     // Embedding-space near-dup pairs with cosine ≥ 0.4. The Spark side runs
     // the BANDED variant (16 bands × 2 sign-projections → equi-join on the
