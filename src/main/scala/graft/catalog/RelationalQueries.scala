@@ -871,6 +871,44 @@ object RelationalQueries extends Catalog {
              |count(*) AS n_orders
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // §2.9 typed-Aggregator surface: exact distinct users per event type
+    // via MERGEABLE sparse bitmaps (functions/BitmapAgg.BitmapOrAgg — the
+    // Druid/ClickHouse groupBitmap pattern, registered through
+    // functions.udaf). The OR is order-independent, so partial aggregation
+    // composes across partitions bit-identically to count(DISTINCT); the
+    // popcount stays DECLARATIVE (bit_count folded over map_values — no
+    // UDF in the read path). At 100 TB the point is the per-segment
+    // bitmap is maintainable state: unions fold in new days without
+    // re-touching history, unlike a re-run count(DISTINCT).
+    Q("agg_bitmap_distinct",
+      (s, dir) => load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BitmapAgg.bitmapOr(col("user_id")).as("bm"))
+        .select(col("event_type"),
+          aggregate(map_values(col("bm").getField("words")), lit(0L),
+            (acc, w) => acc + bit_count(w).cast("long")).as("n_users"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Second-level bitmap algebra: AND-fold the per-type bitmaps → users
+    // active in EVERY event type (audience overlap), computed on
+    // sketch-sized state only — the fact table is touched once, by the
+    // first-level OR. Oracle replays it definitionally (HAVING over
+    // distinct types per user).
+    Q("agg_bitmap_intersect",
+      (s, dir) => load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.BitmapAgg.bitmapOr(col("user_id")).as("bm"))
+        .agg(graft.functions.BitmapAgg.bitmapAnd(col("bm").getField("words")).as("common"))
+        .select(
+          aggregate(map_values(col("common").getField("words")), lit(0L),
+            (acc, w) => acc + bit_count(w).cast("long")).as("n_common")),
+      Some("""SELECT count(*)::BIGINT AS n_common FROM (
+             |  SELECT user_id FROM events GROUP BY user_id
+             |  HAVING count(DISTINCT event_type) =
+             |    (SELECT count(DISTINCT event_type) FROM events)) t""".stripMargin)),
+
     // HLL sketch values differ across engines by design, so the raw
     // estimate is not oracle-replayable. Verifiable form: emit the exact
     // count NEXT TO a tolerance verdict on the estimate (|approx − exact| ≤
