@@ -172,6 +172,22 @@ object StreamOps {
       .toDF("user_id", "first_event_id", "first_sec", "then_sec", "gap_sec")
   }
 
+  /** Stream-STATIC enrichment join: each streaming event decorated with a
+    * static dimension row (user profile / segment lookup) — the third leg
+    * of the streaming join taxonomy next to stream-stream
+    * (`clicksAfterSignup`) and the stateful sinks. STATELESS by
+    * construction: the static side needs no watermark and holds no join
+    * state — every micro-batch is a plain batch join, and the dimension is
+    * explicitly `broadcast` so at cluster scale each executor hash-probes
+    * a local map instead of shuffling the event stream (dimension tables
+    * are segment-sized; the 100 TB side must never move for them). LEFT
+    * join: an event whose key is missing from the dimension passes through
+    * with nulls — enrichment must not drop facts.
+    */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+                          key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each `click` joined to the same user's
     * `signup` that happened at most `horizon` earlier. Both sides carry
     * watermarks and the join condition bounds event-time distance, so join

@@ -172,6 +172,28 @@ class StreamOpsSpec extends SparkSpec {
       Set((1L, 1L), (3L, 3L), (3L, 10L)))
   }
 
+  test("enrichWithDimension: stream-static broadcast join equals the batch " +
+      "join; missing keys pass through with nulls") {
+    import org.apache.spark.sql.functions.col
+    // user 9 (the sentinel) is NOT in the dimension — must survive with null
+    val dim = Seq((1L, "gold"), (2L, "trial"), (7L, "gold"))
+      .toDF("user_id", "segment")
+    val streamed = runToMemory(
+      StreamOps.enrichWithDimension(readStreamBatched, dim)
+        .select(col("event_id"), col("user_id"), col("segment")),
+      "enriched", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    val batch = StreamOps.enrichWithDimension(batchEvents, dim)
+      .select(col("event_id"), col("user_id"), col("segment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 6)                       // no fact dropped
+    assert(streamed((99L, 9L, None)))                // unmatched → null
+    assert(streamed((1L, 1L, Some("gold"))))
+  }
+
   test("clicksAfterSignup: stream-stream interval join matches the batch join") {
     val dir = tmpDir("events-join")
     val rows = Seq(
