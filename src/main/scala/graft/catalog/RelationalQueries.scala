@@ -162,6 +162,34 @@ object RelationalQueries extends Catalog {
       |SELECT node, min(dist)::BIGINT AS dist
       |FROM bfs GROUP BY node ORDER BY node""".stripMargin
 
+  // Shared by graph_hub_cost and its stored-index twin: fixed-round
+  // Bellman-Ford to the nearest degree>=4 hub under edge cost
+  // 10000 div support, unrolled one CTE per relaxation (the pageRankBp /
+  // lpa discipline — min() is reduction-order-free, so the trajectory
+  // replays bit-for-bit).
+  private def basketHubCostOracle(rounds: Int): String = {
+    val head =
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |           FROM lineitem),
+        |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+        |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY 1, 2),
+        |e AS (SELECT a, b, 10000 // s AS w FROM pr WHERE s >= 2),
+        |sym AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+        |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+        |d0 AS (SELECT node, 0::BIGINT AS cost FROM deg WHERE d >= 4)""".stripMargin
+    val relax = (1 to rounds).map { i =>
+      s""",
+         |d$i AS (SELECT node, min(cost) AS cost FROM (
+         |  SELECT node, cost FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT s.b AS node, d${i - 1}.cost + s.w AS cost
+         |  FROM d${i - 1} JOIN sym s ON s.a = d${i - 1}.node) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    s"$head$relax\nSELECT node, cost::BIGINT AS cost FROM d$rounds ORDER BY node"
+  }
+
   private val BasketClusteringOracle =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
       |           FROM lineitem),
@@ -1245,6 +1273,32 @@ object RelationalQueries extends Catalog {
           minSeedDegree = 4, maxHops = 3, "item_a", "item_b")
         .orderBy(col("node")),
       Some(BasketBfsOracle)),
+
+    // Weighted sibling of graph_bfs_hops (Graph.minCostHops): 3-round
+    // Bellman-Ford to the nearest hub under edge cost 10000 div support —
+    // strong co-purchase links are cheap, so a chain of strong links can
+    // undercut one weak direct edge (the spec's distinguishing case).
+    // Min-reductions are order-free; the unrolled oracle replays every
+    // relaxation exactly.
+    Q("graph_hub_cost",
+      (s, dir) => graft.ops.Graph.minCostHops(
+          graft.ops.Relational.basketPairs(
+              load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+            .filter(col("support") >= 2)
+            .withColumn("w", expr("10000 div support")),
+          "w", minSeedDegree = 4, rounds = 3, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(basketHubCostOracle(3))),
+
+    // STEADY STATE: Bellman-Ford over the STORED edge table — the
+    // relaxation rounds alone. Same oracle.
+    Q("graph_hub_cost_indexed",
+      (s, dir) => graft.ops.Graph.minCostHops(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2)
+            .withColumn("w", expr("10000 div support")),
+          "w", minSeedDegree = 4, rounds = 3, "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(basketHubCostOracle(3))),
 
     // Per-segment exact OLS spend trend (Relational.groupTrend): ONE keyed
     // aggregation of five Decimal(38,0) moment sums (DuckDB HUGEINT — n·Σxy

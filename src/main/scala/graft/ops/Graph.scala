@@ -339,6 +339,53 @@ object Graph {
     visited
   }
 
+  /** Fixed-round Bellman-Ford relaxation over CANONICAL WEIGHTED undirected
+    * edges (`a` < `b`, distinct, integer `weightCol` ≥ 0): cheapest total
+    * cost from every node to its nearest degree-≥`minSeedDegree` hub,
+    * reachable within `rounds` relaxations. The weighted sibling of
+    * `bfsHops` — hop count asks "how far", this asks "how expensive" under
+    * an edge cost like `10000 div support` (strong co-purchase links are
+    * cheap to traverse). All-long arithmetic and min() reductions, so the
+    * per-round trajectory is reduction-order-FREE and an unrolled-CTE
+    * oracle replays it exactly (the pageRankBp discipline).
+    *
+    * Scale shape: the weighted symmetric adjacency is pre-shuffled and
+    * cached on the relaxation join key once; each round is one keyed join
+    * (reached ⋈ edges) + one min-aggregate over (previous ∪ candidates) —
+    * node-sized exchanges only, edges never move after the build. Each
+    * round's frame is referenced twice (carry + expand) so it
+    * `localCheckpoint`s, and the edge cache drops on exit — zero retained
+    * frames per call.
+    */
+  def minCostHops(edges: DataFrame, weightCol: String, minSeedDegree: Int,
+                  rounds: Int, a: String = "a", b: String = "b"): DataFrame = {
+    require(minSeedDegree >= 1,
+      s"minSeedDegree must be >= 1, got $minSeedDegree")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e0 = edges.select(col(a).cast("long").as("a"),
+      col(b).cast("long").as("b"), col(weightCol).cast("long").as("w"))
+    val sym = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .repartition(col("a")).sortWithinPartitions(col("a"))
+      .persist(MEMORY_ONLY)
+    sym.count()
+    var reached = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") >= minSeedDegree)
+      .select(col("node"), lit(0L).as("cost"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = sym.join(reached, col("a") === col("node"))
+        .select(col("b").as("node"), (col("cost") + col("w")).as("cost"))
+      reached = reached.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    reached
+  }
+
   /** Fixed-round k-core peeling over CANONICAL undirected edges
     * (`a` < `b`, distinct): each round drops every node whose degree in
     * the CURRENT residual graph is < `k`, plus all its edges. Output:

@@ -227,6 +227,34 @@ class GraphSpec extends SparkSpec {
       "bfsHops result must be checkpoint-backed, not a per-round join plan")
   }
 
+  test("minCostHops: cheap multi-hop path beats expensive direct edge, " +
+      "round truncation, seedless components absent") {
+    // Hub 1 (degree 4). Node 6 is reachable directly for 100 or via the
+    // cheap chain 1—2—5—6 for 10+1+1=12 — but the chain needs 3
+    // relaxations. Disjoint edge 8—9 has no seed.
+    val und = Seq((1L, 2L, 10L), (1L, 3L, 10L), (1L, 4L, 10L),
+      (2L, 5L, 1L), (5L, 6L, 1L), (1L, 6L, 100L), (8L, 9L, 5L))
+      .toDF("a", "b", "w")
+    def run(rounds: Int) =
+      Graph.minCostHops(und, "w", 3, rounds).as[(Long, Long)].collect().toMap
+    assert(run(0) == Map(1L -> 0L))
+    assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 10L, 4L -> 10L,
+      6L -> 100L, 5L -> 11L))
+    // third relaxation: the chain undercuts the direct edge
+    assert(run(3) == Map(1L -> 0L, 2L -> 10L, 3L -> 10L, 4L -> 10L,
+      6L -> 12L, 5L -> 11L))
+    assert(run(4) == run(3)) // converged
+    // lifecycle: cache dropped, result checkpoint-backed
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.catalog.clearCache()
+    val out = Graph.minCostHops(und, "w", 3, 3)
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "minCostHops must unpersist its adjacency cache on exit")
+    assert(out.queryExecution.analyzed.collect { case j: Join => j }.isEmpty,
+      "minCostHops result must be checkpoint-backed")
+  }
+
   test("kCore: hand-traced peel cascade, round truncation, convergence") {
     // triangle {1,2,3} + pendant chain 3—4—5 + isolated edge 6—7
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
