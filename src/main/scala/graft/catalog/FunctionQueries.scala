@@ -371,6 +371,30 @@ object FunctionQueries extends Catalog {
                s"least(greatest(${cents("value")}, 0), 65535)"), 16)} AS zval
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Hilbert clustering key over the same (user_id, value-cents) plane:
+    // strictly better locality than the Morton code above — consecutive
+    // h-values are always grid-adjacent cells (LayoutSpec proves the
+    // bijection + unit-step adjacency), so contiguous h-ranges are tighter
+    // 2-D boxes → tighter parquet footer min/max per file. The 16-level
+    // MSB-first fold is one projection per level (multi-referenced, so the
+    // optimizer cannot inline it into a 2^16-node tree); the oracle's
+    // chained CTEs are GENERATED BY THE SAME per-level arithmetic
+    // (Layout.hilbertLevelSql), pinning expression and twin bit-for-bit.
+    Q("layout_hilbert_hvalue",
+      (s, dir) => Layout.withHValue(
+          load(s, dir, "events").select(col("event_id"),
+            Layout.clampBits(col("user_id"), 16).as("hx"),
+            Layout.clampBits(Exact.cents(col("value")), 16).as("hy")),
+          col("hx"), col("hy"), 16)
+        .select(col("event_id"), col("hval"))
+        .orderBy(col("event_id")),
+      Some(s"""WITH ${Layout.hValueSqlCtes(
+               "least(greatest(user_id, 0), 65535)",
+               s"least(greatest(${cents("value")}, 0), 65535)",
+               16, Seq("event_id"), "events")}
+             |SELECT event_id, d AS hval FROM h16
+             |ORDER BY event_id""".stripMargin)),
+
     // Exact A/B readout (EventOps.abLift): deterministic user_id%2 arms,
     // purchase conversion, floor-bp rates/lift, and the 2×2 χ² as an
     // exact Decimal/HUGEINT num ÷ den with one double division.

@@ -45,6 +45,42 @@ class LayoutSpec extends SparkSpec {
     assert(viaExpr == viaSql)
   }
 
+  test("withHValue is a true Hilbert curve: bijection + unit-step adjacency") {
+    // all 256 cells of the 16x16 grid (bits=4): h must be a permutation of
+    // 0..255 AND consecutive h-values must be GRID-ADJACENT cells
+    // (|dx|+|dy| = 1) — the defining property no Morton curve has, and one
+    // only a correct Hilbert fold passes.
+    val bits = 4
+    val cells = for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong)
+    val got = Layout.withHValue(cells.toDF("x", "y"), col("x"), col("y"), bits)
+      .select(col("hval"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 256L))
+    got.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"h-consecutive cells ($x1,$y1)->($x2,$y2) are not grid-adjacent")
+    }
+    // the bits=1 base case, pinned by hand: U-shape 00->01->11->10
+    val base = Layout.withHValue(
+        Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+        col("x"), col("y"), 1)
+      .select(col("x"), col("y"), col("hval"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(base == Set((0L, 0L, 0L), (0L, 1L, 1L), (1L, 1L, 2L), (1L, 0L, 3L)))
+  }
+
+  test("hValueSqlCtes is the exact textual twin of withHValue") {
+    val df = Seq((3L, 200L), (77L, 13L), (255L, 1L), (0L, 0L), (129L, 66L))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("hv_twin")
+    val viaExpr = Layout.withHValue(df, col("a"), col("b"), 8)
+      .select(col("a"), col("hval")).as[(Long, Long)].collect().toMap
+    val ctes = Layout.hValueSqlCtes("a", "b", 8, Seq("a"), "hv_twin")
+    val viaSql = spark.sql(s"WITH $ctes SELECT a, d AS hval FROM h8")
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaSql)
+  }
+
   test("z-ordered layout prunes a 2-D box to fewer files than 1-D sort") {
     // deterministic 128x128 grid, both coordinates uniform in [0,127]
     val grid = spark.range(128L * 128L)
