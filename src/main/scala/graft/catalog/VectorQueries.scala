@@ -33,6 +33,45 @@ object VectorQueries extends Catalog {
     round6Sql(
       s"${dotPreSql(a, b)} / (sqrt(${dotPreSql(a, a)}) * sqrt(${dotPreSql(b, b)}))")
 
+  // vector_kcenter_coreset: the greedy max-min trajectory replayed round
+  // by round — one argmax CTE per selection (the BPE/pageRank unroll
+  // discipline), min-distance state folded ONE new center per round
+  // exactly like the Spark side.
+  private def kCenterOracle(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(64), j -> ($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1])))"
+    val head =
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> floor(x * 1000000.0 + 0.5)::BIGINT) AS sv
+         |  FROM embeddings),
+         |s1 AS (SELECT vec_id, sv FROM v ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT v.vec_id, v.sv, ${d2("v.sv", "s.sv")} AS mind2
+         |  FROM v, s1 s)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val pick =
+        s""",
+           |p$r AS (SELECT vec_id, mind2 FROM m${r - 1}
+           |  ORDER BY mind2 DESC, vec_id LIMIT 1)""".stripMargin
+      val fold = if (r < k)
+        s""",
+           |s$r AS (SELECT v.vec_id, v.sv FROM v JOIN p$r USING (vec_id)),
+           |m$r AS (SELECT m.vec_id, m.sv,
+           |    least(m.mind2, ${d2("m.sv", "s.sv")}) AS mind2
+           |  FROM m${r - 1} m, s$r s)""".stripMargin
+      else ""
+      pick + fold
+    }.mkString
+    val out = (2 to k)
+      .map(r => s"UNION ALL SELECT $r, vec_id, mind2 FROM p$r")
+      .mkString("\n")
+    s"""$head$rounds
+       |SELECT sel_round::BIGINT AS sel_round, vec_id, dist2::BIGINT AS dist2
+       |FROM (
+       |  SELECT 1 AS sel_round, vec_id, 0 AS dist2 FROM s1
+       |$out) t ORDER BY sel_round""".stripMargin
+  }
+
   // sim_matryoshka_recall: both rankings (full 64-dim and prefix 16-dim)
   // replayed in SQL over the capped query set, overlap counted per query.
   private lazy val MatryoshkaOracle =
@@ -215,6 +254,18 @@ object VectorQueries extends Catalog {
           .orderBy(col("query_id"))
       },
       Some(MatryoshkaOracle)),
+
+    // Greedy k-center coreset (Gonzalez 1985): 8 exemplars covering the
+    // embedding space by max-min selection — the diverse-subset curation
+    // primitive (facility-location cousin of SemDeDup's keep-one-per-
+    // cluster). Exact scaled-integer distances make every round's argmax
+    // bit-replayable; the oracle unrolls one pick CTE per round and folds
+    // the min-distance state one center at a time, exactly like the Spark
+    // side (O(n·d) per round, never O(n·k·d)).
+    Q("vector_kcenter_coreset",
+      (s, dir) => Vectors.kCenterGreedy(load(s, dir, "embeddings"), 8)
+        .orderBy(col("sel_round")),
+      Some(kCenterOracle(8))),
 
     // Embedding-space near-dup pairs with cosine ≥ 0.4. The Spark side runs
     // the BANDED variant (16 bands × 2 sign-projections → equi-join on the

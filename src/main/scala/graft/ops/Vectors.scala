@@ -1003,4 +1003,48 @@ object Vectors {
     Relational.topKPerGroup(sym, Seq(col("src")),
       Seq(col("cosine").desc, col("dst").asc), k, rankCol = "rank")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985, the 2-approximation): seed =
+    * smallest id, then k−1 rounds of "pick the vector FARTHEST from the
+    * chosen set" (max-min squared L2, ties to the smaller id) — the
+    * diverse-subset selection curation uses to cover an embedding space
+    * with a few exemplars (the facility-location cousin of SemDeDup's
+    * keep-one-per-cluster). Distances are EXACT scaled-integer
+    * (`ProductQuantizer.scaledMicro` components, native long Σ(a−b)²
+    * kernel), so every round's argmax is bit-replayable cross-engine.
+    * Output: `(sel_round, vec_id, dist2)` — dist2 in micro²-units, 0 for
+    * the seed, each later row's dist2 = its max-min distance AT SELECTION.
+    *
+    * Scale shape: the min-distance state folds ONE new center per round —
+    * `mind2 ← least(mind2, d²(v, newest))` is a broadcast-literal narrow
+    * map over the corpus (O(n·d) per round, never O(n·k·d)), followed by a
+    * 1-row argmax (TakeOrdered — the BPE-argmax collect pattern, k rows
+    * total on the driver). State is `localCheckpoint`ed per round: it is
+    * referenced by both the fold and the argmax, and k rounds of lazy
+    * lineage would re-scan the scaled projection k times on failure.
+    */
+  def kCenterGreedy(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      ProductQuantizer.scaledMicro(col(vecCol)).as("sv")).localCheckpoint()
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("sv")).collect()(0)
+    var newest = seed.getSeq[Long](1)
+    val picks = scala.collection.mutable.ListBuffer((1L, seed.getLong(0), 0L))
+    var state = base.withColumn("mind2", lit(Long.MaxValue))
+    for (r <- 2L to k.toLong) {
+      state = state.withColumn("mind2",
+          least(col("mind2"), graft.functions.ArrayMath.sqDistLongNative(
+            col("sv"), typedLit(newest))))
+        .localCheckpoint()
+      val top = state.orderBy(col("mind2").desc, col("vec_id"))
+        .select(col("vec_id"), col("mind2"), col("sv")).limit(1).collect()(0)
+      picks += ((r, top.getLong(0), top.getLong(1)))
+      newest = top.getSeq[Long](2)
+    }
+    picks.toSeq.toDF("sel_round", "vec_id", "dist2")
+  }
 }

@@ -598,4 +598,24 @@ class DedupVectorsSpec extends SparkSpec {
     assert(got((1L, 1))._2 == 1.0 && got((1L, 2))._2 == 1.0)
     assert(got.size == 4)
   }
+
+  test("kCenterGreedy: hand-traced max-min trajectory on a line, ties to " +
+      "smaller id, k=1 returns the seed") {
+    // points 0, 1, 10, 11 on a line; seed = smallest id (value 0).
+    // round 2 picks value 11 (farthest); then values 1 and 10 are both at
+    // min-dist² (1e6)² from the chosen set → tie breaks to id 2, then 3.
+    val emb = Seq(
+      (1L, Array(0f)), (2L, Array(1f)), (3L, Array(10f)), (4L, Array(11f)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.kCenterGreedy(emb, 4)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val u = 1000000L // micro-unit scale
+    assert(got == Seq(
+      (1L, 1L, 0L),
+      (2L, 4L, 11L * u * 11L * u),
+      (3L, 2L, u * u),
+      (4L, 3L, u * u)))
+    assert(Vectors.kCenterGreedy(emb, 1).as[(Long, Long, Long)]
+      .collect().toSeq == Seq((1L, 1L, 0L)))
+  }
 }
