@@ -395,6 +395,27 @@ object FunctionQueries extends Catalog {
              |SELECT event_id, d AS hval FROM h16
              |ORDER BY event_id""".stripMargin)),
 
+    // Exact per-user TWAP (EventOps.twapCents): last-observation-carried-
+    // forward integral over each user's observed span — the irregular-
+    // time-series readout a plain AVG gets wrong (bursts over-weighted).
+    // All-long cents×seconds with one truncating division; one keyed
+    // window + one keyed sum, no global window.
+    Q("events_twap",
+      (s, dir) => graft.ops.EventOps.twapCents(load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec,
+             |    ${cents("value")} AS cents FROM events),
+             |x AS (SELECT user_id, sec, cents,
+             |    lead(sec) OVER (PARTITION BY user_id
+             |      ORDER BY sec, event_id) AS nxt FROM e),
+             |g AS (SELECT user_id,
+             |    sum(cents * (nxt - sec)) AS num, sum(nxt - sec) AS den
+             |  FROM x WHERE nxt IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, (num // den)::BIGINT AS twap_cents,
+             |  den::BIGINT AS span_sec
+             |FROM g WHERE den > 0 ORDER BY user_id""".stripMargin)),
+
     // Exact A/B readout (EventOps.abLift): deterministic user_id%2 arms,
     // purchase conversion, floor-bp rates/lift, and the 2×2 χ² as an
     // exact Decimal/HUGEINT num ÷ den with one double division.

@@ -62,6 +62,37 @@ object EventOps {
         unix_timestamp(col("w.end")).as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Exact per-user TWAP (time-weighted average value) over irregular
+    * samples: each observation holds (last-observation-carried-forward)
+    * until the user's NEXT event, so its weight is that interval in
+    * seconds — `Σ cents·Δsec div Σ Δsec`, the integral of the step
+    * function over the user's observed span. The canonical irregular-
+    * time-series readout (a plain AVG over-weights bursts). All-long
+    * arithmetic on cents × seconds with one truncating division at the
+    * end (values are NON-NEGATIVE in this corpus; a signed-value corpus
+    * would need the pmod-floor discipline). Users whose events all share
+    * one second (zero span) are excluded — the integral is undefined.
+    *
+    * Scale shape: one user-keyed window for `lead` (keyed shuffle), one
+    * user-keyed sum — no global window, no state beyond the group.
+    */
+  def twapCents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        Exact.cents(col("value")).as("cents"))
+      .withColumn("nxt", lead(col("sec"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * (col("nxt") - col("sec"))).as("num"),
+        sum(col("nxt") - col("sec")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), expr("num div den").as("twap_cents"),
+        col("den").as("span_sec"))
+  }
+
   /** Deterministic stream-style dedup: earliest event per (user_id,
     * event_type) — the batch shape of `dropDuplicates` with a defined
     * survivor (streaming keeps the first arrival; batch must pin order).

@@ -297,6 +297,35 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("twapCents: LOCF integral, burst under-weighting vs AVG, zero-span " +
+      "and single-event users excluded") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: 1.00 held 100 s, then 3.00 held 900 s (last event bounds the
+      // span) → (100·100 + 300·900) div 1000 = 280 cents — a plain AVG
+      // of the three samples would say 233
+      (1L, 10L, ts(0), "view", 1.0),
+      (1L, 11L, ts(100), "view", 3.0),
+      (1L, 12L, ts(1000), "view", 5.0),
+      // u2: a 2-second burst of 9.00s, then 1.00 held 998 s
+      // → (900·1 + 900·1 + 100·998) div 1000 = 101 — a plain AVG of the
+      // four samples would say 500
+      (2L, 20L, ts(0), "view", 9.0),
+      (2L, 21L, ts(1), "view", 9.0),
+      (2L, 22L, ts(2), "view", 1.0),
+      (2L, 23L, ts(1000), "view", 1.0),
+      // u3: single event — no interval, excluded
+      (3L, 30L, ts(50), "view", 4.0),
+      // u4: two events in the SAME second — zero span, excluded
+      (4L, 40L, ts(70), "view", 2.0),
+      (4L, 41L, ts(70), "view", 8.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.twapCents(events)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t, s) => u -> ((t, s)) }.toMap
+    assert(got == Map(1L -> ((280L, 1000L)), 2L -> ((101L, 1000L))))
+  }
+
   test("funnelSessions: conversion only counts inside one session") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
     val events = Seq(
