@@ -172,6 +172,46 @@ object StreamOps {
       .toDF("user_id", "first_event_id", "first_sec", "then_sec", "gap_sec")
   }
 
+  /** Streaming twin of `EventOps.twapCents` — the LOCF time-weighted
+    * average as BOUNDED custom state: per user, state is only
+    * (last observation, running Σcents·Δsec, running Σ Δsec) — four longs,
+    * regardless of event count. Each micro-batch folds its events in
+    * (sec, event_id) order and emits the user's RUNNING
+    * (twap_cents, span_sec); the latest emission per user equals the batch
+    * operator over everything seen so far. Equality requires each user's
+    * events to arrive in order ACROSS micro-batches (the per-key-ordered-
+    * log deployment shape, same contract as `sequenceMatchStream`);
+    * within a batch arrival order is irrelevant (events sort first).
+    */
+  final case class TwapState(lastSec: Long, lastCents: Long,
+                             num: Long, den: Long)
+  def twapStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), Exact.cents(col("value")).as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TwapState, (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, sec, cents) =>
+            s = if (s == null) TwapState(sec, cents, 0L, 0L)
+            else TwapState(sec, cents,
+              s.num + s.lastCents * (sec - s.lastSec),
+              s.den + (sec - s.lastSec))
+          }
+          if (s == null) Iterator.empty
+          else {
+            state.update(s)
+            if (s.den > 0) Iterator((uid, s.num / s.den, s.den))
+            else Iterator.empty
+          }
+      }
+      .toDF("user_id", "twap_cents", "span_sec")
+  }
+
   /** Stream-STATIC enrichment join: each streaming event decorated with a
     * static dimension row (user profile / segment lookup) — the third leg
     * of the streaming join taxonomy next to stream-stream

@@ -105,6 +105,19 @@ class LayoutSpec extends SparkSpec {
     assert(zNeeded < linNeeded,
       s"z-order needed $zNeeded files, 1-D sort $linNeeded — no pruning win")
 
+    // Hilbert layout on the same grid: unit-step adjacency means file
+    // boundaries never take the Morton curve's diagonal jumps, so the box
+    // needs no MORE files than Morton (and beats 1-D outright)
+    val hDir = tmpDir("layout_h")
+    Layout.writeZOrdered(
+      Layout.withHValue(grid, col("x"), col("y"), 7), hDir, col("hval"), files)
+    val hNeeded = Layout.filesNeeded(
+      Layout.fileColumnRanges(spark, hDir, Seq("x", "y")), box)
+    assert(hNeeded > 0 && hNeeded <= zNeeded,
+      s"hilbert needed $hNeeded files vs morton $zNeeded — locality loss")
+    assert(hNeeded < linNeeded,
+      s"hilbert needed $hNeeded files, 1-D sort $linNeeded — no pruning win")
+
     // and both layouts return identical rows for the box (layout is
     // organization, never semantics)
     def boxCount(dir: String): Long =

@@ -194,6 +194,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed((1L, 1L, Some("gold"))))
   }
 
+  test("twapStream: running LOCF integral, latest emission per user equals " +
+      "the batch operator across micro-batch boundaries") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("twap-events")
+    def ev(id: Long, sec: Long, uid: Long, v: Double) =
+      s"""{"event_id":$id,"ts":"${java.time.Instant.ofEpochSecond(sec)}",""" +
+        s""""user_id":$uid,"event_type":"view","value":$v,"props":"{}"}"""
+    // batch 1: u1 two observations; u2 one (no span yet)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part1.json"), Seq(
+      ev(1, 0, 1, 1.0), ev(2, 100, 1, 3.0),
+      ev(3, 0, 2, 9.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5)
+    // batch 2: u1 extends the span (state carries 3.00 from batch 1);
+    // u2 gets its first interval
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part2.json"), Seq(
+      ev(4, 1000, 1, 5.0),
+      ev(5, 10, 2, 1.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val streamed = runToMemory(
+      StreamOps.twapStream(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)),
+      "twap", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // latest emission per user = max span (the running den only grows)
+    val latest = streamed.groupBy(_._1).map { case (u, rows) =>
+      val r = rows.maxBy(_._3); u -> ((r._2, r._3)) }
+    val batch = EventOps.twapCents(
+        spark.read.schema(schema).json(dir))
+      .select(col("user_id"), col("twap_cents"), col("span_sec"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(latest == batch)
+    // the cross-batch fold itself: u1 = (100*100 + 300*900) div 1000 = 280
+    assert(latest(1L) == ((280L, 1000L)))
+    // u2's first batch emitted nothing (zero span); batch 2 gives 900*10/10
+    assert(latest(2L) == ((900L, 10L)))
+    assert(!streamed.exists(r => r._1 == 2L && r._3 == 0L))
+  }
+
   test("clicksAfterSignup: stream-stream interval join matches the batch join") {
     val dir = tmpDir("events-join")
     val rows = Seq(
