@@ -413,6 +413,29 @@ class PlanContractSpec extends SparkSpec {
         s"(got ${fhEx.size} exchanges)")
   }
 
+  test("BFS / Bellman-Ford stored-edge twins never touch the fact table") {
+    // the _indexed twins' whole claim is steady state: frontier /
+    // relaxation rounds over the stored co-purchase edges ONLY — a
+    // lineitem scan would mean the edge build snuck back in. (bfsHops /
+    // minCostHops execute eagerly, so inspect the scans their session
+    // performed via the checkpoint-backed result's origin: assert instead
+    // on the INPUT frames the catalog passes them.)
+    val dirL = "/root/testdata/sf0.001"
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.metadata("Location")
+      }
+    spark.catalog.clearCache()
+    val stored = catalog.StoredIndexes.basketEdges(spark, dirL)
+    assert(!scansOf(stored).exists(_.contains("lineitem")),
+      "stored basketEdges must read the edge table, not lineitem")
+    val rebuilt = graft.ops.Relational.basketPairs(
+      graft.tables.Tables.load(spark, dirL, "lineitem"),
+      "l_orderkey", "l_partkey")
+    assert(scansOf(rebuilt).exists(_.contains("lineitem")),
+      "the rebuild sibling's input IS the lineitem scan")
+  }
+
   test("NOT IN plans a null-aware BROADCAST hash anti join, never the " +
       "nested-loop fallback") {
     val p = q("join_anti_null_aware")
