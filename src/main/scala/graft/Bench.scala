@@ -113,8 +113,31 @@ object Bench {
       try (1 to n).foreach(_ => canarySamples += canaryOnce())
       catch { case _: Throwable => }
     sampleCanary(3)
+    // --- Spill telemetry ------------------------------------------------
+    // Sum of task-level memory+disk spill, attributed per query by
+    // snapshotting around each timed run (listener bus drained first —
+    // delivery is async). This is the memory-pressure evidence the scale
+    // story needs: under a deliberately small heap (SPARK_DRIVER_MEM=4g
+    // protocol, BASELINE.md) the heavy queries must SPILL here, not OOM.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            ()
+          }
+        }
+      })
+    def drainBus(): Unit =
+      try org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
+      catch { case _: Throwable => }
     def timeOne(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+        org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
+      drainBus()
+      val s0 = spillBytes.get()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -122,7 +145,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      (dt, ok, spillBytes.get() - s0)
     }
     // This box's run-to-run noise is 2-10x per query (BASELINE.md records
     // the same machine measuring a 40s workload at 152s; round-3 judging
@@ -167,13 +192,14 @@ object Bench {
       // this (never re-derived from text), which is the steady-state
       // contract anyway.
       spark.catalog.clearCache()
-      val (t1, ok1) = timeOne(name, fn)
+      val (t1, ok1, sp1) = timeOne(name, fn)
       // A failed query is not re-run: its failure must stay visible, not
       // be averaged with retries.
-      val base = if (!ok1) Seq((t1, ok1)) else (t1, ok1) +: (2 to runs).map { _ =>
-        spark.catalog.clearCache()
-        timeOne(name, fn)
-      }
+      val base = if (!ok1) Seq((t1, ok1, sp1))
+        else (t1, ok1, sp1) +: (2 to runs).map { _ =>
+          spark.catalog.clearCache()
+          timeOne(name, fn)
+        }
       // Burst rescue: one extra repeat when this query's own repeats
       // disagree by > spreadBound — the median then has a majority of
       // undisturbed samples even if one landed inside a burst.
@@ -188,7 +214,9 @@ object Bench {
       val median =
         if (sorted.size % 2 == 1) sorted(sorted.size / 2)
         else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-      (name, median, all.forall(_._2), ts)
+      // Per-query spill: max across repeats (repeats are same-shape; max
+      // is the conservative per-run footprint, immune to a lucky run)
+      (name, median, all.forall(_._2), ts, all.map(_._3).max)
     }
     sampleCanary(3)
     val loadAfter = loadavg()
@@ -198,7 +226,7 @@ object Bench {
       else 0.0
     // Per-query repeat spread (max/min) — lets a reader see exactly WHICH
     // timings were noise-dominated without re-running anything.
-    val spreads = results.filter(_._4.size > 1).map { case (k, _, _, ts) =>
+    val spreads = results.filter(_._4.size > 1).map { case (k, _, _, ts, _) =>
       (k, spreadOf(ts))
     }
     val maxSpread = if (spreads.nonEmpty) spreads.map(_._2).max else 0.0
@@ -237,17 +265,25 @@ object Bench {
       s" (>3x) or max query spread ${r3(maxSpread)}x (>${spreadBound}x); " +
       s"medians are inflated by external load. Idle-estimate total " +
       s"(sum of per-query min) = ${r3(totalMin)}s.")
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val timings = results.map { case (k, _, _, ts) =>
+    val timings = results.map { case (k, _, _, ts, _) =>
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Spill ledger: per-query max-across-repeats task spill (mem+disk),
+    // nonzero entries only; total = sum of those maxima. Zero everywhere
+    // under the default 8g heap at sf0.1; the SPARK_DRIVER_MEM=4g sf1
+    // protocol reads these to prove heavy queries degrade by SPILLING.
+    val spilled = results.filter(_._5 > 0).map { case (k, _, _, _, sp) =>
+      "\"" + k + "\":" + sp
+    }.mkString("{", ",", "}")
+    val spilledTotal = results.map(_._5).sum
     // a failed query must be visible, not folded in as a fast success
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,$contentionJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,$contentionJson,"spilled_bytes":$spilledTotal,"spilled":$spilled,"sf":"$sfDir"}"""
     // Full per-query JSON: one line for the log, and a FILE for programmatic
     // reads — the driver captures only the last ~2000 chars of stdout, which
     // a >2500-char 80-query line overflows (BENCH_r1..r4 all have
@@ -291,7 +327,7 @@ object Bench {
     // unparseable overflow (which is how BENCH_r1..r4 were lost).
     def compactLine(topN: Int): String = {
       val slowest = results.sortBy(-_._2).take(topN)
-        .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+        .map { case (k, v, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(totalMin)},"contended":$contended,"canary_spread":${r3(canarySpread)},"canary_median":${r3(canaryMedian)},"loadavg":"$loadBefore -> $loadAfter","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }

@@ -877,6 +877,28 @@ object RelationalQueries extends Catalog {
              |       ELSE 'shuffle' END AS strategy
              |FROM s, x""".stripMargin)),
 
+    // Estimator-driven join routing (Relational.autoJoin): the strategy is
+    // CHOSEN by the histogram verdict at runtime — customer's 1.5k rows at
+    // sf0.01 route this through the broadcast arm; at sf1 (150k rows,
+    // uniform keys) the same call routes to plain shuffle — and the result
+    // is the plain inner join under EVERY routing, which is exactly what
+    // the oracle checks (plan contracts pin the per-arm physical shapes).
+    Q("join_auto_strategy",
+      (s, dir) => Relational.autoJoin(
+          load(s, dir, "orders").select(col("o_custkey").as("custkey"),
+            col("o_totalprice"), col("o_orderstatus")),
+          load(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment")),
+          Seq("custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dollars(sum(Exact.cents(col("o_totalprice")))).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+             |sum(${cents("o_totalprice")})::DOUBLE / 100.0 AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("agg_count_rows",
       (s, dir) => Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
         .map(t => load(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
@@ -2227,6 +2249,39 @@ object RelationalQueries extends Catalog {
            |SELECT node, rank_bp::BIGINT AS rank_bp FROM r3
            |ORDER BY node""".stripMargin
       }),
+
+    // Convergence-terminated PageRank (ops/Graph.pageRankBpConverged):
+    // the stop rule is "state repeated" (exact integer fixpoint, or the
+    // period-2 cycle truncating division produces), detected by an
+    // order-independent xxhash64 state signature — ONE node-sized agg per
+    // round, no join. Runs on the nation-level trade graph (≤ 50 nodes,
+    // dense — rounds are node-sized jobs) so the round count stays small
+    // at every SF. Registered rows-only: a static unrolled CTE cannot
+    // know the round count ahead of time — the fixed-round sibling
+    // `graph_pagerank` carries the bit-exact oracle for the recurrence,
+    // and GraphSpec pins converged ≡ fixed-round-at-roundsRun.
+    Q("graph_pagerank_converged",
+      (s, dir) => {
+        val edges = load(s, dir, "lineitem")
+          .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(load(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(load(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select((col("s_nationkey") * 2).as("src"),
+            (col("c_nationkey") * 2 + 1).as("dst"))
+        val (ranks, rounds) = graft.ops.Graph.pageRankBpConvergedWithRounds(
+          graft.ops.Graph.undirect(edges), maxIters = 24)
+        ranks.select(
+            when(col("node") % 2 === 0,
+                concat(lit("sn"), expr("node div 2").cast("string")))
+              .otherwise(
+                concat(lit("cn"), expr("(node - 1) div 2").cast("string")))
+              .as("node"),
+            col("rank_bp"), lit(rounds).as("rounds_run"))
+          .orderBy(col("node"))
+      },
+      None),
 
     // Exact equi-depth histogram over order prices — the equal-FREQUENCY
     // sibling of agg_histogram's equal-width buckets. Spark computes it

@@ -984,6 +984,33 @@ object TextQueries extends Catalog {
              |  FROM f a JOIN f b ON a.doc_id < b.doc_id) p
              |WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming""".stripMargin)),
 
+    // LSH candidate-budget pre-flight (Dedup.simHashCandidateBudget): the
+    // pre-distinct pair fan-out Σ C(bucket, 2) of the 4×8-bit simhash
+    // banding, from ONE O(n) keyed count — no self-join. This is the probe
+    // a 100 TB operator runs to decide when the band knobs must widen
+    // (BASELINE.md sf10 decade table: fixed knobs densify ~quadratically,
+    // scaled knobs restore ~linear candidates). Oracle replays the
+    // fingerprints and the bucket combinatorics exactly.
+    Q("dedup_simhash_budget",
+      (s, dir) => Dedup.simHashCandidateBudget(load(s, dir, "documents")),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(range(1, 33), i ->
+             |      CASE WHEN list_sum(list_transform(hs, h ->
+             |        CASE WHEN substr(h, i, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+             |      THEN '1' ELSE '0' END), '') AS fp
+             |  FROM (SELECT doc_id, list_transform($TokSet, t -> md5(t)) AS hs
+             |        FROM documents) t),
+             |c AS (SELECT count(*) AS c FROM (
+             |    SELECT doc_id, k::VARCHAR || ':' || substr(fp, k * 8 + 1, 8) AS bkey
+             |    FROM f, (SELECT unnest(range(4)) AS k) ks) b
+             |  GROUP BY bkey)
+             |SELECT (SELECT count(*) FROM f)::BIGINT AS n_docs,
+             |  (SELECT count(*) FROM c)::BIGINT AS n_buckets,
+             |  (SELECT max(c) FROM c)::BIGINT AS max_bucket,
+             |  (SELECT coalesce(sum((c * (c - 1)) // 2), 0) FROM c)::BIGINT
+             |    AS cand_pairs""".stripMargin)),
+
     // X3c: exact n-gram (3-shingle) Jaccard pairs ≥ 0.6 per language.
     // The Spark side prunes the O(n²) scan with LOSSLESS PPJoin prefix
     // filtering (rarest ⌊0.4·n⌋+2 shingles — the +2, not the textbook +1,

@@ -49,9 +49,14 @@ object VectorQueries extends Catalog {
          |m1 AS (SELECT v.vec_id, v.sv, ${d2("v.sv", "s.sv")} AS mind2
          |  FROM v, s1 s)""".stripMargin
     val rounds = (2 to k).map { r =>
+      // mirror the Spark side's picked-id exclusion (see kCenterGreedy):
+      // prior picks are s1 plus p2..p_{r-1}
+      val picked = (s"SELECT vec_id FROM s1" +:
+        (2 until r).map(i => s"SELECT vec_id FROM p$i")).mkString(" UNION ALL ")
       val pick =
         s""",
            |p$r AS (SELECT vec_id, mind2 FROM m${r - 1}
+           |  WHERE vec_id NOT IN ($picked)
            |  ORDER BY mind2 DESC, vec_id LIMIT 1)""".stripMargin
       val fold = if (r < k)
         s""",
@@ -283,6 +288,35 @@ object VectorQueries extends Catalog {
              |    ${cosSql("a.e", "b.e")} AS cosine
              |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
              |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Sign-LSH candidate-budget pre-flight (Vectors.cosineBandCandidateBudget)
+    // — the simhash-budget twin for the cosine family: Σ C(bucket, 2) over
+    // the 16 bands × 2-plane sign buckets, one O(n) projection pass + one
+    // keyed count, no self-join. The oracle rebuilds the md5 hyperplanes
+    // and replays the bucket combinatorics (same sign-replay idiom as
+    // sim_ann_lsh).
+    Q("vector_band_budget",
+      (s, dir) => Vectors.cosineBandCandidateBudget(load(s, dir, "embeddings")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |signs AS (
+             |  SELECT list(CASE WHEN substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 1) >= '8'
+             |    THEN 1.0 ELSE -1.0 END ORDER BY p * 64 + d) AS m
+             |  FROM (SELECT unnest(range(32)) AS p) pp, (SELECT unnest(range(64)) AS d) dd),
+             |b AS (
+             |  SELECT vec_id,
+             |    array_to_string(list_transform(range(32), p ->
+             |      CASE WHEN list_sum(list_transform(range(1, 65), i -> e[i] * m[p * 64 + i])) > 0
+             |      THEN '1' ELSE '0' END), '') AS bits
+             |  FROM v, signs),
+             |c AS (SELECT count(*) AS c FROM (
+             |    SELECT vec_id, k::VARCHAR || ':' || substr(bits, k * 2 + 1, 2) AS bkey
+             |    FROM b, (SELECT unnest(range(16)) AS k) ks) t
+             |  GROUP BY bkey)
+             |SELECT (SELECT count(*) FROM v)::BIGINT AS n_vecs,
+             |  (SELECT count(*) FROM c)::BIGINT AS n_buckets,
+             |  (SELECT max(c) FROM c)::BIGINT AS max_bucket,
+             |  (SELECT coalesce(sum((c * (c - 1)) // 2), 0) FROM c)::BIGINT
+             |    AS cand_pairs""".stripMargin)),
 
     // Incremental embedding dedup: a NEW batch (vec_id % 7 = 0) against the
     // EXISTING corpus (the rest) — band buckets join NEW×CORPUS and

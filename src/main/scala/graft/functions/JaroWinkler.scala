@@ -25,6 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine processes; the SQL oracle's per-character substr agrees there).
   * Both empty → 10000; one empty or zero matches → 0.
   *
+  * Convention: transpositions are t = floor(mismatched-positions / 2) —
+  * an odd mismatch count floors (e.g. "abc"/"bca" scores t=1 where the
+  * half-transposition formulation uses 1.5). The oracle CTE replays the
+  * same floor, so parity holds; scores can differ from implementations
+  * that keep the half at threshold boundaries.
+  *
+  * Overflow: the exact rational peaks near 4.2e5·L³ for L-char inputs,
+  * which exceeds Long past L ≈ 28k; inputs longer than 20k code units
+  * take a BigInt path with the identical formula (same result, slower —
+  * fine for a tail that long strings of a linkage key never hit).
+  *
   * Codegen emits a single static call — the scoring loop itself is a tight
   * JVM method, so the expression stays inside whole-stage codegen like the
   * built-in `levenshtein` does.
@@ -63,14 +74,25 @@ object JaroWinklerBp {
     var p = 0
     while (p < m) { if (m1.charAt(p) != m2.charAt(p)) mism += 1; p += 1 }
     val t = mism / 2
-    val num = m.toLong * m * l2 + m.toLong * m * l1 + (m.toLong - t) * l1 * l2
-    val den = 3L * l1 * l2 * m
     var l = 0
     while (l < 4 && l < l1 && l < l2 && s1.charAt(l) == s2.charAt(l)) l += 1
-    val (jn, jd) =
-      if (num * 10 > den * 7) (num * 10 + l * (den - num), den * 10)
-      else (num, den)
-    jn * 10000L / jd // both non-negative → truncation IS floor
+    if (l1 <= 20000 && l2 <= 20000) {
+      val num = m.toLong * m * l2 + m.toLong * m * l1 + (m.toLong - t) * l1 * l2
+      val den = 3L * l1 * l2 * m
+      val (jn, jd) =
+        if (num * 10 > den * 7) (num * 10 + l * (den - num), den * 10)
+        else (num, den)
+      jn * 10000L / jd // both non-negative → truncation IS floor
+    } else {
+      // same rational in BigInt — Long overflows past ~28k chars
+      val mB = BigInt(m)
+      val num = mB * m * l2 + mB * m * l1 + (mB - t) * l1 * l2
+      val den = BigInt(3) * l1 * l2 * m
+      val (jn, jd) =
+        if (num * 10 > den * 7) (num * 10 + l * (den - num), den * 10)
+        else (num, den)
+      (jn * 10000 / jd).toLong
+    }
   }
 
   def column(a: Column, b: Column): Column =

@@ -722,6 +722,43 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Candidate-pair BUDGET of the simhash banding WITHOUT running the
+    * self-join: one fingerprint pass + one keyed count over (band, slice)
+    * buckets; `cand_pairs` = Σ_buckets C(c, 2) — exactly the pre-distinct
+    * pair fan-out the banded join would generate. This is the planner
+    * pre-flight for the band-resolution family (the `join_cardinality_
+    * estimate` idea applied to LSH blocking): fixed knobs make candidates
+    * grow ∝ n²/buckets, so a 100 TB operator runs this O(n) probe at
+    * today's corpus size and widens the slice/band knobs when
+    * `cand_pairs / n_docs` drifts, BEFORE paying the join. Exact
+    * integers; per-bucket C(c,2) in Long (overflows only past ~3e9 rows
+    * per bucket — a bucket that hot is itself the finding), summed in
+    * Decimal(38,0).
+    */
+  def simHashCandidateBudget(docs: DataFrame, bands: Int = 4, bits: Int = 32,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      "bands must divide the fingerprint width")
+    val width = bits / bands
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val fp = docs.select(col(idCol).as("id"),
+      simHashBits(Text.tokenSet(col(textCol))).as("fp"))
+    val banded = fp.select(col("id"),
+      explode(array((0 until bands).map { k =>
+        concat_ws(":", lit(k), substring(col("fp"), k * width + 1, width))
+      }: _*)).as("bkey"))
+    val buckets = banded.groupBy(col("bkey")).agg(count(lit(1)).as("c"))
+    val summary = buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+      coalesce(sum(expr("(c * (c - 1)) div 2").cast(dec)),
+        lit(0).cast(dec)).as("cp"))
+    fp.agg(count(lit(1)).as("n_docs")).crossJoin(summary)
+      .select(col("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("cp").cast("long").as("cand_pairs"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   /** Token n-gram (shingle) set of a text column — distinct, sorted.

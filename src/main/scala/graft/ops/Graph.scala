@@ -432,4 +432,166 @@ object Graph {
     e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
   }
+
+  // ---------------------------------------------------------------------
+  // Convergence-terminated variants. The fixed-round forms above are the
+  // oracle-replayable surface (an unrolled CTE can't know the round count
+  // ahead of time); these run the SAME per-round recurrence but stop at
+  // the fixpoint — the form a user actually runs when they don't know the
+  // graph's diameter. Exact-integer rank/label arithmetic means the
+  // fixpoint is a true equality (delta == 0), not an epsilon test.
+  //
+  // Cost note: detecting delta requires ACTING on each round's frame (one
+  // node-sized count job per round). Since the round must materialize
+  // anyway, each round is localCheckpointed — the delta count and the
+  // next round's input share one computation, plan depth stays O(1), and
+  // on exit no cached frames remain (the fixed-round lifecycle contract).
+  // -------------------------------------------------------------------
+
+  /** Node-sized state signature: order-independent sum of per-row
+    * xxhash64, accumulated in Decimal(38,0) (a Long sum of ±2⁶³ hashes
+    * overflows under ANSI) — ONE tiny aggregate job per round, no join.
+    * Two equal states always collide; two different states collide with
+    * ~2⁻⁶⁴ probability (the standard fingerprint trade; the stop decision
+    * is probabilistic, the RESULT is still the exact recurrence state).
+    */
+  private def stateSig(df: DataFrame, cols: Seq[String]): String =
+    df.agg(coalesce(
+        sum(xxhash64(cols.map(col): _*)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("string"))
+      .collect()(0).getString(0)
+
+  /** `pageRankBp` run until the rank state REPEATS — an exact integer
+    * fixpoint (period 1) or the period-2 oscillation truncating division
+    * produces on some graphs (amplitude ~1 bp: floor-div alternately
+    * over/under-shoots; a float engine would call both states "within
+    * epsilon") — or `maxIters`. Returns the ranks plus rounds actually
+    * run; a pre-converged graph costs exactly one confirming round.
+    * Result ≡ `pageRankBp(edges, roundsRun)` bit-for-bit — the recurrence
+    * is the same; only the stop rule differs — which is what the spec
+    * pins.
+    */
+  def pageRankBpConvergedWithRounds(edges: DataFrame, maxIters: Int,
+                                    baseBp: Long = 10000L): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e = edges.select(col("src"), col("dst")).persist(MEMORY_ONLY)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(MEMORY_ONLY)
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(MEMORY_ONLY)
+    withDeg.count()
+    e.unpersist()
+    var ranks = deg.select(col("src").as("node"), lit(baseBp).as("rank_bp"))
+      .localCheckpoint()
+    val sigCols = Seq("node", "rank_bp")
+    var prevSig = stateSig(ranks, sigCols)
+    var prevPrevSig = "_none_" // sentinel: never equal on round 1
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIters) {
+      val contrib = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(85 * rank_bp) div (100 * outdeg)").as("_c"))
+      val next = contrib.groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+        .select(col("dst").as("node"),
+          (lit(baseBp * 15L / 100L) + col("_in")).as("rank_bp"))
+        .localCheckpoint()
+      rounds += 1
+      val sig = stateSig(next, sigCols)
+      done = sig == prevSig || sig == prevPrevSig
+      prevPrevSig = prevSig; prevSig = sig
+      ranks = next
+    }
+    deg.unpersist()
+    withDeg.unpersist()
+    (ranks, rounds)
+  }
+
+  def pageRankBpConverged(edges: DataFrame, maxIters: Int,
+                          baseBp: Long = 10000L): DataFrame =
+    pageRankBpConvergedWithRounds(edges, maxIters, baseBp)._1
+
+  /** `labelPropagation` run until the label state repeats — fixpoint or
+    * the classic period-2 ping-pong (synchronous LPA on bipartite-ish
+    * regions) — or `maxIters`. Same per-round argmax recurrence; the
+    * edge cache drops on exit.
+    */
+  def labelPropagationConvergedWithRounds(edges: DataFrame, maxIters: Int,
+                                          srcCol: String, dstCol: String): (DataFrame, Int) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).sortWithinPartitions(col("b"))
+      .persist(MEMORY_ONLY)
+    sym.count()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    val sigCols = Seq("node", "lbl")
+    var prevSig = stateSig(labels, sigCols)
+    var prevPrevSig = "_none_"
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxIters) {
+      val next = sym.join(labels, col("b") === col("node"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a").as("node"), col("lbl"))
+        .localCheckpoint()
+      rounds += 1
+      val sig = stateSig(next, sigCols)
+      done = sig == prevSig || sig == prevPrevSig
+      prevPrevSig = prevSig; prevSig = sig
+      labels = next
+    }
+    sym.unpersist()
+    (labels.select(col("node"), col("lbl").as("community")), rounds)
+  }
+
+  def labelPropagationConverged(edges: DataFrame, maxIters: Int,
+                                srcCol: String, dstCol: String): DataFrame =
+    labelPropagationConvergedWithRounds(edges, maxIters, srcCol, dstCol)._1
+
+  /** `kCore` peeled to its fixpoint: rounds continue until a peel removes
+    * no edge (or `maxRounds`). The fixpoint here is the true k-core — the
+    * fixed-round form under-peels when `rounds` is less than the peel
+    * depth; this is the form production callers want.
+    */
+  def kCoreConvergedWithRounds(edges: DataFrame, k: Int, maxRounds: Int,
+                               a: String = "a", b: String = "b"): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = edges.select(col(a).cast("long").as("a"),
+      col(b).cast("long").as("b")).localCheckpoint()
+    var nEdges = e.count()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val keep = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("n"))
+      e = e.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      rounds += 1
+      val nNext = e.count()
+      changed = nNext != nEdges
+      nEdges = nNext
+    }
+    (e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree")), rounds)
+  }
+
+  def kCoreConverged(edges: DataFrame, k: Int, maxRounds: Int,
+                     a: String = "a", b: String = "b"): DataFrame =
+    kCoreConvergedWithRounds(edges, k, maxRounds, a, b)._1
 }

@@ -156,17 +156,161 @@ object Multimodal {
     out
   }
 
+  /** A REAL pixel source behind the perceptual-hash seam: anything that
+    * can turn a payload into an integer luma plane. `PnmDecoder` is the
+    * production instance; the byte-stub path (no decoder) remains the
+    * oracle-replayable twin.
+    */
+  trait LumaDecoder extends Serializable {
+    /** (width, height, row-major luma samples in 0..255). */
+    def lumaPlane(payload: Array[Byte]): (Int, Int, Array[Int])
+  }
+
+  /** Pure-JVM binary Netpbm decoder — P6 (RGB) and P5 (grayscale), the
+    * simplest real raster formats (a one-line ImageMagick/`ffmpeg`
+    * conversion away from anything). This is the "one real codec" that
+    * proves the multimodal seam carries actual pixels, not just the
+    * deterministic stubs: header parse (whitespace + `#` comments,
+    * maxval ≤ 255), then integer BT.601 luma
+    * `(299·R + 587·G + 114·B) div 1000` per pixel — all-integer, so the
+    * same bits come out on every platform (no float colorimetry).
+    *
+    * As a `Codec` it emits REAL width/height and the 8×8 block-mean luma
+    * grid (64 values, scaled to [0,1]) as the feature vector — the
+    * classic aHash/pHash preprocessing. Malformed payloads fail fast
+    * (corrupt media silently becoming features is how corpora rot).
+    */
+  final class PnmDecoder extends LumaDecoder with Codec {
+
+    def lumaPlane(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      var pos = 0
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed PNM: $msg")
+      if (payload.length < 2) fail("truncated header")
+      val magic = new String(payload, 0, 2, "US-ASCII")
+      if (magic != "P6" && magic != "P5") fail(s"unsupported magic $magic")
+      pos = 2
+      // header tokens separated by whitespace; '#' comments run to newline
+      def nextInt(): Int = {
+        while (pos < payload.length &&
+            (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < payload.length && payload(pos).toChar.isDigit) pos += 1
+        if (pos == start) fail("missing header integer")
+        new String(payload, start, pos - start, "US-ASCII").toInt
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+      pos += 1 // single whitespace byte after maxval, per spec
+      val channels = if (magic == "P6") 3 else 1
+      val need = w.toLong * h * channels
+      if (payload.length - pos < need)
+        fail(s"raster truncated: need $need bytes, have ${payload.length - pos}")
+      val luma = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val base = pos + i * channels
+        luma(i) =
+          if (channels == 1) payload(base) & 0xff
+          else (299 * (payload(base) & 0xff) + 587 * (payload(base + 1) & 0xff)
+            + 114 * (payload(base + 2) & 0xff)) / 1000
+        i += 1
+      }
+      (w, h, luma)
+    }
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (w, h, luma) = lumaPlane(r.payload)
+        val grid = blockMeans(w, h, luma)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h,
+          grid.map(_.toFloat / 255f))
+      }
+
+    /** 8×8 block-mean downsample (box filter): pixel (x,y) lands in block
+      * (⌊8y/h⌋, ⌊8x/w⌋); each block's value is the floor-mean of its luma
+      * samples — exact integer sums, blocks with no pixels (w or h < 8)
+      * read 0, matching `aHashBands`' empty-block rule.
+      */
+    private[ops] def blockMeans(w: Int, h: Int, luma: Array[Int]): Array[Long] = {
+      val bsum = new Array[Long](64)
+      val blen = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val b = by * 8 + (x.toLong * 8 / w).toInt
+          bsum(b) += luma(y * w + x); blen(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(64)(b => if (blen(b) == 0) 0L else bsum(b) / blen(b))
+    }
+
+  }
+
+  /** aHash band words over DECODED pixels: same cross-multiplied bit rule
+    * as `aHashBands` (bit = block's mean ≥ global mean, via bsum·N ≥
+    * tot·blen — no division), but accumulated over the luma plane any
+    * `LumaDecoder` produces instead of raw payload bytes.
+    */
+  def lumaBands(decoder: LumaDecoder, payload: Array[Byte],
+                bandBits: Int = 16): Array[Long] = {
+    val (w, h, luma) = decoder.lumaPlane(payload)
+    val bsum = new Array[Long](64)
+    val blen = new Array[Long](64)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      val by = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val b = by * 8 + (x.toLong * 8 / w).toInt
+        val v = luma(y * w + x)
+        bsum(b) += v; blen(b) += 1; tot += v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Long](64 / bandBits)
+    var b = 0
+    while (b < 64) {
+      if (blen(b) > 0 && bsum(b) * n >= tot * blen(b))
+        out(b / bandBits) |= 1L << (b % bandBits)
+      b += 1
+    }
+    out
+  }
+
   /** Per-record perceptual-hash bands as a DataFrame `(media_id, band,
     * band_val)` — the narrow decode-stage pass (mapPartitions, zero
     * shuffle) that `perceptualNearDupPairs` banded-joins on. Empty
-    * payloads are dropped (no perceptual content to hash).
+    * payloads are dropped (no perceptual content to hash). With a
+    * `decoder`, bands come from DECODED 8×8 block-mean luma (real
+    * pixels); without, from the byte-level stub hash (the SQL-replayable
+    * oracle twin). The downstream banded join is identical either way —
+    * that is the point of the seam.
     */
   def perceptualHashBands(media: Dataset[MediaRecord],
-                          bandBits: Int = 16): DataFrame = {
+                          bandBits: Int = 16,
+                          decoder: Option[LumaDecoder] = None): DataFrame = {
     import media.sparkSession.implicits._
+    val dec = decoder // avoid capturing `media` in the task closure
     media.mapPartitions { it =>
       it.filter(_.payload.nonEmpty).flatMap { r =>
-        aHashBands(r.payload, bandBits = bandBits).iterator.zipWithIndex
+        val bands = dec match {
+          case Some(d) => lumaBands(d, r.payload, bandBits)
+          case None => aHashBands(r.payload, bandBits = bandBits)
+        }
+        bands.iterator.zipWithIndex
           .map { case (v, k) => (r.media_id, k.toLong, v) }
       }
     }.toDF("media_id", "band", "band_val")
@@ -187,12 +331,17 @@ object Multimodal {
     */
   def perceptualNearDupPairs(media: Dataset[MediaRecord],
                              maxHamming: Int = 3,
-                             bandBits: Int = 16): DataFrame = {
+                             bandBits: Int = 16,
+                             decoder: Option[LumaDecoder] = None): DataFrame = {
     require(64 % bandBits == 0, "bandBits must divide 64")
     require(64 / bandBits > maxHamming,
       "losslessness needs bands > maxHamming (pigeonhole)")
-    val bands = perceptualHashBands(media, bandBits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // localCheckpoint, not persist: the frame is referenced three times
+    // (self-join + two verify probes) so the decode pass must not re-run,
+    // but a persist here would leak one retained cache per call (the
+    // zero-retained-frames lifecycle the Graph ops pin via
+    // sqlCacheIsEmpty). Checkpointed blocks free with the session.
+    val bands = perceptualHashBands(media, bandBits, decoder).localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&

@@ -128,7 +128,7 @@ object Relational {
                        itemCol: String): Unit = {
     basketPairs(df, basketCol, itemCol)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-    resetBatchLog(dir)
+    resetBatchLog(df.sparkSession, dir)
   }
 
   /** Fold one batch of whole baskets into the stored edge table. */
@@ -136,7 +136,7 @@ object Relational {
                           itemCol: String): Unit = {
     basketPairs(batch, basketCol, itemCol)
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
-    addBatchMarker(dir)
+    addBatchMarker(batch.sparkSession, dir)
   }
 
   // Batch log: one empty marker file per write/append under `dir/_batches`
@@ -145,31 +145,36 @@ object Relational {
   // shuffle — a bootstrapped-or-compacted table is already one row per
   // pair, and paying an edge-sized groupBy per probe anyway is pure waste
   // (measured: 5x the probe cost at 12M stored rows).
-  private def batchLogDir(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir.stripSuffix("/"), "_batches")
-  private def addBatchMarker(dir: String): Unit = {
+  //
+  // All marker IO goes through the Hadoop FileSystem resolved from `dir`
+  // itself, NOT java.nio — the parquet data is written via Spark/Hadoop
+  // FS, so for a non-local `dir` (hdfs://, s3a://) a java.nio marker
+  // would land on the driver's local disk and a fresh process would see
+  // batchCount==1, skipping the consolidating groupBy over genuinely
+  // multi-batch data.
+  private def batchLogDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), "_batches")
+  private def markerFs(spark: SparkSession,
+                       p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def addBatchMarker(spark: SparkSession, dir: String): Unit = {
     val d = batchLogDir(dir)
-    java.nio.file.Files.createDirectories(d)
-    java.nio.file.Files.createFile(
-      d.resolve(java.util.UUID.randomUUID().toString))
-    ()
+    val fs = markerFs(spark, d)
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d,
+      java.util.UUID.randomUUID().toString), false).close()
   }
-  private def resetBatchLog(dir: String): Unit = {
+  private def resetBatchLog(spark: SparkSession, dir: String): Unit = {
     val d = batchLogDir(dir)
-    if (java.nio.file.Files.isDirectory(d)) {
-      val s = java.nio.file.Files.list(d)
-      try s.forEach(p => { java.nio.file.Files.delete(p); () })
-      finally s.close()
-    }
-    addBatchMarker(dir)
+    val fs = markerFs(spark, d)
+    if (fs.exists(d)) { fs.delete(d, true); () }
+    addBatchMarker(spark, dir)
   }
-  private def batchCount(dir: String): Int = {
+  private def batchCount(spark: SparkSession, dir: String): Int = {
     val d = batchLogDir(dir)
-    if (!java.nio.file.Files.isDirectory(d)) Int.MaxValue // unknown: assume many
-    else {
-      val s = java.nio.file.Files.list(d)
-      try s.count().toInt finally s.close()
-    }
+    val fs = markerFs(spark, d)
+    if (!fs.exists(d)) Int.MaxValue // unknown: assume many
+    else fs.listStatus(d).length
   }
 
   /** The consolidated edge view `(item_a, item_b, support)` — one keyed
@@ -182,7 +187,7 @@ object Relational {
     */
   def readBasketEdges(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(dir)
-    if (batchCount(dir) <= 1) raw.select(col("item_a"), col("item_b"),
+    if (batchCount(spark, dir) <= 1) raw.select(col("item_a"), col("item_b"),
       col("support"))
     else raw.groupBy(col("item_a"), col("item_b"))
       .agg(sum(col("support")).as("support"))
@@ -200,12 +205,10 @@ object Relational {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-    resetBatchLog(dir) // compacted = single consolidated batch again
-    val root = java.nio.file.Paths.get(tmp)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq
-      .sortBy(-_.getNameCount)
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    resetBatchLog(spark, dir) // compacted = single consolidated batch again
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    markerFs(spark, tmpPath).delete(tmpPath, true)
+    ()
   }
 
   /** Per-group exact OLS trend line ŷ = slope·x + intercept over integer
@@ -1108,5 +1111,107 @@ object Relational {
           "broadcast")
         .when(col("est") > 0 && skewBp >= skewShareBpLimit, "salted_shuffle")
         .otherwise("shuffle").as("strategy"))
+  }
+
+  /** Inner equi-join whose physical strategy is CHOSEN BY the
+    * `joinCardinalityEstimate` histogram verdict — the wiring that turns
+    * the pre-flight estimator from a report into a planner. Semantics are
+    * EXACTLY `left.join(right, keys)` under every routing (broadcast and
+    * salting are strategy-only rewrites); only the plan shape changes:
+    *
+    *  - `broadcast`  — a side's row count is ≤ `broadcastRowLimit` → that
+    *    side gets an explicit `broadcast()` hint (the smaller one when
+    *    both qualify). Catalyst's own size-based threshold is a byte
+    *    estimate that post-filter cardinality routinely fools in both
+    *    directions; a measured row count doesn't.
+    *  - `salted_shuffle` — the hottest hash bucket would carry ≥
+    *    `skewShareBpLimit` bp of the join work → `saltedEquiJoin`, salting
+    *    whichever side owns the larger max-bucket share (salting the
+    *    non-skewed side would just replicate the hot key's partner rows
+    *    without spreading the hot rows themselves).
+    *  - `shuffle` — neither trigger → plain join (SMJ/AQE as Catalyst
+    *    prefers).
+    *
+    * The decision pass is ONE map-side partial-count histogram per side
+    * (shuffle O(buckets), driver receives ONE summary row — the bounded
+    * pre-flight collect pattern, never data-sized) — cheap relative to
+    * any join big enough to need routing. At 100 TB the same call works
+    * unchanged; callers who can't afford a full scan per side feed
+    * `left.sample(...)` through `joinCardinalityEstimate` instead and
+    * route by hand. The exact-twin verification column of the estimator
+    * is deliberately NOT computed here — that per-key O(keys) shuffle is
+    * the part a production pre-flight skips.
+    *
+    * Output column order matches `left.join(right, keys)` exactly under
+    * every routing (the flipped salted case re-selects into plain-join
+    * order), so downstream code and the oracle cannot tell routings
+    * apart. `autoJoinWithStrategy` additionally returns the routing
+    * taken, which the plan contracts pin per planted input.
+    */
+  def autoJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               buckets: Int = 65536,
+               broadcastRowLimit: Long = 10000L,
+               skewShareBpLimit: Long = 2000L,
+               salts: Int = 8): DataFrame =
+    autoJoinWithStrategy(left, right, keys, buckets, broadcastRowLimit,
+      skewShareBpLimit, salts)._1
+
+  def autoJoinWithStrategy(left: DataFrame, right: DataFrame,
+                           keys: Seq[String],
+                           buckets: Int = 65536,
+                           broadcastRowLimit: Long = 10000L,
+                           skewShareBpLimit: Long = 2000L,
+                           salts: Int = 8): (DataFrame, String) = {
+    require(keys.nonEmpty, "autoJoin needs at least one key")
+    require(buckets >= 1 && salts >= 1, "buckets and salts must be >= 1")
+    require((left.columns.toSet -- keys).intersect(
+        right.columns.toSet -- keys).isEmpty,
+      "autoJoin needs disjoint non-key column names (the salted routing " +
+        "re-selects by name to restore plain-join column order)")
+    def keyCol(df: DataFrame): Column =
+      if (keys.size == 1) df(keys.head)
+      else struct(keys.map(df(_)): _*)
+    val dec = "decimal(38,0)"
+    def bucket(k: Column): Column =
+      pmod(conv(substring(md5(k.cast("string").cast("binary")), 1, 7), 16, 10)
+        .cast("long"), lit(buckets.toLong))
+    def hist(df: DataFrame, cnt: String): DataFrame =
+      df.select(bucket(keyCol(df)).as("b")).groupBy(col("b"))
+        .agg(count(lit(1)).as(cnt))
+    val prod = coalesce(col("ca"), lit(0L)).cast(dec) *
+      coalesce(col("cb"), lit(0L)).cast(dec)
+    val row = hist(left, "ca")
+      .join(hist(right, "cb"), Seq("b"), "full_outer")
+      .agg(sum(coalesce(col("ca"), lit(0L))).as("lr"),
+        sum(coalesce(col("cb"), lit(0L))).as("rr"),
+        coalesce(sum(prod), lit(0L).cast(dec)).as("est"),
+        coalesce(max(prod), lit(0L).cast(dec)).as("mx"),
+        max(coalesce(col("ca"), lit(0L))).as("mba"),
+        max(coalesce(col("cb"), lit(0L))).as("mbb"))
+      .select(col("lr").cast("long"), col("rr").cast("long"),
+        col("est").cast(dec), col("mx").cast(dec),
+        col("mba").cast("long"), col("mbb").cast("long"))
+      .collect()(0)
+    val (lr, rr) = (row.getLong(0), row.getLong(1))
+    val (est, mx) = (BigInt(row.getDecimal(2).toBigInteger),
+      BigInt(row.getDecimal(3).toBigInteger))
+    val (mba, mbb) = (row.getLong(4), row.getLong(5))
+    if (lr <= broadcastRowLimit || rr <= broadcastRowLimit) {
+      val joined =
+        if (rr <= lr) left.join(broadcast(right), keys)
+        else broadcast(left).join(right, keys)
+      (joined, "broadcast")
+    } else if (est > 0 && mx * 10000 / est >= skewShareBpLimit) {
+      // salt the side whose hottest bucket is proportionally hotter
+      // (exact cross-multiplication — shares mba/lr vs mbb/rr)
+      val leftHotter = BigInt(mba) * rr >= BigInt(mbb) * lr
+      val joined =
+        if (leftHotter) saltedEquiJoin(left, right, keys, salts)
+        else saltedEquiJoin(right, left, keys, salts)
+          .select(keys.map(col) ++
+            left.columns.filterNot(keys.contains).map(col) ++
+            right.columns.filterNot(keys.contains).map(col): _*)
+      (joined, "salted_shuffle")
+    } else (left.join(right, keys), "shuffle")
   }
 }

@@ -230,6 +230,34 @@ object Vectors {
     probe.bitwiseAND(earlierMask) === 0
   }
 
+  /** Candidate-pair BUDGET of the sign-LSH banding WITHOUT the self-join —
+    * the `Dedup.simHashCandidateBudget` twin for the cosine family: one
+    * projection pass, one keyed count over band buckets,
+    * `cand_pairs` = Σ C(c, 2). An O(n) pre-flight: run it before
+    * `cosineNearDupPairsBanded` at a new corpus size; when
+    * `cand_pairs / n_vecs` drifts superlinear, raise `planesPerBand` (each
+    * extra plane halves expected bucket occupancy) before paying the join.
+    */
+  def cosineBandCandidateBudget(vectors: DataFrame, planesPerBand: Int = 2,
+                                bands: Int = 16, dims: Int = 64,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    val signs = hyperplaneSigns(planesPerBand * bands, dims)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val banded = bandExplode(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      packedSignBits(col("v"), signs), planesPerBand, bands)
+    val buckets = banded.groupBy(col("bkey")).agg(count(lit(1)).as("c"))
+    val summary = buckets.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+      coalesce(sum(expr("(c * (c - 1)) div 2").cast(dec)),
+        lit(0).cast(dec)).as("cp"))
+    vectors.agg(count(lit(1)).as("n_vecs")).crossJoin(summary)
+      .select(col("n_vecs"), col("n_buckets"), col("max_bucket"),
+        col("cp").cast("long").as("cand_pairs"))
+  }
+
   def cosineNearDupPairsBanded(vectors: DataFrame, threshold: Double,
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
@@ -1034,16 +1062,31 @@ object Vectors {
       .select(col("vec_id"), col("sv")).collect()(0)
     var newest = seed.getSeq[Long](1)
     val picks = scala.collection.mutable.ListBuffer((1L, seed.getLong(0), 0L))
+    // Already-picked ids are excluded from each round's argmax: a picked
+    // vector folds to mind2=0 against itself, but when EVERY remaining
+    // mind2 is 0 (k exceeds the distinct-vector count, e.g. duplicated
+    // embeddings) the bare (mind2 desc, vec_id asc) tie-break would
+    // re-pick the seed. With the exclusion, duplicates are picked at
+    // dist2=0 until ids run out, then the loop stops early — the result
+    // has < k rows rather than duplicate vec_ids. The oracle CTE applies
+    // the same per-round NOT IN, so the trajectories stay in lockstep.
     var state = base.withColumn("mind2", lit(Long.MaxValue))
-    for (r <- 2L to k.toLong) {
+    var done = false
+    for (r <- 2L to k.toLong if !done) {
       state = state.withColumn("mind2",
           least(col("mind2"), graft.functions.ArrayMath.sqDistLongNative(
             col("sv"), typedLit(newest))))
         .localCheckpoint()
-      val top = state.orderBy(col("mind2").desc, col("vec_id"))
-        .select(col("vec_id"), col("mind2"), col("sv")).limit(1).collect()(0)
-      picks += ((r, top.getLong(0), top.getLong(1)))
-      newest = top.getSeq[Long](2)
+      val cand = state
+        .filter(!col("vec_id").isInCollection(picks.map(_._2)))
+        .orderBy(col("mind2").desc, col("vec_id"))
+        .select(col("vec_id"), col("mind2"), col("sv")).limit(1).collect()
+      if (cand.isEmpty) done = true
+      else {
+        val top = cand(0)
+        picks += ((r, top.getLong(0), top.getLong(1)))
+        newest = top.getSeq[Long](2)
+      }
     }
     picks.toSeq.toDF("sel_round", "vec_id", "dist2")
   }

@@ -35,4 +35,13 @@ object ColumnBridge {
   def sqlCacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
+
+  /** Block until the listener bus has delivered every queued event
+    * (`listenerBus.waitUntilEmpty` is `private[spark]`). Used by the
+    * bench harness to attribute task-metric spill counters to the query
+    * that produced them — without the drain, async delivery can smear a
+    * query's tail metrics into the next query's window.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

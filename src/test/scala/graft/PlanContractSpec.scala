@@ -452,4 +452,65 @@ class PlanContractSpec extends SparkSpec {
       => s }.nonEmpty,
       "the NOT-IN subquery's price filter must push into the scan")
   }
+
+  // autoJoin: each routing arm of the estimator-driven join must actually
+  // trigger on its planted input AND produce its promised physical shape.
+  // Auto-broadcast is disabled throughout so any BroadcastHashJoin seen is
+  // OUR row-count hint, not Catalyst's byte-size heuristic.
+  test("autoJoin: planted small dim routes broadcast; planted skew routes " +
+      "salted; neither routes plain shuffle") {
+    import graft.ops.Relational
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      // arm 1 — small dim: customer at sf0.001 is 150 rows ≤ the limit
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val (bJoin, bStrat) =
+        Relational.autoJoinWithStrategy(orders, cust, Seq("custkey"))
+      assert(bStrat == "broadcast")
+      assert(plan(bJoin).collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "broadcast routing must plan a BroadcastHashJoin (threshold is off " +
+          "— only the explicit hint can produce one)")
+
+      // planted frames for the other two arms: both sides above the row
+      // limit (10), left key 1 hot (300 of 399 rows → its bucket carries
+      // >>20% of the join)
+      val hotLeft = ((1 to 300).map(_ => 1) ++ (2 to 100))
+        .toDF("k").withColumn("lv", col("k") * 2)
+      val uniRight = (1 to 100).flatMap(k => Seq.fill(3)(k))
+        .toDF("k").withColumn("rv", col("k") * 7)
+
+      // arm 2 — skew: salted shape = xxhash64 salt + salt-replicating
+      // explode(sequence) on the other side; result ≡ plain join
+      val (sJoin, sStrat) = Relational.autoJoinWithStrategy(
+        hotLeft, uniRight, Seq("k"), broadcastRowLimit = 10, salts = 4)
+      assert(sStrat == "salted_shuffle")
+      val sPlan = plan(sJoin).toString
+      // over LocalRelations the xxhash64 projection and the
+      // sequence(0, salts-1) literal both constant-fold, so the visible
+      // salted signature is the _salt join key + the salt-replicating
+      // Generate on the other side
+      assert(sPlan.contains("_salt") && sPlan.contains("Generate explode"),
+        s"salted routing must join on the salt sub-key:\n$sPlan")
+      assert(sJoin.count() == hotLeft.join(uniRight, Seq("k")).count())
+
+      // arm 3 — neither: uniform keys, both sides big → plain SMJ, no salt
+      val uniLeft = (1 to 100).flatMap(k => Seq.fill(4)(k))
+        .toDF("k").withColumn("lv", col("k") * 2)
+      val (pJoin, pStrat) = Relational.autoJoinWithStrategy(
+        uniLeft, uniRight, Seq("k"), broadcastRowLimit = 10)
+      assert(pStrat == "shuffle")
+      val pp = plan(pJoin)
+      assert(pp.collect { case j: SortMergeJoinExec => j }.nonEmpty &&
+        !pp.toString.contains("_salt"),
+        "plain routing must be an unsalted sort-merge join")
+    } finally spark.conf.set(key, prev)
+  }
 }

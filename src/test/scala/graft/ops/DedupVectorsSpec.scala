@@ -618,4 +618,19 @@ class DedupVectorsSpec extends SparkSpec {
     assert(Vectors.kCenterGreedy(emb, 1).as[(Long, Long, Long)]
       .collect().toSeq == Seq((1L, 1L, 0L)))
   }
+
+  test("kCenterGreedy: duplicated vectors never re-pick an id; k past the " +
+      "corpus stops early with distinct picks") {
+    // two distinct positions, three rows (ids 1 and 3 are duplicates at 0).
+    // With k=5: seed id1 (0), round 2 picks id2 (farthest), round 3 must
+    // pick the DUPLICATE id3 at dist2=0 — not re-pick the seed — and
+    // round 4 finds no unpicked ids, so the result has 3 rows.
+    val emb = Seq((1L, Array(0f)), (2L, Array(7f)), (3L, Array(0f)))
+      .toDF("vec_id", "embedding")
+    val got = Vectors.kCenterGreedy(emb, 5)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val u = 1000000L
+    assert(got == Seq((1L, 1L, 0L), (2L, 2L, 49L * u * u), (3L, 3L, 0L)))
+    assert(got.map(_._2).distinct.size == got.size)
+  }
 }

@@ -271,4 +271,65 @@ class GraphSpec extends SparkSpec {
     assert(core(1, 2).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
     assert(core(3, 2).isEmpty)
   }
+
+  test("pageRankBpConverged: pre-converged graph exits in one round; " +
+      "oscillating graph stops early; result ≡ fixed-round form") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // symmetric pair: r1 = 1500 + 8500 = 10000 = r0 → one confirming round
+    val pair = Graph.undirect(Seq(("a", "b")).toDF("src", "dst"))
+    val (pr, n) = Graph.pageRankBpConvergedWithRounds(pair, maxIters = 50)
+    assert(n == 1)
+    assert(pr.as[(String, Long)].collect().toMap ==
+      Map("a" -> 10000L, "b" -> 10000L))
+    // path graph: truncating division settles into a period-2 cycle
+    // (never an exact fixpoint) — the signature check must still stop it
+    // well before maxIters, and the result must be EXACTLY what the
+    // fixed-round form computes for that many rounds
+    val path = Graph.undirect(Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+    spark.catalog.clearCache() // isolate OUR call's cache lifecycle
+    val (pr2, n2) = Graph.pageRankBpConvergedWithRounds(path, maxIters = 200)
+    assert(n2 < 100, s"oscillation not detected: ran $n2 rounds")
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "converged PR must unpersist its edge/degree caches on exit")
+    assert(pr2.as[(String, Long)].collect().toMap ==
+      Graph.pageRankBp(path, n2).as[(String, Long)].collect().toMap)
+  }
+
+  test("labelPropagationConverged: triangle reaches a fixpoint; a single " +
+      "edge ping-pongs and is cycle-detected; result ≡ fixed-round form") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val (lp, n) = Graph.labelPropagationConvergedWithRounds(tri, 50, "a", "b")
+    assert(n < 10)
+    assert(lp.as[(Long, Long)].collect().toMap ==
+      Graph.labelPropagation(tri, n, "a", "b").as[(Long, Long)].collect().toMap)
+    // one edge: labels swap every round (synchronous-LPA ping-pong)
+    val edge = Seq((1L, 2L)).toDF("a", "b")
+    spark.catalog.clearCache() // isolate OUR call's cache lifecycle
+    val (lp2, n2) = Graph.labelPropagationConvergedWithRounds(edge, 50, "a", "b")
+    // round 1 swaps, round 2 swaps back to the initial state — the
+    // signature matches two-rounds-ago and the cycle is caught at round 2
+    assert(n2 == 2, s"period-2 swap should be caught at round 2, ran $n2")
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "converged LPA must unpersist its edge cache on exit")
+    assert(lp2.as[(Long, Long)].collect().toMap ==
+      Graph.labelPropagation(edge, n2, "a", "b").as[(Long, Long)].collect().toMap)
+  }
+
+  test("kCoreConverged: peels to the TRUE core (fixed-round under-peels), " +
+      "reports the peel depth, and stops on the confirming round") {
+    // chain 1-2-3-4-5 at k=2: ends peel in cascades → empty core;
+    // round 1 drops (1,2),(4,5); round 2 drops (2,3),(3,4); round 3 confirms
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val (c1, r1) = Graph.kCoreConvergedWithRounds(chain, 2, 10)
+    assert(r1 == 3 && c1.isEmpty)
+    // fixed-round form with rounds=1 under-peels the same graph
+    assert(Graph.kCore(chain, 2, 1).count() > 0)
+    // triangle + tail at k=2: tail drops round 1, round 2 confirms
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val (c2, r2) = Graph.kCoreConvergedWithRounds(triTail, 2, 10)
+    assert(r2 == 2)
+    assert(c2.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }

@@ -125,6 +125,95 @@ class MultimodalSpec extends SparkSpec {
           Array.tabulate(256)(i => (i / 4).toByte)))))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(bands.contains((4L, 3L, 0xffffL)) && bands.contains((5L, 3L, 0xffffL)))
+    // zero-retained-frames lifecycle (the Graph-ops discipline): the bands
+    // frame is localCheckpoint-backed, not a leaked persist-per-call.
+    // Clear first: suites share one session, and other suites' SHALLOW
+    // graph calls legitimately leave lazy caches behind — this assert is
+    // about OUR call only.
+    spark.catalog.clearCache()
+    Multimodal.perceptualNearDupPairs(media).collect()
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.sqlCacheIsEmpty(spark),
+      "perceptualNearDupPairs must not leave a cached frame behind")
+  }
+
+  // ---- real-pixel path: the PnmDecoder behind the LumaDecoder seam ----
+
+  private def p5(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    (s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte)).toArray
+  private def p6(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+    (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb.map(_.toByte)).toArray
+
+  test("PnmDecoder: P6 luma is exact integer BT.601; P5 passes through; " +
+      "comments parse; malformed payloads fail fast") {
+    val d = new Multimodal.PnmDecoder
+    // (255,0,0)→76  (0,255,0)→149  (0,0,255)→29  (255,255,255)→255
+    // (0,0,0)→0  (100,50,25)→(29900+29350+2850)/1000=62
+    val rgb = Array(255, 0, 0, 0, 255, 0, 0, 0, 255,
+      255, 255, 255, 0, 0, 0, 100, 50, 25)
+    assert(d.lumaPlane(p6(3, 2, rgb)) match {
+      case (3, 2, l) => l.toSeq == Seq(76, 149, 29, 255, 0, 62)
+      case _ => false
+    })
+    assert(d.lumaPlane(p5(2, 2, Array(10, 20, 30, 40))) match {
+      case (2, 2, l) => l.toSeq == Seq(10, 20, 30, 40)
+      case _ => false
+    })
+    val commented = ("P5\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](7, 9)).toArray
+    assert(d.lumaPlane(commented)._3.toSeq == Seq(7, 9))
+    intercept[IllegalArgumentException] { d.lumaPlane("JFIF".getBytes) }
+    intercept[IllegalArgumentException] { // raster truncated
+      d.lumaPlane("P5\n4 4\n255\nxy".getBytes("US-ASCII"))
+    }
+  }
+
+  test("PnmDecoder: hand-computed aHash bits over real pixels; near-dup " +
+      "join pairs the edited copy and rejects the inverse") {
+    val d = new Multimodal.PnmDecoder
+    // 16x16, left half 0, right half 200: every 2x2 block is uniform, so
+    // the 8x8 grid is cols 0-3 black / 4-7 white → per-row bits 0xF0 →
+    // four 16-bit band words of 0xF0F0 each
+    def img(left: Int, right: Int) = p5(16, 16,
+      Array.tabulate(256)(i => if (i % 16 < 8) left else right))
+    val a = img(0, 200)
+    assert(Multimodal.lumaBands(d, a).toSeq ==
+      Seq(0xF0F0L, 0xF0F0L, 0xF0F0L, 0xF0F0L))
+    // edited copy: blank out ONE white 2x2 block (bx=4, by=0 → pixels
+    // x∈{8,9}, y∈{0,1}) → exactly that block's bit flips → hamming 1
+    val editedPx = Array.tabulate(256) { i =>
+      val (x, y) = (i % 16, i / 16)
+      if (x >= 8 && x <= 9 && y <= 1) 0 else if (x < 8) 0 else 200
+    }
+    val b = p5(16, 16, editedPx)
+    // inverse image: band words 0x0F0F — no shared band, never a candidate
+    val c = img(200, 0)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image", a),
+      Multimodal.MediaRecord(2L, "image", b),
+      Multimodal.MediaRecord(3L, "image", c)))
+    val rows = Multimodal.perceptualNearDupPairs(media, decoder = Some(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 1L)),
+      s"expected exactly the edited pair at hamming 1, got ${rows.toSeq}")
+  }
+
+  test("PnmDecoder as a Codec: real dimensions + 8x8 block-mean features " +
+      "through CompositeCodec dispatch alongside the stub") {
+    val real = p5(16, 8, Array.tabulate(128)(i => if (i % 16 < 8) 0 else 200))
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image_pnm", real),
+      Multimodal.MediaRecord(2L, "text", "hello".getBytes("UTF-8"))))
+    val codec = new Multimodal.CompositeCodec(Map(
+      "image_pnm" -> new Multimodal.PnmDecoder,
+      "text" -> new Multimodal.StubCodec()))
+    val out = Multimodal.extractFeatures(media, codec)
+      .collect().sortBy(_.media_id)
+    // real decode: true 16x8 dims, 64 features, block means 0 or 200/255
+    assert(out(0).width == 16 && out(0).height == 8)
+    assert(out(0).features.length == 64)
+    assert(out(0).features.toSeq.distinct.sorted == Seq(0f, 200f / 255f))
+    // stub path untouched: fake dims from byte length
+    assert(out(1).width == 5 % 640 && out(1).features.length == 8)
   }
 
   test("asMedia lifts any table's binary column; documentFeatures runs end-to-end") {

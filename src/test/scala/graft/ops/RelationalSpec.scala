@@ -760,4 +760,38 @@ class RelationalSpec extends SparkSpec {
       .select(col("slope"), col("intercept")).collect().head
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.5)
   }
+
+  test("autoJoin: every routing returns exactly the plain inner join — " +
+      "rows AND column order — including the flipped-salt arm") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      (df.columns.toSeq, df.collect().map(_.toSeq).toSet)
+    val left = ((1 to 300).map(_ => 1) ++ (2 to 50))
+      .toDF("k").withColumn("lv", col("k") * 2)
+    val right = (1 to 50).flatMap(k => Seq.fill(3)(k))
+      .toDF("k").withColumn("rv", col("k") * 7)
+    val plainLR = canon(left.join(right, Seq("k")))
+    // left-hotter salted arm
+    val (s1, st1) = Relational.autoJoinWithStrategy(
+      left, right, Seq("k"), broadcastRowLimit = 10, salts = 4)
+    assert(st1 == "salted_shuffle" && canon(s1) == plainLR)
+    // flipped arm: the HOT side is on the right → saltedEquiJoin runs
+    // flipped and the re-select must restore plain-join column order
+    val plainRL = canon(right.join(left, Seq("k")))
+    val (s2, st2) = Relational.autoJoinWithStrategy(
+      right, left, Seq("k"), broadcastRowLimit = 10, salts = 4)
+    assert(st2 == "salted_shuffle" && canon(s2) == plainRL)
+    // broadcast arm (tiny right), and multi-key plain arm
+    val tiny = Seq((1, "x"), (2, "y")).toDF("k", "tag")
+    val (b, st3) = Relational.autoJoinWithStrategy(left, tiny, Seq("k"))
+    assert(st3 == "broadcast" && canon(b) == canon(left.join(tiny, Seq("k"))))
+    val l2 = (1 to 40).map(i => (i % 5, i % 3, i)).toDF("a", "b", "lv")
+    val r2 = (1 to 40).map(i => (i % 5, i % 3, i * 10)).toDF("a", "b", "rv")
+    val (m, st4) = Relational.autoJoinWithStrategy(
+      l2, r2, Seq("a", "b"), broadcastRowLimit = 10)
+    assert(st4 == "shuffle" && canon(m) == canon(l2.join(r2, Seq("a", "b"))))
+    // overlapping non-key names are rejected up front, not mis-selected
+    intercept[IllegalArgumentException] {
+      Relational.autoJoin(left, left, Seq("k"))
+    }
+  }
 }

@@ -413,6 +413,24 @@ class TextOpsSpec extends SparkSpec {
     assert(scoreStr("DIXON", "DICKSONX") == scoreStr("DICKSONX", "DIXON"))
   }
 
+  test("JaroWinklerBp: long inputs take the BigInt path without overflow") {
+    import graft.functions.JaroWinklerBp.scoreStr
+    // 30k chars is past the Long-safe bound (~28k; the old all-Long code
+    // could go negative). Identical strings hit the boost path: 10000.
+    val a30 = "a" * 30000
+    assert(scoreStr(a30, a30) == 10000L)
+    // half-overlap: m=15000, t=0 → jaro = (1/2 + 1/2 + 1)/3 = 2/3, no
+    // boost → floor(10000·2/3) = 6666. Same formula, BigInt arithmetic.
+    val half = ("a" * 15000) + ("b" * 15000)
+    val s = scoreStr(a30, half)
+    assert(s == 6666L, s"expected 6666, got $s")
+    // boundary agreement: the two paths compute the identical rational
+    val x = "ab" * 10000 // exactly 20000 → Long path
+    val y = "ab" * 10001 // 20002 → BigInt path
+    assert(scoreStr(x, x) == 10000L && scoreStr(y, y) == 10000L)
+    assert(scoreStr(x, y) >= 9900L && scoreStr(x, y) <= 10000L)
+  }
+
   test("jaroLinkagePairs: blocking excludes first-char mismatches, " +
       "threshold filters, scores exact") {
     val df = Seq("martha", "marhta", "xartha", "mzzzzz", "martha")
