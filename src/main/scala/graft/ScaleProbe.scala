@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    would give each of 4 bands at h≤3 — fingerprint width is the real
   *    production knob; the 2-band probe measures the widened bucket space,
   *    while its own pigeonhole guarantee drops to h≤1).
+  *  - minhash `default` 8 bands × 2 hashes; `scaled` 4 bands × 4 hashes
+  *    (band collision probability J^r — doubling r squares the
+  *    per-band selectivity; recall drops per 1−(1−J^r)^b).
   *  - cosine `default` 16 bands × 2 planes; `scaled3`/`scaled4` 16 bands ×
   *    3/4 planes (each extra plane halves expected bucket occupancy —
   *    recall at a given threshold drops per the (1−θ/π)^r band law, the
@@ -43,6 +46,9 @@ object ScaleProbe {
       val probes: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
         ("simhash", "default_4x8", () => ops.Dedup.simHashCandidateBudget(docs)),
         ("simhash", "wide_2x16", () => ops.Dedup.simHashCandidateBudget(docs, bands = 2)),
+        ("minhash", "default_8x2", () => ops.Dedup.minHashCandidateBudget(docs)),
+        ("minhash", "scaled_4x4",
+          () => ops.Dedup.minHashCandidateBudget(docs, bands = 4)),
         ("cosine", "default_16x2", () => ops.Vectors.cosineBandCandidateBudget(emb)),
         ("cosine", "scaled_16x3",
           () => ops.Vectors.cosineBandCandidateBudget(emb, planesPerBand = 3)),

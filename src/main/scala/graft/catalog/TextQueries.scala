@@ -819,6 +819,40 @@ object TextQueries extends Catalog {
              |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // MinHash candidate-budget pre-flight — third member of the LSH budget
+    // family (see dedup_simhash_budget): Σ C(bucket, 2) over the 8-band ×
+    // 2-hash buckets, one signature pass + one keyed count. The oracle
+    // replays signatures and band keys exactly as dedup_minhash does, then
+    // the bucket combinatorics.
+    Q("dedup_minhash_budget",
+      (s, dir) => Dedup.minHashCandidateBudget(load(s, dir, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, $Toks AS l FROM documents),
+             |toks AS (
+             |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+             |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+             |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+             |  FROM t),
+             |hv AS (
+             |  SELECT doc_id, list_transform(ts,
+             |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+             |  FROM toks WHERE len(ts) > 0),
+             |sigs AS (
+             |  SELECT doc_id, list_transform(range(16), s ->
+             |    list_min(list_transform(hv,
+             |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+             |  FROM hv),
+             |bands AS (
+             |  SELECT doc_id, b AS band,
+             |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+             |      x -> x::VARCHAR), ':') AS band_key
+             |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+             |c AS (SELECT count(*) AS c FROM bands GROUP BY band, band_key)
+             |SELECT (coalesce(sum(c), 0) // 8)::BIGINT AS n_docs,
+             |  count(*)::BIGINT AS n_buckets,
+             |  coalesce(max(c), 0)::BIGINT AS max_bucket,
+             |  coalesce(sum((c * (c - 1)) // 2), 0)::BIGINT AS cand_pairs
+             |FROM c""".stripMargin)),
+
     // X2 incremental: exact dedup of a NEW batch (doc_id % 5 = 0) against
     // the EXISTING corpus (the rest) — the steady-state production shape;
     // nothing corpus-wide recomputes per ingest. Survivors = min-id within

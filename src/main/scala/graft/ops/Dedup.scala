@@ -194,6 +194,31 @@ object Dedup {
     (toks, banded, () => { toks.unpersist(); banded.unpersist(); () })
   }
 
+  /** Candidate-pair BUDGET of the MinHash banding — the third member of
+    * the LSH pre-flight family (`simHashCandidateBudget`,
+    * `Vectors.cosineBandCandidateBudget`): Σ C(bucket, 2) over the
+    * (band, band_key) buckets from ONE signature pass + ONE keyed count,
+    * no self-join. `n_docs` counts SIGNED documents (≥ 1 shingle — texts
+    * shorter than `shingleSize` tokens never enter the banding, exactly
+    * as in `minHashNearDupPairs`), recovered as Σc div bands so the whole
+    * summary is a single aggregation over the bucket counts.
+    */
+  def minHashCandidateBudget(docs: DataFrame, numHashes: Int = 16,
+                             bands: Int = 8, shingleSize: Int = 3,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val (_, banded, _) = minHashSide(docs, numHashes, bands, shingleSize,
+      idCol, textCol, org.apache.spark.storage.StorageLevel.NONE)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    banded.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("c"))
+      .agg(
+        expr(s"coalesce(sum(c), 0) div ${bands}L").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("(c * (c - 1)) div 2").cast(dec)),
+          lit(0).cast(dec)).cast("long").as("cand_pairs"))
+  }
+
   /** Persistable MinHash corpus index: (shingle sets `(id, ts)`, banded
     * signature keys `(id, band, band_key)`) — the two tables a steady-state
     * pipeline writes ONCE at ingest (band keys bucketed by `band_key` via
