@@ -135,6 +135,28 @@ object CurateQueries extends Catalog {
       Some(s"""SELECT doc_id, lang, n_chars FROM documents
              |WHERE $UnitHash < 0.2 ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement (Curate.weightedSample,
+    // Efraimidis & Spirtakis 2006): 50 docs drawn ∝ length via the
+    // exponential-race key -ln(u)/w — deterministic md5 u, ONE mirrored
+    // ln on the 6dp-prerounded clamped hash, then exact-integer keys;
+    // the oracle replays hash → clamp → ln → floor verbatim and the
+    // driver hash-compares the full selected SET and its order. Top-n =
+    // TakeOrdered, no global sort.
+    Q("curate_weighted_sample",
+      (s, dir) => Curate.weightedSample(
+          load(s, dir, "documents")
+            .withColumn("w", greatest(lit(1), col("n_chars")).cast("long")),
+          col("doc_id"), col("w"), 50)
+        .select(col("doc_id"), col("w"), col("es_key"))
+        .orderBy(col("es_key"), col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, greatest(1, n_chars)::BIGINT AS w,
+             |    greatest(floor(($UnitHash) * 1000000 + 0.5) / 1000000.0,
+             |      1e-6) AS u6
+             |  FROM documents)
+             |SELECT doc_id, w,
+             |  floor(-ln(u6) * 1e9 / w)::BIGINT AS es_key
+             |FROM t ORDER BY es_key, doc_id LIMIT 50""".stripMargin)),
+
     // EXACT stratified sample (Curate.stratifiedSample): exactly 25 docs
     // per language, smallest-unit-hash-first — eval-set construction
     // where Bernoulli sampling's count variance is unacceptable. One

@@ -899,6 +899,32 @@ object RelationalQueries extends Catalog {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // 3-way chain with the JOIN ORDER chosen by measured histograms
+    // (Relational.autoJoin3): est |lineitem⋈orders| ≈ |L| dwarfs
+    // est |orders⋈customer| ≈ |O|, so the advisor joins orders⋈customer
+    // first (routed broadcast by the same histograms — customer is
+    // measured-small) and leaves the outer join to AQE's runtime stats.
+    // Values are order-invariant (inner joins commute) — the oracle pins
+    // exactly that, while the WithOrder spec pins the decision itself.
+    Q("join_auto_order",
+      (s, dir) => Relational.autoJoin3(
+          load(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
+            Exact.cents(col("l_extendedprice")).as("price_c")),
+          load(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
+            col("o_custkey").as("custkey")),
+          load(s, dir, "customer").select(col("c_custkey").as("custkey"),
+            col("c_mktsegment")),
+          Seq("orderkey"), Seq("custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.dollars(sum(col("price_c"))).as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_items,
+             |sum(${cents("l_extendedprice")})::DOUBLE / 100.0 AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     Q("agg_count_rows",
       (s, dir) => Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier")
         .map(t => load(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n")))
@@ -958,6 +984,152 @@ object RelationalQueries extends Catalog {
              |  SELECT user_id FROM events GROUP BY user_id
              |  HAVING count(DISTINCT event_type) =
              |    (SELECT count(DISTINCT event_type) FROM events)) t""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct sketch (functions/KmvAgg, Beyer et
+    // al. 2007) — the BOUNDED-state sibling of the bitmap: k=64 longs per
+    // group whatever the cardinality, min-k merge commutative/idempotent.
+    // Unlike HLL, the whole sketch is DETERMINISTIC (md5-prefix hashing
+    // declared in the plan), so the oracle replays every slot and the
+    // estimate itself — (k−1)·2⁶⁰ div h₍ₖ₎, exact integers — hash-matches
+    // bit-for-bit, not merely within tolerance. n < k degrades to the
+    // exact count by construction.
+    Q("agg_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val M = graft.functions.KmvAgg.HashDomain
+        load(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_custkey"),
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+              16, 10).cast("long").as("h"))
+          .groupBy(col("o_orderstatus"))
+          .agg(graft.functions.KmvAgg.kmvMin(col("h"), k).as("sk"),
+            countDistinct(col("o_custkey")).as("n_exact"))
+          .select(col("o_orderstatus"),
+            size(col("sk.hashes")).cast("long").as("n_sketch"),
+            when(size(col("sk.hashes")) < k,
+                size(col("sk.hashes")).cast("long"))
+              .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                s"CAST($M AS DECIMAL(38,0)) div element_at(sk.hashes, $k)"))
+              .as("est"),
+            col("n_exact"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT o_orderstatus,
+             |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM orders),
+             |r AS (SELECT o_orderstatus, h,
+             |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+             |      FROM h),
+             |sk AS (SELECT o_orderstatus,
+             |         count(*) FILTER (WHERE rk <= 64) AS n_sketch,
+             |         max(h) FILTER (WHERE rk <= 64) AS theta
+             |       FROM r GROUP BY o_orderstatus),
+             |ex AS (SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact
+             |       FROM orders GROUP BY o_orderstatus)
+             |SELECT sk.o_orderstatus, n_sketch::BIGINT AS n_sketch,
+             |  (CASE WHEN n_sketch < 64 THEN n_sketch::HUGEINT
+             |        ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // theta
+             |   END)::BIGINT AS est,
+             |  n_exact::BIGINT AS n_exact
+             |FROM sk JOIN ex USING (o_orderstatus)
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // KMV sketch ALGEBRA, fully declarative after aggregation: union = k
+    // smallest of array_union (array built-ins, no UDF), θ = the union's
+    // k-th slot, Jaccard ≈ |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U| and |A∩B| ≈
+    // common·est_union div |U| — the theta-sketch set-operation trade
+    // (audience overlap from two 512-byte sketches instead of a fact
+    // re-scan). Exact counts sit in the same row, so the driver hash
+    // compare pins estimate AND truth; URGENT vs LOW customer cohorts
+    // overlap at J ≈ 0.75 — both the common and the rejected slots are
+    // load-bearing.
+    Q("agg_kmv_jaccard",
+      (s, dir) => {
+        val k = 64
+        val M = graft.functions.KmvAgg.HashDomain
+        val o = load(s, dir, "orders")
+        def sketch(pri: String, name: String) =
+          o.filter(col("o_orderpriority") === pri)
+            .select(conv(substring(md5(col("o_custkey").cast("string")),
+              1, 15), 16, 10).cast("long").as("h"))
+            .agg(graft.functions.KmvAgg.kmvMin(col("h"), k).as("s"))
+            .select(col("s.hashes").as(name))
+        val ex = o.filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .groupBy(col("o_custkey"))
+          .agg(max(when(col("o_orderpriority") === "1-URGENT", 1)
+              .otherwise(0)).as("ia"),
+            max(when(col("o_orderpriority") === "5-LOW", 1)
+              .otherwise(0)).as("ib"))
+          .agg(sum(col("ia") * col("ib")).cast("long").as("exact_inter"),
+            count(lit(1)).as("exact_union"))
+        sketch("1-URGENT", "a").crossJoin(sketch("5-LOW", "b"))
+          .crossJoin(ex)
+          .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))),
+            1, k))
+          .select(
+            size(col("a")).cast("long").as("n_sk_a"),
+            size(col("b")).cast("long").as("n_sk_b"),
+            size(col("u")).cast("long").as("n_sk_union"),
+            expr("size(filter(u, x -> array_contains(a, x) AND " +
+              "array_contains(b, x)))").cast("long").as("common"),
+            when(size(col("u")) < k, size(col("u")).cast("long"))
+              .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                s"CAST($M AS DECIMAL(38,0)) div element_at(u, $k)"))
+              .as("est_union"),
+            col("exact_inter"), col("exact_union"))
+          .select(col("n_sk_a"), col("n_sk_b"), col("n_sk_union"),
+            col("common"),
+            expr("10000 * common div n_sk_union").as("jaccard_bp"),
+            expr("common * est_union div n_sk_union").as("inter_est"),
+            col("est_union"), col("exact_inter"), col("exact_union"),
+            expr("10000 * exact_inter div exact_union")
+              .as("exact_jaccard_bp"))
+      },
+      Some("""WITH ha AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+             |          AS rk FROM ha) WHERE rk <= 64),
+             |hb AS (SELECT DISTINCT
+             |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM orders WHERE o_orderpriority = '5-LOW'),
+             |skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+             |          AS rk FROM hb) WHERE rk <= 64),
+             |u AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+             |        FROM (SELECT h FROM ska UNION SELECT h FROM skb))
+             |      WHERE rk <= 64),
+             |m AS (SELECT
+             |    (SELECT count(*) FROM ska) AS n_sk_a,
+             |    (SELECT count(*) FROM skb) AS n_sk_b,
+             |    (SELECT count(*) FROM u) AS n_sk_union,
+             |    (SELECT max(h) FROM u) AS theta,
+             |    (SELECT count(*) FROM u WHERE h IN (SELECT h FROM ska)
+             |       AND h IN (SELECT h FROM skb)) AS common),
+             |ex AS (SELECT count(*) FILTER (WHERE ia = 1 AND ib = 1)
+             |         AS exact_inter, count(*) AS exact_union FROM (
+             |       SELECT o_custkey,
+             |         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+             |           ELSE 0 END) AS ia,
+             |         max(CASE WHEN o_orderpriority = '5-LOW' THEN 1
+             |           ELSE 0 END) AS ib
+             |       FROM orders
+             |       WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+             |       GROUP BY o_custkey))
+             |SELECT n_sk_a::BIGINT AS n_sk_a, n_sk_b::BIGINT AS n_sk_b,
+             |  n_sk_union::BIGINT AS n_sk_union, common::BIGINT AS common,
+             |  (10000 * common // n_sk_union)::BIGINT AS jaccard_bp,
+             |  (common::HUGEINT *
+             |     (CASE WHEN n_sk_union < 64 THEN n_sk_union::HUGEINT
+             |       ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // theta
+             |      END) // n_sk_union)::BIGINT AS inter_est,
+             |  (CASE WHEN n_sk_union < 64 THEN n_sk_union::HUGEINT
+             |     ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) // theta
+             |   END)::BIGINT AS est_union,
+             |  exact_inter::BIGINT AS exact_inter,
+             |  exact_union::BIGINT AS exact_union,
+             |  (10000 * exact_inter // exact_union)::BIGINT AS exact_jaccard_bp
+             |FROM m, ex""".stripMargin)),
 
     // HLL sketch values differ across engines by design, so the raw
     // estimate is not oracle-replayable. Verifiable form: emit the exact
@@ -1190,6 +1362,21 @@ object RelationalQueries extends Catalog {
       (s, dir) => graft.ops.Graph.connectedComponents(
           StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
           "item_a", "item_b")
+        .orderBy(col("node")),
+      Some(BasketComponentsOracle)),
+
+    // Same labels via the two-star algorithm (Kiveris et al. 2014):
+    // alternating large-star/small-star rounds converge in O(log² n)
+    // rounds instead of O(diameter) — the form that survives long-chain
+    // components at 100 TB, where min-label propagation's round count is
+    // the scale killer. Value-identical to basket_components (the min-id
+    // labeling is the algorithm's fixpoint), so the SAME oracle proves
+    // the exotic round structure resolves exactly. Stored edges: timed
+    // cost is the two-star machinery alone.
+    Q("basket_components_twostar",
+      (s, dir) => graft.ops.Graph.twoStarComponents(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2),
+          a = "item_a", b = "item_b")
         .orderBy(col("node")),
       Some(BasketComponentsOracle)),
 

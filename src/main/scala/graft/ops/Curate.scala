@@ -52,6 +52,40 @@ object Curate {
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(unitHash(key) < rate)
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirtakis 2006):
+    * the n rows with the smallest `-ln(u)/w` — the "exponential race"
+    * form of the classic `u^(1/w)` reservoir key, which draws each subset
+    * with probability proportional to its weights, one pass, no
+    * replacement bookkeeping. `u` is the deterministic md5 unit hash of
+    * the key (no RNG — re-runs and engines agree row-for-row; a
+    * different deterministic draw = change the key, e.g. concat a salt).
+    *
+    * Float discipline (the library's mirrored-ln rule, cf. mSPRT): ln is
+    * taken on the 6dp-PREROUNDED, 1e-6-clamped unit hash — a bounded
+    * argument set both engines evaluate identically — then scaled by 1e9
+    * and FLOORED to the integer `es_key`; every comparison after the one
+    * ln is exact-integer, ties broken by the key column. The clamp bounds
+    * the key for an astronomically unlucky hash (u < 5e-7) instead of
+    * overflowing floor(+inf); bias ≤ 1e-6 of the u-range.
+    *
+    * Scale shape: one narrow projection + TakeOrdered top-n — no global
+    * sort, no shuffle beyond the per-partition top-n merge. Weights must
+    * be strictly positive (raise_error otherwise — a silent drop would
+    * bias the sample).
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val w = when(weight <= 0, raise_error(concat(
+        lit("weightedSample: non-positive weight for key "),
+        key.cast("string"))))
+      .otherwise(weight)
+    val u6 = greatest(Vectors.round6(unitHash(key)), lit(1e-6))
+    df.withColumn("es_key", floor(-log(u6) * lit(1e9) / w).cast("long"))
+      .orderBy(col("es_key"), key)
+      .limit(n)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minShared` word n-gram shingles with any benchmark doc — the standard
     * guard against test-set leakage into training corpora.

@@ -520,11 +520,12 @@ object Dedup {
     * pipeline needs after pair generation — near-dup is not transitive,
     * but dedup policy treats components as one group.
     *
-    * Distributed shape: iterative min-label propagation — each round is one
-    * join + aggregation over the edge list (the standard Spark route for
-    * connected components when clusters are small, as dup clusters are;
-    * rounds needed = component diameter). The driver loop only counts
-    * changed labels; all data stays distributed.
+    * Distributed shape: two-star rounds (`Graph.twoStarComponents`,
+    * Kiveris et al. 2014) — alternating large-star/small-star re-linking
+    * converges in O(log² n) rounds regardless of component diameter, so
+    * even a pathological chain-of-duplicates graph resolves exactly. All
+    * data stays distributed; the driver sees only per-round state
+    * signatures.
     *
     * `driverMaxPairs` bounds the union-find fast path's collect: 5 M pairs
     * ≈ 2 × 5 M boxed longs in the driver HashMap ≈ low hundreds of MB —
@@ -557,8 +558,8 @@ object Dedup {
     * `nearDupClusters` (full recompute) and `mergeClusters` (incremental):
     * a size-gated driver union-find fast path — the pair list is
     * O(duplicates), orders of magnitude smaller than any corpus — with
-    * iterative distributed min-label propagation for genuinely huge
-    * duplicate graphs. `pairs` must be cached and already materialized
+    * distributed two-star rounds (O(log² n), never diameter-bounded) for
+    * genuinely huge duplicate graphs. `pairs` must be cached and already materialized
     * (`nPairs` is its measured count); the caller owns its unpersist. The
     * returned frame is safe to use after that unpersist: the driver path
     * is a local DataFrame, the distributed path a materialized cache.
@@ -587,50 +588,23 @@ object Dedup {
       val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       return out.toDF("doc_id", "cluster_rep")
     }
-    // Size the iteration partitioning from the MEASURED pair count: the
-    // label-propagation joins run over O(pairs) rows, not O(corpus) — one
-    // partition locally, thousands on a billion-pair corpus. Without this
-    // the tiny iteration stages inherit the full shuffle-partition count
-    // and the loop is pure scheduling overhead.
-    val nParts = math.max(1L, nPairs / 500000L).toInt
-    // undirected edges + self-loops over the docs that appear in any pair
-    val nodes = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id"))).distinct()
-    val edges = pairs
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .union(nodes.select(col("id").as("a"), col("id").as("b")))
-      .repartition(nParts, col("b"))
-      .cache()
-    def propagate(l: DataFrame): DataFrame =
-      edges.join(l.repartition(nParts, col("id")), edges("b") === l("id"))
-        .groupBy(edges("a").as("id2"))
-        .agg(min(col("rep")).as("rep2"))
-        .select(col("id2").as("id"), col("rep2").as("rep"))
-    // Dup components are shallow (diameter ≈ 2–3), so chain STEPS rounds
-    // lazily between convergence checks — one Spark job per check instead
-    // of one per round.
-    val Steps = 3
-    var labels = nodes.select(col("id"), col("id").as("rep")).cache()
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val next = (1 to Steps).foldLeft(labels)((l, _) => propagate(l)).cache()
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += Steps
-    }
-    edges.unpersist()
-    // A component with diameter > maxIters would exit this loop with stale
-    // labels and silently diverge from the transitive closure — surface it.
-    if (!converged)
+    // Distributed path: alternating large-star/small-star rounds
+    // (`Graph.twoStarComponentsWithRounds`, Kiveris et al. 2014) —
+    // O(log² n) worst-case rounds instead of the O(diameter) a plain
+    // min-label propagation needs, so a deep duplicate CHAIN (the shape
+    // the old propagation engine silently under-converged on past
+    // maxIters rounds) resolves exactly: `maxIters` two-star rounds
+    // cover any graph that fits in storage. Each round is two edge-sized
+    // keyed shuffles with node-sized min side-tables; rounds are
+    // localCheckpointed, nothing retained on exit.
+    val (labels, rounds) =
+      Graph.twoStarComponentsWithRounds(pairs, maxIters, "a", "b")
+    if (rounds >= maxIters)
       log.warn(
-        s"components: label propagation did NOT converge after $iter " +
-          s"rounds (maxIters=$maxIters) — some cluster_rep labels may not be " +
-          "the component minimum; raise maxIters for deep duplicate chains")
-    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+        s"components: two-star hit the round cap (maxIters=$maxIters) — " +
+          "the final round may not have confirmed the fixpoint; raise " +
+          "maxIters (log₂²(n) rounds always suffice)")
+    labels.select(col("node").as("doc_id"), col("component").as("cluster_rep"))
   }
 
   /** Incremental clustering — merge a batch's near-dup pairs into STORED

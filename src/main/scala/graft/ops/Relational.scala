@@ -1156,18 +1156,16 @@ object Relational {
     autoJoinWithStrategy(left, right, keys, buckets, broadcastRowLimit,
       skewShareBpLimit, salts)._1
 
-  def autoJoinWithStrategy(left: DataFrame, right: DataFrame,
-                           keys: Seq[String],
-                           buckets: Int = 65536,
-                           broadcastRowLimit: Long = 10000L,
-                           skewShareBpLimit: Long = 2000L,
-                           salts: Int = 8): (DataFrame, String) = {
-    require(keys.nonEmpty, "autoJoin needs at least one key")
-    require(buckets >= 1 && salts >= 1, "buckets and salts must be >= 1")
-    require((left.columns.toSet -- keys).intersect(
-        right.columns.toSet -- keys).isEmpty,
-      "autoJoin needs disjoint non-key column names (the salted routing " +
-        "re-selects by name to restore plain-join column order)")
+  /** The md5-histogram summary both auto-strategy entry points route on:
+    * per-side row counts, the Σ c_L(b)·c_R(b) output upper bound, the
+    * hottest bucket's product, and each side's max bucket count — ONE
+    * O(buckets) pass per side, ONE summary row collected.
+    */
+  private final case class HistStats(lr: Long, rr: Long, est: BigInt,
+                                     mx: BigInt, mba: Long, mbb: Long)
+
+  private def histStats(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], buckets: Int): HistStats = {
     def keyCol(df: DataFrame): Column =
       if (keys.size == 1) df(keys.head)
       else struct(keys.map(df(_)): _*)
@@ -1192,10 +1190,26 @@ object Relational {
         col("est").cast(dec), col("mx").cast(dec),
         col("mba").cast("long"), col("mbb").cast("long"))
       .collect()(0)
-    val (lr, rr) = (row.getLong(0), row.getLong(1))
-    val (est, mx) = (BigInt(row.getDecimal(2).toBigInteger),
-      BigInt(row.getDecimal(3).toBigInteger))
-    val (mba, mbb) = (row.getLong(4), row.getLong(5))
+    HistStats(row.getLong(0), row.getLong(1),
+      BigInt(row.getDecimal(2).toBigInteger),
+      BigInt(row.getDecimal(3).toBigInteger),
+      row.getLong(4), row.getLong(5))
+  }
+
+  def autoJoinWithStrategy(left: DataFrame, right: DataFrame,
+                           keys: Seq[String],
+                           buckets: Int = 65536,
+                           broadcastRowLimit: Long = 10000L,
+                           skewShareBpLimit: Long = 2000L,
+                           salts: Int = 8): (DataFrame, String) = {
+    require(keys.nonEmpty, "autoJoin needs at least one key")
+    require(buckets >= 1 && salts >= 1, "buckets and salts must be >= 1")
+    require((left.columns.toSet -- keys).intersect(
+        right.columns.toSet -- keys).isEmpty,
+      "autoJoin needs disjoint non-key column names (the salted routing " +
+        "re-selects by name to restore plain-join column order)")
+    val HistStats(lr, rr, est, mx, mba, mbb) =
+      histStats(left, right, keys, buckets)
     if (lr <= broadcastRowLimit || rr <= broadcastRowLimit) {
       val joined =
         if (rr <= lr) left.join(broadcast(right), keys)
@@ -1213,5 +1227,63 @@ object Relational {
             right.columns.filterNot(keys.contains).map(col): _*)
       (joined, "salted_shuffle")
     } else (left.join(right, keys), "shuffle")
+  }
+
+  /** 3-table chain join `a ⋈ b ⋈ c` whose JOIN ORDER is chosen by the
+    * same md5-histogram pass that routes `autoJoin` — the second planner
+    * decision (after per-join strategy) a 100 TB query cannot leave to
+    * syntax: inner joins commute, and materializing the smaller
+    * intermediate first can cut the big shuffle by orders of magnitude.
+    * Catalyst only reorders joins under CBO with collected stats; this
+    * measures instead.
+    *
+    * Decision rule: estimate |a⋈b| and |b⋈c| from base-table histograms
+    * (Σ c_L(b)·c_R(b) — a provable upper bound, never an undercount),
+    * join the smaller-estimate pair first, routed by
+    * `autoJoinWithStrategy` (broadcast / salted / shuffle on the measured
+    * histograms); the OUTER join is left to plain Catalyst + AQE, which
+    * at that point has exact runtime statistics for the materialized
+    * intermediate — static histograms where only base tables exist,
+    * adaptive planning where an intermediate does. Ties prefer ab-first
+    * (deterministic).
+    *
+    * Result is column-for-column `a.join(b, keysAB).join(c, keysBC)`
+    * under both orders (re-selected into plain chain order), so the
+    * ordering is invisible to values — which is exactly what the oracle
+    * pins. `WithOrder` additionally returns `"bc_first:<strategy>"` /
+    * `"ab_first:<strategy>"` for the plan contracts.
+    */
+  def autoJoin3(a: DataFrame, b: DataFrame, c: DataFrame,
+                keysAB: Seq[String], keysBC: Seq[String],
+                buckets: Int = 65536,
+                broadcastRowLimit: Long = 10000L,
+                skewShareBpLimit: Long = 2000L,
+                salts: Int = 8): DataFrame =
+    autoJoin3WithOrder(a, b, c, keysAB, keysBC, buckets, broadcastRowLimit,
+      skewShareBpLimit, salts)._1
+
+  def autoJoin3WithOrder(a: DataFrame, b: DataFrame, c: DataFrame,
+                         keysAB: Seq[String], keysBC: Seq[String],
+                         buckets: Int = 65536,
+                         broadcastRowLimit: Long = 10000L,
+                         skewShareBpLimit: Long = 2000L,
+                         salts: Int = 8): (DataFrame, String) = {
+    require(keysAB.nonEmpty && keysBC.nonEmpty,
+      "autoJoin3 needs keys for both join steps")
+    require(keysBC.forall(b.columns.contains),
+      "keysBC must be columns of b (chain shape a–b–c)")
+    // the plain chain's column order, derived from schemas alone
+    val plainCols = a.join(b, keysAB).join(c, keysBC).columns.toSeq
+    val estAB = histStats(a, b, keysAB, buckets).est
+    val estBC = histStats(b, c, keysBC, buckets).est
+    if (estBC < estAB) {
+      val (bc, s1) = autoJoinWithStrategy(b, c, keysBC, buckets,
+        broadcastRowLimit, skewShareBpLimit, salts)
+      (a.join(bc, keysAB).select(plainCols.map(col): _*), s"bc_first:$s1")
+    } else {
+      val (ab, s1) = autoJoinWithStrategy(a, b, keysAB, buckets,
+        broadcastRowLimit, skewShareBpLimit, salts)
+      (ab.join(c, keysBC).select(plainCols.map(col): _*), s"ab_first:$s1")
+    }
   }
 }

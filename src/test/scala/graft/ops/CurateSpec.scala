@@ -302,4 +302,37 @@ class CurateSpec extends SparkSpec {
     val survivors = s1.map(r => (r._1, r._2)) intersect s2.map(r => (r._1, r._2))
     assert(survivors.size >= 15, "appends should not evict most members")
   }
+
+  test("weightedSample: hand-replayed ES keys, partition invariance, " +
+      "n past the corpus keeps every row, weight dominance") {
+    val rows = (1L to 200L).map(i => (i, 1L + (i % 7) * 10L))
+    val df = rows.toDF("id", "w")
+    def keys(d: DataFrame, n: Int): Seq[(Long, Long)] =
+      Curate.weightedSample(d, col("id"), col("w"), n)
+        .select(col("id"), col("es_key")).as[(Long, Long)].collect().toSeq
+    // hand replay of the exact formula on the driver
+    def handKey(id: Long, w: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5.take(7), 16).toDouble / (1 << 28)
+      val u6 = math.max(math.floor(u * 1e6 + 0.5) / 1e6, 1e-6)
+      math.floor(-math.log(u6) * 1e9 / w).toLong
+    }
+    val expect = rows.map { case (i, w) => (i, handKey(i, w)) }
+      .sortBy(t => (t._2, t._1)).take(20)
+    assert(keys(df, 20) == expect)
+    assert(keys(df.repartition(13), 20) == expect, "partitioning moved a row")
+    // n >= corpus: every row survives (sampling degrades to a sort)
+    assert(keys(df, 500).map(_._1).sorted == (1L to 200L))
+    // a weight 10^6 times everyone else's makes its key ~10^6 smaller —
+    // the heavy row must be drawn first
+    val skew = (Seq((999L, 10000000L)) ++ (1L to 50L).map((_, 10L))).toDF("id", "w")
+    assert(keys(skew, 1).head._1 == 999L)
+    // non-positive weights raise instead of silently biasing the draw
+    val bad = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val err = intercept[Exception](
+      Curate.weightedSample(bad, col("id"), col("w"), 2).collect())
+    assert(err.getMessage.contains("non-positive weight"))
+  }
 }

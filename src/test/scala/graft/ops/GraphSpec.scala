@@ -332,4 +332,60 @@ class GraphSpec extends SparkSpec {
     assert(c2.as[(Long, Long)].collect().toMap ==
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("twoStarComponents: min-id labels ≡ connectedComponents, self-loops " +
+      "kept, and a long chain resolves in far fewer rounds than its diameter") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // same fixture as the connectedComponents test, incl. the (7,7) loop
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 7L)).toDF("a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      7L -> 7L)
+    assert(Graph.twoStarComponents(edges)
+      .as[(Long, Long)].collect().toMap == want)
+
+    // 64-node path: diameter 63 (min-label propagation needs ~63 rounds);
+    // two-star pointer-doubling collapses it in O(log) rounds
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Graph.twoStarComponentsWithRounds(chain)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (1L to 64L).map(_ -> 1L).toMap)
+    assert(rounds <= 10, s"expected O(log n) rounds on the chain, got $rounds")
+    assert(rounds >= 2, s"a 64-chain cannot converge in $rounds round(s)")
+
+    // ≡ the independent driver union-find on a mixed graph (chain + star
+    // + 2 components) — driverMaxPairs high keeps union-find on that path
+    val mixed = (Seq((5L, 9L), (9L, 2L), (2L, 17L), (40L, 41L), (40L, 42L),
+      (40L, 43L), (100L, 101L)) ++ (1L until 20L).map(i => (200L + i, 201L + i)))
+      .toDF("a", "b")
+    val viaTwoStar = Graph.twoStarComponents(mixed)
+      .as[(Long, Long)].collect().toMap
+    val viaUnionFind = Graph.connectedComponents(mixed)
+      .as[(Long, Long)].collect().toMap
+    assert(viaTwoStar == viaUnionFind)
+    // the deep-chain part above is EXACT on the distributed engine too —
+    // the shape the old min-label propagation silently under-converged on
+    // (diameter 19 > its 12-round cap); two-star is never diameter-bounded
+    assert(Graph.connectedComponents(mixed, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap == viaUnionFind)
+    // lifecycle: clear residue from OTHER ops first (suite order), then
+    // prove twoStar itself retains nothing (localCheckpoint-only rounds)
+    spark.catalog.clearCache()
+    Graph.twoStarComponents(mixed).collect()
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "twoStarComponents must retain no cached frames")
+  }
+
+  test("twoStarComponents: a pre-converged star forest costs exactly one " +
+      "confirming round; maxRounds truncation surfaces partial state") {
+    // already a min-rooted star forest: invariant under both transforms
+    val stars = Seq((2L, 1L), (3L, 1L), (9L, 8L)).toDF("a", "b")
+    val (labels, rounds) = Graph.twoStarComponentsWithRounds(stars)
+    assert(rounds == 1, s"pre-converged star forest took $rounds rounds")
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    // truncation at maxRounds=1 on a chain: loop obeys the cap
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, r1) = Graph.twoStarComponentsWithRounds(chain, maxRounds = 1)
+    assert(r1 == 1)
+  }
 }

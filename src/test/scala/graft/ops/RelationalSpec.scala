@@ -794,4 +794,35 @@ class RelationalSpec extends SparkSpec {
       Relational.autoJoin(left, left, Seq("k"))
     }
   }
+
+  test("autoJoin3: order chosen by measured intermediates, result ≡ the " +
+      "plain chain under both orders — rows AND column order") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      (df.columns.toSeq, df.collect().map(_.toSeq).toSet)
+    // fact a (fan-out 10 per k1), mid b (k1 → k2), small dim c:
+    // est |a⋈b| = 500 dwarfs est |b⋈c| = 50 → join b⋈c first
+    val a = (1 to 50).flatMap(k => (1 to 10).map(i => (k, i)))
+      .toDF("k1", "av")
+    val b = (1 to 50).map(k => (k, k % 7)).toDF("k1", "k2")
+    val c = (0 to 6).map(k => (k, s"seg$k")).toDF("k2", "cv")
+    val plain = canon(a.join(b, Seq("k1")).join(c, Seq("k2")))
+    val (r1, o1) = Relational.autoJoin3WithOrder(a, b, c,
+      Seq("k1"), Seq("k2"))
+    assert(o1.startsWith("bc_first:"), s"expected bc_first, got $o1")
+    assert(canon(r1) == plain)
+    // mirrored shape: tiny a, fat c-side fan-out → ab joins first
+    val a2 = (0 to 6).map(k => (k, s"seg$k")).toDF("k1", "av")
+    val b2 = (1 to 50).map(k => (k % 7, k)).toDF("k1", "k2")
+    val c2 = (1 to 50).flatMap(k => (1 to 10).map(i => (k, i)))
+      .toDF("k2", "cv")
+    val plain2 = canon(a2.join(b2, Seq("k1")).join(c2, Seq("k2")))
+    val (r2, o2) = Relational.autoJoin3WithOrder(a2, b2, c2,
+      Seq("k1"), Seq("k2"))
+    assert(o2.startsWith("ab_first:"), s"expected ab_first, got $o2")
+    assert(canon(r2) == plain2)
+    // chain-shape contract: keysBC must live on b
+    intercept[IllegalArgumentException] {
+      Relational.autoJoin3(a, b, c, Seq("k1"), Seq("nope"))
+    }
+  }
 }
