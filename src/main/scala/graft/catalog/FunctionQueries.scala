@@ -309,6 +309,42 @@ object FunctionQueries extends Catalog {
              |  AND nxt <= sec + 21600
              |ORDER BY user_id, first_sec, first_event_id""".stripMargin)),
 
+    // Last-touch attribution (EventOps.attributionLastTouch): every
+    // purchase credited to the user's latest preceding click/view within
+    // 7 days, else 'direct'; per-channel conversions + exact credited
+    // cents. Two ignore-nulls carries over ONE (sec, event_id)-ordered
+    // user window whose frame ends at 1 PRECEDING — no join, shuffle
+    // O(events); the oracle replays both carries and the window-bound
+    // CASE verbatim.
+    Q("events_attribution",
+      (s, dir) => EventOps.attributionLastTouch(load(s, dir, "events"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          Exact.dollars(sum(col("value_c"))).as("credited_value"))
+        .orderBy(col("channel")),
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec, event_type,
+             |    ${cents("value")} AS value_c
+             |  FROM events),
+             |c AS (SELECT *,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |        THEN sec END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS mk_sec,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS mk_type
+             |  FROM e)
+             |SELECT CASE WHEN mk_sec IS NOT NULL AND mk_sec >= sec - 604800
+             |         THEN mk_type ELSE 'direct' END AS channel,
+             |  count(*) AS conversions,
+             |  sum(value_c)::DOUBLE / 100.0 AS credited_value
+             |FROM c WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     Q("window_sliding",
       (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type")),

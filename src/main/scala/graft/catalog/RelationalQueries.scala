@@ -1131,6 +1131,81 @@ object RelationalQueries extends Catalog {
              |  (10000 * exact_inter // exact_union)::BIGINT AS exact_jaccard_bp
              |FROM m, ex""".stripMargin)),
 
+    // Grouped top-k WITHOUT a window (functions/TopKAgg): the typed
+    // Aggregator keeps ≤ k entries per group per partition MAP-SIDE and
+    // merges k-bounded sorted runs — shuffle O(groups·k) — where the
+    // row_number() window form must sort every group's FULL row set (one
+    // fat shuffle partition per hot group, the 100 TB failure mode). The
+    // (v DESC, id ASC) total order makes boundary ties deterministic; the
+    // oracle IS the window form, so the hash match proves the aggregation
+    // path selects identical rows. TopKSpec pins the no-Window plan.
+    Q("agg_topk_group",
+      (s, dir) => load(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          Exact.cents(col("o_totalprice")).as("c"), col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.TopKAgg.topKMax(col("c"), col("o_orderkey"), 3)
+          .as("t"))
+        .select(col("o_orderstatus"), posexplode(col("t.entries")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"), Exact.dollars(col("col.v")).as("price"))
+        .orderBy(col("o_orderstatus"), col("rank")),
+      Some(s"""SELECT o_orderstatus, rank, o_orderkey, price FROM (
+             |  SELECT o_orderstatus, o_orderkey,
+             |    (${cents("o_totalprice")})::DOUBLE / 100.0 AS price,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |      ORDER BY ${cents("o_totalprice")} DESC, o_orderkey) AS rank
+             |  FROM orders) t
+             |WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin)),
+
+    // KMV state MAINTENANCE: 3 disjoint ingest batches each build a
+    // per-(group, batch) sketch; merging the stored sketches — min-k of
+    // the union, array built-ins only — yields EXACTLY the full-corpus
+    // sketch: min-k is associative/commutative/idempotent, so per-batch
+    // partials compose losslessly. The oracle computes the FULL-corpus
+    // sketch; the hash match (slots, θ, estimator) proves merge ≡
+    // rebuild bit-for-bit — the property that lets 100 TB distinct state
+    // fold in new days at delta cost (cf. agg_incremental_state, whose
+    // HLL leg can only promise tolerance).
+    Q("agg_kmv_incremental",
+      (s, dir) => {
+        val k = 64
+        val M = graft.functions.KmvAgg.HashDomain
+        load(s, dir, "orders")
+          .select(col("o_orderstatus"),
+            pmod(col("o_orderkey"), lit(3)).as("b"),
+            conv(substring(md5(col("o_custkey").cast("string")), 1, 15),
+              16, 10).cast("long").as("h"))
+          .groupBy(col("o_orderstatus"), col("b"))
+          .agg(graft.functions.KmvAgg.kmvMin(col("h"), k).as("sk"))
+          .groupBy(col("o_orderstatus"))
+          .agg(slice(array_sort(array_distinct(
+            flatten(collect_list(col("sk.hashes"))))), 1, k).as("m"))
+          .select(col("o_orderstatus"),
+            size(col("m")).cast("long").as("n_sketch"),
+            element_at(col("m"), size(col("m"))).as("theta"),
+            when(size(col("m")) < k, size(col("m")).cast("long"))
+              .otherwise(expr(s"CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                s"CAST($M AS DECIMAL(38,0)) div element_at(m, $k)"))
+              .as("est"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT o_orderstatus,
+             |    ('0x' || substr(md5(o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+             |  FROM orders),
+             |r AS (SELECT o_orderstatus, h,
+             |        row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+             |      FROM h)
+             |SELECT o_orderstatus,
+             |  (count(*) FILTER (WHERE rk <= 64))::BIGINT AS n_sketch,
+             |  max(h) FILTER (WHERE rk <= 64) AS theta,
+             |  (CASE WHEN (count(*) FILTER (WHERE rk <= 64)) < 64
+             |     THEN (count(*) FILTER (WHERE rk <= 64))::HUGEINT
+             |     ELSE (63::HUGEINT * 1152921504606846976::HUGEINT) //
+             |       (max(h) FILTER (WHERE rk <= 64)) END)::BIGINT AS est
+             |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // HLL sketch values differ across engines by design, so the raw
     // estimate is not oracle-replayable. Verifiable form: emit the exact
     // count NEXT TO a tolerance verdict on the estimate (|approx − exact| ≤

@@ -673,6 +673,45 @@ object EventOps {
         (col("then_sec") - col("sec")).as("gap_sec"))
   }
 
+  /** Last-touch marketing attribution: each conversion (`convType`)
+    * credited to the MOST RECENT preceding marketing event
+    * (`marketingTypes`) by the same user within `windowSec`, else
+    * `'direct'` — the standard conversion-credit readout. One row per
+    * conversion with its channel and exact value cents; aggregate
+    * downstream per channel.
+    *
+    * The carry is two `last(..., ignoreNulls)` window calls over the SAME
+    * (sec, event_id)-ordered frame ending at 1 PRECEDING — both are null
+    * exactly on non-marketing rows, so ts and type always come from the
+    * same (latest marketing) row, and the frame bound keeps a
+    * simultaneous conversion from crediting itself. Same-second marketing
+    * vs conversion resolves by event_id order (the sequenceMatch
+    * discipline). ONE user-keyed window sort, shuffle O(events), no join.
+    */
+  def attributionLastTouch(events: DataFrame,
+                           marketingTypes: Seq[String] = Seq("click", "view"),
+                           convType: String = "purchase",
+                           windowSec: Long = 604800L): DataFrame = {
+    require(windowSec >= 0, s"windowSec must be >= 0, got $windowSec")
+    require(!marketingTypes.contains(convType),
+      "conversion type cannot also be a marketing type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val isMk = col("event_type").isin(marketingTypes: _*)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"),
+        Exact.cents(col("value")).as("value_c"))
+      .withColumn("mk_sec", last(when(isMk, col("sec")), ignoreNulls = true).over(w))
+      .withColumn("mk_type", last(when(isMk, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id"), col("sec"), col("value_c"),
+        when(col("mk_sec").isNotNull &&
+            col("mk_sec") >= col("sec") - windowSec, col("mk_type"))
+          .otherwise(lit("direct")).as("channel"))
+  }
+
   /** Hourly resample with gap fill: value-cents aggregated per (user,
     * epoch-hour), each user's [first, last] observed hour densified into
     * a complete grid, and the last observed aggregate carried forward

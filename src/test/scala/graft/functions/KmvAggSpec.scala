@@ -71,6 +71,22 @@ class KmvAggSpec extends SparkSpec {
     assert(viaSql == est)
   }
 
+  test("merge ≡ rebuild: min-k of unioned per-batch sketches equals the " +
+      "full-corpus sketch slot-for-slot") {
+    val k = 32
+    val df = (1L to 900L).map(i => (i % 3, i.toString)).toDF("b", "v")
+      .select(col("b"), conv(substring(md5(col("v")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val merged = df.groupBy(col("b"))
+      .agg(KmvAgg.kmvMin(col("h"), k).as("s"))
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col("s.hashes"))))), 1, k).as("m"))
+      .select(col("m")).as[Seq[Long]].head()
+    val full = df.agg(KmvAgg.kmvMin(col("h"), k).as("s"))
+      .select(col("s.hashes")).as[Seq[Long]].head()
+    assert(merged == full)
+  }
+
   test("input contract: negative or out-of-domain hashes are rejected") {
     val agg = new KmvMinAgg(4)
     intercept[Exception](agg.reduce(agg.zero, -1L))

@@ -259,6 +259,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("attributionLastTouch: latest in-window touch wins, bound is " +
+      "inclusive, no-touch and stale go direct, same-second by event_id") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val wk = 604800L
+    val events = Seq(
+      // u1: click then view → view (latest marketing wins)
+      (1L, 1L, ts(10), "click", 0.0), (1L, 2L, ts(20), "view", 0.0),
+      (1L, 3L, ts(25), "purchase", 19.99),
+      // u2: EXACTLY at the window bound → still credited
+      (2L, 4L, ts(10), "click", 0.0),
+      (2L, 5L, ts(10 + wk), "purchase", 5.0),
+      // u3: one second past the bound → direct
+      (3L, 6L, ts(10), "click", 0.0),
+      (3L, 7L, ts(11 + wk), "purchase", 5.0),
+      // u4: no touch at all → direct
+      (4L, 8L, ts(5), "purchase", 2.5),
+      // u5: same-second view with SMALLER event_id precedes → credited
+      (5L, 50L, ts(30), "view", 0.0), (5L, 51L, ts(30), "purchase", 1.0),
+      // u6: same-second view with LARGER event_id follows → direct
+      (6L, 60L, ts(30), "purchase", 1.0), (6L, 61L, ts(30), "view", 0.0),
+      // u7: a non-marketing event between touch and purchase does not
+      //     reset the carry; ts and type come from the same (view) row
+      (7L, 70L, ts(10), "click", 0.0), (7L, 71L, ts(15), "view", 0.0),
+      (7L, 72L, ts(18), "error", 0.0), (7L, 73L, ts(20), "purchase", 3.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.attributionLastTouch(events)
+      .select(col("user_id"), col("event_id"), col("value_c"), col("channel"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 1999L, "view"), (2L, 5L, 500L, "click"),
+      (3L, 7L, 500L, "direct"), (4L, 8L, 250L, "direct"),
+      (5L, 51L, 100L, "view"), (6L, 60L, 100L, "direct"),
+      (7L, 73L, 300L, "view")))
+    intercept[IllegalArgumentException] {
+      EventOps.attributionLastTouch(events, convType = "click")
+    }
+  }
+
   test("outlierFlags: integer cross-multiplication matches the float definition") {
     // group g: values 0,0,0,0,100 (cents) — mean 20, pop-σ = 40; at 1.5σ
     // (threshold 60) only the 100 is beyond. group h: uniform, none flagged
