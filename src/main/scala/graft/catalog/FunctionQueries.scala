@@ -345,6 +345,48 @@ object FunctionQueries extends Catalog {
              |FROM c WHERE event_type = 'purchase'
              |GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // LINEAR multi-touch attribution (EventOps.attributionLinear): each
+    // purchase's value split equally across ALL in-window preceding
+    // touches — exact integer split (div + remainder-to-latest, so
+    // per-conversion credits sum to value_c exactly; no 1/n float).
+    // Same window bound and (sec, event_id) tie rule as the last-touch
+    // model. The oracle replays the join, both window calls, and the
+    // div/mod split verbatim; Σ credited_value over channels ≡ total
+    // purchase value by construction.
+    Q("events_attribution_linear",
+      (s, dir) => EventOps.attributionLinear(load(s, dir, "events"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("touch_credits"),
+          countDistinct(col("conv_id")).as("conversions"),
+          Exact.dollars(sum(col("credit_c"))).as("credited_value"))
+        .orderBy(col("channel")),
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec, event_type,
+             |    ${cents("value")} AS value_c
+             |  FROM events),
+             |conv AS (SELECT user_id, event_id AS conv_id, sec AS conv_sec,
+             |    value_c FROM e WHERE event_type = 'purchase'),
+             |mk AS (SELECT user_id AS mk_user, event_id AS mk_id,
+             |    sec AS mk_sec, event_type AS mk_type
+             |  FROM e WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT c.*, m.mk_id, m.mk_sec, m.mk_type
+             |  FROM conv c LEFT JOIN mk m ON c.user_id = m.mk_user
+             |    AND m.mk_sec >= c.conv_sec - 604800
+             |    AND (m.mk_sec < c.conv_sec
+             |      OR (m.mk_sec = c.conv_sec AND m.mk_id < c.conv_id))),
+             |x AS (SELECT *,
+             |    count(mk_id) OVER (PARTITION BY user_id, conv_id) AS n,
+             |    row_number() OVER (PARTITION BY user_id, conv_id
+             |      ORDER BY mk_sec DESC, mk_id DESC) AS rk
+             |  FROM j)
+             |SELECT CASE WHEN n = 0 THEN 'direct' ELSE mk_type END AS channel,
+             |  count(*)::BIGINT AS touch_credits,
+             |  count(DISTINCT conv_id)::BIGINT AS conversions,
+             |  sum(CASE WHEN n = 0 THEN value_c
+             |    ELSE value_c // n + CASE WHEN rk = 1 THEN value_c % n
+             |      ELSE 0 END END)::DOUBLE / 100.0 AS credited_value
+             |FROM x GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     Q("window_sliding",
       (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type")),

@@ -1206,6 +1206,65 @@ object RelationalQueries extends Catalog {
              |       (max(h) FILTER (WHERE rk <= 64)) END)::BIGINT AS est
              |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    // Exact WEIGHTED percentiles (Relational.weightedPercentilesBy):
+    // price quartiles per return flag where each lineitem counts
+    // l_quantity times — the "median price weighted by units sold"
+    // readout. Integer end-to-end: threshold = ceil(p_bp·W/10⁴) via div,
+    // crossing row selected by filter (cum ≥ thr ∧ cum − wc < thr), so
+    // the oracle replays the identical arithmetic. Shape: one groupBy
+    // onto distinct (flag, price) state + one group-keyed window — raw
+    // rows are never sorted.
+    Q("agg_weighted_percentiles",
+      (s, dir) => Relational.weightedPercentilesBy(
+          load(s, dir, "lineitem"), Seq("l_returnflag"),
+          Exact.cents(col("l_extendedprice")),
+          col("l_quantity").cast("long"), Seq(2500L, 5000L, 7500L))
+        .select(col("l_returnflag"), col("p_bp"),
+          Exact.dollars(col("value")).as("value")),
+      Some(s"""WITH st AS (SELECT l_returnflag,
+             |    ${cents("l_extendedprice")} AS v,
+             |    sum(l_quantity::BIGINT) AS wc
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT l_returnflag, v, wc,
+             |    sum(wc) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             |    sum(wc) OVER (PARTITION BY l_returnflag) AS w
+             |  FROM st),
+             |p AS (SELECT unnest([2500, 5000, 7500]) AS p_bp)
+             |SELECT l_returnflag, p_bp::BIGINT AS p_bp,
+             |  v::DOUBLE / 100.0 AS value
+             |FROM c, p
+             |WHERE cum >= (p_bp * w + 9999) // 10000
+             |  AND cum - wc < (p_bp * w + 9999) // 10000
+             |ORDER BY l_returnflag, p_bp""".stripMargin)),
+
+    // 2-D Pareto frontier / skyline (Relational.paretoFrontier2D):
+    // cheapest-and-largest parts per brand — rows no same-brand part
+    // dominates (≤ price, ≥ size, one strict). The engine does it in ONE
+    // group-keyed window pass (two RANGE frames of the same window:
+    // min-y over x' < x and over x' == x), shuffle O(n) and join-free
+    // (spec pins the plan); the oracle is the textbook quadratic
+    // NOT EXISTS self-join — maximally independent of the implementation.
+    Q("sort_pareto_frontier",
+      (s, dir) => Relational.paretoFrontier2D(
+          load(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+            Exact.cents(col("p_retailprice")).as("price_c"),
+            col("p_size").cast("long").as("size"),
+            (-col("p_size")).cast("long").as("neg_size")),
+          "price_c", "neg_size", Seq("p_brand"))
+        .select(col("p_brand"), col("p_partkey"),
+          Exact.dollars(col("price_c")).as("price"), col("size"))
+        .orderBy(col("p_brand"), col("price"), col("size"), col("p_partkey")),
+      Some(s"""WITH t AS (SELECT p_brand, p_partkey,
+             |    ${cents("p_retailprice")} AS price_c, p_size::BIGINT AS size
+             |  FROM part)
+             |SELECT p_brand, p_partkey, price_c::DOUBLE / 100.0 AS price, size
+             |FROM t r
+             |WHERE NOT EXISTS (SELECT 1 FROM t s
+             |  WHERE s.p_brand = r.p_brand AND s.price_c <= r.price_c
+             |    AND s.size >= r.size
+             |    AND (s.price_c < r.price_c OR s.size > r.size))
+             |ORDER BY p_brand, price, size, p_partkey""".stripMargin)),
+
     // HLL sketch values differ across engines by design, so the raw
     // estimate is not oracle-replayable. Verifiable form: emit the exact
     // count NEXT TO a tolerance verdict on the estimate (|approx − exact| ≤
@@ -1366,6 +1425,75 @@ object RelationalQueries extends Catalog {
     // expansion is linear in orders. The final top-k is a pushed
     // TakeOrdered, not a global sort; (support DESC, a, b) is a total
     // order so the LIMIT boundary is engine-independent.
+    // Association rules (Relational.associationRules): directed a→b
+    // rules over co-purchase baskets, confidence and lift in EXACT
+    // integer basis points (conf = 10⁴·s div f_a, lift = 10⁴·s·N div
+    // (f_a·f_b), decimal-widened) — the Agrawal-Srikant readout with no
+    // float anywhere, so the ranking is engine-exact. Top 50 by lift.
+    Q("basket_rules",
+      (s, dir) => graft.ops.Relational.associationRules(
+          load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .select(col("antecedent"), col("consequent"), col("support"),
+          col("conf_bp"), col("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("antecedent"), col("consequent"))
+        .limit(50),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem),
+             |f AS (SELECT p, count(*) AS freq FROM b GROUP BY 1),
+             |n AS (SELECT count(DISTINCT o) AS nb FROM b),
+             |pr AS (SELECT x.p AS a, y.p AS b2, count(*) AS s
+             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sym AS (SELECT a AS ant, b2 AS con, s FROM pr
+             |        UNION ALL SELECT b2, a, s FROM pr),
+             |r AS (SELECT ant, con, s AS support,
+             |    (10000 * s) // fa.freq AS conf_bp,
+             |    (10000::HUGEINT * s * n.nb) //
+             |      (fa.freq::HUGEINT * fc.freq) AS lift_bp
+             |  FROM sym JOIN f fa ON fa.p = ant
+             |    JOIN f fc ON fc.p = con, n)
+             |SELECT ant AS antecedent, con AS consequent, support,
+             |  conf_bp::BIGINT AS conf_bp, lift_bp::BIGINT AS lift_bp
+             |FROM r ORDER BY lift_bp DESC, antecedent, consequent
+             |LIMIT 50""".stripMargin)),
+
+    // Item-item CF recommendations (Relational.itemRecommendations):
+    // top-3 co-purchase neighbors per part by cosine over basket
+    // membership — ranked on exact integer cos²·10⁸ = support²·10⁸ div
+    // (freq_a·freq_b) (cos is monotone in cos², so no float ever enters
+    // the ordering; quantization ties break by neighbor id). The grouped
+    // top-3 runs through TopKAgg (k-bounded partial aggregation, no
+    // per-item window sort); the oracle ranks the same scores with the
+    // window form — the hash match proves both the scoring arithmetic
+    // and the top-k selection.
+    Q("basket_item_recs",
+      (s, dir) => graft.ops.Relational.itemRecommendations(
+          load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          k = 3, minSupport = 2L)
+        .select(col("item").as("part_item"), col("rank"),
+          col("rec").as("rec_part"), col("cos2_e8"))
+        .orderBy(col("part_item"), col("rank")),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |           FROM lineitem),
+             |f AS (SELECT p, count(*) AS freq FROM b GROUP BY 1),
+             |pr AS (SELECT x.p AS a, y.p AS b2, count(*) AS s
+             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |sym AS (SELECT a AS item, b2 AS rec, s FROM pr
+             |        UNION ALL SELECT b2, a, s FROM pr),
+             |sc AS (SELECT item, rec,
+             |    (s::HUGEINT * s * 100000000) //
+             |      (fi.freq::HUGEINT * fr.freq) AS c2e8
+             |  FROM sym JOIN f fi ON fi.p = sym.item
+             |    JOIN f fr ON fr.p = sym.rec),
+             |r AS (SELECT item, rec, c2e8, row_number() OVER
+             |    (PARTITION BY item ORDER BY c2e8 DESC, rec) AS rk
+             |  FROM sc)
+             |SELECT item AS part_item, rk::BIGINT AS rank, rec AS rec_part,
+             |  c2e8::BIGINT AS cos2_e8
+             |FROM r WHERE rk <= 3 ORDER BY part_item, rank""".stripMargin)),
+
     Q("basket_pair_support",
       (s, dir) => graft.ops.Relational.basketPairs(
           load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
@@ -1766,6 +1894,39 @@ object RelationalQueries extends Catalog {
     // division/ln order is identical on both engines, so 6dp-rounded terms
     // hash-match exactly. Two tiny keyed aggregates + one bucket join —
     // the per-ingest drift check a 100 TB pipeline runs on every batch.
+    // Two-sample KS drift (Quality.ksDrift): D = sup|F_R − F_N| between
+    // returned and delivered lineitem price distributions, exact — the
+    // CDF gap at v is a running sum of signed per-value weights
+    // c_R·n_N − c_N·n_R, so the whole statistic is keyed counts + ONE
+    // range-partitioned cumsum (globalKeyedCumSum, no global window) +
+    // TakeOrdered(1). at_value = smallest price attaining the max.
+    Q("quality_drift_ks",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        Quality.ksDrift(
+          li.filter(col("l_returnflag") === "R"),
+          li.filter(col("l_returnflag") === "N"),
+          Exact.cents(col("l_extendedprice")))
+      },
+      Some(s"""WITH r0 AS (SELECT ${cents("l_extendedprice")} AS v
+             |  FROM lineitem WHERE l_returnflag = 'R'),
+             |c0 AS (SELECT ${cents("l_extendedprice")} AS v
+             |  FROM lineitem WHERE l_returnflag = 'N'),
+             |a AS (SELECT v, count(*) AS c1 FROM r0 GROUP BY 1),
+             |b AS (SELECT v, count(*) AS c2 FROM c0 GROUP BY 1),
+             |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(c1, 0) AS c1,
+             |    coalesce(c2, 0) AS c2
+             |  FROM a FULL JOIN b ON a.v = b.v),
+             |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM u),
+             |w AS (SELECT v, sum(c1 * t.n2 - c2 * t.n1) OVER (ORDER BY v)
+             |    AS d FROM u, t),
+             |m AS (SELECT v, abs(d) AS ad FROM w ORDER BY ad DESC, v LIMIT 1)
+             |SELECT t.n1::BIGINT AS n_ref, t.n2::BIGINT AS n_cur,
+             |  (10000::HUGEINT * m.ad // (t.n1::HUGEINT * t.n2))::BIGINT
+             |    AS ks_bp,
+             |  m.v AS at_value
+             |FROM m, t""".stripMargin)),
+
     Q("quality_drift_psi",
       (s, dir) => {
         val docs = load(s, dir, "documents")
@@ -2505,6 +2666,59 @@ object RelationalQueries extends Catalog {
            |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
            |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
            |r0 AS (SELECT src AS node, 10000::BIGINT AS rank_bp FROM deg),
+           |r1 AS (${step("r0")}),
+           |r2 AS (${step("r1")}),
+           |r3 AS (${step("r2")})
+           |SELECT node, rank_bp::BIGINT AS rank_bp FROM r3
+           |ORDER BY node""".stripMargin
+      }),
+
+    // PERSONALIZED PageRank (ops/Graph.personalizedPageRankBp): random
+    // walk with restart over the same trade graph, teleporting ONLY to
+    // nation-0 suppliers — rank = proximity to that seed cohort. Same
+    // exact bp recurrence as graph_pagerank; the rank state starts
+    // seed-sized and grows with the walk frontier (never past the
+    // reachable set), so each round's shuffle is frontier-sized. The
+    // oracle unrolls 3 rounds with the same FULL OUTER teleport merge.
+    Q("graph_ppr",
+      (s, dir) => {
+        val edges = load(s, dir, "lineitem")
+          .join(load(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("src"),
+            (col("o_custkey") * 2 + 1).as("dst"))
+        val seeds = load(s, dir, "supplier")
+          .filter(col("s_nationkey") === 0)
+          .select((col("s_suppkey") * 2).as("node"))
+        graft.ops.Graph.personalizedPageRankBp(
+            graft.ops.Graph.undirect(edges), seeds, 3)
+          .select(
+            when(col("node") % 2 === 0,
+                concat(lit("s"), expr("node div 2").cast("string")))
+              .otherwise(
+                concat(lit("c"), expr("(node - 1) div 2").cast("string")))
+              .as("node"),
+            col("rank_bp"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def step(prev: String) =
+          s"""SELECT coalesce(i.node, t.node) AS node,
+             |  coalesce(i._in, 0) + coalesce(t._t, 0) AS rank_bp
+             |FROM (SELECT u.dst AS node,
+             |        sum((85 * r.rank_bp) // (100 * d.outdeg)) AS _in
+             |      FROM und u JOIN deg d ON u.src = d.src
+             |                 JOIN $prev r ON u.src = r.node
+             |      GROUP BY u.dst) i
+             |FULL JOIN (SELECT node, 1500 AS _t FROM seed) t
+             |  ON i.node = t.node""".stripMargin
+        s"""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+           |                            'c' || o_custkey AS dst
+           |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+           |seed AS (SELECT DISTINCT 's' || s_suppkey AS node
+           |         FROM supplier WHERE s_nationkey = 0),
+           |r0 AS (SELECT node, 10000::BIGINT AS rank_bp FROM seed),
            |r1 AS (${step("r0")}),
            |r2 AS (${step("r1")}),
            |r3 AS (${step("r2")})

@@ -712,6 +712,62 @@ object EventOps {
           .otherwise(lit("direct")).as("channel"))
   }
 
+  /** LINEAR multi-touch attribution: each conversion's value split
+    * EQUALLY across every preceding in-window marketing touch (vs
+    * `attributionLastTouch`'s winner-takes-all), one credit row per
+    * (conversion, touch); conversions with no in-window touch emit one
+    * `'direct'` row carrying the full value. The split stays exact in
+    * integer cents: each touch gets `value_c div n` and the REMAINDER
+    * goes to the latest touch (`value_c mod n`), so per-conversion
+    * credits always sum to exactly `value_c` — no 1/n float ever exists.
+    *
+    * In-window means `conv_sec − windowSec ≤ mk_sec` and the touch
+    * strictly precedes the conversion in (sec, event_id) order — the
+    * same bound and tie rule as `attributionLastTouch`, so the two
+    * models agree on WHICH touches qualify and differ only in credit.
+    *
+    * Shape: one user-keyed left join (conversions ⋈ touches; per-user
+    * fan-out is touches×conversions within the window — the inherent
+    * output size) + one (user, conversion)-keyed window for n and the
+    * latest-touch rank. No global sort, no driver state.
+    */
+  def attributionLinear(events: DataFrame,
+                        marketingTypes: Seq[String] = Seq("click", "view"),
+                        convType: String = "purchase",
+                        windowSec: Long = 604800L): DataFrame = {
+    require(windowSec >= 0, s"windowSec must be >= 0, got $windowSec")
+    require(!marketingTypes.contains(convType),
+      "conversion type cannot also be a marketing type")
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("sec"), col("event_type"),
+      Exact.cents(col("value")).as("value_c"))
+    val conv = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("sec").as("conv_sec"), col("value_c"))
+    val mk = base.filter(col("event_type").isin(marketingTypes: _*))
+      .select(col("user_id").as("mk_user"), col("event_id").as("mk_id"),
+        col("sec").as("mk_sec"), col("event_type").as("mk_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("conv_id"))
+    conv.join(mk,
+        col("user_id") === col("mk_user") &&
+          col("mk_sec") >= col("conv_sec") - windowSec &&
+          (col("mk_sec") < col("conv_sec") ||
+            (col("mk_sec") === col("conv_sec") && col("mk_id") < col("conv_id"))),
+        "left_outer")
+      .withColumn("n", count(col("mk_id")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("mk_sec").desc, col("mk_id").desc)))
+      .select(col("user_id"), col("conv_id"), col("value_c"),
+        when(col("n") === 0, lit("direct")).otherwise(col("mk_type"))
+          .as("channel"),
+        col("mk_id"),
+        when(col("n") === 0, col("value_c"))
+          .otherwise(expr("value_c div n") +
+            when(col("rk") === 1, expr("value_c % n")).otherwise(lit(0L)))
+          .as("credit_c"))
+  }
+
   /** Hourly resample with gap fill: value-cents aggregated per (user,
     * epoch-hour), each user's [first, last] observed hour densified into
     * a complete grid, and the last observed aggregate carried forward

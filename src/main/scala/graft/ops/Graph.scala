@@ -515,6 +515,62 @@ object Graph {
                           baseBp: Long = 10000L): DataFrame =
     pageRankBpConvergedWithRounds(edges, maxIters, baseBp)._1
 
+  /** PERSONALIZED PageRank (random walk with restart): teleportation goes
+    * only to `seeds` instead of every node — rank becomes proximity TO
+    * THE SEED SET, the standard "related items for THIS user/topic"
+    * readout (Haveliwala, WWW '02). Same exact basis-point recurrence as
+    * `pageRankBp` (85/100 damping, truncating `div`), with the per-round
+    * teleport mass `15%·baseBp` folded in through a FULL OUTER merge, so
+    * non-seed nodes hold pure walk mass and unvisited nodes hold exactly
+    * none.
+    *
+    * Scale shape: identical to `pageRankBp` — the degree-annotated edge
+    * cache is pre-partitioned on the join key once, so each round moves
+    * only the rank state; but here that state starts SEED-SIZED and grows
+    * with the walk frontier, never past the reachable set — on a 100 TB
+    * graph a localized seed keeps every round's shuffle a small fraction
+    * of node-sized. `seeds` must expose a `node` column.
+    */
+  def personalizedPageRankBp(edges: DataFrame, seeds: DataFrame, iters: Int,
+                             baseBp: Long = 10000L,
+                             checkpointEvery: Int = 8): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    import org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val e = edges.select(col("src"), col("dst")).persist(MEMORY_ONLY)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(MEMORY_ONLY)
+    withDeg.count()
+    e.unpersist()
+    // node-sized at most, usually tiny; referenced every round (teleport)
+    val seed = seeds.select(col("node")).distinct().persist(MEMORY_ONLY)
+    val teleport = seed.select(col("node"), lit(baseBp * 15L / 100L).as("_t"))
+    var ranks = seed.select(col("node"), lit(baseBp).as("rank_bp"))
+    val deep = iters >= checkpointEvery
+    for (i <- 1 to iters) {
+      val in = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(85 * rank_bp) div (100 * outdeg)").as("_c"))
+        .groupBy(col("dst")).agg(sum(col("_c")).as("_in"))
+        .select(col("dst").as("node"), col("_in"))
+      ranks = in.join(teleport, Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("_in"), lit(0L)) + coalesce(col("_t"), lit(0L)))
+            .as("rank_bp"))
+      if (deep && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    if (deep) {
+      val materialized = ranks.localCheckpoint()
+      withDeg.unpersist()
+      seed.unpersist()
+      materialized
+    } else ranks
+  }
+
   /** `labelPropagation` run until the label state repeats — fixpoint or
     * the classic period-2 ping-pong (synchronous LPA on bipartite-ish
     * regions) — or `maxIters`. Same per-round argmax recurrence; the

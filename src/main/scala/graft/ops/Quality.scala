@@ -78,6 +78,42 @@ object Quality {
                nBuckets: Int): DataFrame =
     psiDriftFromCounts(histogram(ref, bucket), cur, bucket, nBuckets)
 
+  /** Two-sample Kolmogorov-Smirnov drift: D = sup_v |F_ref(v) − F_cur(v)|,
+    * EXACT in integer arithmetic — the bucket-free sibling of `psiDrift`
+    * (PSI needs a bucketing choice; KS reads the raw empirical CDFs).
+    * One row: (n_ref, n_cur, ks_bp, at_value) with `ks_bp =
+    * 10⁴·max|a·n₂ − b·n₁| div (n₁·n₂)` (a, b = counts ≤ v) and
+    * `at_value` the smallest v attaining the max — the WHERE of the
+    * drift, not just the how-much.
+    *
+    * Scale shape: the CDF difference at v is a running sum of per-value
+    * signed weights w(v) = c_ref(v)·n₂ − c_cur(v)·n₁, so the whole
+    * statistic is per-value counts (one keyed shuffle) + ONE
+    * `globalKeyedCumSum` (range-partitioned two-level cumsum — no global
+    * window) + a TakeOrdered(1). Caller contract: n₁·n₂ < 2⁶³ (longs in
+    * the signed weights); an empty side yields a null ks_bp rather than
+    * a divide-by-zero.
+    */
+  def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
+    val a = ref.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c1"))
+    val b = cur.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
+    val u = a.join(b, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = u.agg(coalesce(sum("c1"), lit(0L)).as("n1"),
+      coalesce(sum("c2"), lit(0L)).as("n2"))
+    val w = u.crossJoin(broadcast(tot))
+      .select(col("v"), (col("c1") * col("n2") - col("c2") * col("n1")).as("w"))
+    graft.ops.Relational.globalKeyedCumSum(w, col("v"), col("w"))
+      .select(col("v"), abs(col("hi")).as("ad"))
+      .orderBy(col("ad").desc, col("v")).limit(1)
+      .crossJoin(broadcast(tot))
+      .select(col("n1").as("n_ref"), col("n2").as("n_cur"),
+        expr("CAST(CAST(10000 AS DECIMAL(38,0)) * ad div " +
+          "nullif(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)").as("ks_bp"),
+        col("v").as("at_value"))
+  }
+
   /** The `(bucket, n)` histogram both PSI paths consume — the stored-state
     * shape: a drift monitor persists the reference histogram once (it is
     * ≤ nBuckets rows after aggregation) and scores every incoming batch

@@ -106,6 +106,92 @@ object Relational {
       .agg(count(lit(1)).as("support"))
   }
 
+  /** Association rules from basket co-occurrence: every directed rule
+    * a→b with support ≥ `minSupport` and confidence ≥ `minConfBp`,
+    * scored by confidence conf(a→b) = support(a,b)/freq(a) and lift
+    * lift(a→b) = conf / (freq(b)/N) — the Agrawal-Srikant market-basket
+    * readout. Both emitted as exact integer basis points
+    * (10⁴ = confidence 1.0 / lift 1.0): `conf_bp = 10⁴·s div f_a`,
+    * `lift_bp = 10⁴·s·N div (f_a·f_b)` — decimal-widened, no overflow,
+    * no float, so engines agree bit-for-bit.
+    *
+    * Shape: `basketPairs` + one distinct-membership count (both one
+    * basket/item-keyed shuffle), two item-keyed freq joins; the rule set
+    * is ≤ 2·pairs rows. Thresholds prune BEFORE the joins.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 1L, minConfBp: Long = 0L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(minConfBp >= 0 && minConfBp <= 10000,
+      s"minConfBp must be in [0, 10000], got $minConfBp")
+    val members = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+    val freq = members.groupBy(col("_it")).agg(count(lit(1)).as("freq"))
+    val n = members.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = basketPairs(df, basketCol, itemCol)
+      .filter(col("support") >= minSupport)
+    val sym = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("support"))
+      .unionByName(pairs
+        .select(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+          col("support")))
+    sym
+      .join(freq.select(col("_it").as("antecedent"), col("freq").as("f_a")),
+        Seq("antecedent"))
+      .join(freq.select(col("_it").as("consequent"), col("freq").as("f_c")),
+        Seq("consequent"))
+      .crossJoin(broadcast(n))
+      .withColumn("conf_bp", expr("10000 * support div f_a"))
+      .withColumn("lift_bp", expr(
+        "CAST(CAST(10000 AS DECIMAL(38,0)) * support * n_baskets " +
+          "div (CAST(f_a AS DECIMAL(38,0)) * f_c) AS BIGINT)"))
+      .filter(col("conf_bp") >= minConfBp)
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("conf_bp"), col("lift_bp"))
+  }
+
+  /** Item-item collaborative-filtering recommendations from basket
+    * co-occurrence: for every item, the top-k other items by COSINE
+    * similarity over basket membership — cos(i,j) = support(i,j) /
+    * sqrt(freq_i · freq_j), the classic item-based CF estimator (Sarwar
+    * et al., WWW '01). Ranking needs no float: cos is monotone in cos²,
+    * and cos²·10⁸ = support²·10⁸ div (freq_i·freq_j) is exact integer
+    * arithmetic (decimal-widened — no overflow at any support), so
+    * engines rank identically; quantization ties resolve by neighbor id.
+    *
+    * Shape: `basketPairs` (one basket-keyed shuffle, map-side pair
+    * generation), two item-keyed freq joins, then `TopKAgg` — the
+    * grouped top-k is a k-bounded PARTIAL AGGREGATION, shuffle
+    * O(items·k), never a per-item window sort of the full edge list.
+    * `minSupport` prunes the noise floor before the joins.
+    */
+  def itemRecommendations(df: DataFrame, basketCol: String, itemCol: String,
+                          k: Int = 3, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val pairs = basketPairs(df, basketCol, itemCol)
+      .filter(col("support") >= minSupport)
+    val freq = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .distinct()
+      .groupBy(col("_it")).agg(count(lit(1)).as("freq"))
+    val sym = pairs
+      .select(col("item_a").as("item"), col("item_b").as("rec"), col("support"))
+      .unionByName(pairs
+        .select(col("item_b").as("item"), col("item_a").as("rec"), col("support")))
+    sym
+      .join(freq.select(col("_it").as("item"), col("freq").as("f_i")), Seq("item"))
+      .join(freq.select(col("_it").as("rec"), col("freq").as("f_r")), Seq("rec"))
+      .withColumn("c2e8", expr(
+        "CAST(CAST(support AS DECIMAL(38,0)) * support * 100000000 " +
+          "div (CAST(f_i AS DECIMAL(38,0)) * f_r) AS BIGINT)"))
+      .groupBy(col("item"))
+      .agg(graft.functions.TopKAgg.topKMax(col("c2e8"), col("rec"), k).as("t"))
+      .select(col("item"), posexplode(col("t.entries")))
+      .select(col("item"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("rec"), col("col.v").as("cos2_e8"))
+  }
+
   /** Co-purchase edge index lifecycle — the incremental-maintenance story
     * for the basket/graph family (`StoredIndexes.basketEdges` is the
     * session-cached consumer). `write*` bootstraps the table from the full
@@ -637,6 +723,48 @@ object Relational {
           (col("v2") - col("v1")).cast("double") * col("frac"), 6)
           .as("value")): _*)
       .orderBy(g :+ col("quantile"): _*)
+  }
+
+  /** Per-group WEIGHTED percentiles, exact: the smallest value whose
+    * cumulative weight reaches p·W (weighted nearest-rank, lower) — the
+    * estimator behind "median price weighted by units sold" readouts
+    * where each row counts `weight` times. Entirely integer: quantiles
+    * arrive in basis points and the threshold is `ceil(p_bp·W / 10⁴)` =
+    * `(p_bp·W + 9999) div 10⁴`, so engines agree bit-for-bit (caller
+    * contract: p_bp·W must fit a long — W < 9.2e14 at p_bp ≤ 10⁴).
+    *
+    * Shape: weights collapse to O(distinct (group, value)) state first
+    * (`sum` per pair — the `percentileState` discipline), the cumulative
+    * sum runs over that state, and the crossing row — the UNIQUE row with
+    * `cum ≥ thr && cum − wc < thr` — is a filter, not a per-group min:
+    * one groupBy + one group-keyed window, quantile list broadcast,
+    * never a sort of raw rows. Zero weights can never be the crossing
+    * row (`cum − wc = cum`); negative weights raise.
+    */
+  def weightedPercentilesBy(df: DataFrame, groupCols: Seq[String],
+                            value: Column, weight: Column,
+                            pBps: Seq[Long]): DataFrame = {
+    require(pBps.nonEmpty && pBps.forall(p => p >= 1 && p <= 10000),
+      s"quantile basis points must be in [1, 10000], got $pBps")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val w = when(weight < 0,
+      raise_error(lit("weightedPercentilesBy: negative weight")))
+      .otherwise(weight)
+    val byGroup = Window.partitionBy(g: _*)
+    val state = df.groupBy(g :+ value.as("v"): _*)
+      .agg(sum(w).as("wc"))
+      .withColumn("cum", sum(col("wc")).over(byGroup.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("W", sum(col("wc")).over(byGroup))
+    state.crossJoin(broadcast(pBps.toDF("p_bp")))
+      // integer `div`, not `/`: Column./ on longs is DOUBLE division,
+      // which loses exactness past 2^53
+      .withColumn("thr", expr("(p_bp * W + 9999) div 10000"))
+      .filter(col("cum") >= col("thr") && col("cum") - col("wc") < col("thr"))
+      .select(g ++ Seq(col("p_bp"), col("v").as("value")): _*)
+      .orderBy(g :+ col("p_bp"): _*)
   }
 
   /** Per-group nearest-rank percentiles: `nearestRankPercentiles` with the
@@ -1285,5 +1413,40 @@ object Relational {
         broadcastRowLimit, skewShareBpLimit, salts)
       (ab.join(c, keysBC).select(plainCols.map(col): _*), s"ab_first:$s1")
     }
+  }
+
+  /** 2-D Pareto frontier (skyline): the rows not dominated in (`x`, `y`)
+    * within their group, both dims MINIMIZED (negate a column to
+    * maximize). Dominance is the standard skyline rule — `s` dominates
+    * `r` iff `s.x <= r.x && s.y <= r.y` with at least one strict — so
+    * exact (x, y) duplicates dominate neither and ALL stay on the
+    * frontier (Börzsönyi et al., ICDE '01).
+    *
+    * The textbook formulation is a quadratic NOT EXISTS self-join (the
+    * oracle's form). This is instead ONE window pass: under dominance
+    * split by the x-comparison,
+    *   - a dominator with `x' <  x` exists  iff  min(y | x' < x)  <= y
+    *   - a dominator with `x' == x` exists  iff  min(y | x' == x) <  y
+    * and both mins are frames of the SAME (group, ORDER BY x) window —
+    * `RANGE (unbounded, -1]` and `RANGE [current, current]` (peers = the
+    * x-ties) — so the whole skyline is one group-keyed shuffle + sort,
+    * shuffle O(n), zero joins (the spec pins the join-free plan). Dims
+    * must be integral (the RANGE -1 bound; exact-cents discipline) and
+    * non-null (`raise_error` otherwise, never a silent drop).
+    */
+  def paretoFrontier2D(df: DataFrame, x: String, y: String,
+                       groupCols: Seq[String] = Nil): DataFrame = {
+    val grp = groupCols.map(col)
+    val xc = when(col(x).isNull || col(y).isNull,
+      raise_error(lit(s"paretoFrontier2D: null $x/$y"))).otherwise(col(x))
+    val w = Window.partitionBy(grp: _*).orderBy(xc.asc)
+    val minYprevX = min(col(y)).over(
+      w.rangeBetween(Window.unboundedPreceding, -1))
+    val minYsameX = min(col(y)).over(
+      w.rangeBetween(Window.currentRow, Window.currentRow))
+    df.withColumn("_mp", minYprevX).withColumn("_ms", minYsameX)
+      .filter((col("_mp").isNull || col("_mp") > col(y)) &&
+        col("_ms") >= col(y))
+      .drop("_mp", "_ms")
   }
 }

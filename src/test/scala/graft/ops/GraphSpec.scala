@@ -24,6 +24,31 @@ class GraphSpec extends SparkSpec {
     assert(r2 == Map("a" -> 9362L, "b" -> 11274L, "c" -> 9362L))
   }
 
+  test("personalizedPageRankBp: hand recurrence, teleport only to seeds, " +
+      "unreached components absent, partition-invariant") {
+    // directed 1→2, 2→{1,3}; disjoint 4→5 never reached. seed = {1}.
+    // r0 = {1: 10000}
+    // iter1: 1(outdeg 1) sends (85·10000) div 100 = 8500 to 2;
+    //        teleport 1500 to 1 → {1: 1500, 2: 8500}
+    // iter2: 1 sends (85·1500) div 100 = 1275 to 2;
+    //        2(outdeg 2) sends (85·8500) div 200 = 3612 to 1 and 3
+    //        → {1: 1500 + 3612 = 5112, 2: 1275, 3: 3612}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def run(e: org.apache.spark.sql.DataFrame, it: Int) =
+      Graph.personalizedPageRankBp(e, seeds, it)
+        .as[(Long, Long)].collect().toMap
+    assert(run(edges, 0) == Map(1L -> 10000L))
+    assert(run(edges, 1) == Map(1L -> 1500L, 2L -> 8500L))
+    val want2 = Map(1L -> 5112L, 2L -> 1275L, 3L -> 3612L)
+    assert(run(edges, 2) == want2)
+    assert(run(edges.repartition(5), 2) == want2, "partitioning moved mass")
+    // an isolated seed (no out-edges from anyone to or from it) holds
+    // exactly the teleport mass after any round
+    assert(Graph.personalizedPageRankBp(edges, Seq(9L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap == Map(9L -> 1500L))
+  }
+
   test("pageRankBp zero iterations returns the uniform base and keeps nodes") {
     val und = Graph.undirect(Seq((1L, 2L), (2L, 3L), (4L, 4L)).toDF("src", "dst"))
     val r0 = Graph.pageRankBp(und, 0).as[(Long, Long)].collect().toMap

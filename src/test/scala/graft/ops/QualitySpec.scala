@@ -76,4 +76,28 @@ class QualitySpec extends SparkSpec {
     assert(out(0) == ((1, 6L, 6000L)))
     assert(out(1) == ((2, 3L, 3000L)))
   }
+
+  test("ksDrift: exact sup-CDF gap, smallest argmax on ties, zero on " +
+      "identical samples, partition-invariant") {
+    // ref {1,2,3,4} vs cur {3,4,5,6}: |F1−F2| = .25,.5,.5,.5,.25,0 at
+    // v=1..6 → D = 0.5 first attained at v=2 → 5000 bp, at_value 2
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val cur = Seq(3L, 4L, 5L, 6L).toDF("v")
+    def run(r: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Quality.ksDrift(r, c, col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+    assert(run(ref, cur) == ((4L, 4L, 5000L, 2L)))
+    assert(run(ref.repartition(3), cur.repartition(2)) ==
+      ((4L, 4L, 5000L, 2L)))
+    // identical samples → D = 0 at the smallest value
+    assert(run(ref, ref) == ((4L, 4L, 0L, 1L)))
+    // unequal sizes: ref {1,1,2} vs cur {2}: F1 = 2/3, 1; F2 = 0, 1 →
+    // D = 2/3 at v=1 → 6666 bp
+    assert(run(Seq(1L, 1L, 2L).toDF("v"), Seq(2L).toDF("v")) ==
+      ((3L, 1L, 6666L, 1L)))
+    // an empty side yields null ks_bp, not a divide-by-zero
+    val e = Quality.ksDrift(ref.limit(0), cur, col("v"))
+      .select(col("ks_bp")).collect().head
+    assert(e.isNullAt(0))
+  }
 }

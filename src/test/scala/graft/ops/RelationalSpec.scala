@@ -297,6 +297,172 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("associationRules: confidence and lift exact in bp, directed both " +
+      "ways, thresholds prune, partition-invariant") {
+    // baskets: B1{1,2} B2{1,2} B3{1,3} B4{2} → N=4; freq 1→3, 2→3, 3→1
+    // pairs: (1,2)=2, (1,3)=1
+    // 1→2: conf 2/3 = 6666bp, lift (2·4)/(3·3) = 8888bp (10⁴·8/9)
+    // 2→1: same by symmetry of s and freqs
+    // 1→3: conf 1/3 = 3333bp, lift 4/3 = 13333bp
+    // 3→1: conf 1/1 = 10000bp, lift 4/3 = 13333bp
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 2L)).toDF("bk", "it")
+    def run(d: org.apache.spark.sql.DataFrame, minSup: Long, minConf: Long) =
+      Relational.associationRules(d, "bk", "it", minSup, minConf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 2L, 2L, 6666L, 8888L), (2L, 1L, 2L, 6666L, 8888L),
+      (1L, 3L, 1L, 3333L, 13333L), (3L, 1L, 1L, 10000L, 13333L))
+    assert(run(df, 1L, 0L) == want)
+    assert(run(df.repartition(5), 1L, 0L) == want)
+    // minSupport=2 keeps only the (1,2) rules; minConf=7000 keeps 3→1
+    assert(run(df, 2L, 0L) ==
+      Set((1L, 2L, 2L, 6666L, 8888L), (2L, 1L, 2L, 6666L, 8888L)))
+    assert(run(df, 1L, 7000L) == Set((3L, 1L, 1L, 10000L, 13333L)))
+    intercept[IllegalArgumentException] {
+      Relational.associationRules(df, "bk", "it", minConfBp = 10001L)
+    }
+  }
+
+  test("itemRecommendations: exact cos2 scores, k-bounded, symmetric, " +
+      "minSupport prunes, partition-invariant") {
+    // baskets: B1{1,2,3} B2{1,2} B3{1,3} B4{2,4}
+    // freq: 1→3 2→3 3→2 4→1; support: (1,2)=2 (1,3)=2 (2,3)=1 (2,4)=1
+    // cos²·10⁸: (1,2) 4e8/9 = 44444444; (1,3) 4e8/6 = 66666666;
+    //           (2,3) 1e8/6 = 16666666; (2,4) 1e8/3 = 33333333
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L), (4L, 4L)).toDF("bk", "it")
+    def run(d: org.apache.spark.sql.DataFrame, minSup: Long) =
+      Relational.itemRecommendations(d, "bk", "it", k = 2, minSupport = minSup)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, 3L, 66666666L), (1L, 2L, 2L, 44444444L),
+      (2L, 1L, 1L, 44444444L), (2L, 2L, 4L, 33333333L),
+      (3L, 1L, 1L, 66666666L), (3L, 2L, 2L, 16666666L),
+      (4L, 1L, 2L, 33333333L))
+    assert(run(df, 1L) == want)
+    assert(run(df.repartition(7), 1L) == want, "partitioning moved a rec")
+    // minSupport=2 keeps only the support-2 edges
+    assert(run(df, 2L) == Set(
+      (1L, 1L, 3L, 66666666L), (1L, 2L, 2L, 44444444L),
+      (2L, 1L, 1L, 44444444L), (3L, 1L, 1L, 66666666L)))
+    intercept[IllegalArgumentException] {
+      Relational.itemRecommendations(df, "bk", "it", minSupport = 0L)
+    }
+  }
+
+  test("weightedPercentilesBy: crossing row exact, zero weights never " +
+      "cross, duplicate values merge, partition-invariant, negatives raise") {
+    // group a: (v, w) = (1,2), (2,1)+(2,2) [same value from two rows],
+    // (25,0) [zero weight], (30,5). W = 10; cum = 2, 5, 5, 10.
+    //   p1   thr=1  → v=1      p50 thr=5  → v=2 (cum 5 ≥ 5, prev 2 < 5;
+    //   the zero-weight 25 has cum−wc = 5, NOT < 5 — can't cross)
+    //   p75  thr=8  → v=30     p100 thr=10 → v=30
+    // group b single row sanity.
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 1L), ("a", 2L, 2L),
+      ("a", 25L, 0L), ("a", 30L, 5L), ("b", 7L, 3L))
+      .toDF("g", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.weightedPercentilesBy(d, Seq("g"), col("v"), col("w"),
+        Seq(1L, 5000L, 7500L, 10000L))
+        .as[(String, Long, Long)].collect().toSeq
+    val want = Seq(("a", 1L, 1L), ("a", 5000L, 2L), ("a", 7500L, 30L),
+      ("a", 10000L, 30L), ("b", 1L, 7L), ("b", 5000L, 7L),
+      ("b", 7500L, 7L), ("b", 10000L, 7L))
+    assert(run(df) == want)
+    assert(run(df.repartition(5)) == want, "partitioning moved a quantile")
+    intercept[Exception] {
+      Relational.weightedPercentilesBy(
+        Seq(("a", 1L, -1L)).toDF("g", "v", "w"),
+        Seq("g"), col("v"), col("w"), Seq(5000L)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Relational.weightedPercentilesBy(df, Seq("g"), col("v"), col("w"),
+        Seq(0L))
+    }
+  }
+
+  test("paretoFrontier2D: dominance with ties and duplicates, grouped, " +
+      "partition-invariant, and the plan is join-free with one shuffle") {
+    // group g: frontier staircase (1,9),(3,5),(5,2). (3,9) is dominated
+    // by (1,9) (smaller x, equal y); (4,5) by (3,5) (same y, smaller x);
+    // (5,2) appears TWICE — exact duplicates dominate neither, BOTH stay;
+    // (6,2) is dominated by those duplicates. group h is independent.
+    val rows = Seq(
+      ("g", 1L, 9L, 1L), ("g", 3L, 5L, 2L), ("g", 5L, 2L, 3L),
+      ("g", 3L, 9L, 4L), ("g", 4L, 5L, 5L),
+      ("g", 5L, 2L, 6L), ("g", 6L, 2L, 7L),
+      ("h", 9L, 9L, 8L) // lone row is always on its group's frontier
+    ).toDF("grp", "x", "y", "id")
+    val want = Set(("g", 1L, 9L, 1L), ("g", 3L, 5L, 2L), ("g", 5L, 2L, 3L),
+      ("g", 5L, 2L, 6L), ("h", 9L, 9L, 8L))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.paretoFrontier2D(d, "x", "y", Seq("grp"))
+        .select(col("grp"), col("x"), col("y"), col("id"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(run(rows) == want)
+    assert(run(rows.repartition(7)) == want, "partitioning moved the frontier")
+    // ungrouped: global frontier over both groups
+    assert(Relational.paretoFrontier2D(rows, "x", "y").select(col("id"))
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 6L))
+    // scale contract: no join anywhere, exactly one (group-hash) exchange
+    // (descend through the AQE wrapper — collect() does not)
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }.sum
+    val plan = Relational.paretoFrontier2D(rows, "x", "y", Seq("grp"))
+      .queryExecution.executedPlan
+    assert(plan.toString.indexOf("Join") < 0, "skyline must be join-free")
+    assert(shuffles(plan) == 1, "expected exactly one shuffle")
+    // null dims raise instead of silently dropping
+    val withNull = Seq(("g", Some(1L), 2L)).toDF("grp", "x", "y")
+      .union(Seq(("g", None: Option[Long], 3L)).toDF("grp", "x", "y"))
+    intercept[Exception] {
+      Relational.paretoFrontier2D(withNull, "x", "y", Seq("grp")).collect()
+    }
+  }
+
+  test("attributionLinear: equal split exact with remainder to latest, " +
+      "no-touch direct, bound inclusive, same-second by event_id") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val wk = 604800L
+    val events = Seq(
+      // u1: 1003c over 2 touches → 501 each, +1 remainder to the LATEST
+      (1L, 1L, ts(10), "click", 0.0), (1L, 2L, ts(20), "view", 0.0),
+      (1L, 3L, ts(25), "purchase", 10.03),
+      // u2: no touch → one direct row, full value
+      (2L, 4L, ts(5), "purchase", 2.5),
+      // u3: touch AT the bound is in, one second before it is out → n=1
+      (3L, 5L, ts(9), "click", 0.0), (3L, 6L, ts(10), "view", 0.0),
+      (3L, 7L, ts(10 + wk), "purchase", 1.0),
+      // u4: 100c over 3 touches → 33+33+34, remainder to the latest
+      (4L, 8L, ts(1), "click", 0.0), (4L, 9L, ts(2), "click", 0.0),
+      (4L, 10L, ts(3), "view", 0.0), (4L, 11L, ts(4), "purchase", 1.0),
+      // u5: same-second touch with larger event_id does NOT qualify
+      (5L, 20L, ts(30), "purchase", 1.0), (5L, 21L, ts(30), "view", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.attributionLinear(events)
+      .select(col("conv_id"), col("channel"),
+        coalesce(col("mk_id"), lit(-1L)), col("credit_c"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (3L, "click", 1L, 501L), (3L, "view", 2L, 502L),
+      (4L, "direct", -1L, 250L),
+      (7L, "view", 6L, 100L),
+      (11L, "click", 8L, 33L), (11L, "click", 9L, 33L),
+      (11L, "view", 10L, 34L),
+      (20L, "direct", -1L, 100L)))
+    // per-conversion credits sum exactly to the conversion value
+    val sums = EventOps.attributionLinear(events).groupBy(col("conv_id"))
+      .agg(sum(col("credit_c")).as("s"), first(col("value_c")).as("v"))
+      .filter(col("s") =!= col("v")).count()
+    assert(sums == 0L, "credit split lost cents")
+  }
+
   test("outlierFlags: integer cross-multiplication matches the float definition") {
     // group g: values 0,0,0,0,100 (cents) — mean 20, pop-σ = 40; at 1.5σ
     // (threshold 60) only the 100 is beyond. group h: uniform, none flagged
