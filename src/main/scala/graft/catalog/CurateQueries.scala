@@ -135,6 +135,32 @@ object CurateQueries extends Catalog {
       Some(s"""SELECT doc_id, lang, n_chars FROM documents
              |WHERE $UnitHash < 0.2 ORDER BY doc_id""".stripMargin)),
 
+    // Laplace-mechanism noisy counts (Curate.laplaceNoisyCounts): per-lang
+    // document counts + Laplace(1/ε) noise at ε = 0.5 via the inverse CDF
+    // on a deterministic md5 unit deviate — the weightedSample float
+    // discipline (round6 → clamp → ONE mirrored ln → floor → sign), so
+    // the oracle replays the noise exactly. n_true is emitted FOR THE
+    // GATE; a production publisher drops it (and swaps the hash seed for
+    // a secret RNG — mechanism pinned here, privacy claim deliberately
+    // not made; see the op's honesty note).
+    Q("curate_dp_counts",
+      (s, dir) => Curate.laplaceNoisyCounts(
+          load(s, dir, "documents"), Seq("lang"), epsilonBp = 5000L)
+        .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang, count(*) AS n_true
+             |  FROM documents GROUP BY 1),
+             |u AS (SELECT lang, n_true, least(greatest(
+             |    floor((('0x' || substr(md5(lang), 1, 7))::BIGINT
+             |      / 268435456.0) * 1000000 + 0.5) / 1000000.0,
+             |    1e-6), 1.0 - 1e-6) AS u6 FROM t),
+             |z AS (SELECT lang, n_true,
+             |    (sign(u6 - 0.5) * floor(-ln(1 - 2 * abs(u6 - 0.5))
+             |      * 10000.0 / 5000.0))::BIGINT AS noise
+             |  FROM u)
+             |SELECT lang, n_true, noise,
+             |  (n_true + noise)::BIGINT AS noisy_count
+             |FROM z ORDER BY lang""".stripMargin)),
+
     // Weighted sampling WITHOUT replacement (Curate.weightedSample,
     // Efraimidis & Spirtakis 2006): 50 docs drawn ∝ length via the
     // exponential-race key -ln(u)/w — deterministic md5 u, ONE mirrored

@@ -102,6 +102,29 @@ object RelationalQueries extends Catalog {
       |SELECT part_a, part_b, support FROM pr
       |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  // Shared by basket_item_recs AND its stored-index twin — steady state
+  // must hash-match the rebuild exactly.
+  private val ItemRecsOracle =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |           FROM lineitem),
+      |f AS (SELECT p, count(*) AS freq FROM b GROUP BY 1),
+      |pr AS (SELECT x.p AS a, y.p AS b2, count(*) AS s
+      |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT a AS item, b2 AS rec, s FROM pr
+      |        UNION ALL SELECT b2, a, s FROM pr),
+      |sc AS (SELECT item, rec,
+      |    (s::HUGEINT * s * 100000000) //
+      |      (fi.freq::HUGEINT * fr.freq) AS c2e8
+      |  FROM sym JOIN f fi ON fi.p = sym.item
+      |    JOIN f fr ON fr.p = sym.rec),
+      |r AS (SELECT item, rec, c2e8, row_number() OVER
+      |    (PARTITION BY item ORDER BY c2e8 DESC, rec) AS rk
+      |  FROM sc)
+      |SELECT item AS part_item, rk::BIGINT AS rank, rec AS rec_part,
+      |  c2e8::BIGINT AS cos2_e8
+      |FROM r WHERE rk <= 3 ORDER BY part_item, rank""".stripMargin
+
   private val BasketComponentsOracle =
     """WITH RECURSIVE b AS (SELECT DISTINCT l_orderkey AS o,
       |    l_partkey AS p FROM lineitem),
@@ -1425,6 +1448,20 @@ object RelationalQueries extends Catalog {
     // expansion is linear in orders. The final top-k is a pushed
     // TakeOrdered, not a global sort; (support DESC, a, b) is a total
     // order so the LIMIT boundary is engine-independent.
+    // STEADY STATE: the same top-3 recommendations from the STORED
+    // co-purchase index (edge table + item-frequency table, both
+    // session-cached and incrementally maintainable) — the timed cost is
+    // two keyed joins + the k-bounded TopKAgg, never the distinct +
+    // self-join rebuild. Same oracle as the rebuild sibling.
+    Q("basket_item_recs_indexed",
+      (s, dir) => graft.ops.Relational.itemRecommendationsFromParts(
+          StoredIndexes.basketEdges(s, dir), StoredIndexes.itemFreq(s, dir),
+          k = 3, minSupport = 2L)
+        .select(col("item").as("part_item"), col("rank"),
+          col("rec").as("rec_part"), col("cos2_e8"))
+        .orderBy(col("part_item"), col("rank")),
+      Some(ItemRecsOracle)),
+
     // Association rules (Relational.associationRules): directed a→b
     // rules over co-purchase baskets, confidence and lift in EXACT
     // integer basis points (conf = 10⁴·s div f_a, lift = 10⁴·s·N div
@@ -1474,25 +1511,7 @@ object RelationalQueries extends Catalog {
         .select(col("item").as("part_item"), col("rank"),
           col("rec").as("rec_part"), col("cos2_e8"))
         .orderBy(col("part_item"), col("rank")),
-      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |           FROM lineitem),
-             |f AS (SELECT p, count(*) AS freq FROM b GROUP BY 1),
-             |pr AS (SELECT x.p AS a, y.p AS b2, count(*) AS s
-             |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
-             |       GROUP BY 1, 2 HAVING count(*) >= 2),
-             |sym AS (SELECT a AS item, b2 AS rec, s FROM pr
-             |        UNION ALL SELECT b2, a, s FROM pr),
-             |sc AS (SELECT item, rec,
-             |    (s::HUGEINT * s * 100000000) //
-             |      (fi.freq::HUGEINT * fr.freq) AS c2e8
-             |  FROM sym JOIN f fi ON fi.p = sym.item
-             |    JOIN f fr ON fr.p = sym.rec),
-             |r AS (SELECT item, rec, c2e8, row_number() OVER
-             |    (PARTITION BY item ORDER BY c2e8 DESC, rec) AS rk
-             |  FROM sc)
-             |SELECT item AS part_item, rk::BIGINT AS rank, rec AS rec_part,
-             |  c2e8::BIGINT AS cos2_e8
-             |FROM r WHERE rk <= 3 ORDER BY part_item, rank""".stripMargin)),
+      Some(ItemRecsOracle)),
 
     Q("basket_pair_support",
       (s, dir) => graft.ops.Relational.basketPairs(

@@ -262,6 +262,24 @@ object StoredIndexes {
       Seq(graft.ops.Relational.readBasketEdges(s, d).persist(mem))
     }).head
 
+  /** Stored item→basket-count table `(_it, freq)` over `dir`'s lineitem —
+    * the denominator half of the co-purchase index next to `basketEdges`
+    * (cosine and confidence/lift both divide by it). Item-sized;
+    * maintained like the edges by summing per-batch partials. The
+    * `basket_item_recs_indexed` twin reads THIS plus the edge frame, so
+    * its timed cost is scoring + the k-bounded top-k — never the
+    * distinct + self-join rebuild.
+    */
+  def itemFreq(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|item_freq", _ => {
+      val d = newTempDir("graft-itemfreq-")
+      graft.ops.Relational.itemBasketFreq(
+          load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
   /** Stored BPE segmented vocabulary `(w, n, seq)` over `dir`'s documents
     * at the catalog's merge budget (`TextQueries.BpeK`) — the apply table
     * a tokenizer pipeline trains ONCE. The `text_bpe_apply_indexed` twin
@@ -315,6 +333,7 @@ object StoredIndexes {
     spanIdx(s, dir, 7).count()
     spanIdx(s, dir, 10).count()
     basketEdges(s, dir).count()
+    itemFreq(s, dir).count()
     bpeVocab(s, dir).count()
     val (pcb, pcodes) = pq(s, dir); pcb.count(); pcodes.count()
     // run (and memoize) the geometry pre-flights too — the timed probes

@@ -86,6 +86,41 @@ object Curate {
       .limit(n)
   }
 
+  /** Laplace-mechanism noisy counts (Dwork et al., TCC '06): per-group
+    * row counts plus Laplace(1/ε) noise — sensitivity 1 for counting, so
+    * scale b = 1/ε = 10⁴/εbp. Noise via the inverse CDF on a unit
+    * deviate: `sign(u−½) · ⌊−ln(1−2|u−½|) · 10⁴/εbp⌋` (magnitude floored
+    * then signed — symmetric truncation toward zero), ONE mirrored ln on
+    * the 6dp-prerounded clamped hash then integer arithmetic — the
+    * `weightedSample` float discipline, so the oracle replays the noise
+    * bit-for-bit.
+    *
+    * HONESTY NOTE (the StubCodec stance): the deviate here is a
+    * deterministic md5 hash of the group key so results are replayable
+    * across engines and re-runs — that pins the MECHANISM (sensitivity,
+    * scale, inverse-CDF plumbing), not the privacy guarantee; production
+    * swaps the seed source for a secret RNG, changing nothing else.
+    * Downstream publishing must drop `n_true` — it is emitted for the
+    * verification gate only. Shape: one keyed aggregate; the noise is a
+    * scalar expression on the group-sized result.
+    */
+  def laplaceNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                         epsilonBp: Long = 10000L): DataFrame = {
+    require(epsilonBp >= 1 && epsilonBp <= 1000000,
+      s"epsilonBp must be in [1, 1000000], got $epsilonBp")
+    val g = groupCols.map(col)
+    val u6 = least(greatest(
+      Vectors.round6(unitHash(concat_ws("", g: _*))), lit(1e-6)),
+      lit(1.0 - 1e-6))
+    df.groupBy(g: _*).agg(count(lit(1)).as("n_true"))
+      .withColumn("_u", u6)
+      .withColumn("noise", (signum(col("_u") - lit(0.5)) *
+        floor(-log(lit(1.0) - lit(2.0) * abs(col("_u") - lit(0.5))) *
+          lit(10000.0) / lit(epsilonBp.toDouble))).cast("long"))
+      .select(g ++ Seq(col("n_true"), col("noise"),
+        (col("n_true") + col("noise")).as("noisy_count")): _*)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing at least
     * `minShared` word n-gram shingles with any benchmark doc — the standard
     * guard against test-set leakage into training corpora.

@@ -168,16 +168,34 @@ object Relational {
     * `minSupport` prunes the noise floor before the joins.
     */
   def itemRecommendations(df: DataFrame, basketCol: String, itemCol: String,
-                          k: Int = 3, minSupport: Long = 1L): DataFrame = {
-    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val pairs = basketPairs(df, basketCol, itemCol)
-      .filter(col("support") >= minSupport)
-    val freq = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+                          k: Int = 3, minSupport: Long = 1L): DataFrame =
+    itemRecommendationsFromParts(
+      basketPairs(df, basketCol, itemCol),
+      itemBasketFreq(df, basketCol, itemCol), k, minSupport)
+
+  /** The `(item, baskets-containing-it)` counts both the recommendation
+    * and rule scorers divide by — the second stored-index half next to
+    * the pair/edge table (`writeBasketEdges`): item-sized, maintained by
+    * summing per-batch partials exactly like the edges.
+    */
+  def itemBasketFreq(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .distinct()
       .groupBy(col("_it")).agg(count(lit(1)).as("freq"))
-    val sym = pairs
+
+  /** `itemRecommendations` from ALREADY-BUILT parts — the steady-state
+    * entry point for a pipeline that maintains the pair table and item
+    * frequencies incrementally (`StoredIndexes.basketEdges` /
+    * `itemFreq`): the timed cost is two keyed joins + the k-bounded
+    * top-k aggregation, never the basket self-join rebuild.
+    */
+  def itemRecommendationsFromParts(pairs: DataFrame, freq: DataFrame,
+                                   k: Int = 3, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val p = pairs.filter(col("support") >= minSupport)
+    val sym = p
       .select(col("item_a").as("item"), col("item_b").as("rec"), col("support"))
-      .unionByName(pairs
+      .unionByName(p
         .select(col("item_b").as("item"), col("item_a").as("rec"), col("support")))
     sym
       .join(freq.select(col("_it").as("item"), col("freq").as("f_i")), Seq("item"))

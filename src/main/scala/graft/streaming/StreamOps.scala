@@ -172,6 +172,58 @@ object StreamOps {
       .toDF("user_id", "first_event_id", "first_sec", "then_sec", "gap_sec")
   }
 
+  /** Streaming twin of `EventOps.attributionLastTouch` — last-touch
+    * conversion credit as BOUNDED custom state: per user, state is only
+    * the LATEST marketing touch (sec, event_id, type) — three fields
+    * regardless of history length, the smallest state any attribution
+    * model admits. A marketing arrival advances the state if it is later
+    * in (sec, event_id) order; a conversion reads it and emits
+    * (conv_id, sec, value_c, channel) with the same in-window /
+    * else-'direct' rule as the batch operator. Equality requires each
+    * user's events to arrive in order ACROSS micro-batches (the
+    * per-key-ordered-log shape, same contract as `sequenceMatchStream`);
+    * within a batch, events sort before the fold, so a same-batch
+    * touch-then-purchase credits correctly.
+    */
+  final case class TouchState(sec: Long, id: Long, typ: String)
+  def attributionLastTouchStream(spark: SparkSession, events: DataFrame,
+                                 marketingTypes: Seq[String] = Seq("click", "view"),
+                                 convType: String = "purchase",
+                                 windowSec: Long = 604800L): DataFrame = {
+    require(windowSec >= 0, s"windowSec must be >= 0, got $windowSec")
+    require(!marketingTypes.contains(convType),
+      "conversion type cannot also be a marketing type")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val mk = marketingTypes.toSet
+    events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"),
+        Exact.cents(col("value")).as("value_c"))
+      .as[(Long, Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, (Long, Long, Long, Long, String)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.orNull
+          val out = Seq.newBuilder[(Long, Long, Long, Long, String)]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (_, eid, sec, typ, vc) =>
+              if (mk.contains(typ)) {
+                if (s == null || sec > s.sec || (sec == s.sec && eid > s.id))
+                  s = TouchState(sec, eid, typ)
+              } else if (typ == convType) {
+                val channel =
+                  if (s != null && s.sec >= sec - windowSec) s.typ
+                  else "direct"
+                out += ((uid, eid, sec, vc, channel))
+              }
+          }
+          if (s != null) state.update(s)
+          out.result().iterator
+      }
+      .toDF("user_id", "event_id", "sec", "value_c", "channel")
+  }
+
   /** Streaming twin of `EventOps.twapCents` — the LOCF time-weighted
     * average as BOUNDED custom state: per user, state is only
     * (last observation, running Σcents·Δsec, running Σ Δsec) — four longs,

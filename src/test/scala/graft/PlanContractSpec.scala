@@ -434,6 +434,13 @@ class PlanContractSpec extends SparkSpec {
       "l_orderkey", "l_partkey")
     assert(scansOf(rebuilt).exists(_.contains("lineitem")),
       "the rebuild sibling's input IS the lineitem scan")
+    // the recommendation twin's full plan: stored edges + stored item
+    // frequencies only — no fact scan anywhere
+    val recs = graft.ops.Relational.itemRecommendationsFromParts(
+      stored, catalog.StoredIndexes.itemFreq(spark, dirL),
+      k = 3, minSupport = 2L)
+    assert(!scansOf(recs).exists(_.contains("lineitem")),
+      "basket_item_recs_indexed must score stored parts, not lineitem")
   }
 
   test("NOT IN plans a null-aware BROADCAST hash anti join, never the " +

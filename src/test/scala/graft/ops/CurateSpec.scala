@@ -335,4 +335,40 @@ class CurateSpec extends SparkSpec {
       Curate.weightedSample(bad, col("id"), col("w"), 2).collect())
     assert(err.getMessage.contains("non-positive weight"))
   }
+
+  test("laplaceNoisyCounts: hand-replayed inverse-CDF noise, noisy − true " +
+      "≡ noise, scale halves as epsilon doubles, domain rejects") {
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    def handNoise(key: String, eBp: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(md5.take(7), 16).toDouble / (1 << 28)
+      val u6 = math.min(math.max(
+        math.floor(u * 1e6 + 0.5) / 1e6, 1e-6), 1.0 - 1e-6)
+      (math.signum(u6 - 0.5) *
+        math.floor(-math.log(1.0 - 2.0 * math.abs(u6 - 0.5)) *
+          10000.0 / eBp)).toLong
+    }
+    def run(eBp: Long) =
+      Curate.laplaceNoisyCounts(df, Seq("g"), eBp)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    val got = run(5000L)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val (_, nTrue, noise, noisy) = got(g)
+      assert(nTrue == 100L)
+      assert(noise == handNoise(g, 5000L), s"noise replay diverged for $g")
+      assert(noisy == nTrue + noise)
+    }
+    // doubling epsilon halves the scale: |noise| shrinks (floor-exact on
+    // the same deviate), and the deviate itself is unchanged
+    val tight = run(10000L)
+    Seq("g0", "g1", "g2").foreach { g =>
+      assert(tight(g)._3 == handNoise(g, 10000L))
+      assert(math.abs(tight(g)._3) <= math.abs(got(g)._3))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.laplaceNoisyCounts(df, Seq("g"), 0L)
+    }
+  }
 }

@@ -172,6 +172,45 @@ class StreamOpsSpec extends SparkSpec {
       Set((1L, 1L), (3L, 3L), (3L, 10L)))
   }
 
+  test("attributionLastTouchStream: bounded state equals the batch " +
+      "operator, touch carried across micro-batch boundaries") {
+    val dir = tmpDir("attrib-events")
+    def ev(id: Long, sec: Long, uid: Long, typ: String, v: Double) =
+      s"""{"event_id":$id,"ts":"${java.time.Instant.ofEpochSecond(sec)}",""" +
+        s""""user_id":$uid,"event_type":"$typ","value":$v,"props":"{}"}"""
+    val wk = 604800L
+    // batch 1: u1 click+view (view latest — crosses the batch boundary);
+    // u2 stale click (out of window by batch 2); u3 nothing yet
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part1.json"), Seq(
+      ev(1, 100, 1, "click", 0.0), ev(2, 200, 1, "view", 0.0),
+      ev(3, 100, 2, "click", 0.0),
+      ev(4, 100, 3, "purchase", 2.5) // no touch → direct, in-batch
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5)
+    // batch 2: u1 converts (cross-batch view credit); u2 converts one
+    // second past the window (direct); u1 then clicks and converts again
+    // in-batch (click credit — state advanced by the newer touch)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part2.json"), Seq(
+      ev(5, 300, 1, "purchase", 10.0),
+      ev(6, 101 + wk, 2, "purchase", 5.0),
+      ev(7, 400, 1, "click", 0.0), ev(8, 500, 1, "purchase", 1.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val streamed = runToMemory(
+      StreamOps.attributionLastTouchStream(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)),
+      "attrib", "append")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.attributionLastTouch(
+        spark.read.schema(schema).json(dir))
+      .selectExpr("user_id", "event_id", "sec", "value_c", "channel")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.map(r => (r(1), r(4))) == Set(
+      (4L, "direct"), (5L, "view"), (6L, "direct"), (8L, "click")))
+  }
+
   test("enrichWithDimension: stream-static broadcast join equals the batch " +
       "join; missing keys pass through with nulls") {
     import org.apache.spark.sql.functions.col
