@@ -345,6 +345,49 @@ object FunctionQueries extends Catalog {
              |FROM c WHERE event_type = 'purchase'
              |GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // Time-to-convert distribution: exact nearest-rank p50/p90 of the
+    // credited-touch→conversion gap per channel — the funnel-latency
+    // readout composed from attributionLastTouch's gap_sec column and
+    // the percentileState machinery (weights collapse to distinct
+    // (channel, gap) state; no raw-row sort). The oracle replays the
+    // attribution carries, then the nearest-rank crossing.
+    Q("events_time_to_convert",
+      (s, dir) => graft.ops.Relational.nearestRankPercentilesBy(
+          EventOps.attributionLastTouch(load(s, dir, "events"))
+            .filter(col("gap_sec").isNotNull),
+          Seq("channel"), col("gap_sec"), Seq(0.5, 0.9))
+        .select(col("channel"), col("quantile"),
+          col("value").as("gap_sec")),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec, event_type
+             |  FROM events),
+             |c AS (SELECT *,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |        THEN sec END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS mk_sec,
+             |    last_value(CASE WHEN event_type IN ('click', 'view')
+             |        THEN event_type END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS mk_type
+             |  FROM e),
+             |g AS (SELECT mk_type AS channel, sec - mk_sec AS v
+             |  FROM c WHERE event_type = 'purchase'
+             |    AND mk_sec IS NOT NULL AND mk_sec >= sec - 604800),
+             |f AS (SELECT channel, v, count(*) AS c FROM g GROUP BY 1, 2),
+             |cum AS (SELECT channel, v, c,
+             |    sum(c) OVER (PARTITION BY channel ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS hi,
+             |    sum(c) OVER (PARTITION BY channel) AS n
+             |  FROM f)
+             |SELECT channel, q::DOUBLE AS quantile, v AS gap_sec
+             |FROM cum, (SELECT unnest([0.5, 0.9]) AS q) qs
+             |WHERE hi >= floor(q * (n - 1))::BIGINT + 1
+             |  AND hi - c < floor(q * (n - 1))::BIGINT + 1
+             |ORDER BY channel, quantile""".stripMargin)),
+
     // LINEAR multi-touch attribution (EventOps.attributionLinear): each
     // purchase's value split equally across ALL in-window preceding
     // touches — exact integer split (div + remainder-to-latest, so

@@ -102,6 +102,28 @@ object RelationalQueries extends Catalog {
       |SELECT part_a, part_b, support FROM pr
       |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  // Shared by quality_drift_ks AND its incremental twin — the merged
+  // reference state must hash-match the full recompute.
+  private val KsOracle =
+    s"""WITH r0 AS (SELECT ${cents("l_extendedprice")} AS v
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |c0 AS (SELECT ${cents("l_extendedprice")} AS v
+       |  FROM lineitem WHERE l_returnflag = 'N'),
+       |a AS (SELECT v, count(*) AS c1 FROM r0 GROUP BY 1),
+       |b AS (SELECT v, count(*) AS c2 FROM c0 GROUP BY 1),
+       |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(c1, 0) AS c1,
+       |    coalesce(c2, 0) AS c2
+       |  FROM a FULL JOIN b ON a.v = b.v),
+       |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM u),
+       |w AS (SELECT v, sum(c1 * t.n2 - c2 * t.n1) OVER (ORDER BY v)
+       |    AS d FROM u, t),
+       |m AS (SELECT v, abs(d) AS ad FROM w ORDER BY ad DESC, v LIMIT 1)
+       |SELECT t.n1::BIGINT AS n_ref, t.n2::BIGINT AS n_cur,
+       |  (10000::HUGEINT * m.ad // (t.n1::HUGEINT * t.n2))::BIGINT
+       |    AS ks_bp,
+       |  m.v AS at_value
+       |FROM m, t""".stripMargin
+
   // Shared by basket_item_recs AND its stored-index twin — steady state
   // must hash-match the rebuild exactly.
   private val ItemRecsOracle =
@@ -1927,24 +1949,31 @@ object RelationalQueries extends Catalog {
           li.filter(col("l_returnflag") === "N"),
           Exact.cents(col("l_extendedprice")))
       },
-      Some(s"""WITH r0 AS (SELECT ${cents("l_extendedprice")} AS v
-             |  FROM lineitem WHERE l_returnflag = 'R'),
-             |c0 AS (SELECT ${cents("l_extendedprice")} AS v
-             |  FROM lineitem WHERE l_returnflag = 'N'),
-             |a AS (SELECT v, count(*) AS c1 FROM r0 GROUP BY 1),
-             |b AS (SELECT v, count(*) AS c2 FROM c0 GROUP BY 1),
-             |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(c1, 0) AS c1,
-             |    coalesce(c2, 0) AS c2
-             |  FROM a FULL JOIN b ON a.v = b.v),
-             |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM u),
-             |w AS (SELECT v, sum(c1 * t.n2 - c2 * t.n1) OVER (ORDER BY v)
-             |    AS d FROM u, t),
-             |m AS (SELECT v, abs(d) AS ad FROM w ORDER BY ad DESC, v LIMIT 1)
-             |SELECT t.n1::BIGINT AS n_ref, t.n2::BIGINT AS n_cur,
-             |  (10000::HUGEINT * m.ad // (t.n1::HUGEINT * t.n2))::BIGINT
-             |    AS ks_bp,
-             |  m.v AS at_value
-             |FROM m, t""".stripMargin)),
+      Some(KsOracle)),
+
+    // INCREMENTAL MAINTENANCE of the KS reference: the 'R' reference
+    // arrives as TWO disjoint ingest batches, each reduced to per-value
+    // counts; the stored states merge by SUMMING (plain keyed counts —
+    // the percentileState discipline) and ksDriftFromCounts scores the
+    // current batch against the merged state. The oracle is
+    // quality_drift_ks's full-recompute SQL VERBATIM, so the hash match
+    // proves merge ≡ rebuild — a drift monitor folds new reference days
+    // in at delta cost, never re-reading history.
+    Q("quality_drift_ks_incremental",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        val ref = li.filter(col("l_returnflag") === "R")
+        val parts = (0 to 1).map(i =>
+          ref.filter(col("l_orderkey") % 2 === i)
+            .select(Exact.cents(col("l_extendedprice")).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("c")))
+        val merged = parts.reduce(_ unionByName _)
+          .groupBy("v").agg(sum(col("c")).as("c"))
+        Quality.ksDriftFromCounts(merged,
+          li.filter(col("l_returnflag") === "N"),
+          Exact.cents(col("l_extendedprice")))
+      },
+      Some(KsOracle)),
 
     Q("quality_drift_psi",
       (s, dir) => {

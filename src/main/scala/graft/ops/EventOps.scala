@@ -709,7 +709,11 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("sec"), col("value_c"),
         when(col("mk_sec").isNotNull &&
             col("mk_sec") >= col("sec") - windowSec, col("mk_type"))
-          .otherwise(lit("direct")).as("channel"))
+          .otherwise(lit("direct")).as("channel"),
+        // time-to-convert: seconds from the credited touch; null on direct
+        when(col("mk_sec").isNotNull &&
+            col("mk_sec") >= col("sec") - windowSec,
+          col("sec") - col("mk_sec")).as("gap_sec"))
   }
 
   /** LINEAR multi-touch attribution: each conversion's value split

@@ -94,8 +94,23 @@ object Quality {
     * the signed weights); an empty side yields a null ks_bp rather than
     * a divide-by-zero.
     */
-  def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame = {
-    val a = ref.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c1"))
+  def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame =
+    ksDriftFromCounts(
+      ref.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c")),
+      cur, value)
+
+  /** `ksDrift` against a PRE-AGGREGATED reference `(v, c)` frequency table
+    * — the steady-state drift monitor (the `psiDriftFromCounts` stance,
+    * and the same state shape as `percentileState`): persist the
+    * reference's per-value counts once, score every incoming batch
+    * against them without re-reading reference data; count tables from
+    * separate reference batches merge by SUMMING (plain keyed counts), so
+    * an accumulating reference is one keyed sum away and merge ≡ rebuild
+    * exactly — which the incremental oracle pins.
+    */
+  def ksDriftFromCounts(refCounts: DataFrame, cur: DataFrame,
+                        value: Column): DataFrame = {
+    val a = refCounts.select(col("v"), col("c").as("c1"))
     val b = cur.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
     val u = a.join(b, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),

@@ -124,13 +124,19 @@ object Relational {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(minConfBp >= 0 && minConfBp <= 10000,
       s"minConfBp must be in [0, 10000], got $minConfBp")
+    // members feeds freq AND the basket total; freq joins twice; the
+    // pair table symmetrizes (two references) — materialize each once or
+    // the distinct/self-join lineages replay per reference (the
+    // itemRecommendations lesson, measured at sf1).
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val members = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .distinct()
+      .distinct().persist(mem)
     val freq = members.groupBy(col("_it")).agg(count(lit(1)).as("freq"))
+      .persist(mem)
     val n = members.select(col("_bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val pairs = basketPairs(df, basketCol, itemCol)
-      .filter(col("support") >= minSupport)
+      .filter(col("support") >= minSupport).persist(mem)
     val sym = pairs
       .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
         col("support"))
@@ -168,10 +174,18 @@ object Relational {
     * `minSupport` prunes the noise floor before the joins.
     */
   def itemRecommendations(df: DataFrame, basketCol: String, itemCol: String,
-                          k: Int = 3, minSupport: Long = 1L): DataFrame =
+                          k: Int = 3, minSupport: Long = 1L): DataFrame = {
+    // The scorer references the pair table TWICE (symmetrize) and the
+    // freq table twice (both join sides): without a materialization the
+    // whole basket self-join lineage replays per reference — measured
+    // 25.8 s → ~rebuild-once at sf1. MEMORY_ONLY like the dedup shingle
+    // caches (LRU-evictable, worst case recompute); the stored-index
+    // path (`FromParts` on StoredIndexes frames) is already warm.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     itemRecommendationsFromParts(
-      basketPairs(df, basketCol, itemCol),
-      itemBasketFreq(df, basketCol, itemCol), k, minSupport)
+      basketPairs(df, basketCol, itemCol).persist(mem),
+      itemBasketFreq(df, basketCol, itemCol).persist(mem), k, minSupport)
+  }
 
   /** The `(item, baskets-containing-it)` counts both the recommendation
     * and rule scorers divide by — the second stored-index half next to

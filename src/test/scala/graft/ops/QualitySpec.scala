@@ -100,4 +100,17 @@ class QualitySpec extends SparkSpec {
       .select(col("ks_bp")).collect().head
     assert(e.isNullAt(0))
   }
+
+  test("ksDriftFromCounts: summed per-batch reference states equal the " +
+      "full rebuild row-for-row") {
+    val ref = Seq(1L, 1L, 2L, 3L, 5L, 5L).toDF("v")
+    val cur = Seq(2L, 4L, 6L).toDF("v")
+    val full = Quality.ksDrift(ref, cur, col("v")).collect().toSeq
+    val merged = Seq(ref.filter(col("v") <= 2), ref.filter(col("v") > 2))
+      .map(_.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      .reduce(_ unionByName _)
+      .groupBy("v").agg(sum(col("c")).as("c"))
+    assert(Quality.ksDriftFromCounts(merged, cur, col("v"))
+      .collect().toSeq == full)
+  }
 }

@@ -295,6 +295,14 @@ class RelationalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventOps.attributionLastTouch(events, convType = "click")
     }
+    // gap_sec: credited conversions carry touch→conversion seconds
+    // (u1 view@20 → purchase@25; u2 exactly the window), direct rows null
+    val gaps = EventOps.attributionLastTouch(events)
+      .select(col("event_id"), col("gap_sec"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gaps(3L).contains(5L))
+    assert(gaps(5L).contains(wk))
+    assert(gaps(7L).isEmpty && gaps(8L).isEmpty)
   }
 
   test("associationRules: confidence and lift exact in bp, directed both " +
