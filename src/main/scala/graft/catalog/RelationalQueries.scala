@@ -2774,6 +2774,52 @@ object RelationalQueries extends Catalog {
            |ORDER BY node""".stripMargin
       }),
 
+    // STEADY STATE: personalized PageRank over the STORED co-purchase
+    // graph — "items related to Brand#11's catalog" — teleporting to that
+    // brand's parts. Timed cost is 3 frontier-sized rounds over the warm
+    // edge frame (the stored-edge twin discipline: no lineitem scan, no
+    // pair rebuild); the oracle unrolls the identical recurrence from the
+    // pair definition.
+    Q("graph_ppr_indexed",
+      (s, dir) => {
+        val edges = graft.ops.Graph.undirect(
+          StoredIndexes.basketEdges(s, dir).filter(col("support") >= 2)
+            .select(col("item_a").as("src"), col("item_b").as("dst")))
+        val seeds = load(s, dir, "part")
+          .filter(col("p_brand") === "Brand#11")
+          .select(col("p_partkey").as("node"))
+        graft.ops.Graph.personalizedPageRankBp(edges, seeds, 3)
+          .orderBy(col("node"))
+      },
+      Some {
+        def step(prev: String) =
+          s"""SELECT coalesce(i.node, t.node) AS node,
+             |  coalesce(i._in, 0) + coalesce(t._t, 0) AS rank_bp
+             |FROM (SELECT u.dst AS node,
+             |        sum((85 * r.rank_bp) // (100 * d.outdeg)) AS _in
+             |      FROM und u JOIN deg d ON u.src = d.src
+             |                 JOIN $prev r ON u.src = r.node
+             |      GROUP BY u.dst) i
+             |FULL JOIN (SELECT node, 1500 AS _t FROM seed) t
+             |  ON i.node = t.node""".stripMargin
+        s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           |           FROM lineitem),
+           |pr AS (SELECT x.p AS a, y.p AS b2, count(*) AS s
+           |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |und AS (SELECT a AS src, b2 AS dst FROM pr
+           |        UNION SELECT b2, a FROM pr),
+           |deg AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+           |seed AS (SELECT p_partkey AS node FROM part
+           |         WHERE p_brand = 'Brand#11'),
+           |r0 AS (SELECT node, 10000::BIGINT AS rank_bp FROM seed),
+           |r1 AS (${step("r0")}),
+           |r2 AS (${step("r1")}),
+           |r3 AS (${step("r2")})
+           |SELECT node, rank_bp::BIGINT AS rank_bp FROM r3
+           |ORDER BY node""".stripMargin
+      }),
+
     // Convergence-terminated PageRank (ops/Graph.pageRankBpConverged):
     // the stop rule is "state repeated" (exact integer fixpoint, or the
     // period-2 cycle truncating division produces), detected by an
