@@ -14,6 +14,17 @@ object CurateQueries extends Catalog {
   // DuckDB twin of Curate.unitHash(doc_id)
   private val UnitHash =
     "(('0x' || substr(md5(doc_id::VARCHAR), 1, 7))::BIGINT / 268435456.0)"
+
+  // Shared by curate_weighted_sample AND its merged-batch-state twin —
+  // the fold must hash-match the full-corpus draw.
+  private val WeightedSampleOracle =
+    s"""WITH t AS (SELECT doc_id, greatest(1, n_chars)::BIGINT AS w,
+       |    greatest(floor(($UnitHash) * 1000000 + 0.5) / 1000000.0,
+       |      1e-6) AS u6
+       |  FROM documents)
+       |SELECT doc_id, w,
+       |  floor(-ln(u6) * 1e9 / w)::BIGINT AS es_key
+       |FROM t ORDER BY es_key, doc_id LIMIT 50""".stripMargin
   // DuckDB twin of Dedup.shingles(text, 3) (same macro as dedup_ngram_jaccard)
   private val Toks = "string_split(text, ' ')"
   private val Sh3 =
@@ -175,13 +186,27 @@ object CurateQueries extends Catalog {
           col("doc_id"), col("w"), 50)
         .select(col("doc_id"), col("w"), col("es_key"))
         .orderBy(col("es_key"), col("doc_id")),
-      Some(s"""WITH t AS (SELECT doc_id, greatest(1, n_chars)::BIGINT AS w,
-             |    greatest(floor(($UnitHash) * 1000000 + 0.5) / 1000000.0,
-             |      1e-6) AS u6
-             |  FROM documents)
-             |SELECT doc_id, w,
-             |  floor(-ln(u6) * 1e9 / w)::BIGINT AS es_key
-             |FROM t ORDER BY es_key, doc_id LIMIT 50""".stripMargin)),
+      Some(WeightedSampleOracle)),
+
+    // MERGEABLE weighted-sample state: the exponential-race key is a pure
+    // function of (key, weight), so per-batch top-n draws merge by
+    // re-taking the n smallest of the union — exactly the distributed
+    // aggregation TakeOrdered performs, here proven ACROSS stored batch
+    // states: three disjoint ingest batches each keep their top-50, the
+    // merge re-draws 50 from the 150 survivors, and the oracle is the
+    // FULL-corpus draw VERBATIM — fold ≡ rebuild, so a 100 TB sample
+    // refreshes at batch cost.
+    Q("curate_weighted_sample_incremental",
+      (s, dir) => {
+        val d = load(s, dir, "documents")
+          .withColumn("w", greatest(lit(1), col("n_chars")).cast("long"))
+        (0 to 2).map(i => Curate.weightedSample(
+            d.filter(col("doc_id") % 3 === i), col("doc_id"), col("w"), 50))
+          .map(_.select(col("doc_id"), col("w"), col("es_key")))
+          .reduce(_ unionByName _)
+          .orderBy(col("es_key"), col("doc_id")).limit(50)
+      },
+      Some(WeightedSampleOracle)),
 
     // EXACT stratified sample (Curate.stratifiedSample): exactly 25 docs
     // per language, smallest-unit-hash-first — eval-set construction

@@ -102,6 +102,20 @@ object RelationalQueries extends Catalog {
       |SELECT part_a, part_b, support FROM pr
       |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
 
+  // Shared by sort_pareto_frontier AND its incremental fold — the
+  // textbook quadratic NOT EXISTS, maximally independent of both.
+  private val ParetoOracle =
+    s"""WITH t AS (SELECT p_brand, p_partkey,
+       |    ${cents("p_retailprice")} AS price_c, p_size::BIGINT AS size
+       |  FROM part)
+       |SELECT p_brand, p_partkey, price_c::DOUBLE / 100.0 AS price, size
+       |FROM t r
+       |WHERE NOT EXISTS (SELECT 1 FROM t s
+       |  WHERE s.p_brand = r.p_brand AND s.price_c <= r.price_c
+       |    AND s.size >= r.size
+       |    AND (s.price_c < r.price_c OR s.size > r.size))
+       |ORDER BY p_brand, price, size, p_partkey""".stripMargin
+
   // Shared by quality_drift_ks AND its incremental twin — the merged
   // reference state must hash-match the full recompute.
   private val KsOracle =
@@ -1299,16 +1313,34 @@ object RelationalQueries extends Catalog {
         .select(col("p_brand"), col("p_partkey"),
           Exact.dollars(col("price_c")).as("price"), col("size"))
         .orderBy(col("p_brand"), col("price"), col("size"), col("p_partkey")),
-      Some(s"""WITH t AS (SELECT p_brand, p_partkey,
-             |    ${cents("p_retailprice")} AS price_c, p_size::BIGINT AS size
-             |  FROM part)
-             |SELECT p_brand, p_partkey, price_c::DOUBLE / 100.0 AS price, size
-             |FROM t r
-             |WHERE NOT EXISTS (SELECT 1 FROM t s
-             |  WHERE s.p_brand = r.p_brand AND s.price_c <= r.price_c
-             |    AND s.size >= r.size
-             |    AND (s.price_c < r.price_c OR s.size > r.size))
-             |ORDER BY p_brand, price, size, p_partkey""".stripMargin)),
+      Some(ParetoOracle)),
+
+    // INCREMENTAL frontier maintenance: the skyline is an online-
+    // maintainable view — frontier(frontier(A) ∪ B) = frontier(A ∪ B)
+    // (a dominator of any discarded row survives into frontier(A) by
+    // transitivity, and still dominates it in the union). Three ingest
+    // batches fold through the stored frontier; the oracle is the FULL
+    // NOT EXISTS recompute VERBATIM, so the hash match proves fold ≡
+    // rebuild — a 100 TB frontier updates at batch cost against
+    // frontier-sized state.
+    Q("sort_pareto_incremental",
+      (s, dir) => {
+        val p = load(s, dir, "part").select(col("p_brand"), col("p_partkey"),
+          Exact.cents(col("p_retailprice")).as("price_c"),
+          col("p_size").cast("long").as("size"),
+          (-col("p_size")).cast("long").as("neg_size"))
+        val batches = (0 to 2).map(i => p.filter(col("p_partkey") % 3 === i))
+        batches.tail.foldLeft(
+            Relational.paretoFrontier2D(batches.head, "price_c", "neg_size",
+              Seq("p_brand"))) { (state, batch) =>
+            Relational.paretoFrontier2D(state.unionByName(batch),
+              "price_c", "neg_size", Seq("p_brand"))
+          }
+          .select(col("p_brand"), col("p_partkey"),
+            Exact.dollars(col("price_c")).as("price"), col("size"))
+          .orderBy(col("p_brand"), col("price"), col("size"), col("p_partkey"))
+      },
+      Some(ParetoOracle)),
 
     // HLL sketch values differ across engines by design, so the raw
     // estimate is not oracle-replayable. Verifiable form: emit the exact
@@ -1974,6 +2006,34 @@ object RelationalQueries extends Catalog {
           Exact.cents(col("l_extendedprice")))
       },
       Some(KsOracle)),
+
+    // Chi-square independence (Quality.chiSquareE6): is order status
+    // independent of order priority — the contingency-table monitor next
+    // to PSI (one bucketed feature) and KS (one CDF). Exact per-cell
+    // floor of the χ² term ×10⁶ over the FULL category cross product
+    // (absent cells contribute at o = 0), everything after one keyed
+    // count runs on the |A|·|B| cell table.
+    Q("quality_chi_square",
+      (s, dir) => Quality.chiSquareE6(load(s, dir, "orders"),
+        col("o_orderstatus"), col("o_orderpriority")),
+      Some("""WITH o AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+             |    count(*) AS o FROM orders GROUP BY 1, 2),
+             |cells AS (SELECT av.a, bv.b, coalesce(o.o, 0) AS o
+             |  FROM (SELECT DISTINCT a FROM o) av
+             |  CROSS JOIN (SELECT DISTINCT b FROM o) bv
+             |  LEFT JOIN o ON o.a = av.a AND o.b = bv.b),
+             |t AS (SELECT a, b, o,
+             |    sum(o) OVER (PARTITION BY a) AS r,
+             |    sum(o) OVER (PARTITION BY b) AS c,
+             |    sum(o) OVER () AS n
+             |  FROM cells)
+             |SELECT sum(((o::HUGEINT * n - r::HUGEINT * c)
+             |    * (o::HUGEINT * n - r::HUGEINT * c) * 1000000)
+             |    // (n::HUGEINT * r * c))::BIGINT AS chi2_e6,
+             |  ((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1))::BIGINT
+             |    AS dof,
+             |  sum(o)::BIGINT AS n
+             |FROM t""".stripMargin)),
 
     Q("quality_drift_psi",
       (s, dir) => {

@@ -129,6 +129,58 @@ object Quality {
         col("v").as("at_value"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — "did the label mix shift with the source" in one number,
+    * the contingency-table readout next to the distributional monitors
+    * (`psiDrift` buckets one feature; `ksDrift` reads one CDF; this
+    * crosses two columns). EXACT integer arithmetic: each cell
+    * contributes `(o·N − r·c)²·10⁶ div (N·r·c)` — the χ² term times 10⁶,
+    * floored PER CELL (documented convention; both engines replay the
+    * identical floor) — summed over the FULL observed-category cross
+    * product, absent combinations included at o = 0 (they contribute
+    * r·c·10⁶ div N², omitting them understates χ²). Output one row:
+    * (chi2_e6, dof, n).
+    *
+    * Shape: ONE keyed count to contingency cells, then everything runs
+    * on the cell table — distinct-category cross join and three window
+    * sums over ≤ |A|·|B| rows (category cardinalities, config-sized by
+    * assumption; this is a CATEGORICAL test — don't feed it continuous
+    * columns). Decimal-widened; caller contract: n ≲ 10⁸ rows for the
+    * exact path ((o·N − r·c)²·10⁶ ≤ n⁴·10⁶ must fit DECIMAL(38,0)) —
+    * a larger corpus should be sampled first, which a χ² this large
+    * saturates anyway.
+    */
+  def chiSquareE6(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val o = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // The B category list folds to ONE row (ungrouped collect_set) before
+    // the cross join, so the nested-loop build side is structurally
+    // bounded — the plan-contract shape for "config-sized by assumption",
+    // vs a distinct() build that only LOOKS small until someone feeds a
+    // continuous column.
+    val bList = o.select(col("b")).distinct()
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+    val cells = o.select(col("a")).distinct()
+      .crossJoin(broadcast(bList))
+      .select(col("a"), explode(col("bs")).as("b"))
+      .join(o, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    import org.apache.spark.sql.expressions.Window
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("a")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("b")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("term_e6", expr(
+        "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+          "* (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) " +
+          "* 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"))
+      .agg(sum(col("term_e6")).as("chi2_e6"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1))
+          .as("dof"),
+        (sum(col("o"))).as("n"))
+  }
+
   /** The `(bucket, n)` histogram both PSI paths consume — the stored-state
     * shape: a drift monitor persists the reference histogram once (it is
     * ≤ nBuckets rows after aggregation) and scores every incoming batch

@@ -336,6 +336,20 @@ class CurateSpec extends SparkSpec {
     assert(err.getMessage.contains("non-positive weight"))
   }
 
+  test("weightedSample: merged per-batch top-n states ≡ the full-corpus " +
+      "draw (the ES key is a pure row function)") {
+    val df = (1L to 200L).map(i => (i, 1L + (i % 7) * 10L)).toDF("id", "w")
+    def sel(d: DataFrame) =
+      Curate.weightedSample(d, col("id"), col("w"), 30)
+        .select(col("id"), col("es_key"))
+    val full = sel(df).as[(Long, Long)].collect().toSeq
+    val folded = (0 to 2).map(i => sel(df.filter(col("id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .orderBy(col("es_key"), col("id")).limit(30)
+      .as[(Long, Long)].collect().toSeq
+    assert(folded == full)
+  }
+
   test("laplaceNoisyCounts: hand-replayed inverse-CDF noise, noisy − true " +
       "≡ noise, scale halves as epsilon doubles, domain rejects") {
     val df = (1L to 300L).map(i => (s"g${i % 3}", i)).toDF("g", "id")

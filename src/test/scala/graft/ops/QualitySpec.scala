@@ -101,6 +101,27 @@ class QualitySpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("chiSquareE6: hand-computed table incl. an ABSENT cell, " +
+      "independence gives zero, partition-invariant") {
+    // counts: (x,u)=10 (x,v)=20 (y,u)=20 (y,v)=10 (z,u)=5, (z,v) ABSENT.
+    // N=65, r=(30,30,5), c=(35,30). Per-cell ⌊(o·N−r·c)²·10⁶/(N·r·c)⌋:
+    // 2344322 + 2735042 + 915750 + 1068376 + 1978021 + 2307692(the o=0
+    // cell) = 11349203; dof = (3−1)(2−1) = 2.
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(10)(("y", "v")) ++
+      Seq.fill(5)(("z", "u"))
+    val df = rows.toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Quality.chiSquareE6(d, col("a"), col("b"))
+        .as[(Long, Long, Long)].collect().head
+    assert(run(df) == ((11349203L, 2L, 65L)))
+    assert(run(df.repartition(7)) == ((11349203L, 2L, 65L)))
+    // perfectly proportional table → every o·N == r·c → χ² = 0
+    val indep = (Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(5)(("y", "u")) ++ Seq.fill(10)(("y", "v"))).toDF("a", "b")
+    assert(run(indep) == ((0L, 1L, 45L)))
+  }
+
   test("ksDriftFromCounts: summed per-batch reference states equal the " +
       "full rebuild row-for-row") {
     val ref = Seq(1L, 1L, 2L, 3L, 5L, 5L).toDF("v")

@@ -359,6 +359,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("paretoFrontier2D: incremental fold ≡ full rebuild (frontier is an " +
+      "online-maintainable view)") {
+    // pseudo-random 2-D points in 2 groups, folded in 3 batches
+    val pts = (1L to 300L).map(i =>
+      (s"g${i % 2}", (i * 37) % 50, (i * 61) % 50, i))
+    val df = pts.toDF("grp", "x", "y", "id")
+    val full = Relational.paretoFrontier2D(df, "x", "y", Seq("grp"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val batches = (0 to 2).map(i => df.filter(col("id") % 3 === i))
+    val folded = batches.tail.foldLeft(
+        Relational.paretoFrontier2D(batches.head, "x", "y", Seq("grp"))) {
+        (st, b) => Relational.paretoFrontier2D(st.unionByName(b),
+          "x", "y", Seq("grp"))
+      }.as[(String, Long, Long, Long)].collect().toSet
+    assert(folded == full)
+  }
+
   test("weightedPercentilesBy: crossing row exact, zero weights never " +
       "cross, duplicate values merge, partition-invariant, negatives raise") {
     // group a: (v, w) = (1,2), (2,1)+(2,2) [same value from two rows],
