@@ -172,6 +172,44 @@ class StreamOpsSpec extends SparkSpec {
       Set((1L, 1L), (3L, 3L), (3L, 10L)))
   }
 
+  test("TopKAgg under streaming aggregation: k-bounded state merges " +
+      "across micro-batches to the exact batch top-k") {
+    // The typed Aggregator's merge is exercised by Structured Streaming's
+    // incremental state (partial per micro-batch, merged into the store) —
+    // a streaming leaderboard. maxFilesPerTrigger=1 forces ≥2 state merges.
+    val dir = tmpDir("topk-events")
+    def ev(id: Long, sec: Long, uid: Long, v: Double) =
+      s"""{"event_id":$id,"ts":"${java.time.Instant.ofEpochSecond(sec)}",""" +
+        s""""user_id":$uid,"event_type":"purchase","value":$v,"props":"{}"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p1.json"), Seq(
+      ev(1, 10, 1, 5.0), ev(2, 20, 2, 9.0), ev(3, 30, 3, 1.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p2.json"), Seq(
+      ev(4, 40, 4, 7.0), ev(5, 50, 5, 9.0), ev(6, 60, 6, 2.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    import org.apache.spark.sql.functions.{col => c}
+    def topk(d: DataFrame) = d
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c",
+        "event_id")
+      .groupBy(c("event_type"))
+      .agg(graft.functions.TopKAgg.topKMax(c("c"), c("event_id"), 3).as("t"))
+      .selectExpr("event_type", "CAST(t.entries AS STRING) AS entries")
+    val streamed = runToMemory(
+      topk(spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(dir)),
+      "topkstream", "complete")
+      .collect().map(_.toSeq).toSet
+    val batch = topk(spark.read.schema(schema).json(dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the winners: 9.00 by id 2 (tie with id 5 at equal cents → smaller
+    // id first), then id 5, then 7.00 by id 4 — one from each micro-batch
+    assert(batch.head(1) == "[{900, 2}, {900, 5}, {700, 4}]")
+  }
+
   test("attributionLastTouchStream: bounded state equals the batch " +
       "operator, touch carried across micro-batch boundaries") {
     val dir = tmpDir("attrib-events")
