@@ -2007,6 +2007,36 @@ object RelationalQueries extends Catalog {
       },
       Some(KsOracle)),
 
+    // Mann-Whitney U / ROC-AUC (Quality.rankSumU2): does price RANK
+    // returned lineitems above delivered ones — U in exact half-units
+    // (2·U, the ½-tie credit never floats) and the AUC≡U identity in
+    // basis points. Never enumerates pairs: per-value counts + ONE
+    // range-partitioned cumsum (the ksDrift machinery), U2 =
+    // Σ cPos·(2·cumNeg< + cNeg) over distinct values.
+    Q("quality_rank_auc",
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+        Quality.rankSumU2(
+          li.filter(col("l_returnflag") === "R"),
+          li.filter(col("l_returnflag") === "N"),
+          Exact.cents(col("l_extendedprice")))
+      },
+      Some(s"""WITH a AS (SELECT ${cents("l_extendedprice")} AS v,
+             |    count(*) AS ca FROM lineitem WHERE l_returnflag = 'R'
+             |  GROUP BY 1),
+             |b AS (SELECT ${cents("l_extendedprice")} AS v, count(*) AS cb
+             |  FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1),
+             |u AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+             |    coalesce(cb, 0) AS cb
+             |  FROM a FULL JOIN b ON a.v = b.v),
+             |c AS (SELECT v, ca, cb,
+             |    sum(cb) OVER (ORDER BY v) - cb AS below FROM u)
+             |SELECT sum(ca)::BIGINT AS n_pos, sum(cb)::BIGINT AS n_neg,
+             |  sum(ca * (below * 2 + cb))::BIGINT AS u2,
+             |  (10000::HUGEINT * sum(ca * (below * 2 + cb)) //
+             |    (2::HUGEINT * sum(ca) * sum(cb)))::BIGINT AS auc_bp
+             |FROM c""".stripMargin)),
+
     // Chi-square independence (Quality.chiSquareE6): is order status
     // independent of order priority — the contingency-table monitor next
     // to PSI (one bucketed feature) and KS (one CDF). Exact per-cell

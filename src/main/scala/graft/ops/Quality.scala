@@ -181,6 +181,38 @@ object Quality {
         (sum(col("o"))).as("n"))
   }
 
+  /** Mann-Whitney U / ROC-AUC, exact: U = #{(p, n) pairs: n < p} + ½·ties
+    * — the nonparametric two-sample location test AND (normalized) the
+    * AUC of `value` as a ranking score for pos-vs-neg, one statistic
+    * (Mann-Whitney '47 / the AUC≡U identity). Returned in HALF-UNITS
+    * (`u2 = 2·U`, an exact integer — the ½-tie credit never floats) next
+    * to `auc_bp = 10⁴·u2 div (2·n_pos·n_neg)`.
+    *
+    * Never enumerates pairs: per-value counts (one keyed shuffle), the
+    * running negative count below each value from ONE
+    * `globalKeyedCumSum` (range-partitioned, no global window), then
+    * U2 = Σ_v cPos(v)·(2·cumNeg(<v) + cNeg(v)) — O(distinct values)
+    * after the counts, same machinery as `ksDrift`. Caller contract:
+    * n_pos·n_neg < 2⁶² (the u2 long); empty side → null auc_bp.
+    */
+  def rankSumU2(pos: DataFrame, neg: DataFrame, value: Column): DataFrame = {
+    val a = pos.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("ca"))
+    val b = neg.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("cb"))
+    val u = a.join(b, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val cum = graft.ops.Relational.globalKeyedCumSum(u, col("v"), col("cb"))
+      .select(col("v"), (col("hi") - col("c")).as("below"))
+    u.join(cum, Seq("v"))
+      .agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+        coalesce(sum(col("ca") * (col("below") * 2 + col("cb"))), lit(0L))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("CAST(CAST(10000 AS DECIMAL(38,0)) * u2 div " +
+          "nullif(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg, 0) AS BIGINT)")
+          .as("auc_bp"))
+  }
+
   /** The `(bucket, n)` histogram both PSI paths consume — the stored-state
     * shape: a drift monitor persists the reference histogram once (it is
     * ≤ nBuckets rows after aggregation) and scores every incoming batch

@@ -101,6 +101,32 @@ class QualitySpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("rankSumU2: hand pair counts with ties, perfect and inverse " +
+      "ranking, partition-invariant") {
+    def run(p: Seq[Long], n: Seq[Long]) =
+      Quality.rankSumU2(p.toDF("v"), n.toDF("v"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+    // pos {2,5} vs neg {2,3}: pairs (2,2)=½, (2,3)=0, (5,2)=1, (5,3)=1
+    // → U = 2.5, u2 = 5, auc = 5/8 = 6250 bp
+    assert(run(Seq(2L, 5L), Seq(2L, 3L)) == ((2L, 2L, 5L, 6250L)))
+    // perfect separation → AUC 1.0; inverted → 0
+    assert(run(Seq(3L, 5L), Seq(1L, 2L)) == ((2L, 2L, 8L, 10000L)))
+    assert(run(Seq(1L, 2L), Seq(3L, 5L)) == ((2L, 2L, 0L, 0L)))
+    // all-tied → AUC exactly ½
+    assert(run(Seq(7L, 7L), Seq(7L)) == ((2L, 1L, 2L, 5000L)))
+    // partition invariance on a larger mix
+    val p = (1L to 100L).map(i => (i * 13) % 60)
+    val n = (1L to 80L).map(i => (i * 7) % 50)
+    val full = run(p, n)
+    val viaRepart = Quality.rankSumU2(p.toDF("v").repartition(7),
+        n.toDF("v").repartition(3), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(viaRepart == full)
+    // empty side → null auc_bp
+    assert(Quality.rankSumU2(spark.emptyDataset[Long].toDF("v"),
+      n.toDF("v"), col("v")).select(col("auc_bp")).collect().head.isNullAt(0))
+  }
+
   test("chiSquareE6: hand-computed table incl. an ABSENT cell, " +
       "independence gives zero, partition-invariant") {
     // counts: (x,u)=10 (x,v)=20 (y,u)=20 (y,v)=10 (z,u)=5, (z,v) ABSENT.
