@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness that RUNS scaled-knob LSH pair joins at a given SF — the
+  * end-to-end closure of the `ScaleProbe` budget table (BASELINE.md): the
+  * probes PRICE a banding before paying it; this main actually PAYS the
+  * two headline joins at knobs sized by the measured laws and records
+  * wall-time + result pair counts, so "the scaled knobs keep the join
+  * runnable at sf10" is a measured row, not an extrapolation.
+  *
+  * Each run prints the O(n) candidate-budget pre-flight FIRST (the
+  * production discipline: never start a banded join whose fan-out you
+  * didn't price), then the join's wall time, result pairs, and the
+  * verify-survivor ratio.
+  *
+  *  - simhash: 2 bands × 16-bit slices (the `wide_2x16` probe row);
+  *    pigeonhole guarantee at 2 bands is h ≤ 1.
+  *  - cosine: `bands` × `planes` per the +log₂10 ≈ 3.3 planes/decade
+  *    sizing rule (default 2 planes at sf0.1 → ~9 at 100×); pass knobs
+  *    as args to measure other points on the law.
+  *
+  * Usage: runMain graft.ScaleRun <sfDir> [cosPlanes] [cosBands]
+  */
+object ScaleRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleRun <sfDir> [cosPlanes] [cosBands]")
+    val dir = args(0)
+    val cosPlanes = if (args.length > 1) args(1).toInt else 9
+    val cosBands = if (args.length > 2) args(2).toInt else 16
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, math.rint((System.nanoTime() - t0) / 1e6) / 1e3)
+    }
+
+    val docs = tables.Tables.load(spark, dir, "documents")
+    val emb = tables.Tables.load(spark, dir, "embeddings")
+
+    // --- simhash, wide knobs: 2 bands × 16-bit slices, h ≤ 1 ----------
+    val (sb, sbSec) = timed(
+      ops.Dedup.simHashCandidateBudget(docs, bands = 2).collect()(0))
+    println(s"""{"run":"simhash_budget","knobs":"2x16","dir":"$dir",""" +
+      s""""n":${sb.getLong(0)},"cand_pairs":${sb.getLong(3)},"sec":$sbSec}""")
+    val (sPairs, sSec) = timed(
+      ops.Dedup.simHashNearDupPairs(docs, maxHamming = 1, bands = 2)
+        .agg(count(lit(1)), coalesce(max(col("hamming")), lit(-1L)))
+        .collect()(0))
+    println(s"""{"run":"simhash_pairs","knobs":"2x16 h<=1","dir":"$dir",""" +
+      s""""pairs":${sPairs.getLong(0)},"max_hamming":${sPairs.getLong(1)},""" +
+      s""""sec":$sSec}""")
+    spark.catalog.clearCache()
+
+    // --- cosine, decade-scaled planes ----------------------------------
+    val (cb, cbSec) = timed(ops.Vectors.cosineBandCandidateBudget(
+      emb, planesPerBand = cosPlanes, bands = cosBands).collect()(0))
+    println(s"""{"run":"cosine_budget","knobs":"${cosBands}x$cosPlanes",""" +
+      s""""dir":"$dir","n":${cb.getLong(0)},"cand_pairs":${cb.getLong(3)},""" +
+      s""""sec":$cbSec}""")
+    val (cPairs, cSec) = timed(
+      ops.Vectors.cosineNearDupPairsBanded(emb, 0.4,
+          planesPerBand = cosPlanes, bands = cosBands)
+        .agg(count(lit(1)), coalesce(round(min(col("cosine")), 4), lit(-1.0)))
+        .collect()(0))
+    println(s"""{"run":"cosine_pairs","knobs":"${cosBands}x$cosPlanes """ +
+      s"""th>=0.4","dir":"$dir","pairs":${cPairs.getLong(0)},""" +
+      s""""min_cosine":${cPairs.getDouble(1)},"sec":$cSec}""")
+    spark.stop()
+  }
+}

@@ -161,7 +161,7 @@ object CurateQueries extends Catalog {
       Some("""WITH t AS (SELECT lang, count(*) AS n_true
              |  FROM documents GROUP BY 1),
              |u AS (SELECT lang, n_true, least(greatest(
-             |    floor((('0x' || substr(md5(lang), 1, 7))::BIGINT
+             |    floor((('0x' || substr(md5(coalesce(lang, chr(0))), 1, 7))::BIGINT
              |      / 268435456.0) * 1000000 + 0.5) / 1000000.0,
              |    1e-6), 1.0 - 1e-6) AS u6 FROM t),
              |z AS (SELECT lang, n_true,

@@ -340,23 +340,37 @@ object RelationalQueries extends Catalog {
     // TakeOrderedAndProject on the integer units — the classic composite
     // a user of the reference's denormalized store could never express.
     Q("composite_shipping_priority",
-      (s, dir) => load(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1998-01-01"))
-        .join(load(s, dir, "orders")
-          .filter(col("o_orderdate") < lit("1998-01-01")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(load(s, dir, "customer")
-          .filter(col("c_mktsegment") === "BUILDING")),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(Exact.revenueUnits(col("l_extendedprice"), col("l_discount")))
-          .as("units"))
-        .orderBy(col("units").desc, col("l_orderkey")).limit(10)
-        .select(col("l_orderkey"),
-          unix_timestamp(col("o_orderdate")).as("order_date"),
-          col("o_orderpriority"),
-          Exact.revenueDollars(col("units")).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey")),
+      // Routed through the measured 3-way planner
+      // (ops/Relational.autoJoin3): join ORDER and per-join strategy come
+      // from md5-histogram estimates of the REAL filtered inputs, not
+      // from syntax — the production-shaped use of the estimator stack.
+      // The oracle is UNCHANGED: every routing is value- and
+      // column-identical to the plain chain (the autoJoin contract), and
+      // PlanContractSpec asserts the chosen order matches the estimator's
+      // own verdict on this corpus.
+      (s, dir) => {
+        val li = load(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01"))
+          .select(col("l_orderkey").as("ok"),
+            col("l_extendedprice"), col("l_discount"))
+        val ord = load(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val cust = load(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("ck"))
+        graft.ops.Relational.autoJoin3(li, ord, cust, Seq("ok"), Seq("ck"))
+          .groupBy(col("ok"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(Exact.revenueUnits(col("l_extendedprice"),
+            col("l_discount"))).as("units"))
+          .orderBy(col("units").desc, col("ok")).limit(10)
+          .select(col("ok").as("l_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("order_date"),
+            col("o_orderpriority"),
+            Exact.revenueDollars(col("units")).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+      },
       Some(s"""SELECT l_orderkey,
              |  epoch(date_trunc('second', o_orderdate))::BIGINT AS order_date,
              |  o_orderpriority, units::DOUBLE / 10000.0 AS revenue
@@ -2916,10 +2930,14 @@ object RelationalQueries extends Catalog {
     // order-independent xxhash64 state signature — ONE node-sized agg per
     // round, no join. Runs on the nation-level trade graph (≤ 50 nodes,
     // dense — rounds are node-sized jobs) so the round count stays small
-    // at every SF. Registered rows-only: a static unrolled CTE cannot
-    // know the round count ahead of time — the fixed-round sibling
-    // `graph_pagerank` carries the bit-exact oracle for the recurrence,
-    // and GraphSpec pins converged ≡ fixed-round-at-roundsRun.
+    // at every SF. The oracle replays the SAME stop rule without knowing
+    // the round count: it unrolls all maxIters=24 states statically, then
+    // picks the first round i (1-based) whose per-node ranks equal round
+    // i-1's or i-2's — the exact-equality form of the hash-signature test
+    // (equal states always agree; the hash differs only on a ~2⁻⁶⁴
+    // collision). The undirected closure guarantees a constant node set
+    // from r0 on (every node keeps in- and out-edges), so state equality
+    // reduces to an equi-join on node.
     Q("graph_pagerank_converged",
       (s, dir) => {
         val edges = load(s, dir, "lineitem")
@@ -2938,10 +2956,59 @@ object RelationalQueries extends Catalog {
               .otherwise(
                 concat(lit("cn"), expr("(node - 1) div 2").cast("string")))
               .as("node"),
-            col("rank_bp"), lit(rounds).as("rounds_run"))
+            col("rank_bp"), lit(rounds.toLong).as("rounds_run"))
           .orderBy(col("node"))
       },
-      None),
+      Some {
+        val maxIters = 24
+        def step(prev: String) =
+          s"""SELECT u.dst AS node,
+             |  1500 + sum((85 * r.rank_bp) // (100 * d.outdeg)) AS rank_bp
+             |FROM und u JOIN deg d ON u.src = d.src
+             |           JOIN $prev r ON u.src = r.node
+             |GROUP BY u.dst""".stripMargin
+        // AS MATERIALIZED: DuckDB inlines plain CTEs, so a 24-deep chain
+        // whose every level is ALSO referenced by `allr` re-expands the
+        // whole prefix at each use — O(rounds²) parquet scans (observed:
+        // fd exhaustion). Materializing pins each round to one evaluation.
+        val rounds = (1 to maxIters)
+          .map(i => s"r$i AS MATERIALIZED (${step(s"r${i - 1}")})")
+          .mkString(",\n")
+        val tagged = (0 to maxIters)
+          .map(i => s"SELECT $i AS i, node, rank_bp::HUGEINT AS rank_bp FROM r$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT 'sn' || s_nationkey AS src,
+           |                            'cn' || c_nationkey AS dst
+           |            FROM lineitem
+           |            JOIN orders ON l_orderkey = o_orderkey
+           |            JOIN supplier ON l_suppkey = s_suppkey
+           |            JOIN customer ON o_custkey = c_custkey),
+           |und AS MATERIALIZED (SELECT src, dst FROM e0
+           |                     UNION SELECT dst, src FROM e0),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+           |                     FROM und GROUP BY src),
+           |r0 AS MATERIALIZED (SELECT src AS node,
+           |                           10000::BIGINT AS rank_bp FROM deg),
+           |$rounds,
+           |allr AS MATERIALIZED ($tagged),
+           |diffs AS (SELECT a.i,
+           |            max(CASE WHEN a.rank_bp <> b1.rank_bp
+           |                     THEN 1 ELSE 0 END) AS d1,
+           |            max(CASE WHEN b2.rank_bp IS NULL
+           |                       OR a.rank_bp <> b2.rank_bp
+           |                     THEN 1 ELSE 0 END) AS d2
+           |          FROM allr a
+           |          JOIN allr b1 ON b1.i = a.i - 1 AND b1.node = a.node
+           |          LEFT JOIN allr b2 ON b2.i = a.i - 2 AND b2.node = a.node
+           |          WHERE a.i >= 1
+           |          GROUP BY a.i),
+           |stop AS (SELECT coalesce(min(i), $maxIters) AS rr FROM diffs
+           |         WHERE d1 = 0 OR d2 = 0)
+           |SELECT a.node, a.rank_bp::BIGINT AS rank_bp,
+           |       s.rr::BIGINT AS rounds_run
+           |FROM allr a, stop s WHERE a.i = s.rr
+           |ORDER BY node""".stripMargin
+      }),
 
     // Exact equi-depth histogram over order prices — the equal-FREQUENCY
     // sibling of agg_histogram's equal-width buckets. Spark computes it

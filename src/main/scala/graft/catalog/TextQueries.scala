@@ -1535,6 +1535,56 @@ object TextQueries extends Catalog {
              |SELECT i AS media_a, j AS media_b, hamming FROM ham
              |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin)),
 
+    // REAL-PIXEL perceptual hashing, oracle-checked end-to-end: each doc
+    // becomes a deterministic 16×16 binary P6 image (header WITH a
+    // comment line; raster = 48 chained md5 digests of "doc_id:k" —
+    // 768 RGB bytes both engines can regenerate), decoded by the REAL
+    // Netpbm parser (Multimodal.PnmDecoder: header/comment skip → BT.601
+    // integer luma → the aHash cross-multiplied bit rule over decoded
+    // pixels, NOT payload bytes). The oracle rebuilds the raster from the
+    // same md5 chain and replays luma + 2×2-block means + bit rule in
+    // pure integer SQL — a parse that mis-skipped the header or comment
+    // by even one byte would shift every pixel and hash-mismatch. This
+    // closes the last spec-only gap: the decoded-pixel path now has a
+    // driver-adjudicated oracle, not just MultimodalSpec fixtures.
+    Q("multimodal_phash_decoded",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val headerHex = "P6\n# seeded 16x16 fixture\n16 16\n255\n"
+          .getBytes("US-ASCII").map("%02x".format(_)).mkString
+        val rasterHex = concat((0 until 48).map(k =>
+          md5(concat(col("doc_id").cast("string"), lit(s":$k"))
+            .cast("binary"))): _*)
+        val media = load(s, dir, "documents")
+          .select(col("doc_id"), lit("image").as("kind"),
+            unhex(concat(lit(headerHex), rasterHex)).as("payload"))
+        Multimodal.perceptualHashBands(
+            Multimodal.asMedia(media, "doc_id", "kind", "payload"),
+            decoder = Some(new Multimodal.PnmDecoder()))
+          .orderBy(col("media_id"), col("band"))
+      },
+      Some {
+        val rh = (0 until 48)
+          .map(k => s"md5(doc_id::VARCHAR || ':$k')").mkString(" || ")
+        s"""WITH rh AS (SELECT doc_id, $rh AS hx FROM documents),
+           |px AS (SELECT doc_id,
+           |    (299 * ('0x' || substr(hx, (6 * p + 1)::INT, 2))::BIGINT
+           |     + 587 * ('0x' || substr(hx, (6 * p + 3)::INT, 2))::BIGINT
+           |     + 114 * ('0x' || substr(hx, (6 * p + 5)::INT, 2))::BIGINT)
+           |      // 1000 AS l,
+           |    ((p // 16) // 2) * 8 + ((p % 16) // 2) AS blk
+           |  FROM rh, unnest(range(256)) AS t(p)),
+           |tot AS (SELECT doc_id, sum(l) AS tsum FROM px GROUP BY 1),
+           |blocks AS (SELECT doc_id, blk, sum(l) AS bsum
+           |  FROM px GROUP BY 1, 2),
+           |bits AS (SELECT b.doc_id, b.blk,
+           |    CASE WHEN b.bsum * 256 >= t.tsum * 4 THEN 1 ELSE 0 END AS bit
+           |  FROM blocks b JOIN tot t ON t.doc_id = b.doc_id)
+           |SELECT doc_id AS media_id, blk // 16 AS band,
+           |  sum(bit * (1::BIGINT << (blk % 16)::INT))::BIGINT AS band_val
+           |FROM bits GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
+      }),
+
     // RAG/pretraining chunking: overlapping 32-token windows with 8-token
     // overlap (step 24). Chunk-count and extent arithmetic is integer-only
     // on both engines; the hash match proves every token lands exactly in

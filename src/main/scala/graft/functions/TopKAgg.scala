@@ -37,11 +37,16 @@ object TopKAgg {
       val v = b.entries.toVector
       if (v.length >= k && !beats(e, v.last)) b // below the boundary
       else {
-        val at = v.indexWhere(x => beats(e, x)) match {
-          case -1 => v.length
-          case i  => i
+        // binary search for e's slot in the (v DESC, id ASC) order —
+        // O(log k) compares per accepted row instead of a linear scan
+        // (the boundary reject above already filters the common case)
+        var lo = 0
+        var hi = v.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (beats(e, v(mid))) hi = mid else lo = mid + 1
         }
-        val ins = (v.take(at) :+ e) ++ v.drop(at)
+        val ins = (v.take(lo) :+ e) ++ v.drop(lo)
         TopK(if (ins.length > k) ins.take(k) else ins)
       }
     }

@@ -597,12 +597,15 @@ object Dedup {
     // cover any graph that fits in storage. Each round is two edge-sized
     // keyed shuffles with node-sized min side-tables; rounds are
     // localCheckpointed, nothing retained on exit.
-    val (labels, rounds) =
-      Graph.twoStarComponentsWithRounds(pairs, maxIters, "a", "b")
-    if (rounds >= maxIters)
+    val (labels, rounds, converged) =
+      Graph.twoStarComponentsWithStatus(pairs, maxIters, "a", "b")
+    // Warn ONLY on a genuinely unconfirmed fixpoint: a fixpoint confirmed
+    // exactly on the final allowed round (converged, rounds == maxIters)
+    // is a success — rounds alone cannot distinguish the two.
+    if (!converged)
       log.warn(
-        s"components: two-star hit the round cap (maxIters=$maxIters) — " +
-          "the final round may not have confirmed the fixpoint; raise " +
+        s"components: two-star hit the round cap (maxIters=$maxIters, " +
+          s"ran $rounds) without confirming the fixpoint; raise " +
           "maxIters (log₂²(n) rounds always suffice)")
     labels.select(col("node").as("doc_id"), col("component").as("cluster_rep"))
   }

@@ -563,12 +563,16 @@ object Graph {
       if (deep && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }
-    if (deep) {
-      val materialized = ranks.localCheckpoint()
-      withDeg.unpersist()
-      seed.unpersist()
-      materialized
-    } else ranks
+    // Unconditional: the final ranks frame is at most reachable-set-sized,
+    // so materializing it is cheap at ANY depth, and it frees withDeg/seed
+    // on every path — the shallow path (iters < checkpointEvery, the
+    // catalog's 3-round calls) previously leaked both MEMORY_ONLY caches
+    // into the session (the zero-retained-frames lifecycle contract the
+    // other iterative ops pin).
+    val materialized = ranks.localCheckpoint()
+    withDeg.unpersist()
+    seed.unpersist()
+    materialized
   }
 
   /** `labelPropagation` run until the label state repeats — fixpoint or
@@ -678,6 +682,21 @@ object Graph {
   def twoStarComponentsWithRounds(edges: DataFrame, maxRounds: Int = 20,
                                   a: String = "a",
                                   b: String = "b"): (DataFrame, Int) = {
+    val (labels, rounds, _) =
+      twoStarComponentsWithStatus(edges, maxRounds, a, b)
+    (labels, rounds)
+  }
+
+  /** `twoStarComponentsWithRounds` plus the CONVERGED flag: true iff the
+    * loop exited because the star-forest fixpoint was confirmed (including
+    * confirmation exactly on the final allowed round), false only when the
+    * round cap cut the iteration short. Callers that warn on
+    * non-convergence must branch on THIS, not on `rounds == maxRounds` —
+    * a fixpoint confirmed on the last round is a success, not a warning.
+    */
+  def twoStarComponentsWithStatus(edges: DataFrame, maxRounds: Int = 20,
+                                  a: String = "a",
+                                  b: String = "b"): (DataFrame, Int, Boolean) = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val raw = edges.select(col(a).cast("long").as("u"),
       col(b).cast("long").as("v"))
@@ -722,7 +741,7 @@ object Graph {
     val labels = nodes.join(
         e.select(col("u").as("node"), col("v").as("_c")), Seq("node"), "left")
       .select(col("node"), coalesce(col("_c"), col("node")).as("component"))
-    (labels, rounds)
+    (labels, rounds, done)
   }
 
   def twoStarComponents(edges: DataFrame, maxRounds: Int = 20,

@@ -354,6 +354,45 @@ class PlanContractSpec extends SparkSpec {
       s"text_quality_gopher must be map-side (got ${preSort.size} exchanges)")
   }
 
+  test("composite_shipping_priority: the routed 3-way order matches the " +
+      "estimator's verdict on the real corpus, and routing ≡ plain chain") {
+    import graft.ops.Relational
+    import org.apache.spark.sql.functions._
+    // the catalog query's exact filtered inputs (renamed to the chain's
+    // shared key names)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .select(col("l_orderkey").as("ok"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("ck"))
+    val (routed, order) =
+      Relational.autoJoin3WithOrder(li, ord, cust, Seq("ok"), Seq("ck"))
+    // independent verdict: the public estimator runs the SAME md5-histogram
+    // formula autoJoin3 routes on — the chosen first pair must be the
+    // smaller-estimate one (ties prefer ab_first, the documented rule)
+    def est(l: org.apache.spark.sql.DataFrame, lk: String,
+            r: org.apache.spark.sql.DataFrame, rk: String): Long =
+      Relational.joinCardinalityEstimate(l, l(lk), r, r(rk))
+        .select(col("est_pairs")).collect()(0).getLong(0)
+    val estAB = est(li, "ok", ord, "ok")
+    val estBC = est(ord, "ck", cust, "ck")
+    val expected = if (estBC < estAB) "bc_first" else "ab_first"
+    assert(order.startsWith(expected),
+      s"estimator says $expected (estAB=$estAB, estBC=$estBC) but " +
+        s"autoJoin3 chose $order")
+    // and the routing is invisible to values AND column order
+    val plain = li.join(ord, Seq("ok")).join(cust, Seq("ck"))
+    assert(routed.columns.toSeq == plain.columns.toSeq)
+    assert(routed.exceptAll(plain).isEmpty && plain.exceptAll(routed).isEmpty,
+      "routed 3-way chain must be row-identical to the plain chain")
+  }
+
   test("composite analytics: broadcast dims, pushed filters, partial top-k") {
     for (name <- Seq("composite_shipping_priority", "composite_returned_items")) {
       val p = q(name)

@@ -47,6 +47,14 @@ class GraphSpec extends SparkSpec {
     // exactly the teleport mass after any round
     assert(Graph.personalizedPageRankBp(edges, Seq(9L).toDF("node"), 3)
       .as[(Long, Long)].collect().toMap == Map(9L -> 1500L))
+    // lifecycle: the SHALLOW path (iters < checkpointEvery — the catalog's
+    // 3-round calls) must also leave zero retained caches; it used to leak
+    // the withDeg/seed MEMORY_ONLY frames into the session
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    spark.catalog.clearCache() // isolate OUR call's cache lifecycle
+    Graph.personalizedPageRankBp(edges, seeds, 3).collect()
+    assert(ColumnBridge.sqlCacheIsEmpty(spark),
+      "personalizedPageRankBp (shallow path) must retain no cached frames")
   }
 
   test("pageRankBp zero iterations returns the uniform base and keeps nodes") {
@@ -412,5 +420,25 @@ class GraphSpec extends SparkSpec {
     val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
     val (_, r1) = Graph.twoStarComponentsWithRounds(chain, maxRounds = 1)
     assert(r1 == 1)
+  }
+
+  test("twoStarComponentsWithStatus: converged distinguishes a fixpoint " +
+      "confirmed ON the final allowed round from a genuine cap cut") {
+    // pre-converged star forest with maxRounds=1: the single allowed round
+    // IS the confirming round — converged must be true (rounds==maxRounds
+    // alone would falsely read as a cap cut, the old warning's bug)
+    val stars = Seq((2L, 1L), (3L, 1L), (9L, 8L)).toDF("a", "b")
+    val (labels, r, ok) =
+      Graph.twoStarComponentsWithStatus(stars, maxRounds = 1)
+    assert(r == 1 && ok, s"expected confirmed-on-last-round, got ($r, $ok)")
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+    // genuinely cut short: a 16-chain cannot confirm in one round
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+    val (_, r1, ok1) = Graph.twoStarComponentsWithStatus(chain, maxRounds = 1)
+    assert(r1 == 1 && !ok1, s"expected cap cut, got ($r1, $ok1)")
+    // and with room to run, the same chain converges with ok=true
+    val (_, r2, ok2) = Graph.twoStarComponentsWithStatus(chain)
+    assert(ok2 && r2 >= 2, s"expected confirmed fixpoint, got ($r2, $ok2)")
   }
 }
