@@ -685,42 +685,65 @@ object Dedup {
     * the fingerprint. Unlike cosine/Jaccard LSH this blocking is PROVABLY
     * lossless by pigeonhole: ≤ maxHamming differing bits cannot touch all
     * `bands` slices when bands > maxHamming, so every qualifying pair
-    * exact-matches on at least one slice. Plan: narrow fingerprint pass →
-    * explode(bands) → self-equi-join on (band, slice) → distinct →
-    * hamming verify — keyed shuffles only, quadratic work confined to
-    * slice-match buckets (expected size n/2^sliceBits per band).
+    * exact-matches on at least one slice.
+    *
+    * Plan: narrow fingerprint pass → explode(bands) of PACKED (band,
+    * slice) long keys → self-equi-join on the key with a
+    * FIRST-MATCHING-BAND residual (the `cosineNearDupPairsBanded`
+    * device): a pair agreeing on several bands is emitted exactly once —
+    * at its lowest matching band — so there is NO distinct over the
+    * candidate fan-out, and because both banded sides carry the packed
+    * fingerprint, the hamming verify is an inline codegen'd
+    * bit_count(xor) with NO id-keyed join-backs. At sf10 the old
+    * distinct+2-join tail re-shuffled the full ~10⁹-row candidate set
+    * three times; this shape streams it through one filter. Quadratic
+    * work stays confined to slice-match buckets (expected n/2^sliceBits
+    * per band).
     */
   def simHashNearDupPairs(docs: DataFrame, maxHamming: Int = 3,
                           bands: Int = 4, bits: Int = 32,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bands > maxHamming, "losslessness needs bands > maxHamming (pigeonhole)")
     require(bits % bands == 0, "bands must divide the fingerprint width")
+    require(bits <= 62, "packed band keys need bits <= 62")
     val width = bits / bands
     // persisted like the sibling shingle caches: the plan references the
-    // fingerprint frame 4× (both banded-join sides, both verify join-backs)
-    // and the md5+fold pass is the dominant per-row cost; MEMORY_ONLY —
-    // unowned cache, really LRU-evicted. The bit-string fingerprint is also
-    // packed into a LONG once per doc, so the per-pair hamming verify is
-    // codegen'd bit_count(xor) — the string-HOF `hammingDistance` walks
-    // 2×`bits` interpreted lambda frames per pair and dominated the run.
+    // fingerprint frame twice (both banded-join sides) and the md5+fold
+    // pass is the dominant per-row cost; MEMORY_ONLY — unowned cache,
+    // really LRU-evicted. The bit-string fingerprint is packed into a
+    // LONG once per doc; band keys, the first-match residual, and the
+    // hamming verify are all pure bit arithmetic on that long.
     val fp = docs.select(col(idCol).as("id"),
       simHashBits(Text.tokenSet(col(textCol))).as("fp"))
       .withColumn("fpl", conv(col("fp"), 2, 10).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val banded = fp.select(col("id"),
-      explode(array((0 until bands).map { k =>
-        concat_ws(":", lit(k), substring(col("fp"), k * width + 1, width))
+    // bkey = band index in the high bits, that band's slice in the low
+    // bits. Group g covers fpl bits [g·width, (g+1)·width) — the same
+    // partition of bit positions as the oracle's string-substring bands
+    // (contiguous groups at the same boundaries), so the candidate SET is
+    // identical; only the enumeration changes.
+    val banded = fp.select(col("id"), col("fpl"),
+      explode(array((0 until bands).map { g =>
+        lit(g.toLong << width).bitwiseOR(
+          shiftright(col("fpl"), g * width).bitwiseAND(lit((1L << width) - 1)))
       }: _*)).as("bkey"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
-    cand
-      .join(fp.select(col("id").as("i"), col("fpl").as("fpl_a")), "i")
-      .join(fp.select(col("id").as("j"), col("fpl").as("fpl_b")), "j")
-      .select(col("i").as("doc_a"), col("j").as("doc_b"),
+    // first-matching-band residual: x = fpl_a^fpl_b has an all-zero
+    // width-bit group exactly at matching bands; collapse each group to
+    // its low bit and demand no matching group strictly below this row's.
+    val x = col("a.fpl").bitwiseXOR(col("b.fpl"))
+    val collapsed = (1 until width).foldLeft(x)(
+      (acc, s) => acc.bitwiseOR(shiftright(x, s)))
+    val groupBitMask = (0 until bands).map(g => 1L << (g * width)).reduce(_ | _)
+    val probe = collapsed.bitwiseXOR(lit(-1L)).bitwiseAND(lit(groupBitMask))
+    val earlierMask =
+      call_function("shiftleft", lit(1L),
+        shiftright(col("a.bkey"), width) * lit(width)) - 1
+    banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          probe.bitwiseAND(earlierMask) === 0)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         call_function("bit_count",
-          col("fpl_a").bitwiseXOR(col("fpl_b"))).cast("long").as("hamming"))
+          col("a.fpl").bitwiseXOR(col("b.fpl"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -300,6 +300,15 @@ class DedupVectorsSpec extends SparkSpec {
     assert(brute.nonEmpty) // docs 1 and 4 are identical → hamming 0
     assert(collectPairs(Dedup.simHashNearDupPairs(docs(1), 3)) == brute)
     assert(collectPairs(Dedup.simHashNearDupPairs(docs(6), 3)) == brute)
+    // scale shape: EXACTLY ONE join — the banded self-join. The
+    // first-matching-band residual emits each candidate pair once and the
+    // hamming verify is inline, so there is no distinct over the candidate
+    // fan-out and no id-keyed join-back tail (at sf10 those re-shuffled
+    // the ~10⁹-row candidate stream three times).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val p = Dedup.simHashNearDupPairs(docs(1), 3).queryExecution.sparkPlan
+    assert(p.collect { case j: BaseJoinExec => j }.size == 1,
+      s"expected exactly one join (banded self-join, inline verify) in:\n$p")
   }
 
   test("nearDupClusters: distributed propagation path equals driver union-find path") {
