@@ -718,29 +718,17 @@ object Dedup {
       .withColumn("fpl", conv(col("fp"), 2, 10).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     // bkey = band index in the high bits, that band's slice in the low
-    // bits. Group g covers fpl bits [g·width, (g+1)·width) — the same
-    // partition of bit positions as the oracle's string-substring bands
-    // (contiguous groups at the same boundaries), so the candidate SET is
-    // identical; only the enumeration changes.
+    // bits (BandedBits.bandKeys). Group g covers fpl bits
+    // [g·width, (g+1)·width) — the same partition of bit positions as the
+    // oracle's string-substring bands (contiguous groups at the same
+    // boundaries), so the candidate SET is identical; only the
+    // enumeration changes.
     val banded = fp.select(col("id"), col("fpl"),
-      explode(array((0 until bands).map { g =>
-        lit(g.toLong << width).bitwiseOR(
-          shiftright(col("fpl"), g * width).bitwiseAND(lit((1L << width) - 1)))
-      }: _*)).as("bkey"))
-    // first-matching-band residual: x = fpl_a^fpl_b has an all-zero
-    // width-bit group exactly at matching bands; collapse each group to
-    // its low bit and demand no matching group strictly below this row's.
-    val x = col("a.fpl").bitwiseXOR(col("b.fpl"))
-    val collapsed = (1 until width).foldLeft(x)(
-      (acc, s) => acc.bitwiseOR(shiftright(x, s)))
-    val groupBitMask = (0 until bands).map(g => 1L << (g * width)).reduce(_ | _)
-    val probe = collapsed.bitwiseXOR(lit(-1L)).bitwiseAND(lit(groupBitMask))
-    val earlierMask =
-      call_function("shiftleft", lit(1L),
-        shiftright(col("a.bkey"), width) * lit(width)) - 1
+      explode(BandedBits.bandKeys(col("fpl"), width, bands)).as("bkey"))
     banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
-          probe.bitwiseAND(earlierMask) === 0)
+          BandedBits.firstMatchingBand(col("a.fpl"), col("b.fpl"),
+            col("a.bkey"), width, bands))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         call_function("bit_count",
           col("a.fpl").bitwiseXOR(col("b.fpl"))).cast("long").as("hamming"))

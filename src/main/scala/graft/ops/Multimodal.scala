@@ -316,18 +316,45 @@ object Multimodal {
     }.toDF("media_id", "band", "band_val")
   }
 
+  /** The full 64-bit perceptual hash packed into ONE long — bit b of the
+    * aHash at position b (band word g occupies bits [g·bandBits,
+    * (g+1)·bandBits), matching `perceptualHashBands`' per-band values
+    * slot for slot). Same decode seam and empty-payload rule as the
+    * per-band form; one narrow mapPartitions pass, zero shuffle.
+    */
+  def perceptualHashPacked(media: Dataset[MediaRecord],
+                           bandBits: Int = 16,
+                           decoder: Option[LumaDecoder] = None): DataFrame = {
+    import media.sparkSession.implicits._
+    val dec = decoder // avoid capturing `media` in the task closure
+    media.mapPartitions { it =>
+      it.filter(_.payload.nonEmpty).map { r =>
+        val bands = dec match {
+          case Some(d) => lumaBands(d, r.payload, bandBits)
+          case None => aHashBands(r.payload, bandBits = bandBits)
+        }
+        val h = bands.zipWithIndex.foldLeft(0L) {
+          case (acc, (w, g)) => acc | (w << (g * bandBits))
+        }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "h64")
+  }
+
   /** Perceptual near-duplicate pairs: all payload pairs whose 64-bit
     * aHash fingerprints differ in ≤ `maxHamming` bits — the image-dedup
     * primitive (a re-encoded / lightly-edited copy keeps its block-mean
     * structure, so its fingerprint moves a few bits while a different
     * image moves ~32). Same provably-lossless pigeonhole blocking as
-    * `Dedup.simHashNearDupPairs`: with 64/bandBits bands > maxHamming,
-    * ≤ maxHamming flipped bits cannot touch every band, so every
-    * qualifying pair exact-matches on ≥ 1 band word — candidates come
-    * from a keyed self-equi-join on (band, band_val), never all pairs,
-    * and the hamming verify is codegen'd bit_count(xor) per band.
-    * Shuffles are keyed on band values and ids; quadratic work is
-    * confined to band-collision buckets.
+    * `Dedup.simHashNearDupPairs`, and since round 12 the same SINGLE-JOIN
+    * shape: packed (band, word) long keys with a first-matching-band
+    * residual (`BandedBits`) emit every candidate pair exactly once —
+    * no distinct over the candidate fan-out — and because both banded
+    * sides carry the packed 64-bit hash, the hamming verify is ONE
+    * inline codegen'd bit_count(xor), with no id-keyed join-backs and no
+    * per-band re-aggregation. Candidate SET and output are identical to
+    * the per-band formulation (band word g ≡ the packed hash's group g);
+    * quadratic work stays confined to band-collision buckets.
     */
   def perceptualNearDupPairs(media: Dataset[MediaRecord],
                              maxHamming: Int = 3,
@@ -336,26 +363,23 @@ object Multimodal {
     require(64 % bandBits == 0, "bandBits must divide 64")
     require(64 / bandBits > maxHamming,
       "losslessness needs bands > maxHamming (pigeonhole)")
-    // localCheckpoint, not persist: the frame is referenced three times
-    // (self-join + two verify probes) so the decode pass must not re-run,
-    // but a persist here would leak one retained cache per call (the
-    // zero-retained-frames lifecycle the Graph ops pin via
-    // sqlCacheIsEmpty). Checkpointed blocks free with the session.
-    val bands = perceptualHashBands(media, bandBits, decoder).localCheckpoint()
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("i"), col("b.media_id").as("j"))
-      .distinct()
-    cand
-      .join(bands.select(col("media_id").as("i"), col("band"),
-        col("band_val").as("va")), Seq("i"))
-      .join(bands.select(col("media_id").as("j"), col("band"),
-        col("band_val").as("vb")), Seq("j", "band"))
-      .groupBy(col("i").as("media_a"), col("j").as("media_b"))
-      .agg(sum(call_function("bit_count",
-        col("va").bitwiseXOR(col("vb")))).cast("long").as("hamming"))
+    val bands = 64 / bandBits
+    // localCheckpoint, not persist: the frame feeds both self-join sides
+    // so the decode pass must not re-run, but a persist here would leak
+    // one retained cache per call (the zero-retained-frames lifecycle the
+    // Graph ops pin via sqlCacheIsEmpty). Checkpointed blocks free with
+    // the session.
+    val hashed = perceptualHashPacked(media, bandBits, decoder)
+      .localCheckpoint()
+    val banded = hashed.select(col("media_id").as("id"), col("h64"),
+      explode(BandedBits.bandKeys(col("h64"), bandBits, bands)).as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          BandedBits.firstMatchingBand(col("a.h64"), col("b.h64"),
+            col("a.bkey"), bandBits, bands))
+      .select(col("a.id").as("media_a"), col("b.id").as("media_b"),
+        call_function("bit_count",
+          col("a.h64").bitwiseXOR(col("b.h64"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -207,28 +207,18 @@ object Vectors {
     */
   private def bandExplode(df: DataFrame, sig: Column, r: Int, bands: Int): DataFrame =
     df.withColumn("sig", sig)
-      .select(col("*"), explode(array((0 until bands).map { k =>
-        lit(k.toLong << r).bitwiseOR(
-          shiftright(col("sig"), k * r).bitwiseAND(lit((1L << r) - 1)))
-      }: _*)).as("bkey"))
+      .select(col("*"),
+        explode(BandedBits.bandKeys(col("sig"), r, bands)).as("bkey"))
 
-  /** TRUE only on the FIRST band (lowest index) where the two packed
-    * signatures agree — so an equi-join on bkey emits every candidate pair
-    * exactly once and needs NO distinct/dedup shuffle afterwards. Bit
-    * logic: x = sigA^sigB has an all-zero r-bit group exactly at matching
-    * bands; `probe` collapses each group to one bit; the filter demands no
-    * matching band strictly below this row's band (bkey >> r).
+  /** TRUE only on the FIRST band where the two packed signatures agree —
+    * an equi-join on bkey then emits every candidate pair exactly once
+    * and needs NO distinct/dedup shuffle afterwards (shared machinery:
+    * `BandedBits.firstMatchingBand`, also behind the simhash and
+    * perceptual-hash bandings since round 12).
     */
   private def firstMatchingBand(sigA: Column, sigB: Column, bkey: Column,
-                                r: Int, bands: Int): Column = {
-    val x = sigA.bitwiseXOR(sigB)
-    val collapsed = (1 until r).foldLeft(x)((acc, s) => acc.bitwiseOR(shiftright(x, s)))
-    val groupBitMask = (0 until bands).map(k => 1L << (k * r)).reduce(_ | _)
-    val probe = collapsed.bitwiseXOR(lit(-1L)).bitwiseAND(lit(groupBitMask))
-    val earlierMask =
-      call_function("shiftleft", lit(1L), shiftright(bkey, r) * lit(r)) - 1
-    probe.bitwiseAND(earlierMask) === 0
-  }
+                                r: Int, bands: Int): Column =
+    BandedBits.firstMatchingBand(sigA, sigB, bkey, r, bands)
 
   /** Candidate-pair BUDGET of the sign-LSH banding WITHOUT the self-join —
     * the `Dedup.simHashCandidateBudget` twin for the cosine family: one
