@@ -392,6 +392,73 @@ object TextQueries extends Catalog {
              |FROM per_doc JOIN vocab USING (tok)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // [ext] TRUE log-domain perplexity scoring (Text.unigramSurprisal,
+    // Wenzek et al. 2020 / CCNet): mean per-token surprisal in integer
+    // micro-nats under the corpus-trained unigram LM — the log domain is
+    // what makes perplexity filtering work (one ultra-rare token is NOT
+    // compensated by many common ones, unlike the frequency-SUM sibling
+    // text_unigram_doc_score above). Float discipline: ONE mirrored ln
+    // per DISTINCT vocabulary token on the 6dp-prerounded clamped ratio,
+    // floored to micro-nats — everything after is exact integers, so the
+    // oracle replays the whole scoring bit-for-bit.
+    Q("text_perplexity_unigram",
+      (s, dir) => Text.unigramSurprisal(load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, unnest($Toks) AS token
+             |           FROM documents),
+             |occ AS (SELECT doc_id, token, count(*) AS n FROM t
+             |        WHERE token <> '' GROUP BY 1, 2),
+             |voc AS (SELECT token, sum(n) AS c FROM occ GROUP BY 1),
+             |tot AS (SELECT sum(c) AS nn FROM voc),
+             |k AS (SELECT token,
+             |    floor(-ln(greatest(
+             |      floor((c / nn) * 1000000 + 0.5) / 1000000.0, 1e-6))
+             |      * 1000000)::BIGINT AS cost
+             |  FROM voc, tot),
+             |d AS (SELECT o.doc_id, sum(o.n)::BIGINT AS n_tokens,
+             |    sum(o.n * k.cost)::BIGINT AS surprisal_total
+             |  FROM occ o JOIN k USING (token) GROUP BY 1)
+             |SELECT doc_id, n_tokens, surprisal_total,
+             |  (surprisal_total // n_tokens)::BIGINT AS surprisal_per_tok
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // [ext] Perplexity against a STORED reference LM — the production
+    // steady state (CCNet scores crawls against a Wikipedia LM, not
+    // against themselves): the even-doc_id half trains the unigram
+    // table, the odd half scores against it. Out-of-vocabulary tokens
+    // price at the 1e-6 clamp's maximum cost (13 815 510 micro-nats)
+    // straight out of the same formula with c = 0 — and the mutated-copy
+    // corpus guarantees OOV tokens, so the path is load-bearing in the
+    // hash. The batch never trains anything: one LEFT token-keyed join
+    // against the vocabulary-sized stored table.
+    Q("text_perplexity_ref",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val lm = Text.tokenCounts(docs.filter(col("doc_id") % 2 === 0))
+        Text.unigramSurprisalAgainst(
+            docs.filter(col("doc_id") % 2 =!= 0), lm, cntCol = "cnt")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($Toks) AS token
+             |           FROM documents),
+             |voc AS (SELECT token, count(*) AS c FROM t
+             |        WHERE doc_id % 2 = 0 GROUP BY 1),
+             |tot AS (SELECT sum(c) AS nn FROM voc),
+             |k AS (SELECT token,
+             |    floor(-ln(greatest(
+             |      floor((c / nn) * 1000000 + 0.5) / 1000000.0, 1e-6))
+             |      * 1000000)::BIGINT AS cost
+             |  FROM voc, tot),
+             |occ AS (SELECT doc_id, token, count(*) AS n FROM t
+             |        WHERE doc_id % 2 <> 0 AND token <> '' GROUP BY 1, 2),
+             |d AS (SELECT o.doc_id, sum(o.n)::BIGINT AS n_tokens,
+             |    sum(o.n * coalesce(k.cost, 13815510))::BIGINT
+             |      AS surprisal_total
+             |  FROM occ o LEFT JOIN k USING (token) GROUP BY 1)
+             |SELECT doc_id, n_tokens, surprisal_total,
+             |  (surprisal_total // n_tokens)::BIGINT AS surprisal_per_tok
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
     // [ext] Stored-bigram-LM familiarity scores — the sequence-aware
     // sibling of text_unigram_doc_score. LM = bigram counts from the
     // doc_id%2=0 half; the other half scores (n_bigrams, n_known,

@@ -29,6 +29,81 @@ object Text {
     docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** CCNet-style perplexity scoring (Wenzek et al. 2020: language-model
+    * surprisal as the corpus-quality filter): every document scored by
+    * its mean per-token surprisal under a unigram LM trained on the
+    * corpus ITSELF — boilerplate and templated spam score LOW (their
+    * tokens dominate the corpus), lorem-ipsum-like noise scores HIGH.
+    * Production swaps the self-trained unigram table for a stored
+    * reference-LM table; nothing downstream changes.
+    *
+    * Float discipline (the `weightedSample` pattern): P(t) = c(t)/N is
+    * 6dp-prerounded and clamped at 1e-6, then ONE mirrored ln per
+    * DISTINCT token and an immediate floor to integer micro-nats —
+    * `cost(t) = ⌊−ln(max(round6(c/N), 1e-6))·10⁶⌋` — so doc totals,
+    * token counts, and the truncating per-token division are all exact
+    * integers an external engine replays bit-for-bit.
+    *
+    * Scale shape: one (doc, token) keyed aggregate (shuffle O(doc-token
+    * pairs, pre-collapsed map-side)), one vocabulary-sized aggregate, a
+    * 1-row total crossJoin, one token-keyed join back (vocabulary-sized
+    * build side), one doc-keyed sum. No windows, no driver state; the LM
+    * table is O(vocabulary). Empty documents (no non-empty token) have
+    * no surprisal and are absent, like every per-token readout here.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = occ.groupBy(col("token")).agg(sum(col("n")).as("c"))
+    val total = vocab.agg(sum(col("c")).as("nn"))
+    val cost = vocab.crossJoin(total).select(col("token"),
+      floor(-log(greatest(Vectors.round6(col("c") / col("nn")), lit(1e-6)))
+        * lit(1e6)).cast("long").as("cost"))
+    occ.join(cost, "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n") * col("cost")).cast("long").as("surprisal_total"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_total"),
+        expr("surprisal_total div n_tokens").as("surprisal_per_tok"))
+  }
+
+  /** `unigramSurprisal` against a STORED reference LM — the production
+    * steady state (CCNet scores crawls against a Wikipedia-trained LM,
+    * not against themselves): `lm` is any `(token, cnt)` table (e.g.
+    * `tokenCounts` output, stored once). Out-of-vocabulary tokens price
+    * at the 1e-6 clamp — `⌊−ln(1e-6)·10⁶⌋` = 13 815 510 micro-nats, the
+    * maximum cost — falling straight out of the same formula with c = 0
+    * (no special casing, no silent drop). Scale shape: the batch never
+    * trains anything; one LEFT token-keyed join against the
+    * vocabulary-sized LM + one doc-keyed sum.
+    */
+  def unigramSurprisalAgainst(batch: DataFrame, lm: DataFrame,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              tokenCol: String = "token",
+                              cntCol: String = "cnt"): DataFrame = {
+    val occ = batch.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+    val vocab = lm.select(col(tokenCol).as("token"), col(cntCol).as("c"))
+    val total = vocab.agg(sum(col("c")).as("nn"))
+    val cost = vocab.crossJoin(total).select(col("token"),
+      floor(-log(greatest(Vectors.round6(col("c") / col("nn")), lit(1e-6)))
+        * lit(1e6)).cast("long").as("cost"))
+    occ.join(cost, Seq("token"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(col("cost"), lit(13815510L)).as("cost"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        sum(col("n") * col("cost")).cast("long").as("surprisal_total"))
+      .select(col("doc_id"), col("n_tokens"), col("surprisal_total"),
+        expr("surprisal_total div n_tokens").as("surprisal_per_tok"))
+  }
+
   /** Hashing-trick featurization (Weinberger et al. 2009, the
     * fastText/Vowpal-Wabbit input shape): every token lands in bucket
     * md5(token) mod `dim` with a ±1 sign from the next md5 nibble, and the

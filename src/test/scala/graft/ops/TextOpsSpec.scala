@@ -106,6 +106,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2L) == (2L, 3L + 1L))
   }
 
+  test("unigramSurprisal: hand-computed micro-nat costs, rare tokens " +
+      "dominate the log domain, partition-invariant, empties absent") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    // N=5, P(a)=0.6, P(b)=P(c)=0.2 (both exact at 6dp);
+    // cost(a)=⌊−ln(0.6)·1e6⌋=510825, cost(b)=cost(c)=⌊−ln(0.2)·1e6⌋=1609437
+    val want = Map(
+      1L -> (3L, 2 * 510825L + 1609437L, (2 * 510825L + 1609437L) / 3),
+      2L -> (2L, 510825L + 1609437L, (510825L + 1609437L) / 2))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Text.unigramSurprisal(d).as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(run(docs) == want) // doc 3 (no tokens) absent
+    assert(run(docs.repartition(7)) == want, "scores moved with partitioning")
+    // the log domain weights rarity correctly: "a c" (one rare token in
+    // two) out-surprises "a a b" even though both contain one rare token —
+    // the frequency-SUM sibling (unigramDocScores) ranks them the other
+    // way (5 vs 7), which is exactly why perplexity filtering needs logs
+    assert(want(2L)._3 > want(1L)._3)
+  }
+
+  test("unigramSurprisalAgainst: stored-LM scoring, OOV prices at the " +
+      "clamp maximum, matches self-trained scoring on the same corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val lm = Text.tokenCounts(docs) // a=3, b=1, c=1, N=5 — same LM as self
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Text.unigramSurprisalAgainst(d, lm)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // same corpus + same LM ≡ the self-trained scorer bit-for-bit
+    val self = Text.unigramSurprisal(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(docs) == self)
+    // OOV: 'z' is not in the LM → cost = ⌊−ln(1e-6)·1e6⌋ = 13815510
+    val oov = got(Seq((9L, "a z")).toDF("doc_id", "text"))(9L)
+    assert(oov == (2L, 510825L + 13815510L, (510825L + 13815510L) / 2),
+      s"got $oov")
+  }
+
   test("tokenFrequencyHistogram: exact power-of-two bucket boundaries") {
     // freqs: a=1 (bucket 1), b=2, c=3 (bucket 2), d=4 (bucket 3)
     val docs = Seq((1L, "a b b c c c d d"), (2L, "d d")).toDF("doc_id", "text")
