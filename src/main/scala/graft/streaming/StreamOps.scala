@@ -862,6 +862,73 @@ object StreamOps {
       .parquet(s"$vocabRoot/batch=$batchId")
   }
 
+  /** Streaming perplexity scoring — the log-domain sibling of `oovSink`:
+    * every micro-batch of documents is scored by
+    * `Text.unigramSurprisalAgainst` against the unigram LM accumulated by
+    * PRIOR batches (per-token counts re-sum, so the merged LM is
+    * identical to one trained on the union of every prior batch), then
+    * its own token counts land under `stateDir/vocab/batch=<id>` for the
+    * next batch. Per-doc surprisal reports land under
+    * `stateDir/report/batch=<id>`. The FIRST batch has no LM — every
+    * token prices at the 1e-6 clamp's maximum (13 815 510 µnat), the same
+    * value the scorer gives an OOV token, so batch 0 is just the
+    * everything-is-OOV corner of the same formula.
+    *
+    * Exactly-once by the usual state-dir contract: reads exclude the
+    * in-flight batch id, writes overwrite exactly their own `batch=`
+    * dirs — a crash-replay recomputes the identical report from the
+    * identical prior-batch state; `Load.compactPartitioned` folds the
+    * vocab deltas on maintenance cadence (counts re-sum).
+    */
+  def perplexitySink(docs: DataFrame, stateDir: String,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        perplexityDocumentBatch(batch, id, stateDir)
+      }
+
+  /** One micro-batch of `perplexitySink`, public for direct testing and
+    * crash replay.
+    */
+  def perplexityDocumentBatch(batch: DataFrame, batchId: Long,
+                              stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val vocabRoot = s"$stateDir/vocab"
+    val fs = graft.etl.Load.fsFor(spark, vocabRoot)
+    val prior =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(vocabRoot))) None
+      else {
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(vocabRoot))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isDirectory && n.startsWith("batch=") &&
+              n.stripPrefix("batch=").forall(_.isDigit) &&
+              n.stripPrefix("batch=").toLong != batchId // exclude own replay
+          }
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", vocabRoot)
+          .parquet(dirs.map(_.getPath.toString): _*)
+          .groupBy(col("token")).agg(sum(col("cnt")).as("cnt")))
+      }
+    val report = prior match {
+      case Some(lm) => graft.ops.Text.unigramSurprisalAgainst(batch, lm)
+      case None => // no LM yet: every token at the clamp maximum
+        batch.select(col("doc_id"),
+            explode(graft.ops.Text.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") * lit(13815510L)).as("surprisal_total"),
+            lit(13815510L).as("surprisal_per_tok"))
+    }
+    report.write.mode("overwrite")
+      .parquet(s"$stateDir/report/batch=$batchId")
+    graft.ops.Text.tokenCounts(batch).write.mode("overwrite")
+      .parquet(s"$vocabRoot/batch=$batchId")
+  }
+
   /** Streaming collocation state: each micro-batch's windowed pair +
     * unigram counts (`Text.pmiState` — the mergeable PMI frame) land under
     * `stateDir/batch=<id>`; the top-k read side (`pmiTopK`) merges all

@@ -750,6 +750,56 @@ class StreamOpsSpec extends SparkSpec {
       Set(("en", "alpha", 1L), ("en", "beta", 1L), ("en", "gamma", 1L)))
   }
 
+  test("perplexitySink: batches score against the prior-batch LM only; " +
+      "stream report equals the batch scorer; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("ppl-src")
+    val state = tmpDir("ppl-state")
+    val ckpt = tmpDir("ppl-ckpt")
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"lang":"en","text":"$text"}"""
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    writeFile("b1.json", Seq(doc(1, "alpha beta")))
+    writeFile("b2.json", Seq(doc(2, "alpha gamma")))
+    val q = StreamOps.perplexitySink(
+      StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+      state, ckpt).trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+
+    def reports: Map[(Long, Long), (Long, Long, Long)] =
+      spark.read.parquet(s"$state/report")
+        .select(col("batch").cast("long"), col("doc_id"), col("n_tokens"),
+          col("surprisal_total"), col("surprisal_per_tok"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // batch 0: no LM → both tokens at the 1e-6 clamp max (13815510 µnat);
+    // batch 1 against LM {alpha:1, beta:1}, N=2: alpha = ⌊ln 2 · 1e6⌋ =
+    // 693147, gamma OOV = 13815510
+    val want = Map(
+      (0L, 1L) -> ((2L, 2 * 13815510L, 13815510L)),
+      (1L, 2L) -> ((2L, 693147L + 13815510L, (693147L + 13815510L) / 2)))
+    assert(reports == want)
+    // stream ≡ batch: the batch-1 report is exactly the batch scorer run
+    // against the LM trained on batch 0's docs
+    val b1 = Seq((2L, "alpha gamma")).toDF("doc_id", "text")
+    val lm = graft.ops.Text.tokenCounts(Seq((1L, "alpha beta"))
+      .toDF("doc_id", "text"))
+    val viaBatch = graft.ops.Text.unigramSurprisalAgainst(b1, lm)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (1L, r._1) -> ((r._2, r._3, r._4))).toMap
+    assert(viaBatch == Map((1L, 2L) -> want((1L, 2L))))
+    // crash-replay of the LAST batch: the state read excludes its own
+    // batch dir, so the recomputed report is identical
+    val b2 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b2.json")
+    StreamOps.perplexityDocumentBatch(b2, 1L, state)
+    assert(reports == want)
+  }
+
   test("pmiSink: merged stream state reproduces the one-shot collocations; replay idempotent") {
     import org.apache.spark.sql.functions._
     val src = tmpDir("pmi-src")
