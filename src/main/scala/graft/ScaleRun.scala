@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *  - simhash: 2 bands × 16-bit slices (the `wide_2x16` probe row);
   *    pigeonhole guarantee at 2 bands is h ≤ 1.
   *  - cosine: `bands` × `planes` per the +log₂10 ≈ 3.3 planes/decade
-  *    sizing rule (default 2 planes at sf0.1 → ~9 at 100×); pass knobs
-  *    as args to measure other points on the law.
+  *    sizing rule (default 2 planes at sf0.1 → ~10 at 100×), under the
+  *    packed-signature cap planes·bands ≤ 62 — hence the 6×10 default
+  *    (the measured BASELINE.md row); pass knobs as args to measure
+  *    other points on the law.
   *
   * Usage: runMain graft.ScaleRun <sfDir> [cosPlanes] [cosBands]
   */
@@ -27,8 +29,8 @@ object ScaleRun {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleRun <sfDir> [cosPlanes] [cosBands]")
     val dir = args(0)
-    val cosPlanes = if (args.length > 1) args(1).toInt else 9
-    val cosBands = if (args.length > 2) args(2).toInt else 16
+    val cosPlanes = if (args.length > 1) args(1).toInt else 10
+    val cosBands = if (args.length > 2) args(2).toInt else 6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
