@@ -3028,5 +3028,104 @@ object RelationalQueries extends Catalog {
              |SELECT bucket, count(*)::BIGINT AS n_rows,
              |       min(v) AS lo_value, max(v) AS hi_value
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // JOIN-view incremental maintenance (ops/Ivm — Griffin & Libkin '95 /
+    // DBToaster bilinear delta rule): the revenue-by-(status, segment)
+    // view over lineitem ⋈ orders ⋈ customer is MAINTAINED under a batch
+    // of signed updates touching BOTH fact tables — price bumps on 2% of
+    // lineitems (orderkey%50, line 1) and status flips on 1.4% of orders
+    // (orderkey%70, status → lower-case = a GROUP MOVE), overlapping at
+    // orderkey%350 so the ΔL⋈ΔR cross term is load-bearing. Spark computes
+    // old-view partials + Δ(L⋈R) = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR (deltas broadcast,
+    // full-side scans pruned by a pushed isin of the touched keys) and
+    // merges view-sized partials; the oracle is the FULL RECOMPUTE over
+    // the post-update tables — the hash match proves the delta algebra
+    // telescopes exactly (retractions, group moves, the doubly-updated
+    // rows). At 100 TB this is "read 0.01% of the fact footprint per run",
+    // not "re-join the warehouse".
+    Q("ivm_join_agg",
+      (s, dir) => {
+        val (l, dL, oc, dOc) = ivmInputs(s, dir)
+        val keys = Seq("o_orderstatus", "c_mktsegment")
+        val rev = Exact.revenueUnits(col("l_extendedprice"), col("l_discount"))
+        val oldView = graft.ops.Ivm.viewPartial(
+          l.join(oc, col("l_orderkey") === col("o_orderkey")), keys, rev)
+        ivmReadout(graft.ops.Ivm.mergeView(oldView,
+          graft.ops.Ivm.viewPartial(
+            graft.ops.Ivm.deltaJoin2(l, dL, oc, dOc,
+              "l_orderkey", "o_orderkey"),
+            keys, rev, col("sign")),
+          keys))
+      },
+      Some(IvmOracle)),
+
+    // Steady-state twin: the base view partials are PREWARMED
+    // (StoredIndexes.ivmView), so the timed region is delta construction +
+    // the three delta joins + one view-sized merge — the big join+agg
+    // never re-runs. Same full-recompute oracle, so the hash match ALSO
+    // proves the stored view is faithful end-to-end.
+    Q("ivm_join_agg_stored",
+      (s, dir) => {
+        val (l, dL, oc, dOc) = ivmInputs(s, dir)
+        val keys = Seq("o_orderstatus", "c_mktsegment")
+        val rev = Exact.revenueUnits(col("l_extendedprice"), col("l_discount"))
+        ivmReadout(graft.ops.Ivm.mergeView(StoredIndexes.ivmView(s, dir),
+          graft.ops.Ivm.viewPartial(
+            graft.ops.Ivm.deltaJoin2(l, dL, oc, dOc,
+              "l_orderkey", "o_orderkey"),
+            keys, rev, col("sign")),
+          keys))
+      },
+      Some(IvmOracle)),
   )
+
+  /** Shared inputs of the IVM pair: projected base tables plus the signed
+    * delta batches (an update = a −1 retraction of the old row and a +1
+    * insertion of the new one). The orders side is pre-enriched with its
+    * customer segment (dim broadcast) so the maintained view's key columns
+    * all live on the join's right side.
+    */
+  private def ivmInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val l = load(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+    val oc = load(s, dir, "orders")
+      .join(broadcast(load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("c_mktsegment"))
+    val updL = l.filter(col("l_orderkey") % 50 === 0 &&
+      col("l_linenumber") === 1)
+    val dL = updL.withColumn("sign", lit(-1L)).unionByName(
+      updL.withColumn("l_extendedprice", col("l_extendedprice") + 5.0)
+        .withColumn("sign", lit(1L)))
+    val updO = oc.filter(col("o_orderkey") % 70 === 0)
+    val dOc = updO.withColumn("sign", lit(-1L)).unionByName(
+      updO.withColumn("o_orderstatus", lower(col("o_orderstatus")))
+        .withColumn("sign", lit(1L)))
+    (l, dL, oc, dOc)
+  }
+
+  private def ivmReadout(view: DataFrame): DataFrame =
+    view.select(col("o_orderstatus"), col("c_mktsegment"), col("n_rows"),
+        (col("sum_v").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("o_orderstatus"), col("c_mktsegment"))
+
+  /** The IVM oracle: full recompute over the POST-UPDATE tables. (`def`,
+    * not `val` — referenced from `all`'s initializer above its own
+    * definition site.)
+    */
+  private def IvmOracle =
+    s"""WITH lw AS (SELECT l_orderkey,
+       |    CASE WHEN l_orderkey % 50 = 0 AND l_linenumber = 1
+       |         THEN l_extendedprice + 5.0 ELSE l_extendedprice
+       |    END AS l_extendedprice,
+       |    l_discount FROM lineitem),
+       |ow AS (SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 70 = 0 THEN lower(o_orderstatus)
+       |         ELSE o_orderstatus END AS o_orderstatus FROM orders)
+       |SELECT o_orderstatus, c_mktsegment, count(*)::BIGINT AS n_rows,
+       |  sum($RevUnits)::DOUBLE / 10000.0 AS revenue
+       |FROM lw JOIN ow ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -209,6 +209,35 @@ object StoredIndexes {
       Seq(s.read.parquet(d).persist(mem))
     }).head
 
+  /** Stored JOIN+agg view partials (`ops/Ivm`) over `dir`'s full sales
+    * corpus: `γ_(o_orderstatus, c_mktsegment)(count, Σ revenue-units)
+    * (lineitem ⋈ orders ⋈ customer)` — the materialized view a delta-
+    * maintenance loop keeps current. Built once per session × dir (the
+    * bootstrap full join+agg a production pipeline also pays once),
+    * persisted to parquet and read back warm, so the timed
+    * `ivm_join_agg_stored` twin pays ONLY the delta joins + the
+    * view-sized merge; its rebuild sibling (`ivm_join_agg`) re-derives
+    * the base view per run.
+    */
+  def ivmView(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|ivmview", _ => {
+      val d = newTempDir("graft-ivmview-")
+      val l = load(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      val oc = load(s, dir, "orders")
+        .join(broadcast(load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("c_mktsegment"))
+      graft.ops.Ivm.viewPartial(
+          l.join(oc, col("l_orderkey") === col("o_orderkey")),
+          Seq("o_orderstatus", "c_mktsegment"),
+          graft.ops.Exact.revenueUnits(col("l_extendedprice"),
+            col("l_discount")))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
   /** Force all stored-state builds and warm the read-back frames — the
     * bench warmup hook that keeps the timed `*_indexed` queries probe-only.
     */
@@ -328,6 +357,7 @@ object StoredIndexes {
     clusterLabels(s, dir).count()
     ivf(s, dir)._1.count()
     aggState(s, dir).count()
+    ivmView(s, dir).count()
     dsirLm(s, dir).count()
     bucketedSales(s, dir)._1.count()
     spanIdx(s, dir, 7).count()
