@@ -1652,6 +1652,65 @@ object TextQueries extends Catalog {
            |FROM bits GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
       }),
 
+    // REAL-SAMPLE audio decode, oracle-checked end-to-end — the audio
+    // sibling of multimodal_phash_decoded: each doc becomes a
+    // deterministic 16 kHz mono WAV (RIFF header + an odd-sized LIST
+    // chunk the chunk walk must SKIP with its pad byte + 512 bytes of
+    // s16le PCM = 32 chained md5 digests of "doc_id:k" both engines
+    // regenerate), parsed by the REAL RIFF/WAVE parser
+    // (Multimodal.WavDecoder), then per-frame Σ s² energy and peak |s|
+    // over 64-sample frames — all-integer, so the oracle replays
+    // little-endian signed sample extraction + the frame math in SQL. A
+    // parse that mis-skipped the LIST pad or byte-swapped a sample would
+    // shift every frame energy and hash-mismatch.
+    Q("multimodal_audio_energy",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val media = load(s, dir, "documents")
+          .select(col("doc_id"), lit("audio").as("kind"),
+            unhex(concat(lit(WavHeaderHex), WavPcmHex)).as("payload"))
+        Multimodal.audioFrameStats(
+            Multimodal.asMedia(media, "doc_id", "kind", "payload"),
+            new Multimodal.WavDecoder(), frameLen = 64)
+          .orderBy(col("media_id"), col("frame"))
+      },
+      Some(s"""WITH $WavSampleCtes
+             |SELECT doc_id AS media_id, frame,
+             |  count(*)::BIGINT AS n_samples,
+             |  sum(s * s)::BIGINT AS energy,
+             |  max(abs(s))::BIGINT AS peak
+             |FROM smp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Corpus-card summary over the same decoded audio: duration, frame
+    // count, SILENT-frame count (mean square power below threshold,
+    // cross-multiplied `energy < n·thr` so the short tail rule is exact)
+    // and global peak. The threshold sits near the fixture's median frame
+    // power, so roughly half the comparisons land on each side — every
+    // one of them load-bearing in the hash.
+    Q("multimodal_audio_summary",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val media = load(s, dir, "documents")
+          .select(col("doc_id"), lit("audio").as("kind"),
+            unhex(concat(lit(WavHeaderHex), WavPcmHex)).as("payload"))
+        Multimodal.audioSummary(
+            Multimodal.asMedia(media, "doc_id", "kind", "payload"),
+            new Multimodal.WavDecoder(), frameLen = 64,
+            silenceMeanSq = 350000000L)
+          .orderBy(col("media_id"))
+      },
+      Some(s"""WITH $WavSampleCtes,
+             |fr AS (SELECT doc_id, frame, count(*) AS n,
+             |    sum(s * s) AS e, max(abs(s)) AS p
+             |  FROM smp GROUP BY 1, 2)
+             |SELECT doc_id AS media_id, 16000::BIGINT AS sample_rate,
+             |  256::BIGINT AS n_samples, 16::BIGINT AS duration_ms,
+             |  count(*)::BIGINT AS n_frames,
+             |  sum(CASE WHEN e < n * 350000000 THEN 1 ELSE 0 END)::BIGINT
+             |    AS silent_frames,
+             |  max(p)::BIGINT AS peak
+             |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // RAG/pretraining chunking: overlapping 32-token windows with 8-token
     // overlap (step 24). Chunk-count and extent arithmetic is integer-only
     // on both engines; the hash match proves every token lands exactly in
@@ -1886,4 +1945,50 @@ object TextQueries extends Catalog {
              |  ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
              |ORDER BY phrase, doc_id""".stripMargin)),
   )
+
+  /** Fixed RIFF/WAVE header of the audio fixtures (shared by the two
+    * `multimodal_audio_*` queries): 16 kHz mono s16le PCM, one ODD-sized
+    * LIST chunk (5 payload bytes + the RIFF pad byte — the skip rule a
+    * sloppy parser gets wrong) before a 512-byte data chunk
+    * (256 samples). `def`s, not `val`s — referenced from `all`'s
+    * initializer.
+    */
+  private def WavHeaderHex: String = {
+    val bb = java.nio.ByteBuffer.allocate(58)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(562)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(16000).putInt(32000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("graft".getBytes("US-ASCII")).put(0.toByte)
+      .put("data".getBytes("US-ASCII")).putInt(512)
+    bb.array().map("%02x".format(_)).mkString
+  }
+
+  /** The fixture's 512 PCM bytes: 32 chained md5 digests of "doc_id:k" —
+    * regenerable by both engines (the multimodal_phash_decoded pattern).
+    */
+  private def WavPcmHex: org.apache.spark.sql.Column =
+    concat((0 until 32).map(k =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$k"))
+        .cast("binary"))): _*)
+
+  /** Oracle CTEs regenerating the same samples straight from the digest
+    * chain: sample i = signed little-endian 16-bit at bytes (2i, 2i+1) of
+    * the digest stream (hex chars 4i+1..4i+4, hi byte first in the '0x'
+    * parse), frame = i // 64.
+    */
+  private def WavSampleCtes: String = {
+    val rh = (0 until 32).map(k => s"md5(doc_id::VARCHAR || ':$k')")
+      .mkString(" || ")
+    s"""rh AS (SELECT doc_id, $rh AS hx FROM documents),
+       |smp AS (SELECT doc_id, i // 64 AS frame,
+       |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+       |  FROM (SELECT doc_id, t.i AS i,
+       |      ('0x' || substr(hx, (4 * i + 3)::INT, 2) ||
+       |       substr(hx, (4 * i + 1)::INT, 2))::BIGINT AS v
+       |    FROM rh, unnest(range(256)) AS t(i)) raw)""".stripMargin
+  }
 }

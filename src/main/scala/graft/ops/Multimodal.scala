@@ -341,6 +341,193 @@ object Multimodal {
     }.toDF("media_id", "h64")
   }
 
+  /** A REAL sample source behind the AUDIO seam — the `LumaDecoder`
+    * sibling: anything that can turn a payload into integer PCM samples.
+    * `WavDecoder` is the production instance.
+    */
+  trait PcmDecoder extends Serializable {
+    /** (sample rate in Hz, mono samples). Multi-channel input is mixed
+      * down by floor-averaging the interleaved channels
+      * (`Math.floorDiv(Σ channel, channels)` — floor, not truncate-toward-
+      * zero, so the rule is one SQL `//` an oracle can replay on negative
+      * sums too).
+      */
+    def pcmSamples(payload: Array[Byte]): (Int, Array[Int])
+  }
+
+  /** Pure-JVM RIFF/WAVE parser — PCM signed 16-bit little-endian, any
+    * channel count (mixed down to mono per `PcmDecoder`'s floor-average
+    * rule). The audio counterpart of `PnmDecoder`: a real container
+    * parse — chunk walk with the RIFF odd-size pad byte, `fmt ` validated
+    * before `data`, unknown chunks (LIST/INFO/cue…) skipped — feeding
+    * all-integer sample math, so identical bits come out on every
+    * platform. Malformed payloads fail fast (corrupt media silently
+    * becoming features is how corpora rot).
+    *
+    * As a `Codec` it emits sample rate as `width`, sample count as
+    * `height`, and an 8-block mean-|amplitude| envelope (scaled to
+    * [0,1]) as the feature vector — the loudness-envelope analogue of
+    * the 8×8 luma grid.
+    */
+  final class WavDecoder extends PcmDecoder with Codec {
+
+    def pcmSamples(payload: Array[Byte]): (Int, Array[Int]) = {
+      def fail(msg: String) =
+        throw new IllegalArgumentException(s"malformed WAV: $msg")
+      def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+      def u16(off: Int): Int =
+        (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+          ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+      if (payload.length < 12) fail("truncated RIFF header")
+      if (tag(0) != "RIFF") fail(s"bad magic ${tag(0)}")
+      if (tag(8) != "WAVE") fail(s"not WAVE: ${tag(8)}")
+      var pos = 12
+      var rate = 0; var channels = 0; var fmtSeen = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= payload.length && dataOff < 0) {
+        val id = tag(pos); val size = u32(pos + 4)
+        if (size > payload.length - pos - 8)
+          fail(s"chunk '$id' overruns payload ($size bytes declared)")
+        id match {
+          case "fmt " =>
+            if (size < 16) fail("fmt chunk too short")
+            val audioFormat = u16(pos + 8)
+            channels = u16(pos + 10)
+            rate = u32(pos + 12).toInt
+            val blockAlign = u16(pos + 20)
+            val bits = u16(pos + 22)
+            if (audioFormat != 1)
+              fail(s"unsupported audio format $audioFormat (PCM only)")
+            if (channels < 1) fail("zero channels")
+            if (rate <= 0) fail(s"bad sample rate $rate")
+            if (bits != 16) fail(s"unsupported bit depth $bits (s16le only)")
+            if (blockAlign != channels * 2)
+              fail(s"blockAlign $blockAlign != channels*2")
+            fmtSeen = true
+          case "data" =>
+            if (!fmtSeen) fail("data chunk before fmt")
+            dataOff = pos + 8; dataLen = size.toInt
+          case _ => () // LIST/INFO/cue/fact/… — skip
+        }
+        // RIFF chunks are word-aligned: odd sizes carry one pad byte
+        if (dataOff < 0) pos += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (dataOff < 0) fail("no data chunk")
+      if (dataLen % (2 * channels) != 0)
+        fail(s"data size $dataLen not a whole number of sample frames")
+      val n = dataLen / (2 * channels)
+      val mono = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0
+        var c = 0
+        while (c < channels) {
+          val base = dataOff + (i * channels + c) * 2
+          acc += (((payload(base + 1) & 0xff) << 8) |
+            (payload(base) & 0xff)).toShort.toInt
+          c += 1
+        }
+        mono(i) = Math.floorDiv(acc, channels)
+        i += 1
+      }
+      (rate, mono)
+    }
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val (rate, s) = pcmSamples(r.payload)
+        val bsum = new Array[Long](8)
+        val blen = new Array[Long](8)
+        var i = 0
+        while (i < s.length) {
+          val b = ((i.toLong * 8) / s.length).toInt
+          bsum(b) += math.abs(s(i).toLong); blen(b) += 1
+          i += 1
+        }
+        val env = Array.tabulate(8)(b =>
+          if (blen(b) == 0) 0f else (bsum(b) / blen(b)).toFloat / 32768f)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, rate, s.length, env)
+      }
+  }
+
+  /** Per-frame audio statistics `(media_id, frame, n_samples, energy,
+    * peak)` over fixed-length sample frames — the decode-stage pass every
+    * audio-curation readout (silence trim, loudness gate, VAD pre-filter)
+    * starts from. `energy` = Σ s² per frame (exact BIGINT — s16 squares
+    * cap at 2³⁰, so even hour-long frames stay far from overflow),
+    * `peak` = max |s|; the tail frame is short, never padded. One narrow
+    * `mapPartitions` over the media rows, zero shuffle — scales with
+    * partitions exactly like the image decode pass.
+    */
+  def audioFrameStats(media: Dataset[MediaRecord], decoder: PcmDecoder,
+                      frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    import media.sparkSession.implicits._
+    val dec = decoder; val fl = frameLen // don't capture `media`
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, s) = dec.pcmSamples(r.payload)
+        val nFrames = (s.length + fl - 1) / fl
+        (0 until nFrames).iterator.map { f =>
+          var j = f * fl
+          val end = math.min(s.length, j + fl)
+          val n = end - j
+          var e = 0L; var p = 0L
+          while (j < end) {
+            val v = s(j).toLong
+            e += v * v
+            val a = math.abs(v); if (a > p) p = a
+            j += 1
+          }
+          (r.media_id, f.toLong, n.toLong, e, p)
+        }
+      }
+    }.toDF("media_id", "frame", "n_samples", "energy", "peak")
+  }
+
+  /** Per-media audio summary `(media_id, sample_rate, n_samples,
+    * duration_ms, n_frames, silent_frames, peak)` — the corpus-card row
+    * for an audio column. A frame is silent iff its MEAN square power is
+    * below `silenceMeanSq`, tested cross-multiplied
+    * (`energy < n_samples · silenceMeanSq` — no division, exact on the
+    * short tail frame too); duration is integer
+    * `n_samples · 1000 div rate`. Same narrow zero-shuffle shape as
+    * `audioFrameStats`.
+    */
+  def audioSummary(media: Dataset[MediaRecord], decoder: PcmDecoder,
+                   frameLen: Int = 64, silenceMeanSq: Long = 1000L): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    import media.sparkSession.implicits._
+    val dec = decoder; val fl = frameLen; val thr = silenceMeanSq
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (rate, s) = dec.pcmSamples(r.payload)
+        val nFrames = (s.length + fl - 1) / fl
+        var silent = 0L; var peak = 0L
+        var f = 0
+        while (f < nFrames) {
+          var j = f * fl
+          val end = math.min(s.length, j + fl)
+          val n = end - j
+          var e = 0L
+          while (j < end) {
+            val v = s(j).toLong
+            e += v * v
+            val a = math.abs(v); if (a > peak) peak = a
+            j += 1
+          }
+          if (e < n * thr) silent += 1
+          f += 1
+        }
+        (r.media_id, rate.toLong, s.length.toLong,
+          s.length.toLong * 1000L / rate, nFrames.toLong, silent, peak)
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "duration_ms",
+      "n_frames", "silent_frames", "peak")
+  }
+
   /** Perceptual near-duplicate pairs: all payload pairs whose 64-bit
     * aHash fingerprints differ in ≤ `maxHamming` bits — the image-dedup
     * primitive (a re-encoded / lightly-edited copy keeps its block-mean

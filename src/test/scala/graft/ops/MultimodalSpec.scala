@@ -225,4 +225,133 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).features.length == 8)
     assert(feats.forall(_.features.forall(f => f >= 0f && f <= 1f)))
   }
+
+  // ---- audio seam: WavDecoder + frame stats ------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** Minimal WAV builder: interleaved s16 samples; optionally an odd-sized
+    * LIST chunk (with its RIFF pad byte) between fmt and data.
+    */
+  private def wav(rate: Int, channels: Int, interleaved: Seq[Int],
+                  oddChunk: Boolean = false): Array[Byte] = {
+    val data = interleaved.flatMap(le16).toArray
+    val extra =
+      if (oddChunk) "LIST".getBytes("US-ASCII") ++ le32(5) ++
+        "graft".getBytes("US-ASCII") ++ Array(0.toByte)
+      else Array.empty[Byte]
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(channels) ++ le32(rate) ++ le32(rate * channels * 2) ++
+      le16(channels * 2) ++ le16(16)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ extra ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("WavDecoder: s16le mono samples round-trip; odd-sized LIST chunk " +
+      "skipped with its pad byte") {
+    val samples = Seq(0, 1000, -1000, 32767, -32768, 5)
+    val dec = new Multimodal.WavDecoder()
+    val (rate, s) = dec.pcmSamples(wav(8000, 1, samples))
+    assert(rate == 8000)
+    assert(s.toSeq == samples)
+    // the same samples behind an odd-sized skippable chunk decode alike —
+    // a parser missing the RIFF pad byte reads 'data' one byte early
+    val (r2, s2) = dec.pcmSamples(wav(8000, 1, samples, oddChunk = true))
+    assert(r2 == 8000 && s2.toSeq == samples)
+  }
+
+  test("WavDecoder: stereo mixes down by FLOOR-average (floorDiv, not " +
+      "truncation toward zero)") {
+    // frames (L,R): (3,-4) -> floor(-1/2) = -1 (truncation would say 0);
+    // (-5,-6) -> floor(-11/2) = -6; (7,8) -> 7
+    val (_, s) = new Multimodal.WavDecoder()
+      .pcmSamples(wav(16000, 2, Seq(3, -4, -5, -6, 7, 8)))
+    assert(s.toSeq == Seq(-1, -6, 7))
+  }
+
+  test("WavDecoder rejects malformed containers, fail-fast") {
+    val dec = new Multimodal.WavDecoder()
+    def bad(p: Array[Byte], hint: String): Unit = {
+      val e = intercept[IllegalArgumentException](dec.pcmSamples(p))
+      assert(e.getMessage.contains(hint), s"${e.getMessage} !~ $hint")
+    }
+    val good = wav(8000, 1, Seq(1, 2, 3))
+    bad(Array[Byte](1, 2, 3), "truncated")
+    bad("RIFX".getBytes ++ good.drop(4), "bad magic")
+    bad(good.take(8) ++ "EVAW".getBytes ++ good.drop(12), "not WAVE")
+    // float PCM (format 3) and 8-bit depth rejected
+    val f3 = good.clone(); f3(20) = 3; bad(f3, "unsupported audio format")
+    val b8 = good.clone(); b8(34) = 8; b8(32) = 1; bad(b8, "bit depth")
+    // data chunk truncated: declared size overruns the payload
+    bad(good.dropRight(2), "overruns")
+    // no data chunk at all
+    bad(good.take(36), "no data chunk")
+    // data before fmt: swap chunk order
+    val dataChunk = good.slice(36, good.length)
+    val fmtChunk = good.slice(12, 36)
+    bad(good.take(12) ++ dataChunk ++ fmtChunk, "data chunk before fmt")
+  }
+
+  test("audioFrameStats: hand-computed energy/peak incl. the short tail " +
+      "frame; audioSummary silence rule is cross-multiplied") {
+    import spark.implicits._
+    val payload = wav(8000, 1, Seq(0, 1000, -1000, 32767, -32768, 5))
+    val media = Seq((7L, "audio", payload))
+      .toDF("media_id", "kind", "payload")
+    val ds = Multimodal.asMedia(media, "media_id", "kind", "payload")
+    val rows = Multimodal
+      .audioFrameStats(ds, new Multimodal.WavDecoder(), frameLen = 4)
+      .orderBy("frame").collect()
+    // frame 0: [0,1000,-1000,32767]: e = 2*10^6 + 32767^2, p = 32767
+    // frame 1 (tail, n=2): [-32768,5]: e = 2^30 + 25, p = 32768
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 4 &&
+      rows(0).getLong(3) == 2000000L + 32767L * 32767L &&
+      rows(0).getLong(4) == 32767L)
+    assert(rows(1).getLong(2) == 2 &&
+      rows(1).getLong(3) == 1073741824L + 25L &&
+      rows(1).getLong(4) == 32768L)
+    // summary: threshold meanSq 600000 — frame 0 mean sq ≈ 2.69e8 (loud),
+    // tail frame energy 2^30+25 over n=2 is loud too; with a huge
+    // threshold both flip silent. duration_ms = 6*1000 div 8000 = 0.
+    val s1 = Multimodal.audioSummary(ds, new Multimodal.WavDecoder(),
+      frameLen = 4, silenceMeanSq = 600000L).collect()(0)
+    assert(s1.getLong(1) == 8000 && s1.getLong(2) == 6 &&
+      s1.getLong(3) == 0 && s1.getLong(4) == 2 &&
+      s1.getLong(5) == 0 && s1.getLong(6) == 32768)
+    val s2 = Multimodal.audioSummary(ds, new Multimodal.WavDecoder(),
+      frameLen = 4, silenceMeanSq = 1L << 40).collect()(0)
+    assert(s2.getLong(5) == 2)
+    // boundary: a frame whose energy EQUALS n·thr is NOT silent (<, not ≤)
+    val quiet = wav(8000, 1, Seq(10, 10, 10, 10))
+    val mq = Seq((1L, "audio", quiet)).toDF("media_id", "kind", "payload")
+    val qs = Multimodal.asMedia(mq, "media_id", "kind", "payload")
+    val atEq = Multimodal.audioSummary(qs, new Multimodal.WavDecoder(),
+      frameLen = 4, silenceMeanSq = 100L).collect()(0)
+    assert(atEq.getLong(5) == 0, "energy == n*thr must not count as silent")
+    val above = Multimodal.audioSummary(qs, new Multimodal.WavDecoder(),
+      frameLen = 4, silenceMeanSq = 101L).collect()(0)
+    assert(above.getLong(5) == 1)
+  }
+
+  test("WavDecoder as a Codec: rate/sample-count surfaced, 8-block " +
+      "envelope features in [0,1]") {
+    import spark.implicits._
+    val payload = wav(16000, 1, (0 until 16).map(i => i * 100))
+    val media = Seq((1L, "audio", payload)).toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(media, "media_id", "kind", "payload"),
+      new Multimodal.WavDecoder()).collect()
+    assert(feats.length == 1)
+    assert(feats(0).width == 16000 && feats(0).height == 16)
+    assert(feats(0).features.length == 8)
+    // block b holds samples 2b, 2b+1 -> mean |s| = (200b + 100b+100)/2
+    assert(feats(0).features(0) == 50f / 32768f)
+    assert(feats(0).features(7) == 1450f / 32768f)
+  }
 }
