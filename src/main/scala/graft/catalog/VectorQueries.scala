@@ -289,6 +289,49 @@ object VectorQueries extends Catalog {
              |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
              |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // Density-based clustering (Vectors.dbscanCosine — DBSCAN, Ester '96)
+    // over the SAME τ=0.4 neighbor graph as dedup_embedding_cosine, whose
+    // hash-green quadratic oracle already proves the banding lossless at
+    // the test SFs. minPts = 2 NEIGHBORS (self excluded; textbook minPts 3)
+    // splits the corpus into core/border/noise with clusters = components
+    // of the cores — the order-dependent textbook warts pinned
+    // deterministic (min-rep border assignment, min-core-id cluster ids).
+    // The oracle replays the full definition: quadratic pairs → degree
+    // threshold → recursive-CTE closure over core-core edges (+ self-
+    // loops) → min-rep border join; Spark runs banded candidates + keyed
+    // degree count + two-star components — nothing quadratic, nothing
+    // sequential.
+    Q("vector_dbscan",
+      (s, dir) => Vectors.dbscanCosine(load(s, dir, "embeddings"), 0.4, 2)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH RECURSIVE
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+             |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+             |      WHERE ${cosSql("a.e", "b.e")} >= 0.4),
+             |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+             |core AS (SELECT a AS id FROM sym GROUP BY a
+             |         HAVING count(*) >= 2),
+             |ce AS (SELECT s.a, s.b FROM sym s
+             |         JOIN core c1 ON s.a = c1.id JOIN core c2 ON s.b = c2.id
+             |       UNION ALL SELECT id, id FROM core),
+             |reach(a, b) AS (SELECT id, id FROM core
+             |  UNION
+             |  SELECT r.a, ce.b FROM reach r JOIN ce ON ce.a = r.b),
+             |lab AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
+             |border AS (SELECT s.a AS node, min(l.rep) AS rep
+             |  FROM sym s JOIN lab l ON s.b = l.node
+             |  WHERE s.a NOT IN (SELECT id FROM core)
+             |  GROUP BY s.a)
+             |SELECT v.vec_id,
+             |  CASE WHEN lab.node IS NOT NULL THEN 'core'
+             |       WHEN border.node IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role,
+             |  coalesce(lab.rep, border.rep, -1)::BIGINT AS cluster_rep
+             |FROM v LEFT JOIN lab ON lab.node = v.vec_id
+             |LEFT JOIN border ON border.node = v.vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
     // Sign-LSH candidate-budget pre-flight (Vectors.cosineBandCandidateBudget)
     // — the simhash-budget twin for the cosine family: Σ C(bucket, 2) over
     // the 16 bands × 2-plane sign buckets, one O(n) projection pass + one

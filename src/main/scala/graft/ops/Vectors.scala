@@ -826,6 +826,73 @@ object Vectors {
         col("bid").isNull.as("kept"))
   }
 
+  /** Density-based clustering (DBSCAN — Ester et al., KDD '96) in cosine
+    * space: every vector is labeled `core` (≥ `minPts` neighbors at
+    * cosine ≥ `threshold`, SELF EXCLUDED — classic DBSCAN's minPts counts
+    * the point itself, so this minPts is theirs minus one), `border`
+    * (non-core touching ≥ 1 core) or `noise`, with clusters = connected
+    * components of the core points. SemDeDup-style cluster pruning,
+    * outlier mining and diversity audits all start from exactly this
+    * labeling.
+    *
+    * Two classic DBSCAN warts are pinned DETERMINISTIC here: (a) border
+    * points reachable from several clusters take the MINIMUM cluster rep
+    * (the textbook algorithm assigns whichever core scanned them first —
+    * order-dependent, useless for a hash-checked distributed engine);
+    * (b) cluster ids are the component's minimum core id (min-rooted,
+    * like every components readout in this repo).
+    *
+    * Scale shape: the neighbor graph comes from the banded sign-LSH
+    * self-join (`cosineNearDupPairsBanded` — candidates priceable O(n)
+    * via `cosineBandCandidateBudget` BEFORE paying the join); degrees and
+    * the border assignment are one keyed count + one keyed join over
+    * edge-sized frames; components run on CORE-CORE edges only through
+    * `Graph.twoStarComponents` (O(log² n) rounds, never O(diameter)).
+    * Nothing is quadratic in the corpus and nothing iterates per point —
+    * the textbook's sequential seed-expansion loop cannot distribute, and
+    * this formulation (density graph → degree threshold → components) is
+    * the standard parallel equivalence. Self-loops on core ids keep a
+    * core whose neighbors are ALL non-core clustered (alone) rather than
+    * dropped. Zero retained caches: intermediates `localCheckpoint`.
+    */
+  def dbscanCosine(vectors: DataFrame, threshold: Double, minPts: Int,
+                   planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxRounds: Int = 20): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = cosineNearDupPairsBanded(vectors, threshold, planesPerBand,
+        bands, dims, idCol, vecCol)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .localCheckpoint() // feeds degrees, core-core edges AND the border join
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    // node-sized, referenced three times below
+    val core = sym.groupBy(col("a")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minPts).select(col("a").as("cid"))
+      .localCheckpoint()
+    val coreEdges = sym
+      .join(core.select(col("cid").as("a")), Seq("a"))
+      .join(core.select(col("cid").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+      .unionByName(core.select(col("cid").as("a"), col("cid").as("b")))
+    val labels = Graph.twoStarComponents(coreEdges, maxRounds, "a", "b")
+    val border = sym
+      .join(core.select(col("cid").as("b")), Seq("b"))
+      .join(core.select(col("cid").as("a")), Seq("a"), "left_anti")
+      .join(labels.select(col("node").as("b"), col("component")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("component")).as("_brep"))
+    vectors.select(col(idCol).cast("long").as("vec_id"))
+      .join(labels.select(col("node").as("vec_id"),
+        col("component").as("_crep")), Seq("vec_id"), "left")
+      .join(border.select(col("a").as("vec_id"), col("_brep")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("_crep").isNotNull, lit("core"))
+          .when(col("_brep").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_crep"), col("_brep"), lit(-1L)).as("cluster_rep"))
+  }
+
   // --------------------------------------------- stored IVF index lifecycle
 
   private def ivfCentroidsPath(dir: String) = s"$dir/centroids"

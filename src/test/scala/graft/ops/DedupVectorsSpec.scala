@@ -642,4 +642,71 @@ class DedupVectorsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0L), (2L, 2L, 49L * u * u), (3L, 3L, 0L)))
     assert(got.map(_._2).distinct.size == got.size)
   }
+
+  // ---- dbscanCosine ------------------------------------------------------
+
+  /** 64-dim one-hot composition: Σ eᵢ for the given axes — exact cosine
+    * structure (1/√2 between a hub and hub+spoke, 1/2 between two spokes
+    * of one hub, 0 across hubs), so the graph at τ=0.6 is known by hand.
+    */
+  private def axes(is: Int*): Array[Float] = {
+    val v = new Array[Float](64)
+    is.foreach(i => v(i) = 1f)
+    v
+  }
+
+  private def dbscanMap(df: DataFrame): Map[Long, (String, Long)] =
+    df.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("dbscanCosine: two star clusters, a bridge border that must NOT " +
+      "merge them, min-rep assignment, isolated noise") {
+    // hubs 0 and 10 (cos 0.707 to each spoke and to the bridge), spokes
+    // at cos 0.5 to each other (< τ), bridge 20 = e0+e10 touches BOTH
+    // hubs; 30 is isolated. τ=0.6, minPts=3 → hubs core (deg 4), spokes
+    // border (deg 1), bridge border (deg 2 < 3 — a core bridge WOULD
+    // merge the clusters; a border bridge must not).
+    val vecs = Seq(
+      0L -> axes(0), 1L -> axes(0, 1), 2L -> axes(0, 2), 3L -> axes(0, 3),
+      10L -> axes(10), 11L -> axes(10, 11), 12L -> axes(10, 12),
+      13L -> axes(10, 13), 20L -> axes(0, 10), 30L -> axes(20))
+      .toDF("vec_id", "embedding").repartition(5)
+    // shallow 1-plane bands (32 of them) so banding recall is a
+    // non-issue at cos 0.707 on this tiny fixture
+    val out = dbscanMap(Vectors.dbscanCosine(vecs, 0.6, 3,
+      planesPerBand = 1, bands = 32))
+    assert(out.size == 10, "every input id must be labeled")
+    assert(out(0L) == ("core", 0L) && out(10L) == ("core", 10L))
+    Seq(1L, 2L, 3L).foreach(i => assert(out(i) == ("border", 0L)))
+    Seq(11L, 12L, 13L).foreach(i => assert(out(i) == ("border", 10L)))
+    // bridge: reachable from clusters 0 AND 10 → deterministic MIN rep
+    assert(out(20L) == ("border", 0L))
+    assert(out(30L) == ("noise", -1L))
+  }
+
+  test("dbscanCosine: a core whose neighbors are all non-core still " +
+      "clusters (self-loop), alone") {
+    val vecs = Seq(5L -> axes(0), 6L -> axes(0, 1), 7L -> axes(0, 2))
+      .toDF("vec_id", "embedding")
+    val out = dbscanMap(Vectors.dbscanCosine(vecs, 0.6, 2,
+      planesPerBand = 1, bands = 32))
+    assert(out(5L) == ("core", 5L))
+    assert(out(6L) == ("border", 5L) && out(7L) == ("border", 5L))
+  }
+
+  test("dbscanCosine: minPts past every degree → all noise; labeling " +
+      "invariant under partitioning") {
+    val vecs = Seq(
+      0L -> axes(0), 1L -> axes(0, 1), 2L -> axes(0, 2), 3L -> axes(0, 3),
+      10L -> axes(10), 11L -> axes(10, 11), 20L -> axes(0, 10))
+      .toDF("vec_id", "embedding")
+    val allNoise = dbscanMap(Vectors.dbscanCosine(vecs, 0.6, 10,
+      planesPerBand = 1, bands = 32))
+    assert(allNoise.values.forall(_ == ("noise", -1L)))
+    val one = dbscanMap(Vectors.dbscanCosine(vecs.repartition(1), 0.6, 2,
+      planesPerBand = 1, bands = 32))
+    val many = dbscanMap(Vectors.dbscanCosine(vecs.repartition(7), 0.6, 2,
+      planesPerBand = 1, bands = 32))
+    assert(one == many)
+  }
 }
