@@ -1005,5 +1005,64 @@ object FunctionQueries extends Catalog {
              |    AS decayed_bp,
              |  sum(n)::BIGINT AS n_events
              |FROM pd, r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Holt double-exponential forecast (EventOps.holtForecastBp) — the
+    // RECURRENT per-user level+trend next to agg_group_trend's closed-form
+    // OLS, in exact cent-bp integers (α=0.5, β=0.3 in bp; truncating
+    // integer division, identical on negatives in both engines). Spark
+    // folds each user's (sec, event_id)-ordered series inside ONE
+    // `aggregate` over its collected values (state = two longs); the
+    // oracle replays the recurrence as a data-driven recursive CTE over
+    // the row-numbered series — every step's truncation must land
+    // identically or the final state diverges.
+    Q("events_holt_forecast",
+      (s, dir) => EventOps.holtForecastBp(load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn,
+             |    CAST(round(value * 100) AS BIGINT) * 10000 AS v
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1),
+             |st AS (
+             |  SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |    (5000 * e.v + 5000 * (st.l + st.b)) // 10000,
+             |    (3000 * (((5000 * e.v + 5000 * (st.l + st.b)) // 10000)
+             |       - st.l) + 7000 * st.b) // 10000
+             |  FROM st JOIN e ON e.user_id = st.user_id
+             |    AND e.rn = st.rn + 1)
+             |SELECT st.user_id, mx.n AS n_events, st.l AS level_bp,
+             |  st.b AS trend_bp, (st.l + 3 * st.b) AS forecast_bp
+             |FROM st JOIN mx ON mx.user_id = st.user_id AND st.rn = mx.n
+             |ORDER BY 1""".stripMargin)),
+
+    // Union-of-intervals activity coverage (EventOps.intervalCoverage):
+    // each event opens a 300 s interval, overlaps merge — covered
+    // seconds, merged-segment count and the longest gap per user, via one
+    // ordered window carrying the running max interval end (the sweep
+    // that replaces the quadratic overlap self-join). All integer; both
+    // engines run the identical window formula.
+    Q("events_interval_coverage",
+      (s, dir) => EventOps.intervalCoverage(load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec FROM events),
+             |x AS (SELECT user_id, sec,
+             |    max(sec + 300) OVER (PARTITION BY user_id
+             |      ORDER BY sec, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM e)
+             |SELECT user_id, count(*)::BIGINT AS n_events,
+             |  sum(greatest(sec + 300 - greatest(sec, coalesce(pmax, sec)),
+             |    0))::BIGINT AS covered_sec,
+             |  sum(CASE WHEN pmax IS NULL OR sec > pmax THEN 1 ELSE 0
+             |    END)::BIGINT AS n_segments,
+             |  coalesce(max(CASE WHEN pmax IS NOT NULL AND sec > pmax
+             |    THEN sec - pmax END), 0)::BIGINT AS longest_gap_sec
+             |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

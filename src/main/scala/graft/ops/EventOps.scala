@@ -882,4 +882,92 @@ object EventOps {
         sum(col("_n")).as("n_events"))
       .orderBy(col("event_type"))
   }
+
+  /** Holt double-exponential smoothing (Holt 1957) per user over the
+    * (sec, event_id)-ordered value series, in EXACT basis-point integers —
+    * the RECURRENT forecast readout next to `Relational.groupTrend`'s
+    * closed-form OLS: level and trend adapt per observation, so a recent
+    * drift moves the forecast where a global regression dilutes it.
+    *
+    *   l₁ = v₁·10⁴, b₁ = 0;
+    *   lₜ = (α·vₜ·10⁴ + (10⁴−α)·(lₜ₋₁+bₜ₋₁)) div 10⁴
+    *   bₜ = (β·(lₜ−lₜ₋₁) + (10⁴−β)·bₜ₋₁) div 10⁴
+    *
+    * with α, β in bp and `div` the truncating integer division BOTH
+    * engines share on negatives (Spark `div` and DuckDB `//` truncate
+    * toward zero — verified, so the signed trend term needs no
+    * pmod-floor discipline). Output: n_events, final level/trend and the
+    * h-step forecast l + h·b, all exact cent-bp integers.
+    *
+    * Scale shape: the recurrence is inherently sequential PER KEY, so
+    * each user's series folds inside one `aggregate` over its collected
+    * values — state is two longs, memory is one user's series (the twap
+    * streaming-state caveat: unbounded per-key history needs the
+    * flatMapGroupsWithState form instead), shuffle is one keyed
+    * collect_list over O(events). No window recursion, no per-step jobs.
+    */
+  def holtForecastBp(events: DataFrame, alphaBp: Long = 5000L,
+                     betaBp: Long = 3000L, horizon: Int = 3): DataFrame = {
+    require(alphaBp >= 0 && alphaBp <= 10000, s"alphaBp out of range: $alphaBp")
+    require(betaBp >= 0 && betaBp <= 10000, s"betaBp out of range: $betaBp")
+    val a = alphaBp; val na = 10000L - alphaBp
+    val b = betaBp; val nb = 10000L - betaBp
+    // l_t is recomputed inside the b_t leg — lambdas cannot bind locals,
+    // and the duplicate evaluation is exact-integer-deterministic
+    val lStep = s"(($a * v.v + $na * (s.l + s.b)) div 10000)"
+    events
+      .select(col("user_id"), struct(unix_timestamp(col("ts")).as("sec"),
+        col("event_id").as("tie"),
+        (Exact.cents(col("value")) * 10000L).as("v")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("p"))).as("seq"))
+      .withColumn("st", expr(
+        s"""aggregate(seq,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |               'n', CAST(0 AS BIGINT)),
+           |  (s, v) -> IF(s.n = 0,
+           |    named_struct('l', v.v, 'b', CAST(0 AS BIGINT),
+           |                 'n', CAST(1 AS BIGINT)),
+           |    named_struct(
+           |      'l', $lStep,
+           |      'b', ($b * ($lStep - s.l) + $nb * s.b) div 10000,
+           |      'n', s.n + 1)))""".stripMargin))
+      .select(col("user_id"), col("st.n").as("n_events"),
+        col("st.l").as("level_bp"), col("st.b").as("trend_bp"),
+        (col("st.l") + lit(horizon.toLong) * col("st.b")).as("forecast_bp"))
+  }
+
+  /** Union-of-intervals coverage per user: each event opens a
+    * `[sec, sec+widthSec)` activity interval; overlapping intervals merge.
+    * Output per user: `covered_sec` (length of the union — the quantity a
+    * naive n·width overcounts wherever sessions overlap), `n_segments`
+    * (maximal merged runs) and `longest_gap_sec`. The classic sweep:
+    * ONE (sec, event_id)-ordered user window carrying the running max of
+    * interval ends — a row starts a new segment iff its start exceeds
+    * every previous end, and contributes `max(0, end − max(start,
+    * prev_max_end))` covered seconds. All integer arithmetic; one keyed
+    * window + one keyed aggregate, shuffle O(events), no self-join (the
+    * quadratic overlap-pair formulation this replaces).
+    */
+  def intervalCoverage(events: DataFrame, widthSec: Long = 300L): DataFrame = {
+    require(widthSec >= 1, s"widthSec must be >= 1, got $widthSec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("pmax", max(col("sec") + widthSec).over(w))
+      .withColumn("newseg",
+        col("pmax").isNull || col("sec") > col("pmax"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(greatest(col("sec") + widthSec -
+          greatest(col("sec"), coalesce(col("pmax"), col("sec"))),
+          lit(0L))).as("covered_sec"),
+        sum(when(col("newseg"), 1L).otherwise(0L)).as("n_segments"),
+        coalesce(max(when(col("newseg") && col("pmax").isNotNull,
+          col("sec") - col("pmax"))), lit(0L)).as("longest_gap_sec"))
+  }
 }

@@ -1054,4 +1054,63 @@ class RelationalSpec extends SparkSpec {
       Relational.autoJoin3(a, b, c, Seq("k1"), Seq("nope"))
     }
   }
+
+  test("holtForecastBp: hand-traced recurrence, truncation-toward-zero on " +
+      "the negative trend step, same-second event_id order, single event") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: 1.00 then 2.00 — l₂ = (5000·2e6 + 5000·1e6) div 1e4 = 1500000,
+      // b₂ = (3000·500000) div 1e4 = 150000, forecast = l + 3b = 1950000
+      (1L, 10L, ts(0), "view", 1.0),
+      (1L, 11L, ts(100), "view", 2.0),
+      // u2: single event — l = v·10⁴, b = 0
+      (2L, 20L, ts(0), "view", 4.0),
+      // u3: SAME second, event_id order decides which value is "first":
+      // 31 carries 1.00, 30 carries 3.00 → order is (30: 3.00, 31: 1.00)
+      (3L, 31L, ts(50), "view", 1.0),
+      (3L, 30L, ts(50), "view", 3.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.holtForecastBp(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((2L, 1500000L, 150000L, 1950000L)))
+    assert(got(2L) == ((1L, 4000000L, 0L, 4000000L)))
+    // u3 if order were (1.00, 3.00): l=2e6, b=+3e5; correct (3.00, 1.00):
+    // l = (5000·1e6 + 5000·3e6) div 1e4 = 2000000, b = 3000·(2e6−3e6)
+    // div 1e4 = −300000
+    assert(got(3L) == ((2L, 2000000L, -300000L, 1100000L)))
+    // truncation toward zero on a non-divisible NEGATIVE numerator:
+    // α=β=3333 bp, 2.00 then 1.00: l₂ = (3333·1e6 + 6667·2e6) div 1e4
+    // = 1666700, Δl = −333300, b₂ = (3333·−333300) div 1e4 =
+    // −1110888900 div 1e4 = −111088 (floor division would say −111089)
+    val dec = Seq((9L, 1L, ts(0), "view", 2.0), (9L, 2L, ts(10), "view", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val g9 = EventOps.holtForecastBp(dec, alphaBp = 3333, betaBp = 3333)
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(g9._3 == 1666700L && g9._4 == -111088L)
+  }
+
+  test("intervalCoverage: overlaps merge, duplicates free, gap accounting") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: [0,300)∪[100,400) merge to 400 covered; [1000,1300) after a
+      // 600 s gap → 700 covered, 2 segments
+      (1L, 1L, ts(0), "view", 0.0),
+      (1L, 2L, ts(100), "view", 0.0),
+      (1L, 3L, ts(1000), "view", 0.0),
+      // u2: duplicate second adds nothing
+      (2L, 4L, ts(70), "view", 0.0),
+      (2L, 5L, ts(70), "view", 0.0),
+      // u3: back-to-back touching intervals ([0,300) then start 300)
+      // stay ONE segment (start == pmax is not a gap: > not ≥)
+      (3L, 6L, ts(0), "view", 0.0),
+      (3L, 7L, ts(300), "view", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.intervalCoverage(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 700L, 2L, 600L)))
+    assert(got(2L) == ((2L, 300L, 1L, 0L)))
+    assert(got(3L) == ((2L, 600L, 1L, 0L)))
+  }
 }
