@@ -101,7 +101,26 @@ object IncrAgg {
     * are corruption, not just wasted probe work.)
     */
   def foldState(spark: SparkSession, root: String, keys: Seq[String],
-                before: Long = Long.MaxValue): Unit = {
+                before: Long = Long.MaxValue): Unit =
+    foldStateWith(spark, root, before) { all =>
+      all.groupBy(keyCols(keys): _*)
+        .agg(sum(col("p_cnt")).as("p_cnt"),
+          sum(col("p_sum")).as("p_sum"),
+          min(col("p_min")).as("p_min"),
+          max(col("p_max")).as("p_max"),
+          hll_union_agg(col("p_hll")).as("p_hll"))
+    }
+
+  /** The generic staged fold every batch-dir state table shares (this
+    * one and `Ivm`'s view partials): collapse all `batch=<id>` dirs with
+    * id < `before` into `batch=0` via `combine` (which must be a pure
+    * re-aggregation — partials in, partials out). Crash contract as
+    * documented on `foldState`: staging dir + manifest commit marker,
+    * swap deletes only manifest-covered dirs, resumable at any point.
+    */
+  private[ops] def foldStateWith(spark: SparkSession, root: String,
+                                 before: Long)
+                                (combine: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -122,14 +141,8 @@ object IncrAgg {
     if (!fs.exists(manifest)) {
       val dirs = foldable()
       if (dirs.length <= 1) return // nothing to collapse
-      val folded = spark.read.option("basePath", root)
-        .parquet(dirs.map(_.getPath.toString): _*)
-        .groupBy(keyCols(keys): _*)
-        .agg(sum(col("p_cnt")).as("p_cnt"),
-          sum(col("p_sum")).as("p_sum"),
-          min(col("p_min")).as("p_min"),
-          max(col("p_max")).as("p_max"),
-          hll_union_agg(col("p_hll")).as("p_hll"))
+      val folded = combine(spark.read.option("basePath", root)
+        .parquet(dirs.map(_.getPath.toString): _*))
       folded.write.mode("overwrite").parquet(staging.toString)
       val out = fs.create(manifest, true)
       out.write(dirs.map(_.getPath.getName).sorted.mkString("\n").getBytes("UTF-8"))

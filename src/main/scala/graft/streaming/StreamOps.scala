@@ -721,6 +721,56 @@ object StreamOps {
       graft.ops.IncrAgg.foldState(spark, stateRoot, keys, before = batchId)
   }
 
+  /** Streaming JOIN-view maintenance (ops/Ivm): a stream of SIGNED
+    * left-fact deltas (+1 insert / −1 delete; an update is the pair)
+    * maintains `γ_keys(count, Σ value)(L ⋈ dim)` without ever re-joining
+    * or re-aggregating history — the foreachBatch form of the
+    * `ivm_join_agg` delta rule for the streaming-facts / static-dim
+    * shape. Each micro-batch broadcast-joins its (batch-sized) deltas
+    * against the dim, writes signed view partials under `batch=<id>`
+    * (own-dir overwrite ⇒ crash-replay idempotent, the IncrAgg state
+    * contract), and folds accumulated dirs every `foldEvery` batches so
+    * the read side stays O(groups). `Ivm.mergeView(baseView,
+    * Ivm.readViewDeltas(...))` is the serving read.
+    */
+  def ivmViewSink(deltas: DataFrame, dim: DataFrame, stateRoot: String,
+                  checkpoint: String, keys: Seq[String],
+                  lKey: String, rKey: String, value: Column,
+                  foldEvery: Int = 8): DataStreamWriter[Row] =
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ivmDeltaBatch(batch, id, dim, stateRoot, keys, lKey, rKey, value,
+          foldEvery)
+      }
+
+  /** One micro-batch of `ivmViewSink`, public for direct testing and as
+    * the crash-replay entry point (re-running the last uncommitted batch
+    * id must leave state equivalent). The in-flight batch id is excluded
+    * from the fold — the aggStateBatch discipline; absorbing it would
+    * double-count its rows when foreachBatch re-delivers after a crash.
+    */
+  def ivmDeltaBatch(batch: DataFrame, batchId: Long, dim: DataFrame,
+                    stateRoot: String, keys: Seq[String],
+                    lKey: String, rKey: String, value: Column,
+                    foldEvery: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val joined = broadcast(batch).join(dim, col(lKey) === col(rKey))
+    graft.ops.Ivm.writeViewDelta(
+      graft.ops.Ivm.viewPartial(joined, keys, value, col("sign")),
+      stateRoot, batchId)
+    val fs = graft.etl.Load.fsFor(spark, stateRoot)
+    val prior = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+      .count { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.startsWith("batch=") &&
+          n.stripPrefix("batch=").forall(_.isDigit) &&
+          n.stripPrefix("batch=").toLong < batchId
+      }
+    if (prior >= foldEvery)
+      graft.ops.Ivm.foldViewDeltas(spark, stateRoot, keys, before = batchId)
+  }
+
   /** File-source stream of embedding rows — the ingest feed for
     * `embeddingDedupSink`. JSON lines `{"vec_id": …, "embedding": […]}`.
     */

@@ -1034,6 +1034,62 @@ class StreamOpsSpec extends SparkSpec {
     assert(rowsOf(History.readScd2Stored(spark, root)) == expect)
   }
 
+  test("ivmViewSink: streamed signed deltas maintain the join view; " +
+      "value-only updates survive the fold; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("ivm-src")
+    val state = tmpDir("ivm-state")
+    val ckpt = tmpDir("ivm-ckpt")
+    val dim = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("rk", "grp")
+    val baseL = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("lk", "v")
+    val base = graft.ops.Ivm.viewPartial(
+      baseL.join(dim, col("lk") === col("rk")), Seq("grp"), col("v"))
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5)
+    }
+    // b1: insert; b2: a VALUE-ONLY update (net n_rows 0, sum_v +2 — the
+    // partial a count-keyed fold would wrongly drop); b3: retract group
+    // b's only row
+    writeFile("b1.json", Seq("""{"lk":2,"v":5,"sign":1}"""))
+    writeFile("b2.json", Seq("""{"lk":1,"v":10,"sign":-1}""",
+      """{"lk":1,"v":12,"sign":1}"""))
+    writeFile("b3.json", Seq("""{"lk":3,"v":30,"sign":-1}"""))
+    def runOnce(): Unit = {
+      val q = StreamOps.ivmViewSink(
+        spark.readStream.schema("lk BIGINT, v BIGINT, sign BIGINT")
+          .option("maxFilesPerTrigger", 1).json(src),
+        dim, state, ckpt, Seq("grp"), "lk", "rk", col("v"), foldEvery = 2)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query did not terminate")
+    }
+    runOnce()
+    def served: Map[String, (Long, Long)] =
+      graft.ops.Ivm.mergeView(base,
+          graft.ops.Ivm.readViewDeltas(spark, state), Seq("grp"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // truth = full recompute over the applied rows:
+    // a: (1,12),(2,20),(2,5) → (3, 37); b: retracted away entirely
+    assert(served == Map("a" -> ((3L, 37L))))
+    // the fold ran (foldEvery=2) and kept the value-only-update partial
+    val dirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.length < 3 && dirs.contains("batch=0"))
+    // crash-replay of the LAST batch id: own-dir overwrite → unchanged
+    val lastId = dirs.map(_.stripPrefix("batch=").toLong).max
+    val b3 = spark.read.schema("lk BIGINT, v BIGINT, sign BIGINT")
+      .json(s"$src/b3.json")
+    StreamOps.ivmDeltaBatch(b3, lastId, dim, state, Seq("grp"),
+      "lk", "rk", col("v"), foldEvery = 2)
+    assert(served == Map("a" -> ((3L, 37L))))
+    // restart with a fourth file: checkpoint resumes and extends
+    writeFile("b4.json", Seq("""{"lk":3,"v":7,"sign":1}"""))
+    runOnce()
+    assert(served == Map("a" -> ((3L, 37L)), "b" -> ((1L, 7L))))
+  }
+
   test("runningUserCounts: mapGroupsWithState accumulates per-user counts") {
     val out = runToMemory(
       StreamOps.runningUserCounts(spark, readStreamBatched),
