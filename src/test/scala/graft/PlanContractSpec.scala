@@ -559,4 +559,23 @@ class PlanContractSpec extends SparkSpec {
         "plain routing must be an unsalted sort-merge join")
     } finally spark.conf.set(key, prev)
   }
+
+  test("ivm stored twin: touched-key isin pushed INTO both fact scans, " +
+      "deltas broadcast, no sort-merge join") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = q("ivm_join_agg_stored")
+    // the two full-side delta terms (L ⋈ ΔR, ΔL ⋈ R) must read their fact
+    // through a pushed In(<join key>) — the row groups holding untouched
+    // keys never leave the parquet reader
+    val pushedIn = p.collect {
+      case s: FileSourceScanExec
+        if s.metadata.get("PushedFilters").exists(m =>
+          m.contains("In(l_orderkey") || m.contains("In(o_orderkey")) => s
+    }
+    assert(pushedIn.size >= 2,
+      s"expected both delta-term fact scans to carry a pushed In filter, " +
+        s"got ${pushedIn.size}")
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "IVM maintenance must never shuffle a fact side into a sort-merge join")
+  }
 }
