@@ -1711,6 +1711,81 @@ object TextQueries extends Catalog {
              |  max(p)::BIGINT AS peak
              |FROM fr GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Audio near-dup over the envelope fingerprint
+    // (Multimodal.audioNearDupPairs — the image near-dup's shared banded
+    // single join, fed by the WAV decode seam). Planted variants per
+    // doc_id%25 doc: a RE-CONTAINERED copy (+10⁷ — same PCM behind a
+    // header WITHOUT the LIST chunk; a correct chunk walk decodes
+    // identical samples → hamming 0) and a LIGHTLY-EDITED copy (+2·10⁷ —
+    // digest 0 of the PCM chain swapped, 8 of 256 samples move → a few
+    // envelope bits). The oracle regenerates all three sample streams
+    // from the md5 chains and replays |s| block sums, the
+    // cross-multiplied bit rule, band words, candidates and hamming in
+    // integer SQL — a parser that mis-handled the absent LIST chunk
+    // would shift the copy's samples and break the hamming-0 pairs.
+    Q("multimodal_audio_neardup",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val docs = load(s, dir, "documents")
+        val planted = docs.filter(col("doc_id") % 25 === 0)
+        val base = docs.select(col("doc_id").as("mid"),
+          unhex(concat(lit(WavHeaderHex), WavPcmHex)).as("payload"))
+        val reContainered = planted.select(
+          (col("doc_id") + 10000000L).as("mid"),
+          unhex(concat(lit(WavHeaderNoListHex), WavPcmHex)).as("payload"))
+        val edited = planted.select(
+          (col("doc_id") + 20000000L).as("mid"),
+          unhex(concat(lit(WavHeaderHex), WavPcmHexAlt)).as("payload"))
+        val media = base.unionByName(reContainered).unionByName(edited)
+          .withColumn("kind", lit("audio"))
+        Multimodal.audioNearDupPairs(
+            Multimodal.asMedia(media, "mid", "kind", "payload"),
+            new Multimodal.WavDecoder())
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      Some {
+        val chain = (1 until 32).map(k => s"md5(doc_id::VARCHAR || ':$k')")
+          .mkString(" || ")
+        s"""WITH ids AS (
+           |  SELECT doc_id, doc_id AS mid, 0 AS alt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, doc_id + 10000000, 0 FROM documents
+           |  WHERE doc_id % 25 = 0
+           |  UNION ALL
+           |  SELECT doc_id, doc_id + 20000000, 1 FROM documents
+           |  WHERE doc_id % 25 = 0),
+           |rh AS (SELECT mid,
+           |    CASE WHEN alt = 1 THEN md5(doc_id::VARCHAR || ':alt')
+           |         ELSE md5(doc_id::VARCHAR || ':0') END || $chain AS hx
+           |  FROM ids),
+           |smp AS (SELECT mid, i,
+           |    abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS a
+           |  FROM (SELECT mid, t.i AS i,
+           |      ('0x' || substr(hx, (4 * i + 3)::INT, 2) ||
+           |       substr(hx, (4 * i + 1)::INT, 2))::BIGINT AS v
+           |    FROM rh, unnest(range(256)) AS t(i)) raw),
+           |blocks AS (SELECT mid, i // 4 AS blk, sum(a) AS bsum
+           |  FROM smp GROUP BY 1, 2),
+           |tot AS (SELECT mid, sum(bsum) AS tsum FROM blocks GROUP BY 1),
+           |bits AS (SELECT b.mid, b.blk,
+           |    CASE WHEN b.bsum * 256 >= t.tsum * 4 THEN 1 ELSE 0 END AS bit
+           |  FROM blocks b JOIN tot t ON t.mid = b.mid),
+           |bands AS (SELECT mid, blk // 16 AS band,
+           |    sum(bit * (1::BIGINT << (blk % 16)::INT))::BIGINT AS bval
+           |  FROM bits GROUP BY 1, 2),
+           |cand AS (SELECT DISTINCT a.mid AS i, b.mid AS j
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bval = b.bval AND a.mid < b.mid),
+           |ham AS (SELECT c.i, c.j,
+           |    sum(bit_count(xor(ba.bval, bb.bval)))::BIGINT AS hamming
+           |  FROM cand c
+           |  JOIN bands ba ON ba.mid = c.i
+           |  JOIN bands bb ON bb.mid = c.j AND bb.band = ba.band
+           |  GROUP BY 1, 2)
+           |SELECT i AS media_a, j AS media_b, hamming FROM ham
+           |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin
+      }),
+
     // RAG/pretraining chunking: overlapping 32-token windows with 8-token
     // overlap (step 24). Chunk-count and extent arithmetic is integer-only
     // on both engines; the hash match proves every token lands exactly in
@@ -1974,6 +2049,31 @@ object TextQueries extends Catalog {
     concat((0 until 32).map(k =>
       md5(concat(col("doc_id").cast("string"), lit(s":$k"))
         .cast("binary"))): _*)
+
+  /** The lightly-edited variant: digest 0 swapped for "doc_id:alt" —
+    * 8 of 256 samples move, the rest of the chain untouched.
+    */
+  private def WavPcmHexAlt: org.apache.spark.sql.Column =
+    concat(md5(concat(col("doc_id").cast("string"), lit(":alt"))
+      .cast("binary")) +: (1 until 32).map(k =>
+      md5(concat(col("doc_id").cast("string"), lit(s":$k"))
+        .cast("binary"))): _*)
+
+  /** The re-containered header: identical fmt/data, NO LIST chunk —
+    * 44 bytes, RIFF size 548. Same PCM behind it ⇒ a correct chunk walk
+    * must decode identical samples.
+    */
+  private def WavHeaderNoListHex: String = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(548)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(16000).putInt(32000)
+      .putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(512)
+    bb.array().map("%02x".format(_)).mkString
+  }
 
   /** Oracle CTEs regenerating the same samples straight from the digest
     * chain: sample i = signed little-endian 16-bit at bytes (2i, 2i+1) of

@@ -546,7 +546,18 @@ object Multimodal {
   def perceptualNearDupPairs(media: Dataset[MediaRecord],
                              maxHamming: Int = 3,
                              bandBits: Int = 16,
-                             decoder: Option[LumaDecoder] = None): DataFrame = {
+                             decoder: Option[LumaDecoder] = None): DataFrame =
+    bandedHammingPairs(perceptualHashPacked(media, bandBits, decoder),
+      maxHamming, bandBits)
+
+  /** The single-join banded hamming search over ANY `(media_id, h64)`
+    * 64-bit fingerprint frame — shared by the image (aHash) and audio
+    * (loudness envelope) near-dup paths, so the provably-lossless
+    * pigeonhole blocking and the one-candidate-per-pair
+    * first-matching-band shape cannot drift between modalities.
+    */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
+                                 bandBits: Int): DataFrame = {
     require(64 % bandBits == 0, "bandBits must divide 64")
     require(64 / bandBits > maxHamming,
       "losslessness needs bands > maxHamming (pigeonhole)")
@@ -556,9 +567,8 @@ object Multimodal {
     // one retained cache per call (the zero-retained-frames lifecycle the
     // Graph ops pin via sqlCacheIsEmpty). Checkpointed blocks free with
     // the session.
-    val hashed = perceptualHashPacked(media, bandBits, decoder)
-      .localCheckpoint()
-    val banded = hashed.select(col("media_id").as("id"), col("h64"),
+    val h = hashed.localCheckpoint()
+    val banded = h.select(col("media_id").as("id"), col("h64"),
       explode(BandedBits.bandKeys(col("h64"), bandBits, bands)).as("bkey"))
     banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
@@ -569,4 +579,63 @@ object Multimodal {
           col("a.h64").bitwiseXOR(col("b.h64"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** 64-bit loudness-envelope fingerprint of decoded samples: 64 equal
+    * sample blocks, bit b = block-b mean |amplitude| ≥ the global mean,
+    * cross-multiplied (`bsum·n ≥ tot·blen` — no division, every bit SQL-
+    * replayable). The bit rule is RATIO-based, so a uniform volume change
+    * keeps the fingerprint (exactly so when sample halving is exact; a
+    * floor-rounded re-encode moves at most the blocks sitting on ties) —
+    * the property that lets a re-mastered copy of the same recording pair
+    * up. Empty sample streams are dropped (no envelope to fingerprint).
+    */
+  private def envelopeBits(s: Array[Int]): Long = {
+    val n = s.length
+    val bsum = new Array[Long](64)
+    val blen = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * 64) / n).toInt
+      val v = math.abs(s(i).toLong)
+      bsum(b) += v; blen(b) += 1; tot += v
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (blen(b) > 0 && bsum(b) * n >= tot * blen(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
+  /** Packed envelope fingerprints `(media_id, h64)` — the audio analogue
+    * of `perceptualHashPacked`: one narrow decode pass, zero shuffle.
+    */
+  def audioEnvelopePacked(media: Dataset[MediaRecord],
+                          decoder: PcmDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    val dec = decoder // don't capture `media`
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, s) = dec.pcmSamples(r.payload)
+        if (s.isEmpty) None else Some((r.media_id, envelopeBits(s)))
+      }
+    }.toDF("media_id", "h64")
+  }
+
+  /** Audio near-duplicate pairs: decoded streams whose loudness-envelope
+    * fingerprints differ in ≤ `maxHamming` of 64 bits — the same
+    * provably-lossless banded single-join as the image path (shared
+    * machinery, identical plan shape), fed by the audio decode seam. A
+    * re-containered copy (same PCM, different chunks) lands at hamming 0;
+    * a lightly-edited one moves a few bits; different recordings sit
+    * near 32.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord], decoder: PcmDecoder,
+                        maxHamming: Int = 3,
+                        bandBits: Int = 16): DataFrame =
+    bandedHammingPairs(audioEnvelopePacked(media, decoder),
+      maxHamming, bandBits)
 }

@@ -339,6 +339,38 @@ class MultimodalSpec extends SparkSpec {
     assert(above.getLong(5) == 1)
   }
 
+  test("audioNearDupPairs: re-containered copy at hamming 0, exact " +
+      "half-volume copy fingerprint-identical, different stream far away") {
+    import spark.implicits._
+    // deterministic pseudo-audio with an uneven envelope (quiet half,
+    // loud half) — EVEN samples so the half-volume division is exact
+    val samples = (0 until 256).map(i =>
+      if (i < 128) (i % 7) * 2 else 20000 + (i % 11) * 2)
+    val half = samples.map(_ / 2)
+    val other = (0 until 256).map(i => if (i % 2 == 0) 30000 else -30000)
+    val media = Seq(
+      (1L, "audio", wav(8000, 1, samples)),
+      // same PCM, different container (odd LIST chunk the walk must skip)
+      (2L, "audio", wav(8000, 1, samples, oddChunk = true)),
+      // exact half volume: ratio-based bits identical → hamming 0
+      (3L, "audio", wav(8000, 1, half)),
+      (4L, "audio", wav(8000, 1, other)))
+      .toDF("media_id", "kind", "payload")
+    val ds = Multimodal.asMedia(media, "media_id", "kind", "payload")
+    val pairs = Multimodal
+      .audioNearDupPairs(ds, new Multimodal.WavDecoder())
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"got $pairs")
+    // the constant-alternation stream's envelope is flat (every block at
+    // the mean → all 64 bits set); the ramp stream's quiet half is below
+    // the mean — far apart, never within 3 bits
+    val h = Multimodal.audioEnvelopePacked(ds, new Multimodal.WavDecoder())
+      .as[(Long, Long)].collect().toMap
+    assert(h(4L) == -1L) // all 64 bits
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 3)
+  }
+
   test("WavDecoder as a Codec: rate/sample-count surfaced, 8-block " +
       "envelope features in [0,1]") {
     import spark.implicits._
