@@ -44,11 +44,16 @@ import org.apache.spark.sql.functions._
 object Ivm {
 
   /** Above this many distinct delta join keys the `isin` pushdown is
-    * skipped (a multi-million-element In filter burdens planning more
-    * than it prunes) and the term falls back to a plain broadcast join —
-    * same results, one full scan.
+    * skipped and the term falls back to a plain broadcast join — same
+    * results, one full scan. The cap is deliberately modest: a wide In
+    * list costs real PLANNING time (tree construction over that many
+    * literals) before it prunes a single row group, and measured at sf1
+    * a 30 k-key isin made the stored twin ~2× slower than the fallback
+    * scan it was meant to beat. 5 000 keys keeps the pushdown for
+    * genuinely small batches (the steady-state premise) and bails out of
+    * the anti-pattern automatically.
     */
-  val DefaultMaxPushKeys = 100000
+  val DefaultMaxPushKeys = 5000
 
   private def requireSigned(delta: DataFrame, side: String): Unit =
     require(delta.columns.contains("sign"),
