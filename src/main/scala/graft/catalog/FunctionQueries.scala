@@ -1040,6 +1040,40 @@ object FunctionQueries extends Catalog {
              |FROM st JOIN mx ON mx.user_id = st.user_id AND st.rn = mx.n
              |ORDER BY 1""".stripMargin)),
 
+    // Rolling-origin backtest of the Holt smoother
+    // (EventOps.holtBacktestBp): every step's PRIOR-state forecast l+b is
+    // scored against the arriving value before the state absorbs it —
+    // walk-forward, no peeking — accumulating exact absolute error in
+    // cent-bp. Forecast QUALITY measured, not asserted; the oracle's
+    // recursive CTE carries the same error accumulator through every
+    // truncating step.
+    Q("events_holt_backtest",
+      (s, dir) => EventOps.holtBacktestBp(load(s, dir, "events"))
+        .orderBy(col("user_id")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT user_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn,
+             |    CAST(round(value * 100) AS BIGINT) * 10000 AS v
+             |  FROM events),
+             |mx AS (SELECT user_id, max(rn) AS n FROM e GROUP BY 1),
+             |st AS (
+             |  SELECT user_id, rn, v AS l, CAST(0 AS BIGINT) AS b,
+             |    CAST(0 AS BIGINT) AS err
+             |  FROM e WHERE rn = 1
+             |  UNION ALL
+             |  SELECT e.user_id, e.rn,
+             |    (5000 * e.v + 5000 * (st.l + st.b)) // 10000,
+             |    (3000 * (((5000 * e.v + 5000 * (st.l + st.b)) // 10000)
+             |       - st.l) + 7000 * st.b) // 10000,
+             |    st.err + abs(e.v - (st.l + st.b))
+             |  FROM st JOIN e ON e.user_id = st.user_id
+             |    AND e.rn = st.rn + 1)
+             |SELECT st.user_id, mx.n AS n_events, st.err AS err_abs_bp,
+             |  CASE WHEN mx.n > 1 THEN st.err // (mx.n - 1) END AS mae_bp
+             |FROM st JOIN mx ON mx.user_id = st.user_id AND st.rn = mx.n
+             |ORDER BY 1""".stripMargin)),
+
     // Union-of-intervals activity coverage (EventOps.intervalCoverage):
     // each event opens a 300 s interval, overlaps merge — covered
     // seconds, merged-segment count and the longest gap per user, via one

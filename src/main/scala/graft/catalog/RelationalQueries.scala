@@ -3029,6 +3029,32 @@ object RelationalQueries extends Catalog {
              |       min(v) AS lo_value, max(v) AS hi_value
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    // k-truss cohesive-subgraph mining (Graph.kTrussEdges — Cohen 2008):
+    // iterative support peeling over the co-purchase graph PLUS a planted
+    // 6-clique (ids 10⁷+1..6, disjoint from every partkey). The contrast
+    // is the point and both arms are load-bearing: the organic
+    // support≥2 graph is mostly peeled away (edges in triangles whose
+    // other edges are weak die with them — the mutuality a raw triangle
+    // count misses), while the clique's 15 edges survive at support 4.
+    // The oracle statically unrolls the peeling rounds (fixed-round ≥
+    // realized is exact — peeling is idempotent at the fixpoint) and
+    // replays the final in-set support.
+    Q("graph_ktruss",
+      (s, dir) => {
+        import s.implicits._
+        val organic = graft.ops.Relational.basketPairs(
+            load(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+          .filter(col("support") >= 2)
+          .select(col("item_a").as("a"), col("item_b").as("b"))
+        val clique = (for { i <- 1 to 6; j <- (i + 1) to 6 }
+          yield (10000000L + i, 10000000L + j)).toDF("a", "b")
+        graft.ops.Graph.kTrussEdges(organic.unionByName(clique), k = 3)
+          .select(col("a").as("item_a"), col("b").as("item_b"),
+            col("support"))
+          .orderBy(col("item_a"), col("item_b"))
+      },
+      Some(ktrussOracle(3))),
+
     // JOIN-view incremental maintenance (ops/Ivm — Griffin & Libkin '95 /
     // DBToaster bilinear delta rule): the revenue-by-(status, segment)
     // view over lineitem ⋈ orders ⋈ customer is MAINTAINED under a batch
@@ -3109,6 +3135,44 @@ object RelationalQueries extends Catalog {
     view.select(col("o_orderstatus"), col("c_mktsegment"), col("n_rows"),
         (col("sum_v").cast("double") / 10000.0).as("revenue"))
       .orderBy(col("o_orderstatus"), col("c_mktsegment"))
+
+  /** graph_ktruss oracle: co-purchase edges (support ≥ 2) ∪ the planted
+    * 6-clique, then `rounds` statically-unrolled peel rounds at k = 3
+    * (support ≥ 1) — the pageRank codegen-the-oracle discipline — and
+    * the final in-set support readout. Extra rounds past the fixpoint
+    * are identities, so any unroll ≥ the realized round count is exact.
+    */
+  private def ktrussOracle(rounds: Int): String = {
+    def peel(i: Int) =
+      s"""t$i AS MATERIALIZED (SELECT p.a AS x, p.b AS y, q.b AS z
+         |  FROM e$i p JOIN e$i q ON q.a = p.a AND q.b > p.b
+         |  JOIN e$i r ON r.a = p.b AND r.b = q.b),
+         |s$i AS (SELECT a, b, count(*) AS c FROM (
+         |    SELECT x AS a, y AS b FROM t$i
+         |    UNION ALL SELECT x AS a, z AS b FROM t$i
+         |    UNION ALL SELECT y AS a, z AS b FROM t$i) u$i
+         |  GROUP BY 1, 2)""".stripMargin
+    def step(i: Int) =
+      s"""${peel(i)},
+         |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+         |  JOIN s$i s ON s.a = e.a AND s.b = e.b WHERE s.c >= 1)""".stripMargin
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |           FROM lineitem),
+       |pr AS (SELECT x.p AS a, y.p AS b, count(*) AS s
+       |       FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+       |       GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (
+       |  SELECT a, b FROM pr WHERE s >= 2
+       |  UNION ALL
+       |  SELECT 10000000 + ci.i AS a, 10000000 + cj.j AS b
+       |  FROM unnest(range(1, 7)) ci(i), unnest(range(1, 7)) cj(j)
+       |  WHERE ci.i < cj.j),
+       |${(0 until rounds).map(step).mkString(",\n")},
+       |${peel(rounds)}
+       |SELECT e.a AS item_a, e.b AS item_b, s.c::BIGINT AS support
+       |FROM e$rounds e JOIN s$rounds s ON s.a = e.a AND s.b = e.b
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** The IVM oracle: full recompute over the POST-UPDATE tables. (`def`,
     * not `val` — referenced from `all`'s initializer above its own

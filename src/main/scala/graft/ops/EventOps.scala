@@ -937,6 +937,46 @@ object EventOps {
         (col("st.l") + lit(horizon.toLong) * col("st.b")).as("forecast_bp"))
   }
 
+  /** Rolling-origin 1-step backtest of the Holt smoother: at every step
+    * t ≥ 2 the PRIOR state's forecast l+b is scored against the value
+    * that then arrives, accumulating Σ|vₜ·10⁴ − (l+b)| BEFORE the state
+    * absorbs vₜ — the honest walk-forward protocol (each forecast only
+    * ever sees the past), so the model's error is measured, not
+    * asserted. Output per user: n_events, total absolute error and
+    * MAE in cent-bp (null when the series has no scored step). Same
+    * fold/state shape as `holtForecastBp`, one extra long of state.
+    */
+  def holtBacktestBp(events: DataFrame, alphaBp: Long = 5000L,
+                     betaBp: Long = 3000L): DataFrame = {
+    require(alphaBp >= 0 && alphaBp <= 10000, s"alphaBp out of range: $alphaBp")
+    require(betaBp >= 0 && betaBp <= 10000, s"betaBp out of range: $betaBp")
+    val a = alphaBp; val na = 10000L - alphaBp
+    val b = betaBp; val nb = 10000L - betaBp
+    val lStep = s"(($a * v.v + $na * (s.l + s.b)) div 10000)"
+    events
+      .select(col("user_id"), struct(unix_timestamp(col("ts")).as("sec"),
+        col("event_id").as("tie"),
+        (Exact.cents(col("value")) * 10000L).as("v")).as("p"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("p"))).as("seq"))
+      .withColumn("st", expr(
+        s"""aggregate(seq,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |               'n', CAST(0 AS BIGINT), 'e', CAST(0 AS BIGINT)),
+           |  (s, v) -> IF(s.n = 0,
+           |    named_struct('l', v.v, 'b', CAST(0 AS BIGINT),
+           |                 'n', CAST(1 AS BIGINT), 'e', CAST(0 AS BIGINT)),
+           |    named_struct(
+           |      'l', $lStep,
+           |      'b', ($b * ($lStep - s.l) + $nb * s.b) div 10000,
+           |      'n', s.n + 1,
+           |      'e', s.e + abs(v.v - (s.l + s.b)))))""".stripMargin))
+      .select(col("user_id"), col("st.n").as("n_events"),
+        col("st.e").as("err_abs_bp"),
+        when(col("st.n") > 1, expr("st.e div (st.n - 1)"))
+          .as("mae_bp"))
+  }
+
   /** Union-of-intervals coverage per user: each event opens a
     * `[sec, sec+widthSec)` activity interval; overlapping intervals merge.
     * Output per user: `covered_sec` (length of the union — the quantity a

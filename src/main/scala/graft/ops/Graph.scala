@@ -747,4 +747,66 @@ object Graph {
   def twoStarComponents(edges: DataFrame, maxRounds: Int = 20,
                         a: String = "a", b: String = "b"): DataFrame =
     twoStarComponentsWithRounds(edges, maxRounds, a, b)._1
+
+  /** Per-edge triangle support over a CANONICAL (a < b) edge set: one
+    * wedge equi-join + one closing equi-join (never a nested loop), each
+    * triangle found once at a < b < c and credited to its three edges by
+    * one keyed count. Shared by `kTrussEdges`' rounds and its final
+    * readout.
+    */
+  private def triangleSupport(e: DataFrame): DataFrame = {
+    val tri = e.as("p").join(e.as("q"),
+        col("q.a") === col("p.a") && col("q.b") > col("p.b"))
+      .join(e.as("r"),
+        col("r.a") === col("p.b") && col("r.b") === col("q.b"))
+      .select(col("p.a").as("x"), col("p.b").as("y"), col("q.b").as("z"))
+    tri.select(col("x").as("a"), col("y").as("b"))
+      .unionByName(tri.select(col("x").as("a"), col("z").as("b")))
+      .unionByName(tri.select(col("y").as("a"), col("z").as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss (Cohen 2008; distributed peeling per Wang & Cheng,
+    * VLDB '12): the maximal subgraph where every edge closes ≥ k−2
+    * triangles WITHIN the subgraph — the cohesive-community mining step
+    * a raw triangle count only approximates (an edge can sit in many
+    * triangles whose OTHER edges are themselves weak; the truss condition
+    * is mutual). Iterative peeling: per round, per-edge triangle support
+    * over the CURRENT edge set (two keyed equi-joins + one keyed count —
+    * edge-sized shuffles, wedge fan-out bounded by the canonical
+    * ordering), drop edges under k−2, stop at the fixpoint (edge COUNT
+    * equality suffices — peeling only removes) or `maxRounds`. Rounds are
+    * `localCheckpoint`ed; zero retained caches. Peeling converges in
+    * O(edges) rounds worst-case but in practice a handful; extra rounds at
+    * the fixpoint are identities, so a fixed-round oracle unroll ≥ the
+    * realized count replays exactly.
+    *
+    * Returns the truss edges with their support inside the final set
+    * (edges whose support fell to zero in a non-converged final set drop
+    * on both engines — inner join).
+    */
+  def kTrussEdges(edges: DataFrame, k: Int, maxRounds: Int = 6,
+                  a: String = "a", b: String = "b"): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val minSup = (k - 2).toLong
+    var e = edges
+      .select(least(col(a), col(b)).as("a"), greatest(col(a), col(b)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0
+    while (!done && rounds < maxRounds) {
+      val next = e.join(triangleSupport(e), Seq("a", "b"))
+        .filter(col("support") >= minSup)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = next.count()
+      done = m == n || m == 0
+      n = m; e = next; rounds += 1
+    }
+    e.join(triangleSupport(e), Seq("a", "b"))
+      .select(col("a"), col("b"), col("support"))
+  }
 }

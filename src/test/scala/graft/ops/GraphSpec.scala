@@ -441,4 +441,45 @@ class GraphSpec extends SparkSpec {
     val (_, r2, ok2) = Graph.twoStarComponentsWithStatus(chain)
     assert(ok2 && r2 >= 2, s"expected confirmed fixpoint, got ($r2, $ok2)")
   }
+
+  private def trussSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.as[(Long, Long, Long)].collect().toSet
+
+  test("kTrussEdges: 4-clique survives k=4, lone triangle peels; the " +
+      "bowtie's shared edge dies in the CASCADE round") {
+    // 4-clique on 1..4; lone triangle 10-11-12; pendant 20-21;
+    // bowtie: triangles 30-31-32 and 31-32-33 sharing edge (31,32)
+    val clique = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val tri = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val bowtie = Seq((30L, 31L), (30L, 32L), (31L, 32L), (31L, 33L), (32L, 33L))
+    val edges = (clique ++ tri ++ Seq((20L, 21L)) ++ bowtie).toDF("a", "b")
+    // k=4: every 4-clique edge closes exactly 2 triangles and survives;
+    // the triangle's and bowtie's outer edges close 1 and die round 1;
+    // the bowtie's shared edge (31,32) closed 2 ROUND-1 triangles but
+    // loses both partners — the cascade must kill it in round 2
+    val k4 = trussSet(Graph.kTrussEdges(edges, 4))
+    assert(k4.map(e => (e._1, e._2)) == clique.toSet)
+    assert(k4.forall(_._3 == 2L))
+    // k=3: both triangles and the bowtie survive; the pendant never does
+    val k3 = trussSet(Graph.kTrussEdges(edges, 3))
+    assert(k3.map(e => (e._1, e._2)) ==
+      (clique ++ tri ++ bowtie).toSet)
+    assert(!k3.exists(e => e._1 == 20L))
+    // clique edges in the k3 truss still report their in-set support (2)
+    assert(k3.filter(e => e._1 <= 4L).forall(_._3 == 2L))
+  }
+
+  test("kTrussEdges: maxRounds truncation reports in-set support of the " +
+      "TRUNCATED set; symmetric/dup input canonicalized") {
+    val bowtie = Seq((30L, 31L), (30L, 32L), (31L, 32L), (31L, 33L),
+      (32L, 33L), (31L, 30L), (30L, 31L)) // reversed + dup rows
+    val edges = bowtie.toDF("a", "b")
+    // one round at k=4 leaves only the shared edge; its in-set support
+    // is 0 → the final readout drops it (documented inner-join contract)
+    assert(trussSet(Graph.kTrussEdges(edges, 4, maxRounds = 1)).isEmpty)
+    // canonicalization: reversed/duplicate rows don't inflate support
+    val k3 = trussSet(Graph.kTrussEdges(edges, 3))
+    assert(k3.size == 5 && k3.filter(e => (e._1, e._2) == (31L, 32L))
+      .head._3 == 2L)
+  }
 }

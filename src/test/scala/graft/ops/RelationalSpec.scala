@@ -1090,6 +1090,26 @@ class RelationalSpec extends SparkSpec {
     assert(g9._3 == 1666700L && g9._4 == -111088L)
   }
 
+  test("holtBacktestBp: walk-forward error scored against the PRIOR state, " +
+      "single event unscored (null MAE)") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      // u1: 1.00, 2.00, 4.00 —
+      //  t2: forecast 1e6, err += |2e6 − 1e6| = 1e6; l→1.5e6, b→1.5e5
+      //  t3: forecast 1.65e6, err += |4e6 − 1.65e6| = 2.35e6
+      //  total 3.35e6, MAE = 3.35e6 div 2 = 1675000
+      (1L, 1L, ts(0), "view", 1.0),
+      (1L, 2L, ts(10), "view", 2.0),
+      (1L, 3L, ts(20), "view", 4.0),
+      (2L, 4L, ts(0), "view", 9.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.holtBacktestBp(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got(1L) == ((3L, 3350000L, Some(1675000L))))
+    assert(got(2L) == ((1L, 0L, None)))
+  }
+
   test("intervalCoverage: overlaps merge, duplicates free, gap accounting") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
     val events = Seq(
