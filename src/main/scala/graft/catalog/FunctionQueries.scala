@@ -430,6 +430,57 @@ object FunctionQueries extends Catalog {
              |      ELSE 0 END END)::DOUBLE / 100.0 AS credited_value
              |FROM x GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // TIME-DECAY multi-touch attribution (EventOps.attributionDecay) —
+    // completes the trio: credit ∝ max(10⁴ div 2^age_days, 1), exact
+    // integer split with remainder-to-latest (per-conversion credits sum
+    // to value_c exactly — Σ credited ≡ Σ purchase value across the
+    // three models, a cross-model invariant the three oracles jointly
+    // pin). The oracle replays join, decay weights, both window sums and
+    // the div/remainder arithmetic verbatim.
+    Q("events_attribution_decay",
+      (s, dir) => EventOps.attributionDecay(load(s, dir, "events"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("touch_credits"),
+          countDistinct(col("conv_id")).as("conversions"),
+          Exact.dollars(sum(col("credit_c"))).as("credited_value"))
+        .orderBy(col("channel")),
+      Some(s"""WITH e AS (SELECT user_id, event_id,
+             |    epoch(date_trunc('second', ts))::BIGINT AS sec, event_type,
+             |    ${cents("value")} AS value_c
+             |  FROM events),
+             |conv AS (SELECT user_id, event_id AS conv_id, sec AS conv_sec,
+             |    value_c FROM e WHERE event_type = 'purchase'),
+             |mk AS (SELECT user_id AS mk_user, event_id AS mk_id,
+             |    sec AS mk_sec, event_type AS mk_type
+             |  FROM e WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT c.*, m.mk_id, m.mk_sec, m.mk_type
+             |  FROM conv c LEFT JOIN mk m ON c.user_id = m.mk_user
+             |    AND m.mk_sec >= c.conv_sec - 604800
+             |    AND (m.mk_sec < c.conv_sec
+             |      OR (m.mk_sec = c.conv_sec AND m.mk_id < c.conv_id))),
+             |x AS (SELECT *,
+             |    count(mk_id) OVER (PARTITION BY user_id, conv_id) AS n,
+             |    row_number() OVER (PARTITION BY user_id, conv_id
+             |      ORDER BY mk_sec DESC, mk_id DESC) AS rk,
+             |    greatest(10000 // (1::BIGINT <<
+             |      least((conv_sec - mk_sec) // 86400, 50)::INT), 1) AS wgt
+             |  FROM j),
+             |y AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, conv_id)
+             |    AS wsum FROM x),
+             |z AS (SELECT *, CASE WHEN n = 0 THEN value_c
+             |    ELSE ((value_c * wgt) // wsum)::BIGINT END AS base_c
+             |  FROM y),
+             |r AS (SELECT *, sum(CASE WHEN n = 0 THEN 0 ELSE base_c END)
+             |    OVER (PARTITION BY user_id, conv_id)::BIGINT AS bsum
+             |  FROM z)
+             |SELECT CASE WHEN n = 0 THEN 'direct' ELSE mk_type END AS channel,
+             |  count(*)::BIGINT AS touch_credits,
+             |  count(DISTINCT conv_id)::BIGINT AS conversions,
+             |  sum(CASE WHEN n = 0 THEN value_c
+             |    ELSE base_c + CASE WHEN rk = 1 THEN value_c - bsum
+             |      ELSE 0 END END)::DOUBLE / 100.0 AS credited_value
+             |FROM r GROUP BY 1 ORDER BY channel""".stripMargin)),
+
     Q("window_sliding",
       (s, dir) => EventOps.slidingCounts(load(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type")),

@@ -772,6 +772,65 @@ object EventOps {
           .as("credit_c"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the third member of the
+    * family (last-touch, linear, decay): each conversion's value splits
+    * across its in-window preceding touches proportionally to
+    * `w = max(10⁴ div 2^age_halflives, 1)` (recent touches earn more;
+    * the floor keeps every in-window touch a positive weight so the
+    * split is never 0/0). Exact integer arithmetic throughout: base
+    * credit `value_c·w div Σw` per touch, remainder to the LATEST touch
+    * (same convention as the linear model), so per-conversion credits
+    * sum to value_c EXACTLY — no 2^-age float in sight. Same join bound
+    * and (sec, event_id) tie rule as the siblings; shuffle O(conv ×
+    * in-window touches), two per-conversion windows, no global state.
+    */
+  def attributionDecay(events: DataFrame,
+                       marketingTypes: Seq[String] = Seq("click", "view"),
+                       convType: String = "purchase",
+                       windowSec: Long = 604800L,
+                       halfLifeSec: Long = 86400L): DataFrame = {
+    require(windowSec >= 0, s"windowSec must be >= 0, got $windowSec")
+    require(halfLifeSec >= 1, s"halfLifeSec must be >= 1, got $halfLifeSec")
+    require(!marketingTypes.contains(convType),
+      "conversion type cannot also be a marketing type")
+    val base = events.select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts")).as("sec"), col("event_type"),
+      Exact.cents(col("value")).as("value_c"))
+    val conv = base.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("sec").as("conv_sec"), col("value_c"))
+    val mk = base.filter(col("event_type").isin(marketingTypes: _*))
+      .select(col("user_id").as("mk_user"), col("event_id").as("mk_id"),
+        col("sec").as("mk_sec"), col("event_type").as("mk_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("conv_id"))
+    conv.join(mk,
+        col("user_id") === col("mk_user") &&
+          col("mk_sec") >= col("conv_sec") - windowSec &&
+          (col("mk_sec") < col("conv_sec") ||
+            (col("mk_sec") === col("conv_sec") && col("mk_id") < col("conv_id"))),
+        "left_outer")
+      .withColumn("n", count(col("mk_id")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("mk_sec").desc, col("mk_id").desc)))
+      .withColumn("wgt", expr(
+        s"""greatest(10000 div shiftleft(cast(1 as bigint),
+           |  cast(least((conv_sec - mk_sec) div $halfLifeSec, 50) as int)),
+           |  1)""".stripMargin))
+      .withColumn("wsum", sum(col("wgt")).over(w))
+      .withColumn("base_c", expr("(value_c * wgt) div wsum"))
+      .withColumn("bsum", sum(col("base_c")).over(w))
+      .select(col("user_id"), col("conv_id"), col("value_c"),
+        when(col("n") === 0, lit("direct")).otherwise(col("mk_type"))
+          .as("channel"),
+        col("mk_id"),
+        when(col("n") === 0, col("value_c"))
+          .otherwise(col("base_c") +
+            when(col("rk") === 1, col("value_c") - col("bsum"))
+              .otherwise(lit(0L)))
+          .as("credit_c"))
+  }
+
   /** Hourly resample with gap fill: value-cents aggregated per (user,
     * epoch-hour), each user's [first, last] observed hour densified into
     * a complete grid, and the last observed aggregate carried forward

@@ -1110,6 +1110,37 @@ class RelationalSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0L, None)))
   }
 
+  test("attributionDecay: exact proportional split, remainder to the " +
+      "LATEST touch, weight floor keeps ancient touches at credit 0 not 0/0") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val d = 86400L
+    val events = Seq(
+      // u1: conv 1.01 at day 3; click age 1d (w=5000), view age 3d
+      // (w=1250) → bases 80/20, remainder 1 to the click (latest)
+      (1L, 10L, ts(0), "view", 0.0),
+      (1L, 11L, ts(2 * d), "click", 0.0),
+      (1L, 12L, ts(3 * d), "purchase", 1.01),
+      // u2: no touches → direct, full value
+      (2L, 20L, ts(0), "purchase", 5.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventOps.attributionDecay(events).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(5))).toSet
+    assert(got == Set((1L, "click", 81L), (1L, "view", 20L),
+      (2L, "direct", 500L)))
+    // weight floor: halfLife 1 s, window huge — a touch 100 half-lives
+    // old still weighs 1 (not 0), earning exact credit 0 next to a
+    // full-weight recent touch, and the split never divides by zero
+    val floorCase = Seq(
+      (3L, 30L, ts(0), "view", 0.0),
+      (3L, 31L, ts(999), "click", 0.0),
+      (3L, 32L, ts(1000), "purchase", 1.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val f = EventOps.attributionDecay(floorCase, windowSec = 10000L,
+        halfLifeSec = 1L).collect()
+      .map(r => (r.getString(3), r.getLong(5))).toSet
+    assert(f == Set(("click", 100L), ("view", 0L)))
+  }
+
   test("intervalCoverage: overlaps merge, duplicates free, gap accounting") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
     val events = Seq(
