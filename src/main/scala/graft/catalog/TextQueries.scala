@@ -1134,6 +1134,58 @@ object TextQueries extends Catalog {
              |  FROM t a JOIN t b ON a.lang = b.lang AND a.id < b.id) p
              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Dirichlet query-likelihood retrieval (Text.dirichletQlTopK — Zhai &
+    // Lafferty '01), the language-model ranking family next to BM25: the
+    // matching-terms decomposition touches only matching postings, the
+    // per-query constant keeps emitted scores true log-likelihoods, and
+    // cf=0 query terms drop as uninformative. Same query set as
+    // text_bm25_topk so the two models' orderings are directly
+    // comparable; the oracle replays the identical double-op order
+    // (round 4 absorbs the ln ulp).
+    Q("text_ql_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", Seq("spark", "join", "fast")),
+          ("q2", Seq("window", "merge")),
+          ("q3", Seq("vector", "scan", "slow"))).toDF("qid", "terms")
+        Text.dirichletQlTopK(load(s, dir, "documents"), queries, 10)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q(qid, terms) AS (VALUES
+             |    ('q1', ['spark', 'join', 'fast']),
+             |    ('q2', ['window', 'merge']),
+             |    ('q3', ['vector', 'scan', 'slow'])),
+             |qt AS (SELECT DISTINCT qid, unnest(terms) AS t FROM q),
+             |p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             |      FROM documents),
+             |dl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+             |       FROM documents),
+             |nt AS (SELECT sum(dl)::BIGINT AS n_tok FROM dl),
+             |cf AS (SELECT p.t, count(*) AS cf
+             |       FROM p JOIN (SELECT DISTINCT t FROM qt) x ON p.t = x.t
+             |       GROUP BY p.t),
+             |qc AS (SELECT qid,
+             |    sum(ln(cf / n_tok)) + count(*) * ln(2000.0::DOUBLE) AS kq,
+             |    count(*) AS nq
+             |  FROM qt JOIN cf ON qt.t = cf.t, nt GROUP BY qid),
+             |tf AS (SELECT p.doc_id, p.t, count(*) AS tf
+             |       FROM p JOIN cf ON p.t = cf.t GROUP BY p.doc_id, p.t),
+             |m AS (SELECT qt.qid, tf.doc_id,
+             |    sum(ln(1.0::DOUBLE + (tf.tf * nt.n_tok)
+             |                       / (2000.0::DOUBLE * cf.cf))) AS m
+             |  FROM tf JOIN cf ON tf.t = cf.t JOIN qt ON tf.t = qt.t, nt
+             |  GROUP BY qt.qid, tf.doc_id),
+             |sc AS (SELECT m.qid, m.doc_id,
+             |    round(m.m + qc.kq - qc.nq * ln(dl.dl + 2000.0::DOUBLE), 4)
+             |      AS score
+             |  FROM m JOIN qc ON m.qid = qc.qid
+             |       JOIN dl ON m.doc_id = dl.doc_id)
+             |SELECT qid, rank, doc_id, score FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |    ORDER BY score DESC, doc_id) AS rank FROM sc) t
+             |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin)),
+
     // [ext] Cross-source duplication matrix — the governance report a
     // training-data pipeline runs before mixing corpora: verified
     // near-dup pairs (the ngram-jaccard definition above) aggregated by

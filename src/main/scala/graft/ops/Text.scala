@@ -592,6 +592,71 @@ object Text {
         col(idCol), col("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty,
+    * SIGIR '01) — the language-model retrieval family next to BM25's
+    * probabilistic one:
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C| / (μ·cf_t))
+    *                + K_q − n_q·ln(dl_d + μ)
+    *
+    * the standard matching-terms decomposition of Σ_{t∈q} ln P(t|d)
+    * under P(t|d) = (tf + μ·cf_t/|C|) / (dl + μ): only MATCHING postings
+    * are ever touched (the scale point — the naive form scores every
+    * (doc, term) combo), with the per-query constant
+    * K_q = Σ_{t∈q} ln(cf_t/|C|) + n_q·ln μ folded in so emitted scores
+    * are true log-likelihoods, not just rank-equivalent. Query terms
+    * absent from the collection (cf = 0) are dropped as uninformative
+    * (they price every document identically at −∞). Docs matching no
+    * surviving term never appear — the bm25TopK convention. Float
+    * discipline: same double ops in the same order as the oracle, only
+    * ln carries a 1-ulp risk, absorbed by round(4) (the bm25/DSIR
+    * story). Shape: broadcast query terms, one postings semi-join +
+    * keyed tf count, collection stats as a 1-row broadcast, pushed
+    * top-k per query.
+    */
+  def dirichletQlTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                      mu: Double = 2000.0,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(mu > 0, s"mu must be > 0, got $mu")
+    val qterms = broadcast(
+      queries.select(col("qid"), explode(col("terms")).as("t")).distinct())
+    val postings = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val dl = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val nTok = dl.agg(sum(col("dl")).as("n_tok"))
+    // collection frequency of the query terms only (broadcast semi-join
+    // prunes the postings before any aggregation)
+    val cf = postings
+      .join(broadcast(qterms.select(col("t")).distinct()), "t")
+      .groupBy(col("t")).agg(count(lit(1)).as("cf"))
+    // per-query constant over the cf>0 terms — query-sized frames only
+    val qconst = qterms.join(broadcast(cf), "t")
+      .crossJoin(broadcast(nTok))
+      .groupBy(col("qid"))
+      .agg((sum(log(col("cf") / col("n_tok"))) +
+        count(lit(1)) * log(lit(mu))).as("kq"),
+        count(lit(1)).as("nq"))
+    val tf = postings.join(broadcast(cf.select(col("t"))), "t")
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(cf), "t")
+      .join(qterms, "t")
+      .crossJoin(broadcast(nTok))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(log(lit(1.0) +
+        (col("tf") * col("n_tok")) / (lit(mu) * col("cf")))).as("m"))
+      .join(broadcast(qconst), "qid")
+      .join(dl, idCol)
+      .select(col("qid"), col(idCol),
+        round(col("m") + col("kq") -
+          col("nq") * log(col("dl") + lit(mu)), 4).as("score"))
+    Relational.topKPerGroup(scored, Seq(col("qid")),
+        Seq(col("score").desc, col(idCol)), k, rankCol = "rank")
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col(idCol), col("score"))
+  }
+
   /** Repetition signals per document — the boilerplate/looping-text
     * detectors pretraining quality gates use alongside `qualityMetrics`:
     * the fraction of all unigrams taken by the single most frequent token,

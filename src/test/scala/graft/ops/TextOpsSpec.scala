@@ -483,4 +483,30 @@ class TextOpsSpec extends SparkSpec {
       Text.jaroLinkagePairs(df, "nm", 10001L)
     }
   }
+
+  test("dirichletQlTopK: decomposed score equals the definitional " +
+      "log-likelihood; cf=0 terms drop; no-match docs and dead queries absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c d"))
+      .toDF("doc_id", "text")
+    val queries = Seq(
+      ("q1", Seq("a")),
+      ("q2", Seq("a", "zzz")), // zzz: cf = 0 → dropped → identical to q1
+      ("q3", Seq("zzz"))) // every term dead → query never appears
+      .toDF("qid", "terms")
+    val got = Text.dirichletQlTopK(docs, queries, 10, mu = 2.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // definitional check: P(a|d) = (tf + μ·cf/|C|)/(dl + μ), |C| = 9,
+    // cf(a) = 3 → d1: (2 + 2/3)/5 = 8/15; d2: (1 + 2/3)/4 = 5/12; d3 has
+    // no 'a' and must be absent
+    val q1 = got.filter(_._1 == "q1")
+    assert(q1.map(t => (t._2, t._3)).toSeq == Seq((1L, 1L), (2L, 2L)))
+    assert(math.abs(q1(0)._4 - math.log(8.0 / 15.0)) < 1e-4)
+    assert(math.abs(q1(1)._4 - math.log(5.0 / 12.0)) < 1e-4)
+    // the dead term changes nothing — scores AND ranks identical
+    assert(got.filter(_._1 == "q2").map(t => (t._2, t._3, t._4)).toSeq ==
+      q1.map(t => (t._2, t._3, t._4)).toSeq)
+    assert(!got.exists(_._1 == "q3"))
+  }
 }
