@@ -430,6 +430,53 @@ object FunctionQueries extends Catalog {
              |      ELSE 0 END END)::DOUBLE / 100.0 AS credited_value
              |FROM x GROUP BY 1 ORDER BY channel""".stripMargin)),
 
+    // Geospatial radius join (ops/Geo.cellRadiusJoin): every user pair
+    // within 0.1° (~11 km) of each other — the co-location primitive —
+    // over deterministic md5-derived home points clustered around five
+    // real city centers (±0.5°, the WAV-fixture discipline: both engines
+    // regenerate identical coordinates). NO runtime trig: the longitude
+    // shrink comes from the shared 91-entry integer CosBp table, so a
+    // cos() ulp can never flip a boundary pair; blocking is the
+    // pigeonhole 3×3 grid stamp (one candidate per qualifying pair, no
+    // distinct), verify is exact integer µ°² distance. The oracle is the
+    // quadratic definition over the same coordinates.
+    Q("geo_radius_join",
+      (s, dir) => {
+        def h(tag: String) = expr("(cast(conv(substring(md5(concat(" +
+          s"cast(user_id as string), ':$tag')), 1, 12), 16, 10) as bigint)" +
+          " % 1000001) - 500000")
+        val pts = load(s, dir, "events").select(col("user_id")).distinct()
+          .select(col("user_id").as("id"),
+            (expr("element_at(array(37774900L, 40712800L, 51507400L, " +
+              "35689500L, -33868800L), cast(user_id % 5 as int) + 1)") +
+              h("lat")).as("lat_micro"),
+            (expr("element_at(array(-122419400L, -74006000L, -130100L, " +
+              "139691700L, 151209300L), cast(user_id % 5 as int) + 1)") +
+              h("lon")).as("lon_micro"))
+        graft.ops.Geo.cellRadiusJoin(pts, 100000L)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |pts AS (SELECT user_id AS id,
+             |    ([37774900, 40712800, 51507400, 35689500, -33868800])
+             |      [(user_id % 5)::INT + 1]
+             |      + (('0x' || substr(md5(user_id::VARCHAR || ':lat'), 1, 12))
+             |          ::BIGINT % 1000001) - 500000 AS lat,
+             |    ([-122419400, -74006000, -130100, 139691700, 151209300])
+             |      [(user_id % 5)::INT + 1]
+             |      + (('0x' || substr(md5(user_id::VARCHAR || ':lon'), 1, 12))
+             |          ::BIGINT % 1000001) - 500000 AS lon
+             |  FROM u),
+             |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             |    a.lat - b.lat AS dlat,
+             |    ((a.lon - b.lon) * (${graft.ops.Geo.cosBpSqlList})
+             |      [((abs(a.lat + b.lat) // 2) // 1000000)::INT + 1]) // 10000
+             |      AS lt
+             |  FROM pts a JOIN pts b ON a.id < b.id)
+             |SELECT id_a, id_b, (dlat * dlat + lt * lt)::BIGINT AS d2
+             |FROM pr WHERE dlat * dlat + lt * lt <= 10000000000
+             |ORDER BY 1, 2""".stripMargin)),
+
     // TIME-DECAY multi-touch attribution (EventOps.attributionDecay) —
     // completes the trio: credit ∝ max(10⁴ div 2^age_days, 1), exact
     // integer split with remainder-to-latest (per-conversion credits sum
