@@ -209,6 +209,24 @@ object StoredIndexes {
       Seq(s.read.parquet(d).persist(mem))
     }).head
 
+  /** Stored DBSCAN clustering `(vec_id, role, cluster_rep)` over `dir`'s
+    * steady-state embedding corpus split (vec_id % 70 ≠ 0, matching the
+    * cosine index above) — the labeling an assign-only classifier probes.
+    * Built once per session × dir, persisted to parquet and read back
+    * warm; the `vector_dbscan_assign` twin then pays only batch banding +
+    * the index probe + one keyed min.
+    */
+  def dbscanLabels(s: SparkSession, dir: String): DataFrame =
+    cacheFor(s).computeIfAbsent(s"$dir|dbscan", _ => {
+      val d = newTempDir("graft-dbscan-")
+      Vectors.dbscanCosine(
+          load(s, dir, "embeddings").filter(col("vec_id") % VecMod =!= 0),
+          0.4, 2)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+
   /** Stored JOIN+agg view partials (`ops/Ivm`) over `dir`'s full sales
     * corpus: `γ_(o_orderstatus, c_mktsegment)(count, Σ revenue-units)
     * (lineitem ⋈ orders ⋈ customer)` — the materialized view a delta-
@@ -358,6 +376,7 @@ object StoredIndexes {
     ivf(s, dir)._1.count()
     aggState(s, dir).count()
     ivmView(s, dir).count()
+    dbscanLabels(s, dir).count()
     dsirLm(s, dir).count()
     bucketedSales(s, dir)._1.count()
     spanIdx(s, dir, 7).count()

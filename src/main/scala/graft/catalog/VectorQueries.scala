@@ -37,6 +37,31 @@ object VectorQueries extends Catalog {
   // by round — one argmax CTE per selection (the BPE/pageRank unroll
   // discipline), min-distance state folded ONE new center per round
   // exactly like the Spark side.
+  /** The DBSCAN clustering CTE chain (τ = 0.4, minPts = 2 neighbors) over
+    * the embeddings restricted by `where` — shared verbatim by the
+    * full-corpus query and the assign-only twin so the two clusterings
+    * cannot drift. Ends at `lab` (core → min-rep) and `border`.
+    */
+  private def dbscanCtes(where: String): String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings $where),
+       |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+       |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.e", "b.e")} >= 0.4),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |core AS (SELECT a AS id FROM sym GROUP BY a
+       |         HAVING count(*) >= 2),
+       |ce AS (SELECT s.a, s.b FROM sym s
+       |         JOIN core c1 ON s.a = c1.id JOIN core c2 ON s.b = c2.id
+       |       UNION ALL SELECT id, id FROM core),
+       |reach(a, b) AS (SELECT id, id FROM core
+       |  UNION
+       |  SELECT r.a, ce.b FROM reach r JOIN ce ON ce.a = r.b),
+       |lab AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
+       |border AS (SELECT s.a AS node, min(l.rep) AS rep
+       |  FROM sym s JOIN lab l ON s.b = l.node
+       |  WHERE s.a NOT IN (SELECT id FROM core)
+       |  GROUP BY s.a)""".stripMargin
+
   private def kCenterOracle(k: Int): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(range(64), j -> ($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1])))"
@@ -305,24 +330,7 @@ object VectorQueries extends Catalog {
       (s, dir) => Vectors.dbscanCosine(load(s, dir, "embeddings"), 0.4, 2)
         .orderBy(col("vec_id")),
       Some(s"""WITH RECURSIVE
-             |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-             |p AS (SELECT a.vec_id AS a, b.vec_id AS b
-             |      FROM v a JOIN v b ON a.vec_id < b.vec_id
-             |      WHERE ${cosSql("a.e", "b.e")} >= 0.4),
-             |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-             |core AS (SELECT a AS id FROM sym GROUP BY a
-             |         HAVING count(*) >= 2),
-             |ce AS (SELECT s.a, s.b FROM sym s
-             |         JOIN core c1 ON s.a = c1.id JOIN core c2 ON s.b = c2.id
-             |       UNION ALL SELECT id, id FROM core),
-             |reach(a, b) AS (SELECT id, id FROM core
-             |  UNION
-             |  SELECT r.a, ce.b FROM reach r JOIN ce ON ce.a = r.b),
-             |lab AS (SELECT a AS node, min(b) AS rep FROM reach GROUP BY a),
-             |border AS (SELECT s.a AS node, min(l.rep) AS rep
-             |  FROM sym s JOIN lab l ON s.b = l.node
-             |  WHERE s.a NOT IN (SELECT id FROM core)
-             |  GROUP BY s.a)
+             |${dbscanCtes("")}
              |SELECT v.vec_id,
              |  CASE WHEN lab.node IS NOT NULL THEN 'core'
              |       WHEN border.node IS NOT NULL THEN 'border'
@@ -330,6 +338,42 @@ object VectorQueries extends Catalog {
              |  coalesce(lab.rep, border.rep, -1)::BIGINT AS cluster_rep
              |FROM v LEFT JOIN lab ON lab.node = v.vec_id
              |LEFT JOIN border ON border.node = v.vec_id
+             |ORDER BY vec_id""".stripMargin)),
+
+    // STEADY-STATE classify: a 2% batch (vec_id % 70 = 0) labeled against
+    // the STORED clustering of the other 98% (StoredIndexes.dbscanLabels +
+    // the stored banded cosine index) — the assign-only inference path: a
+    // new point touching ≥1 stored core joins that cluster (min rep),
+    // else noise; the stored labels never move, and (honesty) new cores /
+    // cluster bridges need the full recompute, not this path. The oracle
+    // re-derives the corpus clustering AND the batch→corpus cosine pairs
+    // quadratically — the hash match proves index probe, core filter and
+    // min-rep assignment end to end.
+    Q("vector_dbscan_assign",
+      (s, dir) => {
+        val emb = load(s, dir, "embeddings")
+        val batch = emb.filter(col("vec_id") % StoredIndexes.VecMod === 0)
+        val (normed, banded) = StoredIndexes.cosine(s, dir)
+        val pairs = Vectors.cosineIncrementalIndexedPairs(
+            batch, normed, banded, 0.4)
+          .filter(col("dup_of") % StoredIndexes.VecMod =!= 0)
+        Vectors.dbscanAssign(batch.select(col("vec_id")), pairs,
+            StoredIndexes.dbscanLabels(s, dir))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE
+             |${dbscanCtes("WHERE vec_id % 70 <> 0")},
+             |nb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+             |       FROM embeddings WHERE vec_id % 70 = 0),
+             |pr AS (SELECT n.vec_id AS nid, v.vec_id AS cid
+             |       FROM nb n JOIN v ON ${cosSql("n.e", "v.e")} >= 0.4),
+             |asg AS (SELECT pr.nid, min(l.rep) AS rep
+             |        FROM pr JOIN lab l ON l.node = pr.cid GROUP BY 1)
+             |SELECT n.vec_id,
+             |  CASE WHEN a.rep IS NOT NULL THEN 'border'
+             |       ELSE 'noise' END AS role,
+             |  coalesce(a.rep, -1)::BIGINT AS cluster_rep
+             |FROM nb n LEFT JOIN asg a ON a.nid = n.vec_id
              |ORDER BY vec_id""".stripMargin)),
 
     // Sign-LSH candidate-budget pre-flight (Vectors.cosineBandCandidateBudget)

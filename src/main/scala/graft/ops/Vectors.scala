@@ -893,6 +893,38 @@ object Vectors {
         coalesce(col("_crep"), col("_brep"), lit(-1L)).as("cluster_rep"))
   }
 
+  /** ASSIGN-ONLY DBSCAN classify — the steady-state inference path: a
+    * batch of NEW vectors is labeled against a STORED clustering without
+    * re-clustering (the stored labels never move). A new point touching
+    * ≥ 1 stored CORE within the radius joins that core's cluster (several
+    * → the MIN rep, the dbscanCosine border rule); otherwise noise.
+    * HONESTY: this deliberately never promotes a new point to core — a
+    * batch dense enough to create new cores or bridge clusters needs the
+    * full `dbscanCosine` recompute (or cluster-merge maintenance); the
+    * assign-only contract is what an online classifier can promise
+    * without reading history.
+    *
+    * Inputs: `pairsToCorpus` = qualifying (idCol, dup_of = corpus id,
+    * …) batch→corpus pairs (e.g. `cosineIncrementalIndexedPairs` against
+    * the stored banded index), `labels` = the stored `dbscanCosine`
+    * output. Shape: one keyed join against the core labels + one keyed
+    * min — batch-sized work, the corpus never re-scanned.
+    */
+  def dbscanAssign(newIds: DataFrame, pairsToCorpus: DataFrame,
+                   labels: DataFrame, idCol: String = "vec_id"): DataFrame = {
+    val coreLabels = labels.filter(col("role") === "core")
+      .select(col(idCol).as("_core_id"), col("cluster_rep"))
+    val assigned = pairsToCorpus
+      .join(coreLabels, col("dup_of") === col("_core_id"))
+      .groupBy(col(idCol)).agg(min(col("cluster_rep")).as("_rep"))
+    newIds.select(col(idCol).cast("long").as(idCol))
+      .join(assigned, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_rep").isNotNull, lit("border")).otherwise(lit("noise"))
+          .as("role"),
+        coalesce(col("_rep"), lit(-1L)).as("cluster_rep"))
+  }
+
   // --------------------------------------------- stored IVF index lifecycle
 
   private def ivfCentroidsPath(dir: String) = s"$dir/centroids"

@@ -694,6 +694,26 @@ class DedupVectorsSpec extends SparkSpec {
     assert(out(6L) == ("border", 5L) && out(7L) == ("border", 5L))
   }
 
+  test("dbscanAssign: min-rep over CORE neighbors only — a border-only " +
+      "neighbor does not confer membership; untouched points are noise") {
+    val labels = Seq(
+      (100L, "core", 100L), (101L, "core", 100L),
+      (200L, "core", 200L), (150L, "border", 100L))
+      .toDF("vec_id", "role", "cluster_rep")
+    val pairs = Seq(
+      (1L, 100L), // one core neighbor → cluster 100
+      (2L, 200L), (2L, 101L), // two clusters' cores → MIN rep 100
+      (3L, 150L)) // only a BORDER neighbor → stays noise
+      .toDF("vec_id", "dup_of")
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val out = Vectors.dbscanAssign(ids, pairs, labels)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      1L -> ("border", 100L), 2L -> ("border", 100L),
+      3L -> ("noise", -1L), 4L -> ("noise", -1L)))
+  }
+
   test("dbscanCosine: minPts past every degree → all noise; labeling " +
       "invariant under partitioning") {
     val vecs = Seq(
