@@ -264,6 +264,54 @@ object StreamOps {
       .toDF("user_id", "twap_cents", "span_sec")
   }
 
+  final case class HoltState(l: Long, b: Long, n: Long)
+
+  /** ONLINE Holt forecasting — `EventOps.holtForecastBp` as bounded
+    * custom state: per user the state is exactly (level, trend, count) —
+    * three longs REGARDLESS of history length, where the batch form
+    * collects the key's full series (its documented bound). Each
+    * micro-batch folds its (sec, event_id)-ordered arrivals through the
+    * identical truncating recurrence and emits the user's refreshed
+    * h-step forecast — a live per-key forecaster whose latest emission
+    * matches the batch operator bit-for-bit on the same prefix.
+    * Per-key-ordered-log arrival contract (the twapStream shape): late
+    * cross-batch events would fold out of order, exactly as they would
+    * in any online smoother.
+    */
+  def holtStream(spark: SparkSession, events: DataFrame,
+                 alphaBp: Long = 5000L, betaBp: Long = 3000L,
+                 horizon: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(alphaBp >= 0 && alphaBp <= 10000, s"alphaBp out of range: $alphaBp")
+    require(betaBp >= 0 && betaBp <= 10000, s"betaBp out of range: $betaBp")
+    val a = alphaBp; val na = 10000L - alphaBp
+    val bw = betaBp; val nb = 10000L - betaBp
+    events.select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        (Exact.cents(col("value")) * 10000L).as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HoltState, (Long, Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var s = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, v) =>
+            s = if (s == null) HoltState(v, 0L, 1L)
+            else {
+              val l = (a * v + na * (s.l + s.b)) / 10000L
+              HoltState(l, (bw * (l - s.l) + nb * s.b) / 10000L, s.n + 1)
+            }
+          }
+          if (s == null) Iterator.empty
+          else {
+            state.update(s)
+            Iterator((uid, s.n, s.l, s.b, s.l + horizon * s.b))
+          }
+      }
+      .toDF("user_id", "n_events", "level_bp", "trend_bp", "forecast_bp")
+  }
+
   /** Stream-STATIC enrichment join: each streaming event decorated with a
     * static dimension row (user profile / segment lookup) — the third leg
     * of the streaming join taxonomy next to stream-stream

@@ -1034,6 +1034,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(rowsOf(History.readScd2Stored(spark, root)) == expect)
   }
 
+  test("holtStream: three-long state folds the identical truncating " +
+      "recurrence; latest emission equals the batch operator across " +
+      "micro-batch boundaries") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("holt-events")
+    def ev(id: Long, sec: Long, uid: Long, v: Double) =
+      s"""{"event_id":$id,"ts":"${java.time.Instant.ofEpochSecond(sec)}",""" +
+        s""""user_id":$uid,"event_type":"view","value":$v,"props":"{}"}"""
+    // the state must carry l/b ACROSS the file boundary
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p1.json"), Seq(
+      ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0),
+      ev(3, 0, 2, 4.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    Thread.sleep(5)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "p2.json"), Seq(
+      ev(4, 20, 1, 4.0)
+    ).mkString("\n").getBytes("UTF-8"))
+    val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val streamed = runToMemory(
+      StreamOps.holtStream(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)),
+      "holt", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val latest = streamed.groupBy(_._1).map { case (u, rows) =>
+      val r = rows.maxBy(_._2); u -> ((r._2, r._3, r._4, r._5)) }
+    val batch = EventOps.holtForecastBp(spark.read.schema(schema).json(dir))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(latest == batch)
+    // hand values: u1 after 3 obs — l₂=1.5e6, b₂=1.5e5; t₃: l = (5000·4e6
+    // + 5000·1.65e6) div 1e4 = 2825000, b = (3000·1325000 + 7000·150000)
+    // div 1e4 = 502500, forecast = 2825000 + 3·502500
+    assert(latest(1L) == ((3L, 2825000L, 502500L, 4332500L)))
+    assert(latest(2L) == ((1L, 4000000L, 0L, 4000000L)))
+  }
+
   test("ivmViewSink: streamed signed deltas maintain the join view; " +
       "value-only updates survive the fold; replay idempotent") {
     import org.apache.spark.sql.functions._
