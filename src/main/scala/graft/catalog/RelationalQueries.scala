@@ -3055,6 +3055,26 @@ object RelationalQueries extends Catalog {
       },
       Some(ktrussOracle(3))),
 
+    // STEADY STATE: the same truss over the STORED co-purchase edge table
+    // (+ the planted clique) — timed cost is the support-peel machinery
+    // alone, not the basket-edge rebuild that dominates the sibling at
+    // sf1 (26.1 s rebuild class). Same oracle: stored edges ≡ rebuilt
+    // edges, so the truss must resolve identically.
+    Q("graph_ktruss_indexed",
+      (s, dir) => {
+        import s.implicits._
+        val organic = StoredIndexes.basketEdges(s, dir)
+          .filter(col("support") >= 2)
+          .select(col("item_a").as("a"), col("item_b").as("b"))
+        val clique = (for { i <- 1 to 6; j <- (i + 1) to 6 }
+          yield (10000000L + i, 10000000L + j)).toDF("a", "b")
+        graft.ops.Graph.kTrussEdges(organic.unionByName(clique), k = 3)
+          .select(col("a").as("item_a"), col("b").as("item_b"),
+            col("support"))
+          .orderBy(col("item_a"), col("item_b"))
+      },
+      Some(ktrussOracle(3))),
+
     // JOIN-view incremental maintenance (ops/Ivm — Griffin & Libkin '95 /
     // DBToaster bilinear delta rule): the revenue-by-(status, segment)
     // view over lineitem ⋈ orders ⋈ customer is MAINTAINED under a batch
