@@ -3053,7 +3053,7 @@ object RelationalQueries extends Catalog {
             col("support"))
           .orderBy(col("item_a"), col("item_b"))
       },
-      Some(ktrussOracle(3))),
+      Some(ktrussOracle(6))),
 
     // STEADY STATE: the same truss over the STORED co-purchase edge table
     // (+ the planted clique) — timed cost is the support-peel machinery
@@ -3073,7 +3073,7 @@ object RelationalQueries extends Catalog {
             col("support"))
           .orderBy(col("item_a"), col("item_b"))
       },
-      Some(ktrussOracle(3))),
+      Some(ktrussOracle(6))),
 
     // JOIN-view incremental maintenance (ops/Ivm — Griffin & Libkin '95 /
     // DBToaster bilinear delta rule): the revenue-by-(status, segment)

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *    right metric for city-scale radii (≤ ~1°; haversine corrections at
   *    that range are far below the µ° grid);
   *  - pigeonhole-lossless blocking: cells of `rMicro` µ° in latitude and
-  *    `rMicro·10⁴ div cos(maxAbsLat)` in longitude (the worst-case
-  *    shrink over the corpus' latitude range), LEFT side stamped onto
+  *    `((rMicro+1)·10⁴ − 1) div cos(maxAbsLat)` in longitude (the max
+  *    |Δlon| the truncating metric can admit, at the worst-case shrink
+  *    over the corpus' latitude range), LEFT side stamped onto
   *    its 3×3 neighborhood, RIGHT side keyed home-cell only — every
   *    qualifying pair meets in exactly ONE (stamp, home) cell, so no
   *    distinct over the candidate fan-out (the BandedBits discipline,
@@ -54,7 +55,13 @@ object Geo {
     require(rMicro >= 1, s"rMicro must be >= 1, got $rMicro")
     require(maxAbsLatDeg >= 0 && maxAbsLatDeg <= 89,
       s"maxAbsLatDeg must be in [0, 89], got $maxAbsLatDeg")
-    val lonCell = rMicro * 10000L / CosBp(maxAbsLatDeg)
+    // Size the lon cell from the TRUE max qualifying |Δlon| under the
+    // truncating metric: |lonTerm| ≤ rMicro ⟺ |Δlon|·cosBp ≤ (rMicro+1)·10⁴−1,
+    // so |Δlon| can reach ((rMicro+1)·10⁴−1) div cosBp — strictly more than
+    // the naive rMicro·10⁴ div cosBp (truncation admits the extra ulp; e.g.
+    // rMicro=100000, cosBp=5000: Δlon=200001 still lands d2 = rMicro²).
+    // Worst case over the corpus is the smallest cosBp, i.e. maxAbsLatDeg.
+    val lonCell = ((rMicro + 1) * 10000L - 1) / CosBp(maxAbsLatDeg)
     val latBound = maxAbsLatDeg.toLong * 1000000L
     val p = points.select(col(idCol).cast("long").as("id"),
       col(latCol).cast("long").as("lat"), col(lonCol).cast("long").as("lon"))

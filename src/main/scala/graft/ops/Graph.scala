@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Undirected closure: both directions of each distinct edge. */
   def undirect(edges: DataFrame, src: String = "src",
                dst: String = "dst"): DataFrame =
@@ -787,6 +789,29 @@ object Graph {
     */
   def kTrussEdges(edges: DataFrame, k: Int, maxRounds: Int = 6,
                   a: String = "a", b: String = "b"): DataFrame = {
+    val (out, rounds, converged) =
+      kTrussEdgesWithStatus(edges, k, maxRounds, a, b)
+    // Warn ONLY on a genuinely unconfirmed fixpoint (the `components`
+    // discipline, Dedup.scala): a fixpoint confirmed exactly on the final
+    // allowed round is a success — rounds alone cannot distinguish them.
+    if (!converged)
+      log.warn(
+        s"kTrussEdges: peel hit the round cap (maxRounds=$maxRounds, ran " +
+          s"$rounds) without confirming the fixpoint; the returned edge " +
+          "set may still contain under-supported edges — raise maxRounds")
+    out
+  }
+
+  /** `kTrussEdges` plus the convergence evidence its iterative siblings
+    * (pageRank/LPA/two-star) report: `(truss, rounds, converged)`.
+    * `converged` is true iff a peel round removed nothing (count
+    * equality — peeling only removes) or the edge set emptied; a
+    * truncated peel is thereby OBSERVABLE, not distinguishable only by
+    * reading support values.
+    */
+  def kTrussEdgesWithStatus(edges: DataFrame, k: Int, maxRounds: Int = 6,
+                            a: String = "a", b: String = "b")
+      : (DataFrame, Int, Boolean) = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val minSup = (k - 2).toLong
@@ -806,7 +831,8 @@ object Graph {
       done = m == n || m == 0
       n = m; e = next; rounds += 1
     }
-    e.join(triangleSupport(e), Seq("a", "b"))
+    val out = e.join(triangleSupport(e), Seq("a", "b"))
       .select(col("a"), col("b"), col("support"))
+    (out, rounds, done)
   }
 }

@@ -154,10 +154,21 @@ object IncrAgg {
       org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, conf, true)
       new String(bytes.toByteArray, "UTF-8").split("\n").filter(_.nonEmpty).toSet
     }
+    // Hadoop FileSystem signals failure by RETURNING FALSE, not throwing —
+    // a silently failed staging→batch=0 swap after the covered dirs were
+    // deleted would leave the folded partials invisible (dot-prefixed) and
+    // under-count every read until some later fold retries. Fail loudly.
     foldable().filter(s => covered.contains(s.getPath.getName))
-      .foreach(s => fs.delete(s.getPath, true))
-    fs.rename(staging, new org.apache.hadoop.fs.Path(root + "/batch=0"))
-    fs.delete(new org.apache.hadoop.fs.Path(root + "/batch=0/.fold_ids"), false)
+      .foreach { s =>
+        require(fs.delete(s.getPath, true),
+          s"foldStateWith: delete of covered batch dir ${s.getPath} failed")
+      }
+    val dest = new org.apache.hadoop.fs.Path(root + "/batch=0")
+    require(fs.rename(staging, dest),
+      s"foldStateWith: staging→$dest swap failed — folded state would be " +
+        "invisible while its covered batches are already deleted")
+    require(fs.delete(new org.apache.hadoop.fs.Path(dest, ".fold_ids"), false),
+      s"foldStateWith: manifest cleanup under $dest failed")
     ()
   }
 }

@@ -58,6 +58,27 @@ class GeoSpec extends SparkSpec {
     assert(one == many && one == got)
   }
 
+  test("cellRadiusJoin: lon cell sized for the truncating metric's max " +
+      "qualifying Δlon (the rMicro·10⁴ div cosBp cell silently drops it)") {
+    // At lat 60° (cosBp 5000), Δlon = 200001 truncates to lonTerm =
+    // (200001·5000) div 10⁴ = 100000 = rMicro exactly — a qualifying pair
+    // whose |Δlon| EXCEEDS the naive cell rMicro·10⁴/cosBp = 200000. The
+    // corrected cell ((rMicro+1)·10⁴−1)/cosBp = 200001 keeps it adjacent.
+    val r = 100000L
+    val pts = Seq(
+      (1L, 60000000L, 199999L), (2L, 60000000L, 400000L), // Δlon = 200001
+      // one past the metric's reach: Δlon = 200002 → lonTerm = 100001 → out
+      (3L, 60000000L, 1199999L), (4L, 60000000L, 1400001L))
+      .toDF("id", "lat_micro", "lon_micro")
+    val got = pairs(pts, r)
+    assert(got == Set((1L, 2L, r * r)), s"got $got")
+    // and one past the new cell boundary on the lat axis for symmetry:
+    // qualifying |Δlat| is exactly rMicro (metric is exact there)
+    val lat = Seq((1L, 0L, 0L), (2L, r, 0L), (3L, 5000000L, 0L),
+      (4L, 5000000L + r + 1L, 0L)).toDF("id", "lat_micro", "lon_micro")
+    assert(pairs(lat, r).map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("cellRadiusJoin: a point past the declared latitude bound raises " +
       "instead of silently losing pairs") {
     val pts = Seq((1L, 61000000L, 0L), (2L, 60900000L, 0L))

@@ -482,4 +482,25 @@ class GraphSpec extends SparkSpec {
     assert(k3.size == 5 && k3.filter(e => (e._1, e._2) == (31L, 32L))
       .head._3 == 2L)
   }
+
+  test("kTrussEdgesWithStatus: truncated vs converged peels are " +
+      "OBSERVABLE, not inferred from support values") {
+    // the bowtie at k=4 needs 3 rounds to confirm the empty fixpoint:
+    // round 1 kills the outer edges, round 2 the cascaded shared edge,
+    // round 3 confirms (0 == 0 short-circuits via m == 0 in round 2)
+    val bowtie = Seq((30L, 31L), (30L, 32L), (31L, 32L), (31L, 33L),
+      (32L, 33L)).toDF("a", "b")
+    val (_, r1, ok1) = Graph.kTrussEdgesWithStatus(bowtie, 4, maxRounds = 1)
+    assert(r1 == 1 && !ok1, s"expected cap cut, got ($r1, $ok1)")
+    val (out, r2, ok2) = Graph.kTrussEdgesWithStatus(bowtie, 4)
+    assert(ok2 && r2 >= 2, s"expected confirmed fixpoint, got ($r2, $ok2)")
+    assert(trussSet(out).isEmpty)
+    // a stable truss confirms on the round that removes nothing — a
+    // fixpoint confirmed exactly on the last allowed round is converged
+    val clique = (for { i <- 1L to 4L; j <- (i + 1) to 4L }
+      yield (i, j)).toDF("a", "b")
+    val (k4, rc, okc) = Graph.kTrussEdgesWithStatus(clique, 4, maxRounds = 1)
+    assert(rc == 1 && okc, s"expected confirmed-on-last-round, got ($rc, $okc)")
+    assert(trussSet(k4).size == 6 && trussSet(k4).forall(_._3 == 2L))
+  }
 }
