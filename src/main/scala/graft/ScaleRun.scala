@@ -65,6 +65,40 @@ object ScaleRun {
       s""""sec":$sSec}""")
     spark.catalog.clearCache()
 
+    // --- minhash, catalog knobs (16 hashes, 8 bands × 2): the text-side
+    // workhorse, now through the packed-long single-join first-matching-
+    // band shape (round-13 rewrite — no distinct over the fan-out, no
+    // candidate re-shuffle before the Jaccard verify join-backs) ---------
+    val (mb, mbSec) = timed(
+      ops.Dedup.minHashCandidateBudget(docs).collect()(0))
+    println(s"""{"run":"minhash_budget","knobs":"8x2","dir":"$dir",""" +
+      s""""n":${mb.getLong(0)},"cand_pairs":${mb.getLong(3)},"sec":$mbSec}""")
+    val (mPairs, mSec) = timed(
+      ops.Dedup.minHashNearDupPairs(docs, 0.5)
+        .agg(count(lit(1)), coalesce(round(min(col("jaccard")), 4), lit(-1.0)))
+        .collect()(0))
+    println(s"""{"run":"minhash_pairs","knobs":"8x2 j>=0.5","dir":"$dir",""" +
+      s""""pairs":${mPairs.getLong(0)},"min_jaccard":${mPairs.getDouble(1)},""" +
+      s""""sec":$mSec}""")
+    spark.catalog.clearCache()
+
+    // --- ngram-Jaccard PPJoin, catalog knobs (3-grams, t = 0.6): the
+    // prefix-filter regime priced by the new ngramCandidateBudget first,
+    // then paid — candidates emit at their first shared prefix shingle
+    // (round-13 `ear` residual), so the join streams with no distinct ---
+    val (nb, nbSec) = timed(
+      ops.Dedup.ngramCandidateBudget(docs, 3, 0.6).collect()(0))
+    println(s"""{"run":"ngram_budget","knobs":"3g t0.6","dir":"$dir",""" +
+      s""""n":${nb.getLong(0)},"cand_pairs":${nb.getLong(3)},"sec":$nbSec}""")
+    val (nPairs, nSec) = timed(
+      ops.Dedup.ngramJaccardPairs(docs, 3, 0.6)
+        .agg(count(lit(1)), coalesce(round(min(col("jaccard")), 4), lit(-1.0)))
+        .collect()(0))
+    println(s"""{"run":"ngram_pairs","knobs":"3g j>=0.6","dir":"$dir",""" +
+      s""""pairs":${nPairs.getLong(0)},"min_jaccard":${nPairs.getDouble(1)},""" +
+      s""""sec":$nSec}""")
+    spark.catalog.clearCache()
+
     // --- cosine, decade-scaled planes ----------------------------------
     val (cb, cbSec) = timed(ops.Vectors.cosineBandCandidateBudget(
       emb, planesPerBand = cosPlanes, bands = cosBands).collect()(0))

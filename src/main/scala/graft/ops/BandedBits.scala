@@ -53,4 +53,22 @@ private[graft] object BandedBits {
         shiftright(bkey, width) * lit(width)) - 1
     probe.bitwiseAND(earlierMask) === 0
   }
+
+  /** First-matching-band residual for signatures WIDER than one long
+    * (MinHash: numHashes × 28-bit values): each side carries its array of
+    * per-band join keys (`aKeys`/`bKeys`, one long per band), `band` is
+    * this row's band index, and the predicate statically unrolls "no band
+    * strictly below this one also agrees" — plain `element_at`
+    * comparisons on literal indices, fully codegen, no higher-order
+    * functions. Same contract as `firstMatchingBand`: an equi-join on the
+    * per-band key emits every agreeing pair exactly once, so NO distinct
+    * over the candidate fan-out and no id-keyed join-back to dedup.
+    */
+  def firstMatchingWideBand(aKeys: Column, bKeys: Column, band: Column,
+                            bands: Int): Column =
+    if (bands == 1) lit(true)
+    else (0 until bands - 1).map { bp =>
+      band <= lit(bp.toLong) ||
+        element_at(aKeys, bp + 1) =!= element_at(bKeys, bp + 1)
+    }.reduce(_ && _)
 }

@@ -109,6 +109,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    if (rowsPerBand <= 2 && bands <= 64)
+      return minHashNearDupPairsPacked(docs, threshold, numHashes, bands,
+        rowsPerBand, shingleSize, idCol, textCol, storage)
+    // Wide bands (> 2 rows × 28 bits don't fit a packed long key): the
+    // string-keyed band join with a distinct over the candidate fan-out.
     val (toks, banded, release) =
       minHashSide(docs, numHashes, bands, shingleSize, idCol, textCol, storage)
     val cand = banded.as("a")
@@ -117,14 +124,75 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    val pairs = cand
+    val pairs = verifyJaccard(cand, toks, threshold)
+    (pairs, release)
+  }
+
+  /** The scale shape of the MinHash pair join (any `rowsPerBand` ≤ 2,
+    * `bands` ≤ 64 — covers the 16×(8×2) default): each band's key packs
+    * into ONE long — band index in the high bits, the band's 28-bit
+    * minhash values below it, a BIJECTION of (band, values) so the
+    * candidate SET is identical to the string-keyed banding the oracle
+    * replays — and the self-equi-join on that long carries a
+    * FIRST-MATCHING-BAND residual (`BandedBits.firstMatchingWideBand`
+    * over the carried per-band key array): a pair agreeing on several
+    * bands is emitted exactly once, at its lowest agreeing band. That
+    * removes the `distinct` over the candidate fan-out — the extra full
+    * candidate-stream shuffle plus the build-side hash table that OOM'd
+    * the simhash sibling at 10⁹ sf10 candidates before its round-12
+    * rewrite (ops/Dedup.scala simHashNearDupPairs) — while the exact
+    * Jaccard verify stays the two id-keyed joins against the CACHED
+    * shingle sets (the verify payload is a set, not a fixed-width
+    * fingerprint, so carrying it through the band explode would shuffle
+    * every shingle list `bands`× — join-backs on the already-unique
+    * candidate stream are the cheaper side of that trade at every scale).
+    */
+  private def minHashNearDupPairsPacked(
+      docs: DataFrame, threshold: Double, numHashes: Int, bands: Int,
+      rowsPerBand: Int, shingleSize: Int, idCol: String, textCol: String,
+      storage: org.apache.spark.storage.StorageLevel): (DataFrame, () => Unit) = {
+    def cached(df: DataFrame) =
+      if (storage == org.apache.spark.storage.StorageLevel.NONE) df
+      else df.persist(storage)
+    val toks = cached(docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("ts")))
+    val sigCols = (0 until numHashes).map(s =>
+      min(minHashPerm(s, col("h"))).as(s"s$s"))
+    val sigs = toks
+      .select(col("id"), explode(col("ts")).as("t"))
+      .select(col("id"), tokenHash28(col("t")).as("h"))
+      .groupBy(col("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    // bkey(b) = (b << 28·rowsPerBand) | s_{b·r} << 28·(r−1) | … | s_{b·r+r−1}
+    // — ≤ 62 bits for rowsPerBand ≤ 2, bands ≤ 64; values < 2^28 (mod P).
+    def bkey(b: Int): Column =
+      (0 until rowsPerBand).foldLeft(
+        lit(b.toLong << (28 * rowsPerBand)): Column)((acc, r) =>
+        acc.bitwiseOR(shiftleft(col(s"s${b * rowsPerBand + r}"),
+          28 * (rowsPerBand - 1 - r))))
+    val banded = cached(sigs
+      .select(col("id"), array((0 until bands).map(bkey): _*).as("bks"))
+      .select(col("id"), col("bks"), explode(col("bks")).as("bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          BandedBits.firstMatchingWideBand(col("a.bks"), col("b.bks"),
+            shiftright(col("a.bkey"), 28 * rowsPerBand), bands))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+    (verifyJaccard(cand, toks, threshold),
+      () => { toks.unpersist(); banded.unpersist(); () })
+  }
+
+  /** Exact-Jaccard verify of a unique candidate stream against the cached
+    * shingle sets — shared tail of both MinHash pair-join shapes.
+    */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame,
+                            threshold: Double): DataFrame =
+    cand
       .join(toks.select(col("id").as("i"), col("ts").as("ts_a")), "i")
       .join(toks.select(col("id").as("j"), col("ts").as("ts_b")), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(jaccard(col("ts_a"), col("ts_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    (pairs, release)
-  }
 
   // ----------------------------------------------- incremental (steady state)
 
@@ -892,12 +960,16 @@ object Dedup {
     * partial aggs) → per-doc rank (shuffle on doc) → prefix self-equi-join
     * on (lang, digest) — every stage is a standard distributed shuffle on
     * a small key; nothing is quadratic except within prefix-shingle blocks,
-    * which df-ordering keeps near-singleton. Two further prunes matter at
-    * 100 TB: every stage carries 8-byte xxhash64 shingle DIGESTS, never the
-    * n-token strings (`shingleDigests` — the verify join-back was the
-    * dominant shuffle volume on strings), and candidates pass PPJoin's
-    * LENGTH filter t·max(|A|,|B|) ≤ min(|A|,|B|) (a Jaccard ≥ t pair cannot
-    * differ in size by more than 1/t) BEFORE the distinct shuffle.
+    * which df-ordering keeps near-singleton. Three further prunes matter
+    * at 100 TB: every stage carries 8-byte xxhash64 shingle DIGESTS, never
+    * the n-token strings (`shingleDigests` — the verify join-back was the
+    * dominant shuffle volume on strings); candidates pass PPJoin's LENGTH
+    * filter t·max(|A|,|B|) ≤ min(|A|,|B|) (a Jaccard ≥ t pair cannot
+    * differ in size by more than 1/t) inside the join; and each pair is
+    * emitted at its globally-FIRST shared prefix shingle (the `ear`
+    * no-earlier-overlap residual below), so there is NO distinct over the
+    * candidate fan-out — the candidate stream flows straight into the
+    * Jaccard verify, and the only shuffles are linear in corpus size.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -920,11 +992,25 @@ object Dedup {
     // bound, silently dropping qualifying pairs. The +2 keeps the bound
     // conservative under any sub-integer float error — at worst one extra
     // prefix shingle per doc, never a lost pair.
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    // `ear` = the doc's prefix shingles STRICTLY BEFORE this row in the
+    // global (df, s) order — computed on the rows that SURVIVE the rk
+    // filter (the prefix is itself a prefix of that order, so earlier-
+    // in-prefix ≡ earlier-overall), same partitioning/sort as the
+    // row_number window → no extra shuffle. It powers the first-shared-
+    // prefix-shingle residual below: both prefixes are sorted by the SAME
+    // global order, so a shared shingle earlier than this row's exists
+    // iff the two `ear` arrays overlap — each qualifying pair is emitted
+    // at exactly ONE shared shingle (the globally first), eliminating the
+    // distinct whose shuffle + build-side hash table scale with the
+    // candidate fan-out (the 10⁹-candidate sf10 killer; the BandedBits
+    // first-matching-band discipline, prefix-filter edition).
     val prefix = ex.join(dfreq, "s")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-      .select(col("id"), col("lang"), col("s"), col("n"))
+      .withColumn("ear", collect_list(col("s")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("id"), col("lang"), col("s"), col("n"), col("ear"))
     // Length filter: J(A,B) ≤ min/max, so J ≥ t forces t·|A| ≤ |B| and
     // t·|B| ≤ |A|. The 1e-6 slack keeps the prune conservative under
     // double rounding of t·n (sizes are exact ints; the product's float
@@ -933,15 +1019,54 @@ object Dedup {
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id") &&
           lit(threshold) * col("a.n") <= col("b.n") + lit(1e-6) &&
-          lit(threshold) * col("b.n") <= col("a.n") + lit(1e-6))
+          lit(threshold) * col("b.n") <= col("a.n") + lit(1e-6) &&
+          !arrays_overlap(col("a.ear"), col("b.ear")))
       .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
     cand
       .join(t.select(col("id").as("i"), col("sh").as("sh_a")), "i")
       .join(t.select(col("id").as("j"), col("sh").as("sh_b")), "j")
       .select(col("i").as("doc_a"), col("j").as("doc_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate-pair BUDGET of the PPJoin prefix filter WITHOUT the
+    * self-join — the fourth member of the LSH pre-flight family
+    * (`simHashCandidateBudget` / `minHashCandidateBudget` /
+    * `Vectors.cosineBandCandidateBudget`), completing it for the
+    * prefix-filter regime: Σ C(c, 2) over (lang, prefix-shingle) buckets
+    * is EXACTLY the row count the prefix self-equi-join would emit
+    * before its length/first-shared residuals — the number to price
+    * before paying a corpus-sized PPJoin (the budgets deliberately
+    * ignore the residual filters: they bound the join's fan-out, not
+    * its output). One shingle pass + one keyed count, O(corpus).
+    * Not oracle-replayable (prefix tie-breaks order on xxhash64 digests
+    * DuckDB lacks); pinned instead by the fan-out-equality spec.
+    */
+  def ngramCandidateBudget(docs: DataFrame, n: Int,
+                           threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = docs.select(col("doc_id").as("id"), col("lang"),
+      shingleDigests(col("text"), n).as("sh"))
+    val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
+      size(col("sh")).as("n"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
+    val summary = prefix.groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+        coalesce(sum(expr("(c * (c - 1)) div 2").cast(dec)),
+          lit(0).cast(dec)).cast("long").as("cand_pairs"))
+    t.agg(sum(when(size(col("sh")) > 0, 1L).otherwise(0L))
+        .cast("long").as("n_docs"))
+      .crossJoin(summary)
+      .select(col("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("cand_pairs"))
   }
 
   /** Exact n-gram CONTAINMENT pairs: directed (src, dst) where at least

@@ -267,15 +267,40 @@ object Vectors {
     * at 100 TB the corpus re-read is the dominant cost. With them it is
     * read once. Mirrors `Dedup.minHashNearDupPairsWithHandle`.
     */
+  /** Stage-1 slack of the staged verify: a pair is pruned only when its
+    * Cauchy-Schwarz upper bound sits at least this far BELOW the
+    * threshold. round6 can lift a cosine by at most 5e-7 and the bound's
+    * own double arithmetic wanders ~1e-13 relative, so 1e-5 makes the
+    * prune a theorem with five decades to spare while costing essentially
+    * no extra survivors (the bound's variance is ≫ 1e-5).
+    */
+  private val StagedVerifySlack = 1e-5
+
   private[graft] def cosineNearDupPairsBandedWithHandle(
       vectors: DataFrame, threshold: Double,
       planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, () => Unit) = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      prefixDims: Int = 16): (DataFrame, () => Unit) = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
-    val v = normedById(vectors, idCol, vecCol).persist(storage)
-    val banded = bandedSigs(v, signs, planesPerBand, bands).persist(storage)
+    val p = math.min(math.max(prefixDims, 0), dims)
+    // Both banded sides carry the vector, its norm, and the staged-verify
+    // prefix/residual pair, so the WHOLE verify runs INLINE in the band
+    // join — the simhash discipline extended to a wide payload. The
+    // payload inflation is per-CORPUS-row (bands × vector width), while
+    // the two id-keyed join-backs it replaces shuffled the CANDIDATE
+    // stream — quadratic in bucket sizes, with the first fetched vector
+    // attached to every candidate row on the second hop (at the sf10
+    // probe that was 160 M rows × a 0.5 KB payload re-shuffled twice vs
+    // 200 k × 6 banded rows carried once). Candidates now stream through
+    // two codegen'd filters and never hit an exchange.
+    val v = normedById(vectors, idCol, vecCol)
+      .withColumn("pv", slice(col("v"), 1, p))
+      .withColumn("rn", sqrt(greatest(
+        dot(col("v"), col("v")) - dot(col("pv"), col("pv")), lit(0.0))))
+    val banded = bandExplode(v, packedSignBits(col("v"), signs),
+      planesPerBand, bands).persist(storage)
     // The pair join's OUTPUT is quadratic in band-bucket sizes while its
     // INPUT is one row per (vector, band) — left alone, the streamed side
     // inherits the embedding SCAN's partitioning, so a corpus small
@@ -288,16 +313,35 @@ object Vectors {
     // broadcast-infeasible scale the join becomes a keyed shuffle on
     // bkey and this tiny pre-shuffle is absorbed by it.)
     val parts = vectors.sparkSession.sessionState.conf.numShufflePartitions
-    val cand = banded.repartition(parts, col("id")).as("a")
+    // Staged exact verify (Matryoshka prefix + Cauchy-Schwarz residual):
+    //   dot(a, b) = dot(a_p, b_p) + dot(a_r, b_r) ≤ dot(a_p, b_p) + |a_r|·|b_r|
+    // so a candidate whose p-dim prefix dot plus residual-norm product
+    // falls below (τ − slack)·|a|·|b| is PROVABLY sub-τ and skips the
+    // full dims-dim product — lossless by the inequality, so the emitted
+    // pair set and every cosine value are bit-identical to the unstaged
+    // verify (the oracle hash is the proof). On front-loaded
+    // (Matryoshka-trained) embeddings the prefix carries most energy and
+    // stage 1 prunes hard; on isotropic corpora the residual-norm term
+    // hovers near (dims−p)/dims and prunes only when τ exceeds it — the
+    // bound degrades to a ~p/dims flop overhead, never to a wrong answer.
+    // Condition order matters and is deliberate (the cosineNearDupPairs
+    // lesson): cheap id/band tests first, then the p-dim bound, then the
+    // full product — And short-circuits left to right in codegen.
+    val stage1 =
+      dot(col("a.pv"), col("b.pv")) + col("a.rn") * col("b.rn") >=
+        lit(threshold - StagedVerifySlack) * (col("a.nrm") * col("b.nrm"))
+    val cosFull = round6(
+      dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+    val pairs = banded.repartition(parts, col("id")).as("a")
       .join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
           firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
-            planesPerBand, bands))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-    val pairs = cosVerify(cand, v, v)
-      .select(col("i").as("vec_a"), col("j").as("vec_b"), col("cosine"))
-      .filter(col("cosine") >= threshold)
-    (pairs, () => { v.unpersist(); banded.unpersist(); () })
+            planesPerBand, bands) &&
+          (if (p == 0) lit(true) else stage1) &&
+          cosFull >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosFull.as("cosine"))
+    (pairs, () => { banded.unpersist(); () })
   }
 
   /** Embedding near-dup detection for a NEW batch against an existing

@@ -202,12 +202,16 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("vector similarity queries read the embeddings file once, through caches") {
-    // cosineNearDupPairsBanded / annTopK reference the vector lineage four
-    // times (band-join sides + verify join-backs); the persist contract
-    // means the OUTER plan sees only InMemoryTableScans — the one real
-    // FileScan lives inside the InMemoryRelation. Without the caches the
-    // corpus is re-read per reference: the 100 TB dominant cost.
-    Seq("dedup_embedding_cosine", "sim_ann_lsh", "dedup_incremental_embedding").foreach { name =>
+    // Every multi-reference of the vector lineage must resolve to ONE
+    // cached materialization — the OUTER plan sees only
+    // InMemoryTableScans; the one real FileScan lives inside the
+    // InMemoryRelation. Without the caches the corpus is re-read per
+    // reference: the 100 TB dominant cost. Reference counts differ by
+    // shape: the round-13 inline banded verify carries vectors through
+    // the band join (2 references — both self-join sides, no join-backs);
+    // annTopK/incremental still join back (≥ 3).
+    Seq("dedup_embedding_cosine" -> 2, "sim_ann_lsh" -> 3,
+        "dedup_incremental_embedding" -> 3).foreach { case (name, minMem) =>
       val p = q(name)
       val fileScans = p.collect {
         case s: FileSourceScanExec if s.relation.location.inputFiles
@@ -218,7 +222,7 @@ class PlanContractSpec extends SparkSpec {
       val mem = p.collect {
         case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
       }
-      assert(mem.size >= 3, s"$name plans only ${mem.size} cache scans")
+      assert(mem.size >= minMem, s"$name plans only ${mem.size} cache scans")
     }
   }
 

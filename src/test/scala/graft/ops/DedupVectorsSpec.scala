@@ -346,6 +346,70 @@ class DedupVectorsSpec extends SparkSpec {
     assert(collectPairs(Vectors.cosineNearDupPairsBanded(vecs(6), 0.5, dims = 8)) == exact)
   }
 
+  test("staged banded verify: the prefix+Cauchy-Schwarz bound is valid, " +
+      "tightens monotonically with prefix width, and stays lossless at " +
+      "every width") {
+    val raw = (1L to 60L)
+      .map(i => (i, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat)))
+    // bound math, pinned directly: UB(p) = dot_p + |a_r||b_r| ≥ dot(a,b)
+    // for every p (Cauchy-Schwarz), and UB is non-increasing in p (CS on
+    // the (|mid|, |rest|) 2-vectors), reaching the exact dot at p = dims
+    def dotP(a: Array[Float], b: Array[Float], from: Int, until: Int) =
+      (from until until).map(k => a(k).toDouble * b(k)).sum
+    def ub(a: Array[Float], b: Array[Float], p: Int) =
+      dotP(a, b, 0, p) + math.sqrt(dotP(a, a, p, 8)) * math.sqrt(dotP(b, b, p, 8))
+    for {
+      (i, a) <- raw.take(12); (j, b) <- raw.take(12) if i < j
+    } {
+      val exact = dotP(a, b, 0, 8)
+      val ubs = (0 to 8).map(p => ub(a, b, p))
+      ubs.foreach(u => assert(u >= exact - 1e-9, s"CS bound below dot at ($i,$j)"))
+      ubs.sliding(2).foreach { w =>
+        assert(w(1) <= w(0) + 1e-9, s"bound not monotone at ($i,$j)")
+      }
+      assert(math.abs(ubs.last - exact) < 1e-9)
+    }
+    // and a prefix-heavy pair where the bound provably FIRES below τ=0.5:
+    // orthogonal 4-dim prefixes + tiny residuals → UB(4) ≈ εa·εb ≪ τ
+    val hot = (
+      Array(1f, 0f, 0f, 0f, 0.01f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0.01f, 0f, 0f))
+    assert(ub(hot._1, hot._2, 4) < 0.001 && ub(hot._1, hot._2, 0) > 0.99,
+      "prefix bound must separate what the norms-only bound cannot")
+    // losslessness end-to-end at EVERY prefix width (0 = disabled,
+    // 8 = exact-dot stage): the staged pair set ≡ quadratic reference
+    val vecs = raw.toDF("vec_id", "embedding")
+    val exactPairs = collectPairs(Vectors.cosineNearDupPairs(vecs, 0.5))
+    assert(exactPairs.nonEmpty)
+    for (p <- Seq(0, 2, 4, 8)) {
+      val (pairs, release) = Vectors.cosineNearDupPairsBandedWithHandle(
+        vecs, 0.5, dims = 8, prefixDims = p)
+      assert(collectPairs(pairs) == exactPairs, s"lossless fails at p=$p")
+      release()
+    }
+  }
+
+  test("ngramCandidateBudget: Σ C(bucket,2) over (lang, prefix-shingle) " +
+      "buckets — hand-derivable on identical docs, lang-partitioned, " +
+      "partitioning-invariant") {
+    // three IDENTICAL en docs: 10 distinct tokens → 8 shingles, prefix
+    // bound floor(0.4·8)+2 = 5 → the SAME 5 digest-min shingles in every
+    // doc → 5 buckets of c=3 → cand_pairs = 5·C(3,2) = 15. A fourth
+    // identical doc in another lang buckets separately (c=1, no pairs).
+    val text = "a b c d e f g h i j"
+    def corpus(parts: Int) = Seq(
+      (1L, "en", text), (2L, "en", text), (3L, "en", text),
+      (4L, "de", text)).toDF("doc_id", "lang", "text").repartition(parts)
+    val r = Dedup.ngramCandidateBudget(corpus(1), 3, 0.6).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 10L, 3L, 15L)), s"got $r")
+    val r7 = Dedup.ngramCandidateBudget(corpus(7), 3, 0.6).collect()(0)
+    assert(r.toSeq == r7.toSeq)
+    // the budget bounds the realized join: verified pairs ≤ cand_pairs
+    val pairs = Dedup.ngramJaccardPairs(corpus(1), 3, 0.6).count()
+    assert(pairs == 3L && pairs <= r.getLong(3))
+  }
+
   test("containmentPairs: an excerpt is contained in its superset, not vice versa") {
     val d = Seq(
       (1L, "en", "alpha beta gamma delta epsilon zeta"), // excerpt of 2
