@@ -564,5 +564,144 @@ object CurateQueries extends Catalog {
              |SELECT doc_id, shard,
              |  row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
              |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // URL/domain curation family (ops/Url) over deterministic md5-derived
+    // URLs (the WAV/geo fixture discipline — both engines regenerate the
+    // identical strings: scheme/userinfo/case/port/path/query variation,
+    // 30 sites × 8 TLDs incl. 3 multi-label public suffixes, subdomains
+    // to depth 2). Host extraction is one shared RE2 pattern; the
+    // registrable-domain rule is the pinned PSL-subset CASE both engines
+    // replay.
+    Q("curate_domain_extract",
+      (s, dir) => urlDocs(s, dir)
+        .select(col("doc_id"), graft.ops.Url.host(col("url")).as("host"),
+          graft.ops.Url.registrableDomain(
+            graft.ops.Url.host(col("url"))).as("domain"))
+        .orderBy(col("doc_id")),
+      Some(s"""$UrlFixtureCte
+             |SELECT doc_id, ${graft.ops.Url.hostSql("url")} AS host,
+             |  ${graft.ops.Url.registrableDomainSql(
+                  graft.ops.Url.hostSql("url"))} AS domain
+             |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // Per-domain quota cap — the curate_lang_cap shape keyed on the
+    // registrable domain: at most 5 docs per domain, preferring higher
+    // distinct-token ratio (integer basis points), ties to the smaller
+    // doc_id. WindowGroupLimit pushes the limit below the per-domain sort;
+    // no global sort, no skew beyond the domain histogram itself.
+    Q("curate_domain_cap",
+      (s, dir) => graft.ops.Relational.topKPerGroup(
+          urlDocs(s, dir).select(col("doc_id"),
+            graft.ops.Url.registrableDomain(
+              graft.ops.Url.host(col("url"))).as("domain"),
+            graft.ops.Exact.ratioBp(
+              size(array_distinct(split(col("text"), " "))).cast("long"),
+              size(split(col("text"), " ")).cast("long")).as("distinct_bp")),
+          Seq(col("domain")),
+          Seq(col("distinct_bp").desc, col("doc_id").asc), 5, rankCol = "rank")
+        .select(col("domain"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("distinct_bp"))
+        .orderBy(col("domain"), col("rank")),
+      Some(s"""$UrlFixtureCte
+             |SELECT domain, rank, doc_id, distinct_bp FROM (
+             |  SELECT domain, doc_id, distinct_bp,
+             |    row_number() OVER (PARTITION BY domain
+             |      ORDER BY distinct_bp DESC, doc_id) AS rank
+             |  FROM (SELECT doc_id,
+             |      ${graft.ops.Url.registrableDomainSql(
+                      graft.ops.Url.hostSql("url"))} AS domain,
+             |      CAST(floor(len(list_distinct($Toks))::DOUBLE * 10000
+             |        / len($Toks)) AS BIGINT) AS distinct_bp
+             |    FROM u) m) t
+             |WHERE rank <= 5 ORDER BY domain, rank""".stripMargin)),
+
+    // Domain blocklist anti-join — survivors per registrable domain after
+    // removing blocked domains (subdomain coverage is inherent: blocking
+    // happens at the registrable-domain key, so www./cdn.eu. variants of
+    // a blocked apex all drop). The blocklist is config-sized → Spark
+    // broadcasts the anti-join build side; the probe stays one narrow
+    // pass over the corpus.
+    Q("curate_domain_blocklist",
+      (s, dir) => {
+        import s.implicits._
+        val blocked = Seq("site0.com", "site1.co.uk", "site2.de",
+          "site3.io", "site4.com.au").toDF("domain")
+        urlDocs(s, dir)
+          .select(col("doc_id"), graft.ops.Url.registrableDomain(
+            graft.ops.Url.host(col("url"))).as("domain"))
+          .join(broadcast(blocked), Seq("domain"), "left_anti")
+          .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("domain"))
+      },
+      Some(s"""$UrlFixtureCte
+             |SELECT domain, count(*)::BIGINT AS n_docs FROM (
+             |  SELECT ${graft.ops.Url.registrableDomainSql(
+                    graft.ops.Url.hostSql("url"))} AS domain
+             |  FROM u) d
+             |WHERE domain NOT IN ('site0.com', 'site1.co.uk', 'site2.de',
+             |  'site3.io', 'site4.com.au')
+             |GROUP BY domain ORDER BY domain""".stripMargin)),
   )
+
+  /** Deterministic URL fixture: one absolute URL per document, every
+    * component an md5-nibble function of doc_id (the geo/WAV in-query
+    * fixture discipline — FIXTURES.md). Variation exercised: http/https,
+    * userinfo, UPPERCASED hosts (lowercase-folding), ports, paths, query
+    * strings, subdomain depth 0–2, and 8 TLDs of which co.uk/com.au/co.jp
+    * are multi-label public suffixes.
+    */
+  private def urlDocs(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    def hx(i: Int, n: Int) =
+      expr(s"cast(conv(substring(h, $i, $n), 16, 10) as bigint)")
+    val hp = load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        md5(concat(lit("url:"), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .select(col("doc_id"), col("text"), col("h"),
+        concat(
+          element_at(array(lit(""), lit("www."), lit("blog."),
+            lit("cdn.eu.")), (hx(6, 1) % 4).cast("int") + 1),
+          lit("site"), (hx(1, 4) % 30).cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("net"), lit("io"),
+            lit("co.uk"), lit("com.au"), lit("de"), lit("co.jp")),
+            (hx(5, 1) % 8).cast("int") + 1)).as("hostr"))
+    hp.select(col("doc_id"), col("text"),
+      concat(
+        when(hx(7, 1) % 3 === 0, lit("http")).otherwise(lit("https")),
+        lit("://"),
+        when(hx(8, 1) % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+        when(hx(9, 1) % 5 === 0, upper(col("hostr"))).otherwise(col("hostr")),
+        when(hx(10, 1) % 6 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), expr("substring(h, 11, 3)"),
+        when(hx(14, 1) % 4 === 0,
+          concat(lit("?ref="), expr("substring(h, 15, 2)")))
+          .otherwise(lit(""))).as("url"))
+  }
+
+  /** The oracle-side twin of `urlDocs` — `u(doc_id, text, url)`. (`def`,
+    * not `val` — referenced from `all`'s initializer above its own
+    * definition site, the IvmOracle rule.)
+    */
+  private def UrlFixtureCte: String = {
+    def hx(i: Int, n: Int) = s"('0x' || substr(h, $i, $n))::BIGINT"
+    s"""WITH h0 AS (SELECT doc_id, text,
+       |    md5('url:' || doc_id::VARCHAR) AS h FROM documents),
+       |hp AS (SELECT doc_id, text, h,
+       |    (['', 'www.', 'blog.', 'cdn.eu.'])[(${hx(6, 1)} % 4)::INT + 1] ||
+       |    'site' || (${hx(1, 4)} % 30) || '.' ||
+       |    (['com', 'org', 'net', 'io', 'co.uk', 'com.au', 'de', 'co.jp'])
+       |      [(${hx(5, 1)} % 8)::INT + 1] AS hostr
+       |  FROM h0),
+       |u AS (SELECT doc_id, text,
+       |    (CASE WHEN ${hx(7, 1)} % 3 = 0 THEN 'http' ELSE 'https' END) ||
+       |    '://' ||
+       |    (CASE WHEN ${hx(8, 1)} % 7 = 0 THEN 'user:pw@' ELSE '' END) ||
+       |    (CASE WHEN ${hx(9, 1)} % 5 = 0 THEN upper(hostr) ELSE hostr END) ||
+       |    (CASE WHEN ${hx(10, 1)} % 6 = 0 THEN ':8443' ELSE '' END) ||
+       |    '/p/' || substr(h, 11, 3) ||
+       |    (CASE WHEN ${hx(14, 1)} % 4 = 0
+       |        THEN '?ref=' || substr(h, 15, 2) ELSE '' END) AS url
+       |  FROM hp)""".stripMargin
+  }
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** ops/Url — host extraction + registrable-domain rule. The catalog
+  * oracles prove both over the md5 URL fixture end-to-end; these pin the
+  * string edges by hand.
+  */
+class UrlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def hosts(urls: Seq[String]): Seq[String] =
+    urls.toDF("url").select(Url.host(col("url")).as("h"))
+      .as[String].collect().toSeq
+
+  private def domains(hs: Seq[String]): Seq[String] =
+    hs.toDF("h").select(Url.registrableDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+
+  test("host: scheme/userinfo/port/path/query/fragment stripped, case " +
+      "folded; scheme-less input yields ''") {
+    val got = hosts(Seq(
+      "https://example.com/path?q=1#frag",
+      "http://USER:pw@Sub.Example.COM:8443/x",
+      "https://example.co.uk",
+      "ftp+ssh://a.b.c.d/",
+      "https://host",                    // bare single label
+      "example.com/no-scheme",           // no authority → ''
+      "//protocol-relative.com/x",       // no scheme → ''
+      "https://www.site.io?q=no-path"))  // query directly after host
+    assert(got == Seq("example.com", "sub.example.com", "example.co.uk",
+      "a.b.c.d", "host", "", "", "www.site.io"))
+  }
+
+  test("registrableDomain: multi-label public suffixes take three " +
+      "labels, default two; short hosts pass through") {
+    val got = domains(Seq(
+      "www.example.com",        // → example.com
+      "a.b.news.bbc.co.uk",     // multi-label suffix → bbc.co.uk
+      "shop.example.com.au",    // → example.com.au
+      "example.de",             // already apex
+      "co.uk",                  // 2 labels: pass through (bare suffix)
+      "localhost",              // 1 label: pass through
+      "cdn.eu.site7.co.jp"))    // depth 2 over multi-label → site7.co.jp
+    assert(got == Seq("example.com", "bbc.co.uk", "example.com.au",
+      "example.de", "co.uk", "localhost", "site7.co.jp"))
+  }
+
+  test("blocking at the registrable-domain key covers every subdomain " +
+      "variant of a blocked apex") {
+    val urls = Seq(
+      1L -> "https://blocked.com/a",
+      2L -> "https://www.blocked.com/b",
+      3L -> "http://cdn.eu.BLOCKED.com:8443/c",
+      4L -> "https://notblocked.com/d",
+      5L -> "https://blocked.com.evil.org/e") // suffix-spoof: org apex
+      .toDF("id", "url")
+    val blocked = Seq("blocked.com").toDF("domain")
+    val surv = urls
+      .select(col("id"),
+        Url.registrableDomain(Url.host(col("url"))).as("domain"))
+      .join(blocked, Seq("domain"), "left_anti")
+      .select(col("id")).as[Long].collect().toSet
+    assert(surv == Set(4L, 5L),
+      "subdomains of the blocked apex must drop; a spoofed suffix " +
+        "(blocked.com.evil.org → evil.org) must survive")
+  }
+}
