@@ -105,14 +105,22 @@ object ScaleRun {
     println(s"""{"run":"cosine_budget","knobs":"${cosBands}x$cosPlanes",""" +
       s""""dir":"$dir","n":${cb.getLong(0)},"cand_pairs":${cb.getLong(3)},""" +
       s""""sec":$cbSec}""")
-    val (cPairs, cSec) = timed(
-      ops.Vectors.cosineNearDupPairsBanded(emb, 0.4,
-          planesPerBand = cosPlanes, bands = cosBands)
-        .agg(count(lit(1)), coalesce(round(min(col("cosine")), 4), lit(-1.0)))
-        .collect()(0))
-    println(s"""{"run":"cosine_pairs","knobs":"${cosBands}x$cosPlanes """ +
-      s"""th>=0.4","dir":"$dir","pairs":${cPairs.getLong(0)},""" +
-      s""""min_cosine":${cPairs.getDouble(1)},"sec":$cSec}""")
+    // Two points on the staged-verify knob: prefixDims = 0 (bound off —
+    // pure inline verify) vs 16 (prefix-dot + Cauchy-Schwarz stage). On
+    // isotropic embeddings at τ = 0.4 the bound's residual term (~0.75)
+    // exceeds τ, so stage 1 is expected overhead-only here — measured,
+    // not assumed; on front-loaded corpora or higher τ it prunes.
+    for (p <- Seq(0, 16)) {
+      val (cPairs, cSec) = timed(
+        ops.Vectors.cosineNearDupPairsBanded(emb, 0.4,
+            planesPerBand = cosPlanes, bands = cosBands, prefixDims = p)
+          .agg(count(lit(1)), coalesce(round(min(col("cosine")), 4), lit(-1.0)))
+          .collect()(0))
+      println(s"""{"run":"cosine_pairs","knobs":"${cosBands}x$cosPlanes """ +
+        s"""th>=0.4 p$p","dir":"$dir","pairs":${cPairs.getLong(0)},""" +
+        s""""min_cosine":${cPairs.getDouble(1)},"sec":$cSec}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

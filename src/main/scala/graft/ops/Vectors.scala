@@ -251,14 +251,15 @@ object Vectors {
   def cosineNearDupPairsBanded(vectors: DataFrame, threshold: Double,
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
-                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               prefixDims: Int = 16): DataFrame =
     cosineNearDupPairsBandedWithHandle(vectors, threshold, planesPerBand,
       bands, dims, idCol, vecCol,
       // lazy public API, no unpersist handle → caches must be self-bounding:
       // MEMORY_ONLY blocks really are LRU-evicted (MEMORY_AND_DISK spill
       // would sit on disk until session end). Same rationale as
       // Dedup.minHashNearDupPairs.
-      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)._1
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY, prefixDims)._1
 
   /** `cosineNearDupPairsBanded` plus an unpersist handle for the two cached
     * intermediates (normed vectors + banded signatures). Without the caches
