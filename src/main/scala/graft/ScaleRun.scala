@@ -105,19 +105,26 @@ object ScaleRun {
     println(s"""{"run":"cosine_budget","knobs":"${cosBands}x$cosPlanes",""" +
       s""""dir":"$dir","n":${cb.getLong(0)},"cand_pairs":${cb.getLong(3)},""" +
       s""""sec":$cbSec}""")
-    // Two points on the staged-verify knob: prefixDims = 0 (bound off —
-    // pure inline verify) vs 16 (prefix-dot + Cauchy-Schwarz stage). On
-    // isotropic embeddings at τ = 0.4 the bound's residual term (~0.75)
-    // exceeds τ, so stage 1 is expected overhead-only here — measured,
-    // not assumed; on front-loaded corpora or higher τ it prunes.
-    for (p <- Seq(0, 16)) {
+    // Three points on the verify-shape/staging knobs: the default
+    // broadcast-probe verify with and without the prefix+Cauchy-Schwarz
+    // stage (p16 / p0), and the INLINE payload-carry shape (maxRows = 0
+    // forces it — the regime a billion-vector corpus lands in). On
+    // isotropic embeddings at τ = 0.4 the stage-1 bound's residual term
+    // (~0.75) exceeds τ, so it is expected overhead-only here —
+    // measured, not assumed; on front-loaded corpora or higher τ it
+    // prunes.
+    for ((label, p, maxRows) <- Seq(
+        ("bcast p16", 16, ops.Vectors.BroadcastVerifyMaxRows),
+        ("bcast p0", 0, ops.Vectors.BroadcastVerifyMaxRows),
+        ("inline p16", 16, 0L))) {
       val (cPairs, cSec) = timed(
         ops.Vectors.cosineNearDupPairsBanded(emb, 0.4,
-            planesPerBand = cosPlanes, bands = cosBands, prefixDims = p)
+            planesPerBand = cosPlanes, bands = cosBands, prefixDims = p,
+            broadcastVerifyMaxRows = maxRows)
           .agg(count(lit(1)), coalesce(round(min(col("cosine")), 4), lit(-1.0)))
           .collect()(0))
       println(s"""{"run":"cosine_pairs","knobs":"${cosBands}x$cosPlanes """ +
-        s"""th>=0.4 p$p","dir":"$dir","pairs":${cPairs.getLong(0)},""" +
+        s"""th>=0.4 $label","dir":"$dir","pairs":${cPairs.getLong(0)},""" +
         s""""min_cosine":${cPairs.getDouble(1)},"sec":$cSec}""")
       spark.catalog.clearCache()
     }

@@ -641,7 +641,51 @@ object CurateQueries extends Catalog {
              |WHERE domain NOT IN ('site0.com', 'site1.co.uk', 'site2.de',
              |  'site3.io', 'site4.com.au')
              |GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    // URL canonicalization (Url.normalize) — the step BEFORE any
+    // URL-keyed dedup: scheme/host lowercased, default ports dropped,
+    // fragment dropped, tracking params (utm_*/gclid/fbclid/msclkid)
+    // stripped with surviving params kept IN ORDER. Input = the fixture
+    // URL with deterministic junk appended for 2 of 3 docs (a tracking
+    // param, a KEPT param, a second tracking param, a fragment), so
+    // every rule is load-bearing in the hash; both engines replay the
+    // identical regex/split/filter chain from shared constants.
+    Q("curate_url_normalize",
+      (s, dir) => {
+        val hx16 = expr("cast(conv(substring(h, 16, 1), 16, 10) as bigint)")
+        urlDocs(s, dir)
+          .select(col("doc_id"),
+            junkUrl(col("url"), hx16, expr("substring(h, 17, 2)")).as("url_in"))
+          .select(col("doc_id"), col("url_in"),
+            graft.ops.Url.normalize(col("url_in")).as("url_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""$UrlFixtureCte,
+             |j AS (SELECT doc_id,
+             |    CASE WHEN ('0x' || substr(h, 16, 1))::BIGINT % 3 = 0 THEN url
+             |    ELSE url ||
+             |      (CASE WHEN instr(url, '?') > 0 THEN '&' ELSE '?' END) ||
+             |      'utm_source=s' || (('0x' || substr(h, 16, 1))::BIGINT % 10)
+             |      || '&id=' || substr(h, 17, 2) || '&gclid=g#frag'
+             |    END AS url_in
+             |  FROM u)
+             |SELECT doc_id, url_in,
+             |  ${graft.ops.Url.normalizeSql("url_in")} AS url_norm
+             |FROM j ORDER BY doc_id""".stripMargin)),
   )
+
+  /** `curate_url_normalize`'s input: the fixture URL with deterministic
+    * junk appended for two of every three docs — a tracking param, a
+    * KEPT param (order must survive), a second tracking param, and a
+    * fragment — so every normalization rule is load-bearing in the hash.
+    */
+  private def junkUrl(urlCol: org.apache.spark.sql.Column,
+                      hx16: org.apache.spark.sql.Column,
+                      keepId: org.apache.spark.sql.Column) =
+    when(hx16 % 3 === 0, urlCol).otherwise(concat(urlCol,
+      when(instr(urlCol, "?") > 0, lit("&")).otherwise(lit("?")),
+      lit("utm_source=s"), (hx16 % 10).cast("string"),
+      lit("&id="), keepId, lit("&gclid=g#frag")))
 
   /** Deterministic URL fixture: one absolute URL per document, every
     * component an md5-nibble function of doc_id (the geo/WAV in-query
@@ -666,7 +710,7 @@ object CurateQueries extends Catalog {
           element_at(array(lit("com"), lit("org"), lit("net"), lit("io"),
             lit("co.uk"), lit("com.au"), lit("de"), lit("co.jp")),
             (hx(5, 1) % 8).cast("int") + 1)).as("hostr"))
-    hp.select(col("doc_id"), col("text"),
+    hp.select(col("doc_id"), col("text"), col("h"),
       concat(
         when(hx(7, 1) % 3 === 0, lit("http")).otherwise(lit("https")),
         lit("://"),
@@ -693,7 +737,7 @@ object CurateQueries extends Catalog {
        |    (['com', 'org', 'net', 'io', 'co.uk', 'com.au', 'de', 'co.jp'])
        |      [(${hx(5, 1)} % 8)::INT + 1] AS hostr
        |  FROM h0),
-       |u AS (SELECT doc_id, text,
+       |u AS (SELECT doc_id, text, h,
        |    (CASE WHEN ${hx(7, 1)} % 3 = 0 THEN 'http' ELSE 'https' END) ||
        |    '://' ||
        |    (CASE WHEN ${hx(8, 1)} % 7 = 0 THEN 'user:pw@' ELSE '' END) ||

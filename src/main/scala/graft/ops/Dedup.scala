@@ -173,7 +173,13 @@ object Dedup {
     val banded = cached(sigs
       .select(col("id"), array((0 until bands).map(bkey): _*).as("bks"))
       .select(col("id"), col("bks"), explode(col("bks")).as("bkey")))
-    val cand = banded.as("a").join(banded.as("b"),
+    // Fan BOTH self-join sides to the session parallelism (the
+    // cosineNearDupPairsBanded lesson): a small cached banded frame can
+    // coalesce to one partition, and whichever side the broadcast join
+    // streams carries the whole candidate enumeration on one task.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val fanned = banded.repartition(parts, col("id"))
+    val cand = fanned.as("a").join(fanned.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
           BandedBits.firstMatchingWideBand(col("a.bks"), col("b.bks"),
             shiftright(col("a.bkey"), 28 * rowsPerBand), bands))

@@ -59,6 +59,81 @@ object Url {
       .otherwise(when(last2.isin(multiSuffixes: _*), last3).otherwise(last2))
   }
 
+  /** Tracking query parameters the canonicalizer strips — the pinned
+    * default set (regex alternation on the parameter NAME); production
+    * extends via the parameter.
+    */
+  val TrackingParamRegex: String = "^(utm_[^=]*|gclid|fbclid|msclkid)="
+
+  /** Canonical form of an absolute URL — the normalization every
+    * URL-keyed dedup/blocklist runs FIRST (two byte-different URLs that
+    * canonicalize equal are the same fetch):
+    *   - scheme and host lowercased (userinfo and path stay
+    *     case-sensitive per RFC 3986),
+    *   - default ports dropped (:80 for http, :443 for https),
+    *   - the fragment dropped (never sent to the server),
+    *   - tracking parameters removed (`TrackingParamRegex`), remaining
+    *     parameters kept IN ORDER (sorting would merge semantically
+    *     ordered duplicates some sites rely on), a now-empty query
+    *     dropped entirely.
+    * Scheme-less input passes through unchanged (no authority to
+    * normalize). Idempotent — UrlSpec pins normalize∘normalize ≡
+    * normalize. Pure regexp/split/filter column arithmetic, one row in,
+    * one row out.
+    */
+  def normalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val userinfo = regexp_extract(auth, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(auth, "^[^@]*@", ""))
+    val hostNoDef = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rest = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike(TrackingParamRegex) && p =!= lit("")), "&")
+    val tail = when(query === "" || kept === "", path)
+      .otherwise(concat(path, lit("?"), kept))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), userinfo, hostNoDef, tail))
+  }
+
+  /** The oracle-side twin of `normalize` for a URL expression `u`.
+    * NOTE: no emitted line may BEGIN with `|` or `||` — these snippets
+    * are interpolated into catalog templates that run their own
+    * `stripMargin`, which would eat the leading pipe (the r13
+    * UrlFixtureCte lesson) — so every concat `||` sits at line END.
+    */
+  def normalizeSql(u: String): String = {
+    val scheme = s"regexp_extract($u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)"
+    val auth = s"regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)"
+    val hostPort = s"lower(regexp_replace($auth, '^[^@]*@', ''))"
+    val rest =
+      s"regexp_extract($u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+    // coalesce: DuckDB's array_to_string returns NULL (not '') for an
+    // EMPTY filtered list, and the NULL would swallow the whole concat
+    val kept =
+      s"""coalesce(array_to_string(list_filter(string_split(
+         |      regexp_extract($rest, '\\?(.*)$$', 1), '&'),
+         |      p -> NOT regexp_matches(p, '$TrackingParamRegex')
+         |           AND p <> ''), '&'), '')""".stripMargin
+    s"""CASE WHEN $scheme = '' THEN $u ELSE
+       |  lower($scheme) || '://' ||
+       |  regexp_extract($auth, '^([^@]*@)', 1) ||
+       |  (CASE lower($scheme)
+       |      WHEN 'http' THEN regexp_replace($hostPort, ':80$$', '')
+       |      WHEN 'https' THEN regexp_replace($hostPort, ':443$$', '')
+       |      ELSE $hostPort END) ||
+       |  regexp_extract($rest, '^([^?]*)', 1) ||
+       |  (CASE WHEN $kept = '' THEN '' ELSE '?' || $kept END)
+       |END""".stripMargin
+  }
+
   /** DuckDB replay of `registrableDomain(host(url))` for a host
     * expression `h` — emitted by the catalog oracles so the suffix list
     * and the label rule cannot drift between engines.

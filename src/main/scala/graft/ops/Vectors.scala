@@ -252,14 +252,16 @@ object Vectors {
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
                                idCol: String = "vec_id", vecCol: String = "embedding",
-                               prefixDims: Int = 16): DataFrame =
+                               prefixDims: Int = 16,
+                               broadcastVerifyMaxRows: Long = BroadcastVerifyMaxRows): DataFrame =
     cosineNearDupPairsBandedWithHandle(vectors, threshold, planesPerBand,
       bands, dims, idCol, vecCol,
       // lazy public API, no unpersist handle → caches must be self-bounding:
       // MEMORY_ONLY blocks really are LRU-evicted (MEMORY_AND_DISK spill
       // would sit on disk until session end). Same rationale as
       // Dedup.minHashNearDupPairs.
-      org.apache.spark.storage.StorageLevel.MEMORY_ONLY, prefixDims)._1
+      org.apache.spark.storage.StorageLevel.MEMORY_ONLY, prefixDims,
+      broadcastVerifyMaxRows)._1
 
   /** `cosineNearDupPairsBanded` plus an unpersist handle for the two cached
     * intermediates (normed vectors + banded signatures). Without the caches
@@ -277,43 +279,88 @@ object Vectors {
     */
   private val StagedVerifySlack = 1e-5
 
+  /** Verify-shape switch: corpora at or under this many vectors run the
+    * exact verify as candidate streams probing a FORCED BROADCAST of the
+    * normed-vector table (candidates never hit an exchange, the thin
+    * banded enumeration stays thin); above it the payload rides INLINE
+    * through the band explode (the simhash discipline widened — the only
+    * shape left when the vector table itself cannot be broadcast). The
+    * default sits at the MEASURED local crossover: at 20 k vectors the
+    * broadcast probes beat inline ~1.7× (sf1, 9.8 vs 16.4 s), at 200 k
+    * inline beats broadcast ~1.3× (sf10, 68–85 vs 85–102 s) — 2^17 ≈
+    * 131 k splits the two regimes and keeps the broadcast (~50 MB at 64
+    * float dims + prefix/norm columns) comfortably inside memory.
+    * Billion-vector corpora inevitably take the inline path.
+    */
+  val BroadcastVerifyMaxRows: Long = 1L << 17
+
   private[graft] def cosineNearDupPairsBandedWithHandle(
       vectors: DataFrame, threshold: Double,
       planesPerBand: Int = 2, bands: Int = 16, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       storage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-      prefixDims: Int = 16): (DataFrame, () => Unit) = {
+      prefixDims: Int = 16,
+      broadcastVerifyMaxRows: Long = BroadcastVerifyMaxRows): (DataFrame, () => Unit) = {
     val signs = hyperplaneSigns(planesPerBand * bands, dims)
     val p = math.min(math.max(prefixDims, 0), dims)
-    // Both banded sides carry the vector, its norm, and the staged-verify
-    // prefix/residual pair, so the WHOLE verify runs INLINE in the band
-    // join — the simhash discipline extended to a wide payload. The
-    // payload inflation is per-CORPUS-row (bands × vector width), while
-    // the two id-keyed join-backs it replaces shuffled the CANDIDATE
-    // stream — quadratic in bucket sizes, with the first fetched vector
-    // attached to every candidate row on the second hop (at the sf10
-    // probe that was 160 M rows × a 0.5 KB payload re-shuffled twice vs
-    // 200 k × 6 banded rows carried once). Candidates now stream through
-    // two codegen'd filters and never hit an exchange.
+    // Normed vectors + the staged-verify prefix/residual pair, cached:
+    // the count() below both materializes the cache (it is read 2-4×)
+    // and MEASURES the corpus for the verify-shape switch — an O(n)
+    // narrow pass, the same probe-before-pay discipline as the candidate
+    // budgets.
     val v = normedById(vectors, idCol, vecCol)
-      .withColumn("pv", slice(col("v"), 1, p))
+      .withColumn("pv", slice(col("v"), 1, math.max(p, 1)))
       .withColumn("rn", sqrt(greatest(
         dot(col("v"), col("v")) - dot(col("pv"), col("pv")), lit(0.0))))
-    val banded = bandExplode(v, packedSignBits(col("v"), signs),
-      planesPerBand, bands).persist(storage)
-    // The pair join's OUTPUT is quadratic in band-bucket sizes while its
-    // INPUT is one row per (vector, band) — left alone, the streamed side
-    // inherits the embedding SCAN's partitioning, so a corpus small
-    // enough to broadcast-join runs every candidate pair in as few tasks
-    // as the parquet had splits (the sf1 spot-check measured 31 of 32
-    // cores idle under a one-split scan). Repartition the probe side to
-    // the session's shuffle parallelism: candidate enumeration + verify
-    // then fan out with config, not with input splits. (Spark builds the
-    // un-repartitioned right side when both qualify for broadcast; at
-    // broadcast-infeasible scale the join becomes a keyed shuffle on
-    // bkey and this tiny pre-shuffle is absorbed by it.)
+      .persist(storage)
+    // One aggregate materializes the cache AND measures the two numbers
+    // the shape decisions need: the corpus size (verify-shape switch)
+    // and the mean residual-energy share (stage-1 arming — see below).
+    val st = v.agg(count(lit(1)),
+      avg(when(col("nrm") > 0, col("rn") / col("nrm")))).collect()(0)
+    val nVecs = st.getLong(0)
+    val resShare = if (st.isNullAt(1)) 0.0 else st.getDouble(1)
+    val broadcastVerify = nVecs <= broadcastVerifyMaxRows
+    // Stage-1 ARMS ITSELF from the measured energy profile: the bound
+    // prunes a pair only when its prefix dot falls below
+    // (τ − slack)·|a||b| − |a_r||b_r|, which is reachable only if τ
+    // exceeds the typical residual-norm product ≈ (mean residual
+    // share)². On this repo's isotropic test embeddings at p = 16 that
+    // square is ~0.75, so a τ = 0.4 run would pay the p-dim dot on
+    // every candidate and never prune (measured: +20% at sf10) — the
+    // gate disarms it; on front-loaded (Matryoshka-trained) embeddings
+    // the share collapses and the stage arms exactly where it pays.
+    // Disarming only SKIPS a lossless filter, so the output is
+    // bit-identical either way.
+    val stagedArmed = p > 0 && threshold - StagedVerifySlack > resShare * resShare
+    // The banded enumeration rows: THIN (id, sig, bkey) when the verify
+    // probes a broadcast — the candidate stream then flows from the band
+    // join straight through two broadcast hash probes with no exchange —
+    // or WIDE (payload carried through the explode) when the vector
+    // table is too big to broadcast: there the r12 join-back shape
+    // re-shuffled the candidate stream twice (the second hop with a
+    // 0.5 KB vector attached — 301 s at the sf10 probe vs 89 s inline),
+    // while inline payload inflation is only bands × corpus width.
+    // Measured both ways at sf1 (broadcast regime: join-backs ~2× faster
+    // than inline) and sf10 — each regime gets the shape that wins there.
+    val banded = (if (broadcastVerify) bandedSigs(v, signs, planesPerBand, bands)
+                  else bandExplode(v, packedSignBits(col("v"), signs),
+                    planesPerBand, bands))
+      .persist(storage)
+    // Fan out BOTH self-join sides to the session parallelism: the pair
+    // join's OUTPUT is quadratic in band-bucket sizes while its INPUT is
+    // one row per (vector, band), so left alone a small/cached input
+    // runs every candidate pair in as few tasks as the cache has
+    // partitions — and under AQE the broadcast build-side choice can
+    // flip to the repartitioned alias (exact shuffle stats beat the
+    // cache's estimate), leaving the 1-split side streamed on ONE task
+    // (measured at sf1: a single task burning 400+ s while 31 cores sat
+    // idle). With both sides fanned the join distributes regardless of
+    // which side Spark builds; at broadcast-infeasible scale the join
+    // becomes a keyed shuffle on bkey and the pre-shuffle is absorbed.
     val parts = vectors.sparkSession.sessionState.conf.numShufflePartitions
+    val fanned = banded.repartition(parts, col("id"))
     // Staged exact verify (Matryoshka prefix + Cauchy-Schwarz residual):
     //   dot(a, b) = dot(a_p, b_p) + dot(a_r, b_r) ≤ dot(a_p, b_p) + |a_r|·|b_r|
     // so a candidate whose p-dim prefix dot plus residual-norm product
@@ -325,24 +372,44 @@ object Vectors {
     // stage 1 prunes hard; on isotropic corpora the residual-norm term
     // hovers near (dims−p)/dims and prunes only when τ exceeds it — the
     // bound degrades to a ~p/dims flop overhead, never to a wrong answer.
-    // Condition order matters and is deliberate (the cosineNearDupPairs
-    // lesson): cheap id/band tests first, then the p-dim bound, then the
-    // full product — And short-circuits left to right in codegen.
-    val stage1 =
-      dot(col("a.pv"), col("b.pv")) + col("a.rn") * col("b.rn") >=
-        lit(threshold - StagedVerifySlack) * (col("a.nrm") * col("b.nrm"))
-    val cosFull = round6(
-      dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-    val pairs = banded.repartition(parts, col("id")).as("a")
-      .join(banded.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
-          firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
-            planesPerBand, bands) &&
-          (if (p == 0) lit(true) else stage1) &&
-          cosFull >= threshold)
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        cosFull.as("cosine"))
-    (pairs, () => { banded.unpersist(); () })
+    // Condition order is deliberate (the cosineNearDupPairs lesson):
+    // cheap id/band tests first, then the p-dim bound, then the full
+    // product — And short-circuits left to right in codegen.
+    def stage1(pa: Column, pb: Column, ra: Column, rb: Column,
+               na: Column, nb: Column): Column =
+      if (!stagedArmed) lit(true)
+      else dot(pa, pb) + ra * rb >=
+        lit(threshold - StagedVerifySlack) * (na * nb)
+    val pairs =
+      if (broadcastVerify) {
+        val cand = fanned.as("a").join(fanned.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+              firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
+                planesPerBand, bands))
+          .select(col("a.id").as("i"), col("b.id").as("j"))
+        def side(k: String, s: String) = broadcast(v.select(col("id").as(k),
+          col("v").as(s"v$s"), col("nrm").as(s"n$s"),
+          col("pv").as(s"p$s"), col("rn").as(s"r$s")))
+        val cosFull = round6(dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        cand.join(side("i", "a"), "i").join(side("j", "b"), "j")
+          .filter(stage1(col("pa"), col("pb"), col("ra"), col("rb"),
+            col("na"), col("nb")) && cosFull >= threshold)
+          .select(col("i").as("vec_a"), col("j").as("vec_b"),
+            cosFull.as("cosine"))
+      } else {
+        val cosFull = round6(
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+        fanned.as("a").join(fanned.as("b"),
+            col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+              firstMatchingBand(col("a.sig"), col("b.sig"), col("a.bkey"),
+                planesPerBand, bands) &&
+              stage1(col("a.pv"), col("b.pv"), col("a.rn"), col("b.rn"),
+                col("a.nrm"), col("b.nrm")) &&
+              cosFull >= threshold)
+          .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+            cosFull.as("cosine"))
+      }
+    (pairs, () => { v.unpersist(); banded.unpersist(); () })
   }
 
   /** Embedding near-dup detection for a NEW batch against an existing

@@ -381,10 +381,14 @@ class DedupVectorsSpec extends SparkSpec {
     val vecs = raw.toDF("vec_id", "embedding")
     val exactPairs = collectPairs(Vectors.cosineNearDupPairs(vecs, 0.5))
     assert(exactPairs.nonEmpty)
-    for (p <- Seq(0, 2, 4, 8)) {
+    // ... under BOTH verify shapes: broadcast join-back probes (default)
+    // and the inline payload carry (maxRows = 0 forces it)
+    for (p <- Seq(0, 2, 4, 8); maxRows <- Seq(0L, Vectors.BroadcastVerifyMaxRows)) {
       val (pairs, release) = Vectors.cosineNearDupPairsBandedWithHandle(
-        vecs, 0.5, dims = 8, prefixDims = p)
-      assert(collectPairs(pairs) == exactPairs, s"lossless fails at p=$p")
+        vecs, 0.5, dims = 8, prefixDims = p,
+        broadcastVerifyMaxRows = maxRows)
+      assert(collectPairs(pairs) == exactPairs,
+        s"lossless fails at p=$p maxRows=$maxRows")
       release()
     }
   }

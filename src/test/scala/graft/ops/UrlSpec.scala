@@ -48,6 +48,34 @@ class UrlSpec extends SparkSpec {
       "example.de", "co.uk", "localhost", "site7.co.jp"))
   }
 
+  private def norm(urls: Seq[String]): Seq[String] =
+    urls.toDF("url").select(Url.normalize(col("url")).as("n"))
+      .as[String].collect().toSeq
+
+  test("normalize: case folds scheme+host only, drops default ports / " +
+      "fragments / tracking params, keeps surviving params in order, " +
+      "and is idempotent") {
+    val in = Seq(
+      "HTTPS://Example.COM:443/Path?utm_source=x&id=7&gclid=z#frag",
+      "http://Site.ORG:80/a",
+      "http://site.org:8080/a",            // non-default port kept
+      "https://User:PW@Host.Net/P?fbclid=1&b=2&a=1", // userinfo case kept
+      "https://example.com?utm_campaign=c", // query dies entirely → no '?'
+      "ftp://Mixed.Case/KeepPath",          // unknown scheme: no port rule
+      "no-scheme/stays?utm_source=x#asis")  // pass-through unchanged
+    val want = Seq(
+      "https://example.com/Path?id=7",
+      "http://site.org/a",
+      "http://site.org:8080/a",
+      "https://User:PW@host.net/P?b=2&a=1",
+      "https://example.com",
+      "ftp://mixed.case/KeepPath",
+      "no-scheme/stays?utm_source=x#asis")
+    val got = norm(in)
+    assert(got == want, s"got $got")
+    assert(norm(got) == want, "normalize must be idempotent")
+  }
+
   test("blocking at the registrable-domain key covers every subdomain " +
       "variant of a blocked apex") {
     val urls = Seq(
