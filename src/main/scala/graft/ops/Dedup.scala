@@ -971,11 +971,12 @@ object Dedup {
     * the n-token strings (`shingleDigests` — the verify join-back was the
     * dominant shuffle volume on strings); candidates pass PPJoin's LENGTH
     * filter t·max(|A|,|B|) ≤ min(|A|,|B|) (a Jaccard ≥ t pair cannot
-    * differ in size by more than 1/t) inside the join; and each pair is
-    * emitted at its globally-FIRST shared prefix shingle (the `ear`
-    * no-earlier-overlap residual below), so there is NO distinct over the
-    * candidate fan-out — the candidate stream flows straight into the
-    * Jaccard verify, and the only shuffles are linear in corpus size.
+    * differ in size by more than 1/t) inside the join; and the candidate
+    * dedup stays a thin-id `distinct` ON PURPOSE — see the emit-once
+    * design note inside: the first-shared-prefix-shingle alternative was
+    * built, measured, and rejected for a quadratic-in-document-length
+    * carry, while the distinct's shuffle is the exact quantity the
+    * `ngramCandidateBudget` pre-flight prices before the join is paid.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -998,25 +999,25 @@ object Dedup {
     // bound, silently dropping qualifying pairs. The +2 keeps the bound
     // conservative under any sub-integer float error — at worst one extra
     // prefix shingle per doc, never a lost pair.
-    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    // `ear` = the doc's prefix shingles STRICTLY BEFORE this row in the
-    // global (df, s) order — computed on the rows that SURVIVE the rk
-    // filter (the prefix is itself a prefix of that order, so earlier-
-    // in-prefix ≡ earlier-overall), same partitioning/sort as the
-    // row_number window → no extra shuffle. It powers the first-shared-
-    // prefix-shingle residual below: both prefixes are sorted by the SAME
-    // global order, so a shared shingle earlier than this row's exists
-    // iff the two `ear` arrays overlap — each qualifying pair is emitted
-    // at exactly ONE shared shingle (the globally first), eliminating the
-    // distinct whose shuffle + build-side hash table scale with the
-    // candidate fan-out (the 10⁹-candidate sf10 killer; the BandedBits
-    // first-matching-band discipline, prefix-filter edition).
+    // Emit-once design note (round 13, measured then REJECTED): a
+    // first-shared-prefix-shingle residual — each side carrying its
+    // earlier-prefix array, pairs emitted only where the arrays don't
+    // overlap — removes this distinct entirely (the BandedBits
+    // discipline) and measured flat at sf0.1/sf1 and 55–68 s at sf10.
+    // But the carried arrays sum to ~(1−t)²n²/2 digests PER DOCUMENT —
+    // quadratic in document length — which melts on real web-scale
+    // documents (a 2 000-shingle doc carries ~2.6 MB of prefix state
+    // through the join) even though it is invisible on short test docs.
+    // The distinct below shuffles O(candidate fan-out) thin id pairs —
+    // LINEAR in document length, and exactly the quantity
+    // `ngramCandidateBudget` prices in O(n) before the join is paid
+    // (20.4 M at sf10 — cheap). Prefer the priceable linear shuffle over
+    // an unpriceable quadratic carry.
     val prefix = ex.join(dfreq, "s")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
-      .withColumn("ear", collect_list(col("s")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("id"), col("lang"), col("s"), col("n"), col("ear"))
+      .select(col("id"), col("lang"), col("s"), col("n"))
     // Length filter: J(A,B) ≤ min/max, so J ≥ t forces t·|A| ≤ |B| and
     // t·|B| ≤ |A|. The 1e-6 slack keeps the prune conservative under
     // double rounding of t·n (sizes are exact ints; the product's float
@@ -1025,9 +1026,9 @@ object Dedup {
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.id") < col("b.id") &&
           lit(threshold) * col("a.n") <= col("b.n") + lit(1e-6) &&
-          lit(threshold) * col("b.n") <= col("a.n") + lit(1e-6) &&
-          !arrays_overlap(col("a.ear"), col("b.ear")))
+          lit(threshold) * col("b.n") <= col("a.n") + lit(1e-6))
       .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
     cand
       .join(t.select(col("id").as("i"), col("sh").as("sh_a")), "i")
       .join(t.select(col("id").as("j"), col("sh").as("sh_b")), "j")
