@@ -105,18 +105,14 @@ object ScaleRun {
     println(s"""{"run":"cosine_budget","knobs":"${cosBands}x$cosPlanes",""" +
       s""""dir":"$dir","n":${cb.getLong(0)},"cand_pairs":${cb.getLong(3)},""" +
       s""""sec":$cbSec}""")
-    // Three points on the verify-shape/staging knobs: the default
-    // broadcast-probe verify with and without the prefix+Cauchy-Schwarz
-    // stage (p16 / p0), and the INLINE payload-carry shape (maxRows = 0
-    // forces it — the regime a billion-vector corpus lands in). On
-    // isotropic embeddings at τ = 0.4 the stage-1 bound's residual term
-    // (~0.75) exceeds τ, so it is expected overhead-only here —
-    // measured, not assumed; on front-loaded corpora or higher τ it
-    // prunes.
+    // Two points on the verify-shape knob: the AS-SHIPPED default (the
+    // measured row count picks the shape — this corpus lands INLINE at
+    // 200 k > 2^17 — and the prefix stage arms itself from the measured
+    // residual-energy share, which DISARMS it here: share² ≈ 0.75 > τ),
+    // and the broadcast-probe shape forced via a raised row cap.
     for ((label, p, maxRows) <- Seq(
-        ("bcast p16", 16, ops.Vectors.BroadcastVerifyMaxRows),
-        ("bcast p0", 0, ops.Vectors.BroadcastVerifyMaxRows),
-        ("inline p16", 16, 0L))) {
+        ("auto", 16, ops.Vectors.BroadcastVerifyMaxRows),
+        ("bcast forced", 16, Long.MaxValue))) {
       val (cPairs, cSec) = timed(
         ops.Vectors.cosineNearDupPairsBanded(emb, 0.4,
             planesPerBand = cosPlanes, bands = cosBands, prefixDims = p,
