@@ -672,6 +672,60 @@ object CurateQueries extends Catalog {
              |SELECT doc_id, url_in,
              |  ${graft.ops.Url.normalizeSql("url_in")} AS url_norm
              |FROM j ORDER BY doc_id""".stripMargin)),
+
+    // URL-level exact dedup through the canonicalizer — the fetch-list
+    // dedup every crawl pipeline runs BEFORE any text-level pass. The
+    // fixture seeds the base URL on doc_id % 250 (two docs share each
+    // base) while the junk decoration stays keyed on the doc's OWN hash,
+    // so the two copies arrive as byte-DIFFERENT strings (different
+    // tracking params / kept params / fragments, or one pristine) and
+    // group together ONLY if normalization strips every variant — any
+    // surviving junk splits a group and flips n_copies in the hash.
+    // Scale shape: one narrow normalize pass + one groupBy on the
+    // canonical string; survivor = min doc_id (the exactByContent rule).
+    Q("dedup_url_canonical",
+      (s, dir) => {
+        val hx16 =
+          expr("cast(conv(substring(hj, 16, 1), 16, 10) as bigint)")
+        // tracking-ONLY junk (no kept params — those are correctly
+        // preserved by the normalizer and would legitimately split
+        // groups): every decorated variant must canonicalize back to
+        // its pristine twin, so all 250 base URLs form 2-copy groups
+        val junked = when(hx16 % 3 === 0, col("url")).otherwise(concat(
+          col("url"),
+          when(instr(col("url"), "?") > 0, lit("&")).otherwise(lit("?")),
+          lit("utm_source=s"), (hx16 % 10).cast("string"),
+          lit("&gclid=g"), lit("#frag")))
+        urlDocs(s, dir, seedExpr = "doc_id % 250")
+          .withColumn("hj", md5(concat(lit("junk:"),
+            col("doc_id").cast("string")).cast("binary")))
+          .select(col("doc_id"),
+            graft.ops.Url.normalize(junked).as("url_norm"))
+          .groupBy(col("url_norm"))
+          .agg(min(col("doc_id")).as("survivor"),
+            count(lit(1)).as("n_copies"))
+          .orderBy(col("url_norm"))
+      },
+      Some {
+        val cte = UrlFixtureCteSeeded("doc_id % 250")
+        s"""$cte,
+           |jx AS (SELECT doc_id, url,
+           |    md5('junk:' || doc_id::VARCHAR) AS hj FROM u),
+           |j AS (SELECT doc_id,
+           |    CASE WHEN ('0x' || substr(hj, 16, 1))::BIGINT % 3 = 0 THEN url
+           |    ELSE url ||
+           |      (CASE WHEN instr(url, '?') > 0 THEN '&' ELSE '?' END) ||
+           |      'utm_source=s' || (('0x' || substr(hj, 16, 1))::BIGINT % 10)
+           |      || '&gclid=g' || '#frag'
+           |    END AS url_in
+           |  FROM jx)
+           |SELECT url_norm, min(doc_id)::BIGINT AS survivor,
+           |  count(*)::BIGINT AS n_copies
+           |FROM (SELECT doc_id,
+           |    ${graft.ops.Url.normalizeSql("url_in")} AS url_norm
+           |  FROM j) t
+           |GROUP BY url_norm ORDER BY url_norm""".stripMargin
+      }),
   )
 
   /** `curate_url_normalize`'s input: the fixture URL with deterministic
@@ -695,12 +749,13 @@ object CurateQueries extends Catalog {
     * are multi-label public suffixes.
     */
   private def urlDocs(s: org.apache.spark.sql.SparkSession,
-                      dir: String): org.apache.spark.sql.DataFrame = {
+                      dir: String,
+                      seedExpr: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     def hx(i: Int, n: Int) =
       expr(s"cast(conv(substring(h, $i, $n), 16, 10) as bigint)")
     val hp = load(s, dir, "documents")
       .select(col("doc_id"), col("text"),
-        md5(concat(lit("url:"), col("doc_id").cast("string"))
+        md5(concat(lit("url:"), expr(seedExpr).cast("string"))
           .cast("binary")).as("h"))
       .select(col("doc_id"), col("text"), col("h"),
         concat(
@@ -727,10 +782,12 @@ object CurateQueries extends Catalog {
     * not `val` — referenced from `all`'s initializer above its own
     * definition site, the IvmOracle rule.)
     */
-  private def UrlFixtureCte: String = {
+  private def UrlFixtureCte: String = UrlFixtureCteSeeded("doc_id")
+
+  private def UrlFixtureCteSeeded(seed: String): String = {
     def hx(i: Int, n: Int) = s"('0x' || substr(h, $i, $n))::BIGINT"
     s"""WITH h0 AS (SELECT doc_id, text,
-       |    md5('url:' || doc_id::VARCHAR) AS h FROM documents),
+       |    md5('url:' || ($seed)::VARCHAR) AS h FROM documents),
        |hp AS (SELECT doc_id, text, h,
        |    (['', 'www.', 'blog.', 'cdn.eu.'])[(${hx(6, 1)} % 4)::INT + 1] ||
        |    'site' || (${hx(1, 4)} % 30) || '.' ||
