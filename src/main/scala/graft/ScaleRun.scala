@@ -83,9 +83,12 @@ object ScaleRun {
     spark.catalog.clearCache()
 
     // --- ngram-Jaccard PPJoin, catalog knobs (3-grams, t = 0.6): the
-    // prefix-filter regime priced by the new ngramCandidateBudget first,
-    // then paid — candidates emit at their first shared prefix shingle
-    // (round-13 `ear` residual), so the join streams with no distinct ---
+    // prefix-filter regime priced by ngramCandidateBudget first, then
+    // paid through the distinct-based PPJoin — the emit-once (no
+    // distinct) residual was built, measured, and REJECTED (its carried
+    // earlier-prefix arrays are quadratic in document length; see the
+    // design note in Dedup.scala), so the thin-id distinct here is the
+    // linear quantity the budget prices ---
     val (nb, nbSec) = timed(
       ops.Dedup.ngramCandidateBudget(docs, 3, 0.6).collect()(0))
     println(s"""{"run":"ngram_budget","knobs":"3g t0.6","dir":"$dir",""" +

@@ -647,9 +647,10 @@ object CurateQueries extends Catalog {
     // fragment dropped, tracking params (utm_*/gclid/fbclid/msclkid)
     // stripped with surviving params kept IN ORDER. Input = the fixture
     // URL with deterministic junk appended for 2 of 3 docs (a tracking
-    // param, a KEPT param, a second tracking param, a fragment), so
-    // every rule is load-bearing in the hash; both engines replay the
-    // identical regex/split/filter chain from shared constants.
+    // param, a KEPT param, a second tracking param, a BARE valueless
+    // tracking param, a fragment), so every rule — including the (=|$)
+    // bare-name strip — is load-bearing in the hash; both engines replay
+    // the identical regex/split/filter chain from shared constants.
     Q("curate_url_normalize",
       (s, dir) => {
         val hx16 = expr("cast(conv(substring(h, 16, 1), 16, 10) as bigint)")
@@ -666,7 +667,7 @@ object CurateQueries extends Catalog {
              |    ELSE url ||
              |      (CASE WHEN instr(url, '?') > 0 THEN '&' ELSE '?' END) ||
              |      'utm_source=s' || (('0x' || substr(h, 16, 1))::BIGINT % 10)
-             |      || '&id=' || substr(h, 17, 2) || '&gclid=g#frag'
+             |      || '&id=' || substr(h, 17, 2) || '&gclid=g&fbclid#frag'
              |    END AS url_in
              |  FROM u)
              |SELECT doc_id, url_in,
@@ -695,7 +696,7 @@ object CurateQueries extends Catalog {
           col("url"),
           when(instr(col("url"), "?") > 0, lit("&")).otherwise(lit("?")),
           lit("utm_source=s"), (hx16 % 10).cast("string"),
-          lit("&gclid=g"), lit("#frag")))
+          lit("&gclid=g&fbclid"), lit("#frag")))
         urlDocs(s, dir, seedExpr = "doc_id % 250")
           .withColumn("hj", md5(concat(lit("junk:"),
             col("doc_id").cast("string")).cast("binary")))
@@ -716,7 +717,7 @@ object CurateQueries extends Catalog {
            |    ELSE url ||
            |      (CASE WHEN instr(url, '?') > 0 THEN '&' ELSE '?' END) ||
            |      'utm_source=s' || (('0x' || substr(hj, 16, 1))::BIGINT % 10)
-           |      || '&gclid=g' || '#frag'
+           |      || '&gclid=g&fbclid' || '#frag'
            |    END AS url_in
            |  FROM jx)
            |SELECT url_norm, min(doc_id)::BIGINT AS survivor,
@@ -730,8 +731,10 @@ object CurateQueries extends Catalog {
 
   /** `curate_url_normalize`'s input: the fixture URL with deterministic
     * junk appended for two of every three docs — a tracking param, a
-    * KEPT param (order must survive), a second tracking param, and a
-    * fragment — so every normalization rule is load-bearing in the hash.
+    * KEPT param (order must survive), a second tracking param, a BARE
+    * (valueless) tracking param, and a fragment — so every normalization
+    * rule, including the `(=|$)` bare-name strip, is load-bearing in the
+    * hash.
     */
   private def junkUrl(urlCol: org.apache.spark.sql.Column,
                       hx16: org.apache.spark.sql.Column,
@@ -739,7 +742,7 @@ object CurateQueries extends Catalog {
     when(hx16 % 3 === 0, urlCol).otherwise(concat(urlCol,
       when(instr(urlCol, "?") > 0, lit("&")).otherwise(lit("?")),
       lit("utm_source=s"), (hx16 % 10).cast("string"),
-      lit("&id="), keepId, lit("&gclid=g#frag")))
+      lit("&id="), keepId, lit("&gclid=g&fbclid#frag")))
 
   /** Deterministic URL fixture: one absolute URL per document, every
     * component an md5-nibble function of doc_id (the geo/WAV in-query

@@ -20,13 +20,17 @@ object Url {
   /** Host portion of an absolute URL: text between `scheme://` (plus an
     * optional `userinfo@`) and the first `/`, `?`, `#`, `:` (port) or
     * end — lowercased (DNS names are case-insensitive; URL paths are
-    * not, so only this component is folded). Scheme-less input yields ''
+    * not, so only this component is folded). IPv6/IPvFuture literals
+    * (`https://[::1]:8080/x`) take the bracket alternative — the whole
+    * `[...]` literal IS the host per RFC 3986 §3.2.2, brackets kept
+    * (they distinguish the literal from a DNS name downstream; the port
+    * after `]` is excluded like any other). Scheme-less input yields ''
     * (no silent guessing — a relative reference has no authority).
     * Shared with the oracle as `HostRegex` so both engines run the
     * identical RE2 pattern.
     */
   val HostRegex: String =
-    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]/?#]*\\]|[^/?#:]+)"
 
   def host(url: Column): Column = lower(regexp_extract(url, HostRegex, 1))
 
@@ -45,7 +49,10 @@ object Url {
     * labels when the trailing two form a recognized multi-label public
     * suffix (`bbc.co.uk`), otherwise the last TWO (`example.com`); hosts
     * of ≤ 2 labels pass through unchanged (already apex or a bare TLD —
-    * nothing to strip). Pure split/element_at arithmetic, no per-row
+    * nothing to strip), and bracketed IP literals (`[::1]`, what `host`
+    * yields for an IPv6 authority) pass through whole — an address has
+    * no registrable domain, and splitting an IPv4-mapped literal on '.'
+    * would invent one. Pure split/element_at arithmetic, no per-row
     * allocation beyond the label array.
     */
   def registrableDomain(
@@ -55,15 +62,19 @@ object Url {
     val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     val last3 = concat_ws(".",
       element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
-    when(size(parts) <= 2, hostCol)
+    when(hostCol.startsWith("[") || size(parts) <= 2, hostCol)
       .otherwise(when(last2.isin(multiSuffixes: _*), last3).otherwise(last2))
   }
 
   /** Tracking query parameters the canonicalizer strips — the pinned
     * default set (regex alternation on the parameter NAME); production
-    * extends via the parameter.
+    * extends via the parameter. The trailing `(=|$)` also strips
+    * VALUELESS tracking params (`...?gclid`, `...&utm_source`) — a bare
+    * name is the same tracker, and leaving it would split an
+    * otherwise-identical URL group — while still refusing prefix
+    * lookalikes (`gclid2=x` survives).
     */
-  val TrackingParamRegex: String = "^(utm_[^=]*|gclid|fbclid|msclkid)="
+  val TrackingParamRegex: String = "^(utm_[^=]*|gclid|fbclid|msclkid)(=|$)"
 
   /** Canonical form of an absolute URL — the normalization every
     * URL-keyed dedup/blocklist runs FIRST (two byte-different URLs that
@@ -141,7 +152,8 @@ object Url {
   def registrableDomainSql(h: String,
                            multiSuffixes: Seq[String] = DefaultMultiSuffixes): String = {
     val inList = multiSuffixes.map(s => s"'$s'").mkString(", ")
-    s"""CASE WHEN len(string_split($h, '.')) <= 2 THEN $h
+    s"""CASE WHEN $h LIKE '[%' THEN $h
+       |  WHEN len(string_split($h, '.')) <= 2 THEN $h
        |  WHEN (string_split($h, '.'))[-2] || '.' || (string_split($h, '.'))[-1]
        |    IN ($inList)
        |  THEN (string_split($h, '.'))[-3] || '.' ||

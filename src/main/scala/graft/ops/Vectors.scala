@@ -248,6 +248,17 @@ object Vectors {
         col("cp").cast("long").as("cand_pairs"))
   }
 
+  /** NOTE: construction is EAGER — building the returned DataFrame runs
+    * one O(n) narrow aggregate over the corpus (count + residual-energy
+    * share) that both materializes the normed-vector cache and feeds the
+    * two shape decisions (broadcast-vs-inline verify, stage-1 arming).
+    * Callers that only want to BUILD plans, or that invoke this
+    * repeatedly, pay that corpus pass per call — hold the returned
+    * DataFrame (or use `cosineNearDupPairsBandedWithHandle` once and
+    * reuse it) instead of re-invoking. The probe is the same
+    * probe-before-pay discipline as the candidate budgets, spent where
+    * it changes the join shape.
+    */
   def cosineNearDupPairsBanded(vectors: DataFrame, threshold: Double,
                                planesPerBand: Int = 2, bands: Int = 16,
                                dims: Int = 64,
@@ -256,10 +267,10 @@ object Vectors {
                                broadcastVerifyMaxRows: Long = BroadcastVerifyMaxRows): DataFrame =
     cosineNearDupPairsBandedWithHandle(vectors, threshold, planesPerBand,
       bands, dims, idCol, vecCol,
-      // lazy public API, no unpersist handle → caches must be self-bounding:
-      // MEMORY_ONLY blocks really are LRU-evicted (MEMORY_AND_DISK spill
-      // would sit on disk until session end). Same rationale as
-      // Dedup.minHashNearDupPairs.
+      // public API returns no unpersist handle → caches must be
+      // self-bounding: MEMORY_ONLY blocks really are LRU-evicted
+      // (MEMORY_AND_DISK spill would sit on disk until session end).
+      // Same rationale as Dedup.minHashNearDupPairs.
       org.apache.spark.storage.StorageLevel.MEMORY_ONLY, prefixDims,
       broadcastVerifyMaxRows)._1
 

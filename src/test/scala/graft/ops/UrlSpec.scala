@@ -29,9 +29,13 @@ class UrlSpec extends SparkSpec {
       "https://host",                    // bare single label
       "example.com/no-scheme",           // no authority → ''
       "//protocol-relative.com/x",       // no scheme → ''
-      "https://www.site.io?q=no-path"))  // query directly after host
+      "https://www.site.io?q=no-path",   // query directly after host
+      "https://[::1]:8080/x",            // IPv6 literal: brackets kept,
+      "http://[2001:DB8::1]/p",          //   port excluded, hex folded
+      "https://user@[::ffff:192.0.2.1]?q=1"))
     assert(got == Seq("example.com", "sub.example.com", "example.co.uk",
-      "a.b.c.d", "host", "", "", "www.site.io"))
+      "a.b.c.d", "host", "", "", "www.site.io",
+      "[::1]", "[2001:db8::1]", "[::ffff:192.0.2.1]"))
   }
 
   test("registrableDomain: multi-label public suffixes take three " +
@@ -43,9 +47,12 @@ class UrlSpec extends SparkSpec {
       "example.de",             // already apex
       "co.uk",                  // 2 labels: pass through (bare suffix)
       "localhost",              // 1 label: pass through
-      "cdn.eu.site7.co.jp"))    // depth 2 over multi-label → site7.co.jp
+      "cdn.eu.site7.co.jp",     // depth 2 over multi-label → site7.co.jp
+      "[::1]",                  // IP literal: pass through whole
+      "[::ffff:192.0.2.1]"))    //   even when dotted inside the brackets
     assert(got == Seq("example.com", "bbc.co.uk", "example.com.au",
-      "example.de", "co.uk", "localhost", "site7.co.jp"))
+      "example.de", "co.uk", "localhost", "site7.co.jp",
+      "[::1]", "[::ffff:192.0.2.1]"))
   }
 
   private def norm(urls: Seq[String]): Seq[String] =
@@ -62,7 +69,10 @@ class UrlSpec extends SparkSpec {
       "https://User:PW@Host.Net/P?fbclid=1&b=2&a=1", // userinfo case kept
       "https://example.com?utm_campaign=c", // query dies entirely → no '?'
       "ftp://Mixed.Case/KeepPath",          // unknown scheme: no port rule
-      "no-scheme/stays?utm_source=x#asis")  // pass-through unchanged
+      "no-scheme/stays?utm_source=x#asis",  // pass-through unchanged
+      "https://ex.com/p?gclid&a=1&utm_source", // BARE tracking params die
+      "https://ex.com/p?gclid2=x&fbclid",   // prefix lookalike survives
+      "https://[::1]:443/v6?utm_source=x")  // IPv6: default port dropped
     val want = Seq(
       "https://example.com/Path?id=7",
       "http://site.org/a",
@@ -70,7 +80,10 @@ class UrlSpec extends SparkSpec {
       "https://User:PW@host.net/P?b=2&a=1",
       "https://example.com",
       "ftp://mixed.case/KeepPath",
-      "no-scheme/stays?utm_source=x#asis")
+      "no-scheme/stays?utm_source=x#asis",
+      "https://ex.com/p?a=1",
+      "https://ex.com/p?gclid2=x",
+      "https://[::1]/v6")
     val got = norm(in)
     assert(got == want, s"got $got")
     assert(norm(got) == want, "normalize must be idempotent")
