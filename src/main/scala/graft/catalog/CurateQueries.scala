@@ -727,6 +727,59 @@ object CurateQueries extends Catalog {
            |  FROM j) t
            |GROUP BY url_norm ORDER BY url_norm""".stripMargin
       }),
+
+    // PSL-aware registrable domain (ops/Psl) — the production suffix rule
+    // over a host fixture exercising every PSL rule class the column path
+    // expresses: the implicit 1-label default (.com), ICANN 2-label
+    // (co.nz; co.uk under a depth-2 subdomain), private-section 2-label
+    // (github.io, blogspot.com), 3-label (s3.amazonaws.com — longest
+    // match must beat the .com default), the *.ck wildcard, and the
+    // !www.ck exception (every k-variant of kind 7 collapses into ONE
+    // www.ck group — visible in the hash). Both engines consume the SAME
+    // parsed snapshot (Psl.snapshot → literal InSet / SQL IN lists), so
+    // the suffix set cannot drift between engines.
+    Q("curate_domain_psl",
+      (s, dir) => {
+        def hx(i: Int, n: Int) =
+          expr(s"cast(conv(substring(h, $i, $n), 16, 10) as bigint)")
+        val k = (hx(2, 2) % 30).cast("string")
+        val host = element_at(array(
+          concat(lit("www.site"), k, lit(".com")),
+          concat(lit("shop.site"), k, lit(".co.nz")),
+          concat(lit("user"), k, lit(".github.io")),
+          concat(lit("blog"), k, lit(".blogspot.com")),
+          concat(lit("b"), k, lit(".s3.amazonaws.com")),
+          concat(lit("deep.a.site"), k, lit(".co.uk")),
+          concat(lit("shop"), k, lit(".example.ck")),
+          concat(lit("sub"), k, lit(".www.ck"))),
+          (hx(1, 1) % 8).cast("int") + 1)
+        load(s, dir, "documents")
+          .select(md5(concat(lit("psl:"), col("doc_id").cast("string"))
+            .cast("binary")).as("h"))
+          .select(graft.ops.Psl.registrableDomain(host).as("domain"))
+          .groupBy(col("domain")).agg(count(lit(1)).as("n_hosts"))
+          .orderBy(col("domain"))
+      },
+      Some {
+        def hx(i: Int, n: Int) = s"('0x' || substr(h, $i, $n))::BIGINT"
+        s"""WITH h0 AS (SELECT md5('psl:' || doc_id::VARCHAR) AS h
+           |    FROM documents),
+           |hk AS (SELECT h, (${hx(2, 2)} % 30)::VARCHAR AS k FROM h0),
+           |ho AS (SELECT (['www.site' || k || '.com',
+           |    'shop.site' || k || '.co.nz',
+           |    'user' || k || '.github.io',
+           |    'blog' || k || '.blogspot.com',
+           |    'b' || k || '.s3.amazonaws.com',
+           |    'deep.a.site' || k || '.co.uk',
+           |    'shop' || k || '.example.ck',
+           |    'sub' || k || '.www.ck'])[(${hx(1, 1)} % 8)::INT + 1]
+           |    AS host FROM hk)
+           |SELECT domain, count(*)::BIGINT AS n_hosts
+           |FROM (SELECT ${graft.ops.Psl.registrableDomainSql("host")}
+           |    AS domain
+           |  FROM ho) d
+           |GROUP BY domain ORDER BY domain""".stripMargin
+      }),
   )
 
   /** `curate_url_normalize`'s input: the fixture URL with deterministic
