@@ -127,6 +127,45 @@ object ScaleRun {
         s""""min_cosine":${cPairs.getDouble(1)},"sec":$cSec}""")
       spark.catalog.clearCache()
     }
+
+    // --- containment, catalog knobs (3-grams, t = 0.8): the asymmetric
+    // PPJoin — src's df-ordered prefix against dst's FULL shingle list
+    // under the one-sided t·|A| ≤ |B| length filter, then the exact
+    // verify. containmentCandidateBudget prices the directed prefix
+    // fan-out Σ_prefix (df − 1) in O(n) before the join pays it --------
+    val (ob, obSec) = timed(
+      ops.Dedup.containmentCandidateBudget(docs, 3, 0.8).collect()(0))
+    println(s"""{"run":"containment_budget","knobs":"3g t0.8",""" +
+      s""""dir":"$dir","n":${ob.getLong(0)},"cand_pairs":${ob.getLong(3)},""" +
+      s""""sec":$obSec}""")
+    val (oPairs, oSec) = timed(
+      ops.Dedup.containmentPairs(docs, 3, 0.8)
+        .agg(count(lit(1)),
+          coalesce(round(min(col("containment")), 4), lit(-1.0)))
+        .collect()(0))
+    println(s"""{"run":"containment_pairs","knobs":"3g c>=0.8",""" +
+      s""""dir":"$dir","pairs":${oPairs.getLong(0)},""" +
+      s""""min_containment":${oPairs.getDouble(1)},"sec":$oSec}""")
+    spark.catalog.clearCache()
+
+    // --- common-span, catalog knobs (8-token spans, df cap 64): the
+    // df-bounded per-span self-join — commonSpanCandidateBudget prices
+    // the EXACT join fan-out Σ C(df, 2) over kept spans, and counts the
+    // hot spans the cap drops, before the join runs ---------------------
+    val (wb, wbSec) = timed(
+      ops.Dedup.commonSpanCandidateBudget(docs, 8, maxDf = 64).collect()(0))
+    println(s"""{"run":"span_budget","knobs":"8tok df<=64","dir":"$dir",""" +
+      s""""n":${wb.getLong(0)},"spans_kept":${wb.getLong(1)},""" +
+      s""""spans_hot":${wb.getLong(2)},"cand_pairs":${wb.getLong(3)},""" +
+      s""""sec":$wbSec}""")
+    val (wPairs, wSec) = timed(
+      ops.Dedup.commonSpanPairs(docs, 8, maxDf = 64)
+        .agg(count(lit(1)), coalesce(max(col("n_spans")), lit(-1L)))
+        .collect()(0))
+    println(s"""{"run":"span_pairs","knobs":"8tok df<=64","dir":"$dir",""" +
+      s""""pairs":${wPairs.getLong(0)},"max_spans":${wPairs.getLong(1)},""" +
+      s""""sec":$wSec}""")
+    spark.catalog.clearCache()
     spark.stop()
   }
 }

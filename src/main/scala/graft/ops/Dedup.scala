@@ -157,7 +157,10 @@ object Dedup {
     val toks = cached(docs.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("ts")))
     val sigCols = (0 until numHashes).map(s =>
-      min(minHashPerm(s, col("h"))).as(s"s$s"))
+      min(minHashPerm(s, col("h"))).as(s"s$s")) :+
+      // shingle-set size, carried through the banding: `ts` is distinct,
+      // so the exploded row count IS |set| — feeds the verify prune below
+      count(lit(1)).as("nt")
     val sigs = toks
       .select(col("id"), explode(col("ts")).as("t"))
       .select(col("id"), tokenHash28(col("t")).as("h"))
@@ -171,16 +174,32 @@ object Dedup {
         acc.bitwiseOR(shiftleft(col(s"s${b * rowsPerBand + r}"),
           28 * (rowsPerBand - 1 - r))))
     val banded = cached(sigs
-      .select(col("id"), array((0 until bands).map(bkey): _*).as("bks"))
-      .select(col("id"), col("bks"), explode(col("bks")).as("bkey")))
+      .select(col("id"), col("nt"),
+        array((0 until bands).map(bkey): _*).as("bks"))
+      .select(col("id"), col("nt"), col("bks"),
+        explode(col("bks")).as("bkey")))
     // Fan BOTH self-join sides to the session parallelism (the
     // cosineNearDupPairsBanded lesson): a small cached banded frame can
     // coalesce to one partition, and whichever side the broadcast join
     // streams carries the whole candidate enumeration on one task.
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val fanned = banded.repartition(parts, col("id"))
+    // Size prune BEFORE the verify join-backs (J(A,B) ≤ min/max, so
+    // J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|) — the PPJoin length
+    // filter, applied here as pure arithmetic on the carried set sizes):
+    // a candidate pair whose sizes alone cap its Jaccard below the
+    // threshold never reaches the two joins that attach full shingle
+    // arrays — at sf10 those joins shuffling 14.5 M candidate payloads
+    // are the dominant verify cost, and skew-tail pairs (a tweet banded
+    // against a novel) die here for the price of a compare. The 5e-5
+    // slack keeps the prune conservative against the verify's 4dp
+    // rounding (round(J, 4) ≥ t is reachable only if J > t − 5e-5), so
+    // the emitted pair set is bit-identical — the oracle hash is the
+    // proof.
     val cand = fanned.as("a").join(fanned.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+          lit(threshold - 5e-5) * greatest(col("a.nt"), col("b.nt")) <=
+            least(col("a.nt"), col("b.nt")) &&
           BandedBits.firstMatchingWideBand(col("a.bks"), col("b.bks"),
             shiftright(col("a.bkey"), 28 * rowsPerBand), bands))
       .select(col("a.id").as("i"), col("b.id").as("j"))
@@ -901,6 +920,37 @@ object Dedup {
       .agg(countDistinct(col("h")).as("n_spans"))
   }
 
+  /** O(n) pre-flight for `commonSpanPairs` at the same (n, maxDf) knobs:
+    * the per-span pair fan-out the self-join will stream — EXACTLY
+    * Σ C(df, 2) over spans with 2 ≤ df ≤ maxDf (the join's raw output
+    * rows before the per-pair group), plus the count of HOT spans the df
+    * cap drops (the boilerplate mass — a rising hot share means the cap,
+    * not the data, is shaping the result and `maxDf` deserves a look).
+    * One exploded digest pass and one keyed count; prices the join
+    * before any pair is materialized. Schema follows the family:
+    * (n_docs, n_spans_kept, n_spans_hot, cand_pairs).
+    */
+  def commonSpanCandidateBudget(docs: DataFrame, n: Int, maxDf: Int = 64,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dfreq = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("span"))
+      .select(col("id"), md5(col("span").cast("binary")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val summary = dfreq.agg(
+      sum(when(col("df").between(2, maxDf), 1L).otherwise(0L))
+        .cast("long").as("n_spans_kept"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L))
+        .cast("long").as("n_spans_hot"),
+      coalesce(sum(when(col("df").between(2, maxDf),
+          expr("(df * (df - 1)) div 2")).otherwise(0L).cast(dec)),
+        lit(0).cast(dec)).cast("long").as("cand_pairs"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(summary)
+      .select(col("n_docs"), col("n_spans_kept"), col("n_spans_hot"),
+        col("cand_pairs"))
+  }
+
   /** The span-digest table `(id, h)` behind `commonSpanPairs` — also the
     * STORED index shape for the incremental probe (text never ships; the
     * index carries 16-byte digests only).
@@ -1073,6 +1123,48 @@ object Dedup {
         .cast("long").as("n_docs"))
       .crossJoin(summary)
       .select(col("n_docs"), col("n_buckets"), col("max_bucket"),
+        col("cand_pairs"))
+  }
+
+  /** O(n) pre-flight for `containmentPairs` at the same (n, threshold)
+    * knobs: the DIRECTED candidate fan-out its asymmetric prefix join
+    * will stream, before the one-sided length filter and the distinct —
+    * Σ over src-prefix entries of (df_{lang,s} − 1), an exact count of
+    * the join's raw output rows under the same df-ordered prefix bound
+    * (each prefix occurrence of shingle `s` meets every OTHER same-lang
+    * doc containing `s`). The production discipline shared by every
+    * banded family here: price the fan-out with one narrow pass, and
+    * only pay the join when `cand_pairs / n_docs` stays near-linear —
+    * for containment the dial is the threshold (a higher t shrinks the
+    * prefix) and, at a real crawl's df skew, a df cap on prefix entries.
+    * Schema matches the sibling budgets: (n_docs, n_prefix, max_df,
+    * cand_pairs).
+    */
+  def containmentCandidateBudget(docs: DataFrame, n: Int,
+                                 threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = docs.select(col("doc_id").as("id"), col("lang"),
+      shingleDigests(col("text"), n).as("sh"))
+    val ex = t.select(col("id"), col("lang"), explode(col("sh")).as("s"),
+      size(col("sh")).as("n"))
+    // global df ranks the prefix (identical to containmentPairs); the
+    // per-(lang, s) df prices the join, whose key includes lang
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfl = ex.groupBy("lang", "s").agg(count(lit(1)).as("dfl"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n")) + 2)
+    val summary = prefix.join(dfl, Seq("lang", "s"))
+      .agg(count(lit(1)).as("n_prefix"),
+        coalesce(max(col("dfl")), lit(0L)).as("max_df"),
+        coalesce(sum((col("dfl") - 1).cast(dec)), lit(0).cast(dec))
+          .cast("long").as("cand_pairs"))
+    t.agg(sum(when(size(col("sh")) > 0, 1L).otherwise(0L))
+        .cast("long").as("n_docs"))
+      .crossJoin(summary)
+      .select(col("n_docs"), col("n_prefix"), col("max_df"),
         col("cand_pairs"))
   }
 

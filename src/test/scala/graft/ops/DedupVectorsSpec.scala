@@ -797,4 +797,80 @@ class DedupVectorsSpec extends SparkSpec {
       planesPerBand = 1, bands = 32))
     assert(one == many)
   }
+
+  test("minHash size prune is lossless under extreme length skew: banded " +
+      "pairs ≡ quadratic exact-Jaccard reference") {
+    // a short doc that SHARES its minhash-relevant shingles with a much
+    // longer one (prefix-identical text) bands together but cannot reach
+    // J ≥ 0.5 on sizes alone — exactly what the t·max ≤ min prune kills
+    // before the verify join-backs; plus a true near-dup pair that must
+    // survive. The quadratic reference is the ground truth for both.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val skew = Seq(
+      (1L, "en", base),
+      (2L, "en", base + " extra"),                     // true near-dup of 1
+      (3L, "en", "tok1 tok2 tok3 tok4 tok5"),          // short prefix slice
+      (4L, "en", base + " " + (41 to 99).map(i => s"pad$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val banded = collectPairs(Dedup.minHashNearDupPairs(skew, 0.5))
+    val sh = Dedup.shingles(col("text"), 3)
+    val j = round(
+      size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        size(array_union(col("a.sh"), col("b.sh"))), 4)
+    val t = skew.select(col("doc_id"), sh.as("sh"))
+    val quad = t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        j.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    // banded ⊆ quadratic always (LSH misses are allowed; false POSITIVES
+    // are not) — and on this fixture the signatures agree everywhere, so
+    // the sets are equal and the surviving pair is the true near-dup
+    assert(banded == collectPairs(quad), s"got $banded")
+    assert(banded.map(r => (r(0), r(1))) == Set((1L, 2L)))
+  }
+
+  test("containmentCandidateBudget: Σ (df − 1) over src-prefix entries — " +
+      "hand-derivable, lang-partitioned, bounds the realized join") {
+    // three IDENTICAL en docs (10 tokens → 8 shingles, prefix bound
+    // floor(0.2·8)+2 = 3): every doc's 3 prefix shingles have df = 3 →
+    // Σ (3−1) over 9 prefix rows = 18 directed candidates. The de twin
+    // buckets separately (df = 1 → contributes 0).
+    val text = "a b c d e f g h i j"
+    def corpus(parts: Int) = Seq(
+      (1L, "en", text), (2L, "en", text), (3L, "en", text),
+      (4L, "de", text)).toDF("doc_id", "lang", "text").repartition(parts)
+    val r = Dedup.containmentCandidateBudget(corpus(1), 3, 0.8).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 12L, 3L, 18L)), s"got $r")
+    val r7 = Dedup.containmentCandidateBudget(corpus(7), 3, 0.8).collect()(0)
+    assert(r.toSeq == r7.toSeq)
+    // budget bounds the realized directed pairs (6 among the en triple)
+    val pairs = Dedup.containmentPairs(corpus(1), 3, 0.8).count()
+    assert(pairs == 6L && pairs <= r.getLong(3))
+  }
+
+  test("commonSpanCandidateBudget: Σ C(df,2) over kept spans is EXACTLY " +
+      "the join fan-out (Σ n_spans over emitted pairs); hot spans counted") {
+    val a = "one two three four five six seven eight nine ten"
+    val d = Seq(
+      (1L, "en", a),                     // shares all spans with 2
+      (2L, "en", a),
+      (3L, "en", a + " eleven"),         // shares a's spans + its own tail
+      (4L, "en", "completely different words making no shared span here x y"))
+      .toDF("doc_id", "lang", "text")
+    val b = Dedup.commonSpanCandidateBudget(d, 8, maxDf = 64).collect()(0)
+    val pairs = Dedup.commonSpanPairs(d, 8, maxDf = 64)
+    val sumSpans = pairs.agg(sum(col("n_spans"))).collect()(0).getLong(0)
+    assert(b.getLong(3) == sumSpans && sumSpans > 0,
+      s"budget ${b.getLong(3)} != realized fan-out $sumSpans")
+    assert(b.getLong(2) == 0L) // no span hotter than the cap here
+    // with the cap BELOW the shared df, those spans become "hot" and the
+    // budget collapses to the tail spans only
+    val capped = Dedup.commonSpanCandidateBudget(d, 8, maxDf = 2).collect()(0)
+    val cappedPairs = Dedup.commonSpanPairs(d, 8, maxDf = 2)
+    assert(capped.getLong(3) ==
+      cappedPairs.agg(coalesce(sum(col("n_spans")), lit(0L)))
+        .collect()(0).getLong(0))
+    assert(capped.getLong(2) > 0L)
+  }
 }
