@@ -128,6 +128,34 @@ object ScaleRun {
       spark.catalog.clearCache()
     }
 
+    // --- Matryoshka ARMED branch: front-loaded-energy twin corpus ------
+    // The staged-verify gate arms itself from the measured residual-
+    // energy share, and on THIS corpus's isotropic embeddings it is
+    // correctly DISARMED (share² ≈ 0.75 > τ; forced = +20%, BASELINE.md
+    // r13). This section manufactures the regime Matryoshka-trained
+    // embeddings live in — residual dims 17..64 scaled to 10% amplitude,
+    // share² ≈ 0.03 ≪ τ = 0.4, the gate arms — and measures the SAME
+    // knobs armed (p = 16) vs structurally disarmed (p = 0) on the SAME
+    // twin corpus. Identical pair count + min cosine across the two
+    // shapes is asserted by print (losslessness), the wall-time gap is
+    // the armed branch's measured payoff.
+    val embFront = emb.withColumn("embedding",
+      transform(col("embedding"),
+        (x, i) => when(i < 16, x).otherwise(x * lit(0.1)))
+        .cast("array<float>"))
+    for ((label, p) <- Seq(("armed p16", 16), ("disarmed p0", 0))) {
+      val (fPairs, fSec) = timed(
+        ops.Vectors.cosineNearDupPairsBanded(embFront, 0.4,
+            planesPerBand = cosPlanes, bands = cosBands, prefixDims = p)
+          .agg(count(lit(1)), coalesce(round(min(col("cosine")), 4), lit(-1.0)))
+          .collect()(0))
+      println(s"""{"run":"cosine_matryoshka","knobs":"${cosBands}x""" +
+        s"""$cosPlanes th>=0.4 $label","dir":"$dir",""" +
+        s""""pairs":${fPairs.getLong(0)},""" +
+        s""""min_cosine":${fPairs.getDouble(1)},"sec":$fSec}""")
+      spark.catalog.clearCache()
+    }
+
     // --- containment, catalog knobs (3-grams, t = 0.8): the asymmetric
     // PPJoin — src's df-ordered prefix against dst's FULL shingle list
     // under the one-sided t·|A| ≤ |B| length filter, then the exact
