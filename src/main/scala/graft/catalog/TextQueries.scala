@@ -942,6 +942,35 @@ object TextQueries extends Catalog {
              |  SELECT content_md5 FROM h WHERE doc_id % 5 <> 0)
              |ORDER BY doc_id""".stripMargin)),
 
+    // X2 incremental behind a Bloom pre-probe (Dedup.exactIncrementalBloom)
+    // — the 100 TB ingest shape: the corpus's digest table reduces to a
+    // broadcastable Bloom sketch (Spark's own BloomFilterAggregate, built
+    // here in one pass; stored next to the digest table in production),
+    // batch survivors that MISS the bloom are provably novel and skip the
+    // corpus entirely, hits confirm through the same anti-join. The oracle
+    // is dedup_incremental_exact's plain anti-join VERBATIM — the hash
+    // match proves bloom-prefiltered ≡ unfiltered at any fpp.
+    Q("dedup_incremental_exact_bloom",
+      (s, dir) => {
+        val docs = load(s, dir, "documents")
+        val corpus = graft.ops.Dedup.contentDigests(
+          docs.filter(col("doc_id") % 5 =!= 0))
+        val bloom = graft.ops.Dedup.digestBloom(
+          corpus, expectedItems = 1L << 17, numBits = 1L << 21)
+        graft.ops.Dedup.exactIncrementalBloom(
+            docs.filter(col("doc_id") % 5 === 0), corpus, bloom)
+          .select(col("doc_id"), col("content_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents),
+             |nw AS (SELECT * FROM h WHERE doc_id % 5 = 0),
+             |surv AS (SELECT content_md5, min(doc_id) AS doc_id
+             |  FROM nw GROUP BY content_md5)
+             |SELECT doc_id, content_md5 FROM surv
+             |WHERE content_md5 NOT IN (
+             |  SELECT content_md5 FROM h WHERE doc_id % 5 <> 0)
+             |ORDER BY doc_id""".stripMargin)),
+
     // X3 incremental: MinHash-LSH near-dup flags for the same NEW batch
     // against the corpus — band buckets join NEW×CORPUS and NEW×earlier-NEW
     // only (CORPUS×CORPUS happened at its own ingest). The oracle replays

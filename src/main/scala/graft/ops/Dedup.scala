@@ -249,6 +249,69 @@ object Dedup {
         Seq("content_md5"), "left_anti")
   }
 
+  /** Serialized Bloom filter over a stored digest table — the probe-state
+    * companion of `contentDigests`: at 100 TB the digest table is
+    * terabytes while the bloom at 10⁹ digests / 1% fpp is ~1.2 GB of
+    * broadcastable bytes, so every ingest consults the bloom FIRST and
+    * touches the table only to confirm hits (`exactIncrementalBloom`).
+    * Built distributed through Spark's OWN bloom machinery —
+    * `BloomFilterAggregate` over `xxhash64(digest)`, the exact aggregate
+    * Spark's runtime bloom-filter joins inject (mergeable per-partition
+    * sketch buffers, one narrow pass; the driver receives only the
+    * sketch bytes). Size with the standard calculus: fpp ≈ 0.6185^(m/n),
+    * so m = 10n bits gives ~0.8%. Append = rebuild OR a second bloom
+    * probed alongside (sketches of different batches OR together).
+    */
+  def digestBloom(corpusDigests: DataFrame, expectedItems: Long,
+                  numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("content_md5"))),
+      Literal(expectedItems), Literal(numBits))
+    corpusDigests
+      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+  }
+
+  /** `exactIncremental` behind a Bloom pre-probe — the 100 TB ingest
+    * shape. The batch's within-batch survivors split on
+    * `might_contain(bloom, xxhash64(digest))` (Spark's codegen'd
+    * `BloomFilterMightContain`, the probe side of its runtime bloom
+    * joins): a MISS is definitely novel and never touches the corpus —
+    * no join, no corpus I/O — while HITS (true dups + the fpp sliver of
+    * false positives) confirm through the same digest anti-join
+    * `exactIncremental` runs on everything. Output is IDENTICAL to
+    * `exactIncremental` at any fpp — the bloom has no false negatives,
+    * so the miss side is provably corpus-absent, and the confirm join
+    * kills every false positive; the oracle replays the plain anti-join
+    * and the hash match is the proof. At steady state the confirm join
+    * rides the digest table's own layout (bucketed by digest →
+    * co-located probe, `sources/Bucketing`), and the common all-novel
+    * ingest sends ~fpp·|batch| rows into it instead of the whole batch.
+    */
+  def exactIncrementalBloom(newDocs: DataFrame, corpusDigests: DataFrame,
+                            bloom: Array[Byte],
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashed = newDocs.withColumn("content_md5", md5(col(textCol).cast("binary")))
+    val firsts = hashed.groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("__survivor"))
+    val surv = hashed.join(firsts, "content_md5")
+      .filter(col(idCol) === col("__survivor")).drop("__survivor")
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col("content_md5")))))
+    val novel = surv.filter(!mightContain)
+    val confirmed = surv.filter(mightContain)
+      .join(corpusDigests.select(col("content_md5")).distinct(),
+        Seq("content_md5"), "left_anti")
+    novel.unionByName(confirmed)
+  }
+
   /** THE MinHash pipeline for one input: (shingle sets, banded signature
     * rows, unpersist handle). The single copy of the oracle-parity-critical
     * construction (`tokenHash28` → per-seed `min` aggregation → `:`-joined

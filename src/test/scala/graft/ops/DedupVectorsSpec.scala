@@ -829,6 +829,32 @@ class DedupVectorsSpec extends SparkSpec {
     assert(banded.map(r => (r(0), r(1))) == Set((1L, 2L)))
   }
 
+  test("exactIncrementalBloom ≡ exactIncremental at ANY fpp — generous " +
+      "bloom (no FPs) and a saturated 64-bit bloom (everything a 'hit') " +
+      "produce the identical survivor set") {
+    val corpus = Seq(
+      (10L, "en", "alpha beta gamma"), (11L, "en", "delta epsilon zeta"),
+      (12L, "en", "eta theta iota")).toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (20L, "en", "alpha beta gamma"),   // exact corpus dup → dropped
+      (21L, "en", "brand new text one"), // novel
+      (22L, "en", "brand new text two"), // novel
+      (23L, "en", "brand new text one")  // batch-internal dup of 21
+    ).toDF("doc_id", "lang", "text")
+    val digests = Dedup.contentDigests(corpus)
+    val want = Dedup.exactIncremental(batch, digests)
+      .select("doc_id").as[Long].collect().toSet
+    assert(want == Set(21L, 22L))
+    for (bits <- Seq(1L << 20, 64L)) { // 64 bits over 3 digests ⇒ FPs certain
+      val bloom = Dedup.digestBloom(digests, expectedItems = 8, numBits = bits)
+      val got = Dedup.exactIncrementalBloom(batch, digests, bloom)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"bloom path diverged at numBits=$bits: $got")
+    }
+    // no false negatives: with a generous bloom the corpus dup must HIT
+    // (be pruned) — proven by the survivor set already excluding 20
+  }
+
   test("containmentCandidateBudget: Σ (df − 1) over src-prefix entries — " +
       "hand-derivable, lang-partitioned, bounds the realized join") {
     // three IDENTICAL en docs (10 tokens → 8 shingles, prefix bound
