@@ -281,9 +281,17 @@ object Bench {
         s"(canary spread ${math.rint(a.canarySpread * 1000) / 1000}x, " +
         s"max query spread ${math.rint(a.maxSpread * 1000) / 1000}x) — retrying")
     }
+    // Headline pass: the first clean attempt. When EVERY attempt is
+    // contended, report the median-total attempt (lower-middle for even
+    // counts — deterministic), NOT the minimum: a min statistic over
+    // noisy passes biases the headline low relative to single-pass
+    // rounds, breaking cross-round comparison. The per-query min across
+    // attempts still surfaces as value_min (the idle lower bound).
     val chosenIdx = attempts.indexWhere(!_.contended) match {
-      case -1 => attempts.zipWithIndex.minBy(_._1.total)._2
-      case i  => i
+      case -1 =>
+        val byTotal = attempts.zipWithIndex.sortBy(_._1.total)
+        byTotal((byTotal.size - 1) / 2)._2
+      case i => i
     }
     val at = attempts(chosenIdx)
     val results = at.results
@@ -320,9 +328,25 @@ object Bench {
       "\"" + k + "\":" + sp
     }.mkString("{", ",", "}")
     val spilledTotal = results.map(_._5).sum
+    // Canary-normalized headline: the driver box has self-flagged
+    // contended for five straight rounds while judge-side idle re-runs of
+    // the same code land 20-25% faster — the r9 rule (scale the total by
+    // reference-canary / measured-canary) kept being redone by hand from
+    // the raw fields. Emit it directly: canary_ref is PINNED at the r24
+    // idle host level (0.249 s), the fixed point every cross-round
+    // comparison since has used; value_normalized = value × ref ÷
+    // measured estimates what this exact pass would have cost on that
+    // idle host. Overridable for a future re-pin via env.
+    val canaryRef = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_REF", "0.249").trim.toDouble)
+      .getOrElse(0.249)
+    val valueNormalized =
+      if (at.canaryMedian > 0) total * canaryRef / at.canaryMedian else total
+    val normJson =
+      s""""value_normalized":${r3(valueNormalized)},"canary_ref":$canaryRef"""
     // a failed query must be visible, not folded in as a fast success
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,$contentionJson,"spilled_bytes":$spilledTotal,"spilled":$spilled,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$normJson,"queries":$qs,"timings":$timings,"prewarmed":$prewarmed,"failed":$failed,$contentionJson,"spilled_bytes":$spilledTotal,"spilled":$spilled,"sf":"$sfDir"}"""
     // Full per-query JSON: one line for the log, and a FILE for programmatic
     // reads — the driver captures only the last ~2000 chars of stdout, which
     // a >2500-char 80-query line overflows (BENCH_r1..r4 all have
@@ -368,7 +392,7 @@ object Bench {
       val slowest = results.sortBy(-_._2).take(topN)
         .map { case (k, v, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_min":${r3(at.totalMin)},"contended":${at.contended},"canary_spread":${r3(at.canarySpread)},"canary_median":${r3(at.canaryMedian)},"attempts":${attempts.size},"loadavg":"${at.loadBefore} -> ${at.loadAfter}","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",$normJson,"value_min":${r3(at.totalMin)},"contended":${at.contended},"canary_spread":${r3(at.canarySpread)},"canary_median":${r3(at.canaryMedian)},"attempts":${attempts.size},"loadavg":"${at.loadBefore} -> ${at.loadAfter}","n_queries":${results.size},"prewarmed":$prewarmed,"failed":$failed,"slowest":$slowest,"full_results":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     }
     println(Iterator.range(15, 0, -1).map(compactLine)
       .find(_.length <= 1800).getOrElse(compactLine(0)))

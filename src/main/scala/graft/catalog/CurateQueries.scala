@@ -780,6 +780,66 @@ object CurateQueries extends Catalog {
            |  FROM ho) d
            |GROUP BY domain ORDER BY domain""".stripMargin
       }),
+
+    // FULL-PSL registrable domain (ops/Psl longest-suffix-match JOIN
+    // path) — the general publicsuffix.org algorithm over a host fixture
+    // whose kinds 4/7/8/9 are expressible ONLY by general rule shapes
+    // (multi-label wildcard `*.compute.amazonaws.com`, city exception
+    // `!city.kawasaki.jp` under wildcard `*.kawasaki.jp`, 5-label exact
+    // `s3.dualstack.us-east-1.amazonaws.com`) — each resolves to a
+    // DIFFERENT apex than the CaseWhen subset path would give (PslSpec
+    // pins the divergence), so the join path is load-bearing in the
+    // hash, not a re-test of the subset rules. Both engines run the SAME
+    // K broadcast joins over the SAME parsed rule table
+    // (Psl.snapshotFull → Spark broadcast frames / SQL VALUES lists) and
+    // the SAME longest-first precedence coalesce.
+    Q("curate_domain_psl_full",
+      (s, dir) => {
+        def hx(i: Int, n: Int) =
+          expr(s"cast(conv(substring(h, $i, $n), 16, 10) as bigint)")
+        val k = (hx(2, 2) % 30).cast("string")
+        val host = element_at(array(
+          concat(lit("www.site"), k, lit(".com")),
+          concat(lit("user"), k, lit(".github.io")),
+          concat(lit("b"), k, lit(".s3.amazonaws.com")),
+          concat(lit("x.y"), k, lit(".compute.amazonaws.com")),
+          concat(lit("shop"), k, lit(".example.ck")),
+          concat(lit("sub"), k, lit(".www.ck")),
+          concat(lit("foo"), k, lit(".city.kawasaki.jp")),
+          concat(lit("a"), k, lit(".b.kawasaki.jp")),
+          concat(lit("cdn"), k, lit(".s3.dualstack.us-east-1.amazonaws.com")),
+          concat(lit("deep.a.site"), k, lit(".co.uk"))),
+          (hx(1, 1) % 10).cast("int") + 1)
+        val hosts = load(s, dir, "documents")
+          .select(md5(concat(lit("pslf:"), col("doc_id").cast("string"))
+            .cast("binary")).as("h"))
+          .select(host.as("host"))
+        graft.ops.Psl.withRegistrableDomainFull(hosts, col("host"), "domain")
+          .groupBy(col("domain")).agg(count(lit(1)).as("n_hosts"))
+          .orderBy(col("domain"))
+      },
+      Some {
+        def hx(i: Int, n: Int) = s"('0x' || substr(h, $i, $n))::BIGINT"
+        val full = graft.ops.Psl.registrableDomainFullSql(
+          "ho", "host", Seq("host"), "domain")
+        s"""WITH h0 AS (SELECT md5('pslf:' || doc_id::VARCHAR) AS h
+           |    FROM documents),
+           |hk AS (SELECT h, (${hx(2, 2)} % 30)::VARCHAR AS k FROM h0),
+           |ho AS (SELECT (['www.site' || k || '.com',
+           |    'user' || k || '.github.io',
+           |    'b' || k || '.s3.amazonaws.com',
+           |    'x.y' || k || '.compute.amazonaws.com',
+           |    'shop' || k || '.example.ck',
+           |    'sub' || k || '.www.ck',
+           |    'foo' || k || '.city.kawasaki.jp',
+           |    'a' || k || '.b.kawasaki.jp',
+           |    'cdn' || k || '.s3.dualstack.us-east-1.amazonaws.com',
+           |    'deep.a.site' || k || '.co.uk'])[(${hx(1, 1)} % 10)::INT + 1]
+           |    AS host FROM hk),
+           |pd AS ($full)
+           |SELECT domain, count(*)::BIGINT AS n_hosts
+           |FROM pd GROUP BY domain ORDER BY domain""".stripMargin
+      }),
   )
 
   /** `curate_url_normalize`'s input: the fixture URL with deterministic

@@ -15,6 +15,48 @@ object TextQueries extends Catalog {
   private val Toks = "string_split(text, ' ')"
   private val TokSet = s"list_sort(list_distinct($Toks))"
 
+  /** Deterministic HTML page wrapping one document — the web-crawl
+    * fixture for `text_strip_markup` / `pipeline_corpus_clean_html`.
+    * Line classes, each load-bearing in the strip's oracle hash: an
+    * all-markup title line (tag strip), a nav bar and a link-only footer
+    * (100% link density → dropped), the document text in a <p> (kept
+    * verbatim), an entity line (every decode rule fires, incl. the
+    * double-escape `&amp;lt;` → literal `&lt;` order proof), and a
+    * mixed prose+link line under the density cut (kept WITH anchor
+    * text). Both engines build the IDENTICAL string.
+    */
+  private def HtmlFixture(docId: org.apache.spark.sql.Column,
+                          text: org.apache.spark.sql.Column) = concat(
+    lit("<html><head><title>Doc "), docId.cast("string"),
+    lit("</title></head><body>\n"),
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+      " <a href=\"/c\">Contact</a></nav>\n"),
+    lit("<h1>Doc "), docId.cast("string"), lit("</h1>\n"),
+    lit("<p>"), text, lit("</p>\n"),
+    lit("<p>Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39;" +
+      " A&nbsp;B &amp;lt;esc&amp;gt;</p>\n"),
+    lit("<p>Read more about this topic <a href=\"/next\">on the next page</a> soon</p>\n"),
+    lit("<div class=\"footer\"><a href=\"/x\">x</a>" +
+      " <a href=\"/y\">yy</a></div>\n"),
+    lit("</body></html>"))
+
+  /** DuckDB twin of `HtmlFixture(doc_id, text)` — `||` kept at line END
+    * (stripMargin interpolation trap).
+    */
+  private val HtmlFixtureSql: String =
+    "'<html><head><title>Doc ' || doc_id::VARCHAR || " +
+    "'</title></head><body>' || chr(10) || " +
+    "'<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a>" +
+    " <a href=\"/c\">Contact</a></nav>' || chr(10) || " +
+    "'<h1>Doc ' || doc_id::VARCHAR || '</h1>' || chr(10) || " +
+    "'<p>' || text || '</p>' || chr(10) || " +
+    "'<p>Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39;" +
+    " A&nbsp;B &amp;lt;esc&amp;gt;</p>' || chr(10) || " +
+    "'<p>Read more about this topic <a href=\"/next\">on the next page</a> soon</p>' || chr(10) || " +
+    "'<div class=\"footer\"><a href=\"/x\">x</a>" +
+    " <a href=\"/y\">yy</a></div>' || chr(10) || " +
+    "'</body></html>'"
+
   // Shared by text_pmi_pairs and its merged-state twin (the steady-state
   // query must reproduce EXACTLY the full recompute — same SQL verbatim).
   private val PmiOracleSql: String =
@@ -1435,6 +1477,79 @@ object TextQueries extends Catalog {
              |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
              |      ' +', ' ', 'g')) AS nm
              |  FROM documents),
+             |d AS (
+             |  SELECT *, row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id) AS rn
+             |  FROM n),
+             |k AS (
+             |  SELECT lang, len(string_split(nm, ' ')) AS nt,
+             |    floor(len(list_distinct(string_split(nm, ' '))) * 10000.0 /
+             |          len(string_split(nm, ' ')))::BIGINT AS dbp
+             |  FROM d WHERE rn = 1)
+             |SELECT lang, count(*) AS n_docs, sum(nt)::BIGINT AS sum_tokens
+             |FROM k WHERE nt >= 30 AND dbp >= 4000
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Markup/boilerplate strip (ops/Text.stripMarkup) — the web-crawl
+    // stage 0 over a deterministic HTML fixture wrapping every document:
+    // a nav bar and a link-only footer (link density 100% → the
+    // line-level rule MUST drop them), a mixed read-more line (density
+    // under the cut → kept WITH its anchor text), an entity-laden line
+    // (every decode rule load-bearing, &amp; last), and the document text
+    // in a <p>. The md5 over the cleaned text proves byte equality of
+    // the whole strip → filter → decode chain across engines.
+    Q("text_strip_markup",
+      (s, dir) => {
+        val html = HtmlFixture(col("doc_id"), col("text"))
+        val h = load(s, dir, "documents")
+          .select(col("doc_id"), html.as("html"))
+        h.select(col("doc_id"),
+            Text.stripMarkup(col("html")).as("clean"))
+          .select(col("doc_id"),
+            length(col("clean")).cast("long").as("n_chars_clean"),
+            md5(col("clean").cast("binary")).as("clean_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${HtmlFixtureSql} AS html
+             |    FROM documents),
+             |c AS (SELECT doc_id, ${Text.stripMarkupSql("html")} AS clean
+             |  FROM h)
+             |SELECT doc_id, len(clean)::BIGINT AS n_chars_clean,
+             |  md5(clean) AS clean_md5
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // pipeline_corpus_clean with stripMarkup wired as STAGE 0: raw HTML →
+    // markup strip → normalize → exact-dedup on the normalized hash →
+    // Gopher-ish gates → per-lang rollup. Same projection discipline as
+    // the plain pipeline (each expensive column in its own projection,
+    // referenced multiple times downstream so CollapseProject cannot
+    // inline a recompute per use).
+    Q("pipeline_corpus_clean_html",
+      (s, dir) => {
+        val html = HtmlFixture(col("doc_id"), col("text"))
+        val h = load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), html.as("html"))
+        val n = h.select(col("doc_id"), col("lang"),
+          Text.normalize(Text.stripMarkup(col("html"))).as("nm"))
+        val t = n.select(col("doc_id"), col("lang"), col("nm"),
+          split(col("nm"), " ").as("toks"))
+        val m = t.select(col("doc_id"), col("lang"),
+          md5(col("nm").cast("binary")).as("k"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          graft.ops.Exact.ratioBp(size(array_distinct(col("toks"))).cast("long"),
+            size(col("toks")).cast("long")).as("distinct_bp"))
+        graft.ops.Relational.firstPerKey(m, Seq("k"), Seq(col("doc_id").asc))
+          .filter(col("n_tokens") >= 30 && col("distinct_bp") >= 4000)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang, ${HtmlFixtureSql} AS html
+             |    FROM documents),
+             |n AS (
+             |  SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(lower(${Text.stripMarkupSql("html")}),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm
+             |  FROM h),
              |d AS (
              |  SELECT *, row_number() OVER (PARTITION BY md5(nm) ORDER BY doc_id) AS rn
              |  FROM n),

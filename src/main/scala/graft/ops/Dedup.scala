@@ -191,14 +191,17 @@ object Dedup {
     // threshold never reaches the two joins that attach full shingle
     // arrays — at sf10 those joins shuffling 14.5 M candidate payloads
     // are the dominant verify cost, and skew-tail pairs (a tweet banded
-    // against a novel) die here for the price of a compare. The 5e-5
-    // slack keeps the prune conservative against the verify's 4dp
-    // rounding (round(J, 4) ≥ t is reachable only if J > t − 5e-5), so
-    // the emitted pair set is bit-identical — the oracle hash is the
-    // proof.
+    // against a novel) die here for the price of a compare. The slack is
+    // 5e-5 (the verify's 4dp rounding: round(J, 4) ≥ t is reachable only
+    // if J > t − 5e-5) PLUS 1e-9 of epsilon-strictness: the prune
+    // evaluates min/max over set SIZES in doubles while the verify
+    // divides |∩|/|∪|, and IEEE rounding of that division can land ~1 ulp
+    // above the exact ratio — the extra margin makes the prune
+    // conservative against BOTH roundings, so the emitted pair set is
+    // bit-identical — the oracle hash is the proof.
     val cand = fanned.as("a").join(fanned.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
-          lit(threshold - 5e-5) * greatest(col("a.nt"), col("b.nt")) <=
+          lit(threshold - 5e-5 - 1e-9) * greatest(col("a.nt"), col("b.nt")) <=
             least(col("a.nt"), col("b.nt")) &&
           BandedBits.firstMatchingWideBand(col("a.bks"), col("b.bks"),
             shiftright(col("a.bkey"), 28 * rowsPerBand), bands))
@@ -261,18 +264,46 @@ object Dedup {
     * sketch bytes). Size with the standard calculus: fpp ≈ 0.6185^(m/n),
     * so m = 10n bits gives ~0.8%. Append = rebuild OR a second bloom
     * probed alongside (sketches of different batches OR together).
+    *
+    * `BloomFilterAggregate.checkInputDataTypes` validates the size
+    * arguments against `spark.sql.optimizer.runtime.bloomFilter
+    * .{maxNumItems,maxNumBits}` (defaults 4M items / 64M bits ≈ 8 MB —
+    * caps meant for the OPTIMIZER's auto-injected join blooms, not a
+    * deliberately-sized ingest sketch), so the 10⁹-digest production
+    * sizing would throw AnalysisException under default confs. This
+    * builder raises the two session confs to cover the request for the
+    * duration of the aggregate and restores them after — the documented
+    * scale is reachable without the caller touching SQLConf.
     */
   def digestBloom(corpusDigests: DataFrame, expectedItems: Long,
                   numBits: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(col("content_md5"))),
-      Literal(expectedItems), Literal(numBits))
-    corpusDigests
-      .agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
+    require(expectedItems > 0 && numBits > 0,
+      s"bloom sizing must be positive: items=$expectedItems bits=$numBits")
+    val conf = corpusDigests.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(itemsKey, bitsKey).map(k => k -> conf.getOption(k))
+    def runAgg(): Array[Byte] = {
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("content_md5"))),
+        Literal(expectedItems), Literal(numBits))
+      corpusDigests
+        .agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+    }
+    try {
+      conf.set(itemsKey, math.max(expectedItems,
+        conf.getOption(itemsKey).map(_.toLong).getOrElse(0L)))
+      conf.set(bitsKey, math.max(numBits,
+        conf.getOption(bitsKey).map(_.toLong).getOrElse(0L)))
+      runAgg()
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   /** `exactIncremental` behind a Bloom pre-probe — the 100 TB ingest
@@ -1192,10 +1223,18 @@ object Dedup {
   /** O(n) pre-flight for `containmentPairs` at the same (n, threshold)
     * knobs: the DIRECTED candidate fan-out its asymmetric prefix join
     * will stream, before the one-sided length filter and the distinct —
-    * Σ over src-prefix entries of (df_{lang,s} − 1), an exact count of
-    * the join's raw output rows under the same df-ordered prefix bound
-    * (each prefix occurrence of shingle `s` meets every OTHER same-lang
-    * doc containing `s`). The production discipline shared by every
+    * Σ over src-prefix entries of (df_{lang,s} − 1), an UPPER BOUND on
+    * the join's output rows: it counts every prefix occurrence of
+    * shingle `s` meeting every OTHER same-lang doc containing `s` under
+    * the same df-ordered prefix bound, but BEFORE the t·|A| ≤ |B| length
+    * filter containmentPairs evaluates inside the join condition, so the
+    * join emits at most (and with skewed lengths, fewer than) this many
+    * rows. n_docs here counts docs with a non-empty shingle set (the
+    * only rows the join can touch), unlike commonSpanCandidateBudget's
+    * count(*) — spans can be empty for short docs too, but that budget
+    * reports corpus size while this one reports join-eligible size; the
+    * difference is deliberate and matters when comparing the two
+    * cand_pairs/n_docs ratios. The production discipline shared by every
     * banded family here: price the fan-out with one narrow pass, and
     * only pay the join when `cand_pairs / n_docs` stays near-linear —
     * for containment the dial is the threshold (a higher t shrinks the

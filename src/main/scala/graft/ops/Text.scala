@@ -718,6 +718,75 @@ object Text {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Anchor-element regex — a whole `<a ...>text</a>` block, the unit the
+    * line-level link-density rule deletes to measure how much of a line is
+    * link text. `(?i)` + lazy `.*?` are portable Java-regex/RE2 syntax, so
+    * Spark and the DuckDB oracle run the identical pattern.
+    */
+  val AnchorRegex: String = "(?i)<a\\b[^>]*>.*?</a>"
+
+  /** Any single markup tag (HTML element, comment remnant, doctype). */
+  val TagRegex: String = "<[^>]*>"
+
+  /** Markup/boilerplate strip — the missing FIRST stage of a web-crawl
+    * pipeline, upstream of `normalize`/Gopher/CCNet (which all assume
+    * running text, and mis-score raw HTML badly — TextOpsSpec pins the
+    * shift). Three classic passes, all per-row column arithmetic:
+    *   1. line-level boilerplate filter: per line, strip tags two ways —
+    *      everything, and with whole `<a>…</a>` elements DELETED first —
+    *      and drop the line when link text is more than `maxLinkBp`
+    *      basis points of its visible text (nav bars / footers / link
+    *      farms die here; the public Gopher-rules companion is exactly
+    *      this link-density cut) or when no visible text remains;
+    *   2. tag removal on the kept lines (tags → space, whitespace
+    *      collapsed — `<p>a</p><p>b</p>` must not fuse words);
+    *   3. entity decode LAST (`&lt;` etc. were escaped CONTENT, not
+    *      markup — decoding before the tag pass would invent tags), with
+    *      `&amp;` last of all so `&amp;lt;` decodes to the literal text
+    *      `&lt;` as the HTML spec requires.
+    * Integer basis-point arithmetic (no float ties), one struct per line
+    * computed ONCE (transform → filter → project). Scale shape: pure
+    * scan-side map over every crawled page, no shuffle contributed — the
+    * 100 TB posture for a stage that must touch every raw byte once.
+    */
+  def stripMarkup(raw: Column, maxLinkBp: Int = 5000): Column = {
+    def lineText(l: Column): Column =
+      trim(regexp_replace(regexp_replace(l, TagRegex, " "), "\\s+", " "))
+    val scored = transform(split(raw, "\n"), l => struct(
+      lineText(l).as("t"),
+      lineText(regexp_replace(l, AnchorRegex, " ")).as("tn")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) > 0 &&
+        (length(s.getField("t")) - length(s.getField("tn"))) * lit(10000L) <=
+          lit(maxLinkBp.toLong) * length(s.getField("t")))
+    val joined = array_join(transform(kept, s => s.getField("t")), "\n")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (e, v)) => regexp_replace(c, e, v) }
+  }
+
+  /** DuckDB twin of `stripMarkup(raw, maxLinkBp)` for an expression `r` —
+    * same regexes, same struct-per-line shape, same decode order. DuckDB
+    * needs the explicit 'g' flag (its regexp_replace is first-match by
+    * default where Spark's is global) and a coalesce on the join (its
+    * array_to_string of an EMPTY list is NULL, not ''). No emitted line
+    * begins with `|` (catalog stripMargin interpolation trap).
+    */
+  def stripMarkupSql(r: String, maxLinkBp: Int = 5000): String = {
+    def lineText(l: String): String =
+      s"trim(regexp_replace(regexp_replace($l, '$TagRegex', ' ', 'g'), '\\s+', ' ', 'g'))"
+    val scored = s"list_transform(string_split($r, chr(10)), l -> " +
+      s"{'t': ${lineText("l")}, " +
+      s"'tn': ${lineText(s"regexp_replace(l, '$AnchorRegex', ' ', 'g')")}})"
+    val kept = s"list_filter($scored, s -> len(s.t) > 0 AND " +
+      s"(len(s.t) - len(s.tn)) * 10000 <= $maxLinkBp * len(s.t))"
+    val joined = s"coalesce(array_to_string(" +
+      s"list_transform($kept, s -> s.t), chr(10)), '')"
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "''",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(joined) { case (c, (e, v)) => s"replace($c, '$e', '$v')" }
+  }
+
   /** Per-language vocabulary of a corpus: distinct (lang, token) with
     * occurrence counts — the stored state behind OOV tracking. One
     * explode + one keyed aggregate; the table is O(vocab), not O(corpus),

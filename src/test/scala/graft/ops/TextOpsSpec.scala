@@ -509,4 +509,56 @@ class TextOpsSpec extends SparkSpec {
       q1.map(t => (t._2, t._3, t._4)).toSeq)
     assert(!got.exists(_._1 == "q3"))
   }
+
+  test("stripMarkup: tags removed, link-dense lines dropped, mixed lines " +
+      "kept with anchor text, entities decoded last (&amp;lt; stays " +
+      "literal), quality metrics shift sane-ward post-strip") {
+    val html = Seq(
+      "<html><head><title>Sample</title></head><body>",
+      "<nav class=\"navigation-menu-container\"><a href=\"/\">Home</a>" +
+        " <a href=\"/blog\">Blog</a> <a href=\"/about\">About</a></nav>",
+      "<p>the quick brown fox jumps over the lazy dog and then the" +
+        " dog naps by the open door</p>",
+      "<p>Fish &amp; chips &lt;b&gt; &quot;q&quot; &#39;s&#39;" +
+        " A&nbsp;B &amp;lt;esc&amp;gt;</p>",
+      "<p>Read more about this fine topic <a href=\"/next\">on the" +
+        " next page</a> soon</p>",
+      "<div class=\"footer-link-collection\"><a href=\"/x\">x</a>" +
+        " <a href=\"/y\">yy</a></div>",
+      "</body></html>").mkString("\n")
+    val df = Seq((1L, html)).toDF("doc_id", "text")
+    val clean = df.select(Text.stripMarkup(col("text")).as("c"))
+      .as[String].head()
+    val lines = clean.split("\n").toSeq
+    // boilerplate gone, content kept — LINE functions, not substring luck
+    assert(lines == Seq(
+      "Sample",
+      "the quick brown fox jumps over the lazy dog and then the dog" +
+        " naps by the open door",
+      "Fish & chips <b> \"q\" 's' A B &lt;esc&gt;",
+      "Read more about this fine topic on the next page soon"))
+    // idempotent on already-clean prose with no markup
+    val again = Seq((1L, lines(1))).toDF("doc_id", "text")
+      .select(Text.stripMarkup(col("text")).as("c")).as[String].head()
+    assert(again == lines(1))
+    // quality shift: markup tokens blow up mean token length; the strip
+    // brings it back into the prose range and raises the stopword share
+    def metrics(d: org.apache.spark.sql.DataFrame) =
+      Text.qualityMetrics(d).select(col("avg_token_len_bp"),
+        col("stopword_bp")).as[(Long, Long)].head()
+    val raw = metrics(df)
+    val stripped = metrics(df.select(col("doc_id"),
+      Text.stripMarkup(col("text")).as("text")))
+    assert(raw._1 > 60000 && stripped._1 < 60000,
+      s"avg token len bp: raw ${raw._1} vs stripped ${stripped._1}")
+    assert(stripped._2 > raw._2,
+      s"stopword bp: raw ${raw._2} vs stripped ${stripped._2}")
+    // the Gopher gate itself flips at the same boundary
+    def gopher(d: org.apache.spark.sql.DataFrame) =
+      Text.gopherQualityFlags(d, maxAvgLenBp = 60000)
+        .select(col("pass")).as[Boolean].head()
+    assert(!gopher(df))
+    assert(gopher(df.select(col("doc_id"),
+      Text.stripMarkup(col("text")).as("text"))))
+  }
 }
