@@ -840,7 +840,186 @@ object CurateQueries extends Catalog {
            |SELECT domain, count(*)::BIGINT AS n_hosts
            |FROM pd GROUP BY domain ORDER BY domain""".stripMargin
       }),
+
+    // ================== incremental ingest flagship ==================
+    // The LLM-pipeline components composed as ONE oracle-checked ingest:
+    // batch (doc_id % m = 0) → URL canonicalize + fetch-list dedup (the
+    // dedup_url_canonical stage: junk-decorated fixture URLs, min-id
+    // survivor per canonical URL) → Bloom-prefiltered exact dedup vs the
+    // corpus digest set (dedup_incremental_exact_bloom's stage: within-
+    // batch min-id per digest, misses provably novel, hits confirmed by
+    // the digest anti-join) → MinHash incremental probe vs the corpus
+    // band index (NEW×CORPUS and NEW×earlier-NEW only) → quality gate
+    // (pipeline_corpus_clean's integer token/distinct rules) → shard
+    // assign (curate_shard_assign's reproducible global shuffle). The
+    // DuckDB oracle replays the ENTIRE closure — URL junk, normalization,
+    // digest windows, signatures, banding, candidate scoping, verify,
+    // gates, shard/pos — so the hash proves the composition, not just
+    // the stages in isolation.
+    Q("pipeline_ingest_incremental",
+      (s, dir) => ingestPipeline(s, dir, 5, stored = false),
+      Some(ingestOracle(5))),
+
+    // The same ingest at STEADY STATE: the 2% batch (doc_id % 50) probes
+    // the SESSION-STORED corpus state (digest table + Bloom sketch +
+    // MinHash index, all built once via StoredIndexes and prewarmed by
+    // Bench) — the per-ingest cost a production loop actually pays:
+    // batch URL work + bloom probe + confirm join + batch shingling +
+    // band probes + gates + shard. The corpus documents table is NEVER
+    // re-scanned (PlanContractSpec pins exactly one documents scan in
+    // the physical plan — the batch side); corpus state arrives only
+    // through the stored frames. Identical oracle closure at m = 50.
+    Q("pipeline_ingest_incremental_indexed",
+      (s, dir) => ingestPipeline(s, dir, StoredIndexes.DocMod, stored = true),
+      Some(ingestOracle(StoredIndexes.DocMod))),
   )
+
+  /** The shared ingest composition — `stored = false` rebuilds corpus
+    * state inline (the oracle must be able to replay construction at any
+    * modulus), `stored = true` probes the StoredIndexes session state
+    * (modulus must be StoredIndexes.DocMod). Stage order and every
+    * constant match `ingestOracle`.
+    */
+  private def ingestPipeline(s: org.apache.spark.sql.SparkSession,
+                             dir: String, m: Int,
+                             stored: Boolean): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, dir, "documents")
+    // stage 1: URL canonicalize + fetch-list dedup. Base URL seeded on
+    // doc_id % 250 (pairs of batch docs share a base), junk keyed on the
+    // doc's OWN hash (tracking-only — kept params would legitimately
+    // split groups), so the copies arrive byte-DIFFERENT and group only
+    // if normalization strips every variant.
+    val hxj = expr("cast(conv(substring(hj, 16, 1), 16, 10) as bigint)")
+    val withUrl = urlDocs(s, dir, seedExpr = "doc_id % 250")
+      .filter(col("doc_id") % m === 0)
+      .withColumn("hj", md5(concat(lit("junk:"),
+        col("doc_id").cast("string")).cast("binary")))
+    val junked = when(hxj % 3 === 0, col("url")).otherwise(concat(
+      col("url"),
+      when(instr(col("url"), "?") > 0, lit("&")).otherwise(lit("?")),
+      lit("utm_source=s"), (hxj % 10).cast("string"),
+      lit("&gclid=g&fbclid#frag")))
+    val normed = withUrl.select(col("doc_id"), col("text"),
+      graft.ops.Url.normalize(junked).as("url_norm"))
+    // The batch-stage outputs are BATCH-sized (the small side of every
+    // downstream join) and each is referenced by 2-3 consumers — persist
+    // them so one ingest runs the URL-dedup window and the digest
+    // split ONCE instead of once per consumer (the plan contract pins a
+    // single documents scan; MEMORY_ONLY self-evicts, the
+    // minHashIncremental cache policy).
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val a = graft.ops.Relational.firstPerKey(normed, Seq("url_norm"),
+      Seq(col("doc_id").asc)).persist(mem)
+    // stage 2: Bloom-prefiltered exact dedup vs the corpus digest set
+    val (corpusDig, bloom) =
+      if (stored) StoredIndexes.digestBloom(s, dir)
+      else {
+        val cd = graft.ops.Dedup.contentDigests(
+          docs.filter(col("doc_id") % m =!= 0))
+        (cd, graft.ops.Dedup.digestBloom(cd, 1L << 17, 1L << 21))
+      }
+    val b = graft.ops.Dedup.exactIncrementalBloom(a, corpusDig, bloom)
+      .persist(mem)
+    // stage 3: MinHash incremental probe (flag rows → anti-join)
+    val flags =
+      if (stored) {
+        val (cToks, cBand) = StoredIndexes.minHash(s, dir)
+        graft.ops.Dedup.minHashIncrementalIndexed(b, cToks, cBand, 0.5)
+      } else graft.ops.Dedup.minHashIncremental(b,
+        docs.filter(col("doc_id") % m =!= 0), 0.5)
+    val c = b.join(flags.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // stage 4: quality gate (integer token rules — no floats, no ties)
+    val toks = split(col("text"), " ")
+    val d = c.filter(size(toks).cast("long") >= 30 &&
+      graft.ops.Exact.ratioBp(size(array_distinct(toks)).cast("long"),
+        size(toks).cast("long")) >= 4000)
+    // stage 5: reproducible shard assignment over the final survivors
+    Curate.shardAssign(d, col("doc_id"), nShards = 16)
+      .select(col("doc_id"), col("url_norm"), col("content_md5"),
+        col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of the FULL ingest closure at batch modulus `m` —
+    * stage for stage, constant for constant, against `ingestPipeline`.
+    * The sig/band CTEs are the incMinhashOracle construction verbatim
+    * (TextQueries) with the candidate scoping generalized from "batch
+    * doc" to "stage-2 survivor".
+    */
+  private def ingestOracle(m: Int): String = {
+    val cte = UrlFixtureCteSeeded("doc_id % 250")
+    s"""$cte,
+       |b0 AS (SELECT doc_id, text, url,
+       |    md5('junk:' || doc_id::VARCHAR) AS hj
+       |  FROM u WHERE doc_id % $m = 0),
+       |bj AS (SELECT doc_id, text,
+       |    CASE WHEN ('0x' || substr(hj, 16, 1))::BIGINT % 3 = 0 THEN url
+       |    ELSE url ||
+       |      (CASE WHEN instr(url, '?') > 0 THEN '&' ELSE '?' END) ||
+       |      'utm_source=s' || (('0x' || substr(hj, 16, 1))::BIGINT % 10)
+       |      || '&gclid=g&fbclid' || '#frag'
+       |    END AS url_in
+       |  FROM b0),
+       |bn AS (SELECT doc_id, text,
+       |    ${graft.ops.Url.normalizeSql("url_in")} AS url_norm
+       |  FROM bj),
+       |sa AS (SELECT doc_id, text, url_norm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY url_norm
+       |      ORDER BY doc_id) AS rn FROM bn) WHERE rn = 1),
+       |sb AS (SELECT doc_id, text, url_norm, content_md5 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY content_md5
+       |      ORDER BY doc_id) AS rn2
+       |    FROM (SELECT *, md5(text) AS content_md5 FROM sa))
+       |  WHERE rn2 = 1 AND content_md5 NOT IN (
+       |    SELECT md5(text) FROM documents WHERE doc_id % $m <> 0)),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |toks AS (
+       |  SELECT doc_id, CASE WHEN len(l) < 3 THEN []::VARCHAR[]
+       |    ELSE list_sort(list_distinct(list_transform(range(1, len(l) - 1),
+       |      i -> array_to_string(l[i : i + 2], ' ')))) END AS ts
+       |  FROM t),
+       |hv AS (
+       |  SELECT doc_id, ts, list_transform(ts,
+       |    t -> ('0x' || substr(md5(t), 1, 7))::BIGINT) AS hv
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id, list_transform(range(16), s ->
+       |    list_min(list_transform(hv,
+       |      h -> ((2*s + 3) * h + 12289*s + 1) % 268435399))) AS sig
+       |  FROM hv),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(list_transform(sig[b * 2 + 1 : b * 2 + 2],
+       |      x -> x::VARCHAR), ':') AS band_key
+       |  FROM sigs, (SELECT unnest(range(8)) AS b) r),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id <> b.doc_id
+       |    AND a.doc_id IN (SELECT doc_id FROM sb)
+       |    AND (b.doc_id % $m <> 0
+       |         OR (b.doc_id < a.doc_id
+       |             AND b.doc_id IN (SELECT doc_id FROM sb)))),
+       |prs AS (
+       |  SELECT i, j, round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+       |          len(list_distinct(list_concat(x.ts, y.ts))), 4) AS jaccard
+       |  FROM cand JOIN toks x ON cand.i = x.doc_id
+       |    JOIN toks y ON cand.j = y.doc_id
+       |  WHERE jaccard IS NOT NULL),
+       |sc AS (SELECT * FROM sb WHERE doc_id NOT IN (
+       |    SELECT i FROM prs WHERE jaccard >= 0.5)),
+       |sd AS (SELECT doc_id, url_norm, content_md5 FROM sc
+       |  WHERE len(string_split(text, ' ')) >= 30
+       |    AND floor(len(list_distinct(string_split(text, ' '))) * 10000.0 /
+       |          len(string_split(text, ' ')))::BIGINT >= 4000),
+       |se AS (SELECT doc_id, url_norm, content_md5, $UnitHash AS uh,
+       |    least(floor($UnitHash * 16), 15)::BIGINT AS shard
+       |  FROM sd)
+       |SELECT doc_id, url_norm, content_md5, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY uh, doc_id) AS pos
+       |FROM se ORDER BY doc_id""".stripMargin
+  }
 
   /** `curate_url_normalize`'s input: the fixture URL with deterministic
     * junk appended for two of every three docs — a tracking param, a

@@ -132,6 +132,34 @@ object StoredIndexes {
     (v(0), v(1))
   }
 
+  // Bloom sketch bytes per corpus dir — plain bytes, no session-bound
+  // resources to leak, so a simple dir-keyed map (not the weak session
+  // cache) is correct: a second session over the same dir reuses them.
+  private val blooms = new ConcurrentHashMap[String, Array[Byte]]()
+
+  /** Stored content-digest table + its Bloom sketch over `dir`'s
+    * steady-state corpus split — the probe state
+    * `Dedup.exactIncrementalBloom` consults before touching the table.
+    * The digest table is built once per session × dir (parquet + warm
+    * read-back like the other stored state); the sketch is built once
+    * per DIR (bytes carry no session resources) with the catalog's
+    * standard sizing (2^17 items / 2^21 bits — ~10 bits/digest at this
+    * scale class, fpp < 1%).
+    */
+  def digestBloom(s: SparkSession, dir: String): (DataFrame, Array[Byte]) = {
+    val dig = cacheFor(s).computeIfAbsent(s"$dir|digests", _ => {
+      val d = newTempDir("graft-digests-")
+      Dedup.contentDigests(
+          load(s, dir, "documents").filter(col("doc_id") % DocMod =!= 0))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+      Seq(s.read.parquet(d).persist(mem))
+    }).head
+    val bloom = blooms.computeIfAbsent(dir,
+      _ => Dedup.digestBloom(dig, 1L << 17, 1L << 21))
+    (dig, bloom)
+  }
+
   /** Stored near-dup CLUSTER LABELS `(doc_id, cluster_rep)` over `dir`'s
     * steady-state corpus split — the state table incremental clustering
     * maintains. Built once per session × dir (full `nearDupClusters` over
@@ -371,6 +399,7 @@ object StoredIndexes {
 
   def prewarm(s: SparkSession, dir: String): Unit = {
     val (t, b) = minHash(s, dir); t.count(); b.count()
+    digestBloom(s, dir)._1.count()
     val (n, c) = cosine(s, dir); n.count(); c.count()
     clusterLabels(s, dir).count()
     ivf(s, dir)._1.count()

@@ -546,6 +546,100 @@ object StreamOps {
     ()
   }
 
+  /** `incrementalDedupSink`'s EXACT-ONLY sibling behind a Bloom pre-probe
+    * — the streaming twin of `Dedup.exactIncrementalBloom`: every
+    * micro-batch consults a driver-held Bloom sketch of ALL prior
+    * survivors' digests FIRST (misses are provably novel and never touch
+    * the digest tables), confirms hits through the plain digest
+    * anti-join, lands survivors in `stateDir/out/`, and appends both the
+    * survivors' digests AND the batch's OWN sketch to the state dir so
+    * the NEXT batch probes the union. Sketch state layout mirrors the
+    * digest state: one `batch=<id>` partition per micro-batch under
+    * `stateDir/bloom/`, each holding that batch's serialized sketch as a
+    * single binary row; the prior state is the OR-fold
+    * (`BloomFilter.mergeInPlace` — Spark's own sketch, the same bytes
+    * `BloomFilterAggregate` emits and `might_contain` consumes) of every
+    * partition EXCEPT the current batch id. Sketches are KB–MB-sized, so
+    * the fold is a driver-side byte operation, not a job.
+    *
+    * EXACTLY-ONCE inherits `dedupDocumentBatch`'s construction: state
+    * reads exclude the current batch id (a half-committed previous
+    * attempt cannot poison its own replay — reading this batch's own
+    * sketch back would kill every row as a "hit" that then fails the
+    * confirm join, which is CORRECT but wasteful; reading its own
+    * digests back would kill rows as duplicates, which is WRONG — both
+    * are excluded), and writes overwrite exactly their own `batch=<id>`
+    * dirs, so replay converges to identical state. `numBits` must be
+    * constant per state dir (mergeInPlace requires compatible sketches);
+    * `expectedItems` sizes each per-batch sketch.
+    */
+  def bloomDedupSink(docs: DataFrame, stateDir: String, checkpoint: String,
+                     expectedItems: Long = 1L << 17, numBits: Long = 1L << 21,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomDedupBatch(batch, batchId, stateDir, expectedItems, numBits,
+          idCol, textCol)
+      }
+
+  /** One ingest iteration of `bloomDedupSink`, public so replay semantics
+    * are directly testable (same-batchId re-run must converge).
+    */
+  def bloomDedupBatch(batch: DataFrame, batchId: Long, stateDir: String,
+                      expectedItems: Long = 1L << 17, numBits: Long = 1L << 21,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.SaveMode
+    val spark = batch.sparkSession
+    val fs = graft.etl.Load.fsFor(spark, stateDir)
+    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val digestsRoot = s"$stateDir/digests"
+    val bloomRoot = s"$stateDir/bloom"
+    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
+      if (!hasData(root)) empty
+      else
+        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val priorDigests =
+      readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
+    // OR-fold the prior sketches on the driver — KBs per batch, and
+    // mergeInPlace is Spark's own compatibility-checked sketch union
+    val priorSketches = readPriorOr(bloomRoot,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bf",
+              org.apache.spark.sql.types.BinaryType)))))
+      .collect().map(_.getAs[Array[Byte]]("bf"))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val survivors = (if (priorSketches.isEmpty)
+        Dedup.exactIncremental(batch, priorDigests, idCol, textCol)
+      else {
+        val folded = priorSketches
+          .map(b => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b)))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        val out = new java.io.ByteArrayOutputStream()
+        folded.writeTo(out)
+        Dedup.exactIncrementalBloom(batch, priorDigests, out.toByteArray,
+          idCol, textCol)
+      }).persist(mem)
+    def overwriteOwn(df: DataFrame, root: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+    overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
+    overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
+    // this batch's own sketch — built from the just-written digests so
+    // the sketch and the table can never disagree about membership
+    val own = Dedup.digestBloom(
+      spark.read.parquet(s"$digestsRoot/batch=$batchId"),
+      expectedItems, numBits)
+    import spark.implicits._
+    overwriteOwn(Seq(own).toDF("bf"), bloomRoot)
+    survivors.unpersist()
+    ()
+  }
+
   /** `incrementalDedupSink` with a BUCKETED corpus index: the plain sink's
     * stored banded table is one parquet dir per micro-batch, so every probe
     * re-shuffles the whole corpus side; here the long-lived corpus rows

@@ -250,6 +250,40 @@ class PlanContractSpec extends SparkSpec {
       "bloom probe filter must apply directly to the fact scan, below the join")
   }
 
+  test("ingest flagship (indexed): the corpus documents table is scanned " +
+      "EXACTLY once — the batch side, with the batch filter pushed; corpus " +
+      "state arrives only through the stored frames") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // the pipeline persists its batch-stage outputs, so the one real
+    // documents scan lives inside a cached plan — walk those too
+    // (cachedPlan is an AQE wrapper with NO children; unwrap via
+    // inputPlan or collect() finds nothing below it)
+    // each cached relation is visited ONCE (dedup by its shared
+    // CachedRDDBuilder — the physical materialization identity), or a
+    // relation referenced from k paths counts its inner scan k times
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      here.collect { case s: FileSourceScanExec => s } ++
+        here.collect { case im: InMemoryTableScanExec => im }
+          .filter(im => seen.add(im.relation.cacheBuilder))
+          .flatMap(im => allScans(im.relation.cachedPlan))
+    }
+    val docScans = allScans(q("pipeline_ingest_incremental_indexed"))
+      .filter(_.relation.location.inputFiles.exists(_.contains("documents")))
+    assert(docScans.size == 1,
+      s"expected exactly 1 documents scan (the batch side), got " +
+        s"${docScans.size} — a stage is re-scanning the corpus")
+    assert(docScans.head.dataFilters.mkString.contains("% 50"),
+      s"batch modulus filter not pushed into the scan: " +
+        s"${docScans.head.dataFilters.mkString("; ")}")
+  }
+
   test("round-6 additions: keyed joins only, pushed top-k, no global windows") {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     // basket pairs: the self-join must key on the basket id (equi), the

@@ -855,6 +855,27 @@ class DedupVectorsSpec extends SparkSpec {
     // (be pruned) — proven by the survivor set already excluding 20
   }
 
+  test("digestBloom: production sizing ABOVE the optimizer bloom conf caps " +
+      "builds (confs raised around the agg) and the caps are restored after") {
+    val digests = Dedup.contentDigests(
+      Seq((1L, "en", "alpha beta gamma")).toDF("doc_id", "lang", "text"))
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    // defaults: 4M items / 64M bits — both sizes below exceed them
+    val bloom = Dedup.digestBloom(digests,
+      expectedItems = 10000000L, numBits = 100000000L)
+    assert(bloom.length > 100000000 / 8,
+      s"sketch too small for the requested bits: ${bloom.length}")
+    assert(spark.conf.get(itemsKey) == items0 &&
+      spark.conf.get(bitsKey) == bits0,
+      "bloom conf caps must be restored after the aggregate")
+    // and the big sketch still answers membership correctly
+    val hit = digests.filter(
+      Dedup.bloomMightContain(bloom, col("content_md5"))).count()
+    assert(hit == 1L)
+  }
+
   test("containmentCandidateBudget: Σ (df − 1) over src-prefix entries — " +
       "hand-derivable, lang-partitioned, bounds the realized join") {
     // three IDENTICAL en docs (10 tokens → 8 shingles, prefix bound

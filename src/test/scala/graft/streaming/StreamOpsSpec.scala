@@ -435,6 +435,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(stateCounts == before)
   }
 
+  test("bloomDedupSink: streamed survivors ≡ the serial exactIncremental " +
+      "closure, sketch state OR-folds across batches, replay-idempotent") {
+    val src = tmpDir("bloom-src")
+    val state = tmpDir("bloom-state")
+    val ckpt = tmpDir("bloom-ckpt")
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      Thread.sleep(5) // distinct mtimes → deterministic batch order
+    }
+    def runOnce(): Unit = {
+      val q = StreamOps.bloomDedupSink(
+        StreamOps.readDocumentStream(spark, src, maxFilesPerTrigger = Some(1)),
+        state, ckpt, expectedItems = 1L << 10, numBits = 1L << 14)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "streaming query did not terminate within 120s")
+    }
+    def outIds: Set[Long] = spark.read.parquet(s"$state/out")
+      .select("doc_id").as[Long].collect().toSet
+    writeFile("b1.json", Seq(
+      """{"doc_id":1,"lang":"en","text":"alpha beta gamma"}""",
+      """{"doc_id":2,"lang":"en","text":"delta epsilon zeta"}""",
+      """{"doc_id":3,"lang":"en","text":"alpha beta gamma"}"""))
+    writeFile("b2.json", Seq(
+      """{"doc_id":11,"lang":"en","text":"alpha beta gamma"}""",
+      """{"doc_id":12,"lang":"en","text":"eta theta iota"}"""))
+    runOnce()
+    // batch 1: 3 dies in-batch. batch 2: 11 dies via the PRIOR batch's
+    // sketch + digest confirm (only stored state can catch it), 12 lives.
+    assert(outIds == Set(1L, 2L, 12L))
+    // third batch from the SAME checkpoint: prior state is the OR-fold of
+    // TWO sketches — a dup of batch-1 content AND a dup of batch-2
+    // content must both die; one fresh doc lives
+    writeFile("b3.json", Seq(
+      """{"doc_id":21,"lang":"en","text":"delta epsilon zeta"}""",
+      """{"doc_id":22,"lang":"en","text":"eta theta iota"}""",
+      """{"doc_id":23,"lang":"en","text":"kappa lambda mu"}"""))
+    runOnce()
+    assert(outIds == Set(1L, 2L, 12L, 23L))
+    // one sketch partition per micro-batch in the state dir
+    val sketchBatches = new java.io.File(s"$state/bloom").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(sketchBatches.size == 3, s"sketch partitions: $sketchBatches")
+    // ≡ the BATCH closure: fold exactIncremental serially over the same
+    // three micro-batches (the plain, sketch-free semantics)
+    val batches = Seq("b1.json", "b2.json", "b3.json").map(f =>
+      spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+        .json(s"$src/$f"))
+    val empty = graft.ops.Dedup.contentDigests(batches.head.limit(0))
+    val (closureIds, _) = batches.foldLeft((Set.empty[Long], empty)) {
+      case ((ids, digests), bdf) =>
+        val surv = graft.ops.Dedup.exactIncremental(bdf, digests)
+        (ids ++ surv.select("doc_id").as[Long].collect(),
+          digests.unionByName(surv.select("content_md5")))
+    }
+    assert(outIds == closureIds,
+      s"streamed $outIds != batch closure $closureIds")
+    // crash-replay idempotence: re-running the LAST committed batch by
+    // hand must leave output, digests AND sketch state identical in
+    // content — not double-append, not poisoned by its own writes
+    val lastBatch = sketchBatches.map(_.stripPrefix("batch=").toLong).max
+    val b3 = spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
+      .json(s"$src/b3.json")
+    def stateCounts: (Long, Long) = (
+      spark.read.parquet(s"$state/digests").count(),
+      spark.read.parquet(s"$state/bloom").count())
+    val before = stateCounts
+    StreamOps.bloomDedupBatch(b3, lastBatch, state,
+      expectedItems = 1L << 10, numBits = 1L << 14)
+    assert(outIds == Set(1L, 2L, 12L, 23L))
+    assert(stateCounts == before)
+  }
+
   test("incrementalDedupSinkBucketed: bucketed base + delta fold, same semantics, replay-idempotent") {
     val state = tmpDir("dedup-bstate")
     val name = "sdx_stream"
