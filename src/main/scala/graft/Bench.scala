@@ -265,8 +265,9 @@ object Bench {
     // `contended` per pass, retry the whole timed pass (warmup, prewarm
     // and codegen stay paid) until one lands clean or the attempt budget
     // runs out, then report the best pass: the first clean one, else the
-    // lowest-total (least-disturbed) one. Every attempt's summary stays in
-    // the JSON so a reader sees exactly what was retried and why.
+    // MEDIAN-total one (see chosenIdx below — a min over noisy passes
+    // would bias the headline low vs single-pass rounds). Every attempt's
+    // summary stays in the JSON so a reader sees what was retried and why.
     val maxAttempts = (scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").trim.toInt)
       .getOrElse(2)) max 1

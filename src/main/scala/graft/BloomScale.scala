@@ -114,8 +114,12 @@ object BloomScale {
     var warmed = false
     for (hitPct <- hitPcts) {
       // batch docs: hitPct% carry corpus text (id*997 spreads the hits
-      // across the corpus id space), the rest novel; within-batch dups
-      // possible via the *997 fold — both paths handle them identically
+      // across the corpus id space), the rest novel. At the default
+      // sizes (b < n, 997 coprime to n) the map is injective, so the
+      // batch has NO within-batch duplicates — the min-id survivor
+      // stage's correctness is pinned by DedupVectorsSpec and the
+      // catalog oracles, not by this harness; here it is measured at
+      // its all-unique fast path.
       spark.range(b).select(col("id").as("doc_id"),
           when(pmod(col("id"), lit(100L)) < hitPct,
             concat(lit("corpus:"), pmod(col("id") * 997L, lit(n)).cast("string")))

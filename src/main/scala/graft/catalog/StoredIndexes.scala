@@ -142,9 +142,11 @@ object StoredIndexes {
     * `Dedup.exactIncrementalBloom` consults before touching the table.
     * The digest table is built once per session × dir (parquet + warm
     * read-back like the other stored state); the sketch is built once
-    * per DIR (bytes carry no session resources) with the catalog's
-    * standard sizing (2^17 items / 2^21 bits — ~10 bits/digest at this
-    * scale class, fpp < 1%).
+    * per DIR (bytes carry no session resources), sized from the table's
+    * ACTUAL row count at 10 bits/digest (fpp ≈ 0.8% at any corpus
+    * scale) — a fixed sizing would silently degrade to double-digit fpp
+    * the first time a bigger corpus dir comes through, and the count is
+    * one cheap aggregate over the already-warm frame, paid once.
     */
   def digestBloom(s: SparkSession, dir: String): (DataFrame, Array[Byte]) = {
     val dig = cacheFor(s).computeIfAbsent(s"$dir|digests", _ => {
@@ -155,8 +157,10 @@ object StoredIndexes {
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
       Seq(s.read.parquet(d).persist(mem))
     }).head
-    val bloom = blooms.computeIfAbsent(dir,
-      _ => Dedup.digestBloom(dig, 1L << 17, 1L << 21))
+    val bloom = blooms.computeIfAbsent(dir, _ => {
+      val n = math.max(dig.count(), 1L)
+      Dedup.digestBloom(dig, n, 10L * n)
+    })
     (dig, bloom)
   }
 

@@ -290,9 +290,23 @@ object Dedup {
       val agg = new BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("content_md5"))),
         Literal(expectedItems), Literal(numBits))
-      corpusDigests
+      val bytes = corpusDigests
         .agg(ColumnBridge.column(agg.toAggregateExpression()).as("bf"))
         .collect()(0).getAs[Array[Byte]](0)
+      // BloomFilterAggregate.eval returns NULL over zero rows; a null
+      // sketch poisons every downstream consumer (might_contain(null)
+      // is null, so BOTH ingest branches drop every row — silent total
+      // loss; a streaming state dir with a null row crashes the next
+      // OR-fold). An EMPTY corpus has a perfectly good sketch: the
+      // all-zeros filter of the same geometry (same class Spark's
+      // aggregate builds, so merges stay compatible).
+      if (bytes != null) bytes
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(expectedItems, numBits).writeTo(out)
+        out.toByteArray
+      }
     }
     try {
       conf.set(itemsKey, math.max(expectedItems,
@@ -326,22 +340,6 @@ object Dedup {
     * `BloomFilterMightContain`, the probe side of its runtime bloom
     * joins): a MISS is definitely novel and never touches the corpus —
     * no join, no corpus I/O — while HITS (true dups + the fpp sliver of
-    * false positives) confirm through the same digest anti-join
-    * `exactIncremental` runs on everything. Output is IDENTICAL to
-    * `exactIncremental` at any fpp — the bloom has no false negatives,
-    * so the miss side is provably corpus-absent, and the confirm join
-    * kills every false positive; the oracle replays the plain anti-join
-    * and the hash match is the proof. At steady state the confirm join
-    * rides the digest table's own layout (bucketed by digest →
-    * co-located probe, `sources/Bucketing`), and the common all-novel
-    * ingest sends ~fpp·|batch| rows into it instead of the whole batch.
-    */
-  /** `exactIncremental` behind a Bloom pre-probe — the 100 TB ingest
-    * shape. The batch's within-batch survivors split on
-    * `might_contain(bloom, xxhash64(digest))` (Spark's codegen'd
-    * `BloomFilterMightContain`, the probe side of its runtime bloom
-    * joins): a MISS is definitely novel and never touches the corpus —
-    * no join, no corpus I/O — while HITS (true dups + the fpp sliver of
     * false positives) confirm against the digest table. Output is
     * IDENTICAL to `exactIncremental` at any fpp — the bloom has no
     * false negatives, so the miss side is provably corpus-absent, and
@@ -369,10 +367,25 @@ object Dedup {
     * duplicates of a huge corpus should fall back to `exactIncremental`'s
     * keyed join).
     */
-    def exactIncrementalBloom(newDocs: DataFrame, corpusDigests: DataFrame,
+  def exactIncrementalBloom(newDocs: DataFrame, corpusDigests: DataFrame,
                             bloom: Array[Byte],
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
+                            textCol: String = "text"): DataFrame =
+    exactIncrementalBloomWithHandle(newDocs, corpusDigests, bloom,
+      idCol, textCol)._1
+
+  /** `exactIncrementalBloom` plus an unpersist handle for the internal
+    * batch cache — the `minHashNearDupPairsWithHandle` convention. A
+    * per-micro-batch streaming loop MUST release the cache after
+    * materializing the survivors (one leaked CacheManager entry per
+    * batch, each pinning the sketch literal, is unbounded driver growth);
+    * one-shot catalog queries may use the plain surface and let
+    * MEMORY_ONLY self-evict.
+    */
+  private[graft] def exactIncrementalBloomWithHandle(
+      newDocs: DataFrame, corpusDigests: DataFrame, bloom: Array[Byte],
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, () => Unit) = {
     val hashed = newDocs.withColumn("content_md5", md5(col(textCol).cast("binary")))
     val firsts = hashed.groupBy(col("content_md5"))
       .agg(min(col(idCol)).as("__survivor"))
@@ -390,7 +403,7 @@ object Dedup {
       .distinct()
     val confirmed = sliver
       .join(broadcast(present), Seq("content_md5"), "left_anti")
-    novel.unionByName(confirmed)
+    (novel.unionByName(confirmed), () => { surv.unpersist(); () })
   }
 
   /** THE MinHash pipeline for one input: (shingle sets, banded signature

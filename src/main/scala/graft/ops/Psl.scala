@@ -53,14 +53,23 @@ object Psl {
     * rule up to the first whitespace (the PSL spec's rule), lowercase.
     */
   /** Label alphabet a well-formed PSL rule may use after the `!`/`*.`
-    * marker is stripped: hostname chars only (IDN rules appear in the
-    * real list punycoded, which this covers). Anything else — including
-    * a quote that would break out of the single-quoted SQL IN-lists the
-    * oracle twin interpolates these strings into — routes to
-    * `unsupported` instead of into the rule buckets. `Psl.load` accepts
-    * arbitrary files, so this is input validation, not pedantry.
+    * marker is stripped: letters and digits of ANY script, dot, dash —
+    * the real publicsuffix.org list carries its IDN rules as raw
+    * U-labels (the xn-- punycode forms appear only in comments), so an
+    * ASCII-only alphabet would silently drop them and resolve hosts
+    * under those suffixes to the wrong apex. What stays excluded is
+    * exactly the dangerous residue: quotes (which would break out of
+    * the single-quoted SQL IN-lists the oracle twin interpolates rule
+    * strings into — belt alongside sqlIn's escaping), whitespace,
+    * control characters, and punctuation that no hostname label can
+    * carry. Offenders route to `unsupported` (subset parser) or are
+    * dropped (parseFull) instead of entering the rule buckets.
+    * `Psl.load` accepts arbitrary files, so this is input validation.
+    * Matching is by the parsed form: a U-label rule matches U-label
+    * hosts — normalize hosts to the same form (IDNA) upstream if a
+    * corpus mixes encodings.
     */
-  private val WellFormedLabels = "^[a-z0-9.-]+$".r
+  private val WellFormedLabels = "^[\\p{L}\\p{N}.-]+$".r
 
   def parse(lines: Iterator[String]): PslRules = {
     val e2 = Seq.newBuilder[String]; val e3 = Seq.newBuilder[String]

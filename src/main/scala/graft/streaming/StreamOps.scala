@@ -446,6 +446,28 @@ object StreamOps {
     reader.json(dir)
   }
 
+  /** The exactly-once batch-state primitives every foreachBatch sink here
+    * shares — ONE copy of the discipline instead of a per-sink closure
+    * trio: prior-state reads EXCLUDE the in-flight batch id (a
+    * half-committed previous attempt cannot poison its own replay; a
+    * root whose only content is a half-written dir with no committed
+    * parquet reads as the empty fallback), and writes OVERWRITE exactly
+    * that batch's `batch=<id>` partition, so replay converges to
+    * identical state wherever the previous attempt died.
+    */
+  private final class BatchState(spark: SparkSession, batchId: Long) {
+    def hasData(p: String): Boolean =
+      graft.etl.Load.fsFor(spark, p).exists(new org.apache.hadoop.fs.Path(p))
+    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
+      if (!hasData(root)) empty
+      else
+        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
+        catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    def overwriteOwn(df: DataFrame, root: String): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/batch=$batchId")
+  }
+
   /** The steady-state corpus-ingest loop as a STREAMING sink: every
     * micro-batch is (1) exact-deduped against the stored digest set,
     * (2) near-dedup-probed against the stored MinHash index
@@ -499,21 +521,11 @@ object StreamOps {
     import graft.ops.Dedup
     import org.apache.spark.sql.SaveMode
     val spark = batch.sparkSession
-    val fs = graft.etl.Load.fsFor(spark, stateDir)
-    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val st = new BatchState(spark, batchId)
+    import st.{readPriorOr, overwriteOwn}
     val digestsRoot = s"$stateDir/digests"
     val toksRoot = s"$stateDir/index/toks"
     val bandedRoot = s"$stateDir/index/banded"
-    // State reads EXCLUDE this batch's own partition — see the sink's
-    // exactly-once note. `batch` is a partition-discovery column here. A
-    // root whose only content is a half-written dir from a crashed attempt
-    // (no committed parquet yet) reads as the empty fallback — exactly the
-    // state the first attempt started from.
-    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
-      if (!hasData(root)) empty
-      else
-        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val priorDigests =
       readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
@@ -531,8 +543,6 @@ object StreamOps {
     val survivors = exact
       .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
       .persist(mem)
-    def overwriteOwn(df: DataFrame, root: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
     overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
     overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
     val (sToks, sBanded) = Dedup.minHashIndex(survivors.drop("content_md5"),
@@ -569,9 +579,13 @@ object StreamOps {
     * confirm join, which is CORRECT but wasteful; reading its own
     * digests back would kill rows as duplicates, which is WRONG — both
     * are excluded), and writes overwrite exactly their own `batch=<id>`
-    * dirs, so replay converges to identical state. `numBits` must be
-    * constant per state dir (mergeInPlace requires compatible sketches);
-    * `expectedItems` sizes each per-batch sketch.
+    * dirs, so replay converges to identical state. BOTH `expectedItems`
+    * AND `numBits` must be constant per state dir: mergeInPlace requires
+    * equal bit size AND equal hash-function count, and the latter is
+    * derived from the (items, bits) PAIR — varying either across batches
+    * of one state dir makes the next OR-fold throw
+    * IncompatibleMergeException with the incompatible sketch already
+    * persisted.
     */
   def bloomDedupSink(docs: DataFrame, stateDir: String, checkpoint: String,
                      expectedItems: Long = 1L << 17, numBits: Long = 1L << 21,
@@ -593,15 +607,10 @@ object StreamOps {
     import graft.ops.Dedup
     import org.apache.spark.sql.SaveMode
     val spark = batch.sparkSession
-    val fs = graft.etl.Load.fsFor(spark, stateDir)
-    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val st = new BatchState(spark, batchId)
+    import st.{readPriorOr, overwriteOwn}
     val digestsRoot = s"$stateDir/digests"
     val bloomRoot = s"$stateDir/bloom"
-    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
-      if (!hasData(root)) empty
-      else
-        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
     val priorDigests =
       readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
     // OR-fold the prior sketches on the driver — KBs per batch, and
@@ -613,8 +622,10 @@ object StreamOps {
               org.apache.spark.sql.types.BinaryType)))))
       .collect().map(_.getAs[Array[Byte]]("bf"))
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-    val survivors = (if (priorSketches.isEmpty)
-        Dedup.exactIncremental(batch, priorDigests, idCol, textCol)
+    val (survRaw, releaseBloom) =
+      if (priorSketches.isEmpty)
+        (Dedup.exactIncremental(batch, priorDigests, idCol, textCol),
+          () => ())
       else {
         val folded = priorSketches
           .map(b => org.apache.spark.util.sketch.BloomFilter
@@ -622,11 +633,13 @@ object StreamOps {
           .reduce { (a, b) => a.mergeInPlace(b); a }
         val out = new java.io.ByteArrayOutputStream()
         folded.writeTo(out)
-        Dedup.exactIncrementalBloom(batch, priorDigests, out.toByteArray,
-          idCol, textCol)
-      }).persist(mem)
-    def overwriteOwn(df: DataFrame, root: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
+        // WithHandle: the op's internal batch cache must be RELEASED per
+        // micro-batch — one leaked CacheManager entry per batch, each
+        // pinning the sketch literal, is unbounded driver growth
+        Dedup.exactIncrementalBloomWithHandle(batch, priorDigests,
+          out.toByteArray, idCol, textCol)
+      }
+    val survivors = survRaw.persist(mem)
     overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
     overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
     // this batch's own sketch — built from the just-written digests so
@@ -637,6 +650,7 @@ object StreamOps {
     import spark.implicits._
     overwriteOwn(Seq(own).toDF("bf"), bloomRoot)
     survivors.unpersist()
+    releaseBloom()
     ()
   }
 
@@ -694,16 +708,11 @@ object StreamOps {
     import graft.ops.Dedup
     import org.apache.spark.sql.SaveMode
     val spark = batch.sparkSession
-    val fs = graft.etl.Load.fsFor(spark, stateDir)
-    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val st = new BatchState(spark, batchId)
+    import st.{hasData, readPriorOr, overwriteOwn}
     val digestsRoot = s"$stateDir/digests"
     val toksRoot = s"$stateDir/index/toks"
     val bandedRoot = s"$stateDir/index/banded"
-    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
-      if (!hasData(root)) empty
-      else
-        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val priorDigests =
       readPriorOr(digestsRoot, Dedup.contentDigests(batch.limit(0), textCol))
@@ -733,8 +742,6 @@ object StreamOps {
     val survivors = exact
       .join(flagged.distinct(), Seq(idCol), "left_anti")
       .persist(mem)
-    def overwriteOwn(df: DataFrame, root: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
     overwriteOwn(survivors.drop("content_md5"), s"$stateDir/out")
     overwriteOwn(survivors.select(col("content_md5")), digestsRoot)
     val (sToks, sBanded) = Dedup.minHashIndex(survivors.drop("content_md5"),
@@ -965,17 +972,12 @@ object StreamOps {
     import graft.ops.Vectors
     import org.apache.spark.sql.SaveMode
     val spark = batch.sparkSession
-    val fs = graft.etl.Load.fsFor(spark, stateDir)
-    def hasData(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val st = new BatchState(spark, batchId)
+    import st.{readPriorOr, overwriteOwn}
     val none = org.apache.spark.storage.StorageLevel.NONE
     lazy val emptyIndex =
       Vectors.cosineIndex(batch.limit(0), planesPerBand, bands, dims,
         idCol, vecCol, none)
-    def readPriorOr(root: String, empty: => DataFrame): DataFrame =
-      if (!hasData(root)) empty
-      else
-        try spark.read.parquet(root).filter(col("batch") =!= batchId).drop("batch")
-        catch { case _: org.apache.spark.sql.AnalysisException => empty }
     val priorNormed = readPriorOr(s"$stateDir/normed", emptyIndex._1)
     val priorBanded = readPriorOr(s"$stateDir/banded", emptyIndex._2)
     val flagged = Vectors.cosineIncrementalIndexed(batch, priorNormed,
@@ -983,8 +985,6 @@ object StreamOps {
     val survivors = batch
       .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    def overwriteOwn(df: DataFrame, root: String): Unit =
-      df.write.mode(SaveMode.Overwrite).parquet(s"$root/batch=$batchId")
     overwriteOwn(survivors, s"$stateDir/out")
     val (sNormed, sBanded) =
       Vectors.cosineIndex(survivors, planesPerBand, bands, dims,

@@ -876,6 +876,25 @@ class DedupVectorsSpec extends SparkSpec {
     assert(hit == 1L)
   }
 
+  test("digestBloom over an EMPTY corpus yields a valid all-zeros sketch " +
+      "(not null), and exactIncrementalBloom treats the whole batch as " +
+      "novel instead of silently dropping it") {
+    val emptyCorpus = Dedup.contentDigests(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"))
+    val bloom = Dedup.digestBloom(emptyCorpus,
+      expectedItems = 1L << 10, numBits = 1L << 14)
+    assert(bloom != null && bloom.length > 0)
+    val batch = Seq((1L, "en", "alpha beta"), (2L, "en", "gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    // no member can hit an all-zeros filter
+    assert(batch.select(md5(col("text").cast("binary")).as("content_md5"))
+      .filter(Dedup.bloomMightContain(bloom, col("content_md5")))
+      .count() == 0L)
+    val got = Dedup.exactIncrementalBloom(batch, emptyCorpus, bloom)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("containmentCandidateBudget: Σ (df − 1) over src-prefix entries — " +
       "hand-derivable, lang-partitioned, bounds the realized join") {
     // three IDENTICAL en docs (10 tokens → 8 shingles, prefix bound

@@ -94,8 +94,10 @@ class PslSpec extends SparkSpec {
     val r = Psl.parseFull(Iterator(
       "// c", "", "com", "co.uk", "s3.dualstack.us-east-1.amazonaws.com",
       "*.compute.amazonaws.com", "!city.kawasaki.jp", "*.kawasaki.jp",
-      "CO.UK", "bad'quote.zz", "*.", "!"))
+      "CO.UK", "bad'quote.zz", "*.", "!",
+      "公司.cn")) // IDN U-label rule, as the real list spells them
     val byKey = r.map(x => x.key -> x).toMap
+    assert(byKey("公司.cn").exact && byKey("公司.cn").keyLabels == 2)
     assert(byKey("com").keyLabels == 1 && byKey("com").exact)
     assert(byKey("co.uk").exact && byKey("co.uk").keyLabels == 2)
     assert(byKey("s3.dualstack.us-east-1.amazonaws.com").keyLabels == 5)
@@ -104,7 +106,7 @@ class PslSpec extends SparkSpec {
     assert(byKey("city.kawasaki.jp").exception)
     assert(byKey("kawasaki.jp").wildcard)
     assert(!byKey.contains("bad'quote.zz") && !byKey.contains(""))
-    assert(r.size == 6)
+    assert(r.size == 7)
   }
 
   test("snapshotFull covers the general shapes the CaseWhen subset " +

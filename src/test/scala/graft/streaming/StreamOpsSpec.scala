@@ -465,9 +465,18 @@ class StreamOpsSpec extends SparkSpec {
     // batch 1: 3 dies in-batch. batch 2: 11 dies via the PRIOR batch's
     // sketch + digest confirm (only stored state can catch it), 12 lives.
     assert(outIds == Set(1L, 2L, 12L))
+    // a micro-batch with ZERO survivors (every row already in state) must
+    // write a VALID empty sketch — BloomFilterAggregate over zero rows
+    // yields NULL, and a null row in sketch state would crash every later
+    // OR-fold (the re-crawled-file case)
+    writeFile("b2x.json", Seq(
+      """{"doc_id":15,"lang":"en","text":"alpha beta gamma"}""",
+      """{"doc_id":16,"lang":"en","text":"eta theta iota"}"""))
+    runOnce()
+    assert(outIds == Set(1L, 2L, 12L))
     // third batch from the SAME checkpoint: prior state is the OR-fold of
-    // TWO sketches — a dup of batch-1 content AND a dup of batch-2
-    // content must both die; one fresh doc lives
+    // THREE sketches (one empty) — a dup of batch-1 content AND a dup of
+    // batch-2 content must both die; one fresh doc lives
     writeFile("b3.json", Seq(
       """{"doc_id":21,"lang":"en","text":"delta epsilon zeta"}""",
       """{"doc_id":22,"lang":"en","text":"eta theta iota"}""",
@@ -477,10 +486,10 @@ class StreamOpsSpec extends SparkSpec {
     // one sketch partition per micro-batch in the state dir
     val sketchBatches = new java.io.File(s"$state/bloom").listFiles()
       .map(_.getName).filter(_.startsWith("batch=")).toSet
-    assert(sketchBatches.size == 3, s"sketch partitions: $sketchBatches")
+    assert(sketchBatches.size == 4, s"sketch partitions: $sketchBatches")
     // ≡ the BATCH closure: fold exactIncremental serially over the same
-    // three micro-batches (the plain, sketch-free semantics)
-    val batches = Seq("b1.json", "b2.json", "b3.json").map(f =>
+    // four micro-batches (the plain, sketch-free semantics)
+    val batches = Seq("b1.json", "b2.json", "b2x.json", "b3.json").map(f =>
       spark.read.schema("doc_id BIGINT, lang STRING, text STRING")
         .json(s"$src/$f"))
     val empty = graft.ops.Dedup.contentDigests(batches.head.limit(0))
