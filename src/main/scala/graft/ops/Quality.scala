@@ -86,13 +86,12 @@ object Quality {
     * `at_value` the smallest v attaining the max — the WHERE of the
     * drift, not just the how-much.
     *
-    * Scale shape: the CDF difference at v is a running sum of per-value
-    * signed weights w(v) = c_ref(v)·n₂ − c_cur(v)·n₁, so the whole
-    * statistic is per-value counts (one keyed shuffle) + ONE
-    * `globalKeyedCumSum` (range-partitioned two-level cumsum — no global
-    * window) + a TakeOrdered(1). Caller contract: n₁·n₂ < 2⁶³ (longs in
-    * the signed weights); an empty side yields a null ks_bp rather than
-    * a divide-by-zero.
+    * Scale shape: a(v)·n₂ − b(v)·n₁ (a, b = running counts ≤ v), so the
+    * whole statistic is per-value counts (one keyed shuffle) + ONE
+    * `globalCumSumsPreAgg` pass (range-partitioned two-level cumsum — no
+    * global window — carrying BOTH running counts and both totals) + a
+    * TakeOrdered(1). Caller contract: n₁·n₂ < 2⁶³ (the running products);
+    * an empty side yields a null ks_bp rather than a divide-by-zero.
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame =
     ksDriftFromCounts(
@@ -112,17 +111,28 @@ object Quality {
                         value: Column): DataFrame = {
     val a = refCounts.select(col("v"), col("c").as("c1"))
     val b = cur.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
+    // One row per v by construction (full-outer join on the two groupBy
+    // keys) — the globalCumSumsPreAgg contract.
     val u = a.join(b, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
-    val tot = u.agg(coalesce(sum("c1"), lit(0L)).as("n1"),
-      coalesce(sum("c2"), lit(0L)).as("n2"))
-    val w = u.crossJoin(broadcast(tot))
-      .select(col("v"), (col("c1") * col("n2") - col("c2") * col("n1")).as("w"))
-    graft.ops.Relational.globalKeyedCumSum(w, col("v"), col("w"))
-      .select(col("v"), abs(col("hi")).as("ad"))
+    // ONE linear pass (r15): both running counts (cum_c1 = a(v), cum_c2 =
+    // b(v)) and both sample sizes ride the same two-level cumsum, and the
+    // CDF gap is formed AFTER it by linearity — a(v)·n₂ − b(v)·n₁ =
+    // Σ_{≤v} (c1·n₂ − c2·n₁) — so the per-value frame has exactly one
+    // consumer. The pre-r15 shape (weights = c1·n₂ − c2·n₁ built under a
+    // totals broadcast, plus a second totals broadcast at the readout)
+    // re-ran the full-outer join INCLUDING both groupBy scans once per
+    // consumer: 26 lineitem scans / 100 Exchanges in quality_drift_ks's
+    // single plan, and a MEMORY_ONLY cache of the shared frame raced its
+    // own materialization between parallel AQE stages (measured slower).
+    // Overflow contract unchanged: cum_c1 ≤ n₁, cum_c2 ≤ n₂, so the
+    // products stay within the documented n₁·n₂ < 2⁶³ bound.
+    graft.ops.Relational.globalCumSumsPreAgg(u, Seq("c1", "c2"))
+      .select(col("v"), col("tot_c1").as("n1"), col("tot_c2").as("n2"),
+        abs(col("cum_c1") * col("tot_c2") - col("cum_c2") * col("tot_c1"))
+          .as("ad"))
       .orderBy(col("ad").desc, col("v")).limit(1)
-      .crossJoin(broadcast(tot))
       .select(col("n1").as("n_ref"), col("n2").as("n_cur"),
         expr("CAST(CAST(10000 AS DECIMAL(38,0)) * ad div " +
           "nullif(CAST(n1 AS DECIMAL(38,0)) * n2, 0) AS BIGINT)").as("ks_bp"),
@@ -190,7 +200,7 @@ object Quality {
     *
     * Never enumerates pairs: per-value counts (one keyed shuffle), the
     * running negative count below each value from ONE
-    * `globalKeyedCumSum` (range-partitioned, no global window), then
+    * `globalCumSumsPreAgg` pass (range-partitioned, no global window), then
     * U2 = Σ_v cPos(v)·(2·cumNeg(<v) + cNeg(v)) — O(distinct values)
     * after the counts, same machinery as `ksDrift`. Caller contract:
     * n_pos·n_neg < 2⁶² (the u2 long); empty side → null auc_bp.
@@ -198,12 +208,16 @@ object Quality {
   def rankSumU2(pos: DataFrame, neg: DataFrame, value: Column): DataFrame = {
     val a = pos.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("ca"))
     val b = neg.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("cb"))
+    // One row per v by construction; the positive-side counts ride the
+    // SAME two-level cumsum pass as the negative CDF (r15) — pre-r15 the
+    // per-value frame was consumed twice (the cumsum's regroup AND a
+    // data-sized join-back on v), re-running the full-outer join and both
+    // groupBy scans per consumer.
     val u = a.join(b, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val cum = graft.ops.Relational.globalKeyedCumSum(u, col("v"), col("cb"))
-      .select(col("v"), (col("hi") - col("c")).as("below"))
-    u.join(cum, Seq("v"))
+    graft.ops.Relational.globalCumSumsPreAgg(u, Seq("ca", "cb"))
+      .select(col("ca"), col("cb"), (col("cum_cb") - col("cb")).as("below"))
       .agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
         coalesce(sum(col("ca") * (col("below") * 2 + col("cb"))), lit(0L))
           .as("u2"))

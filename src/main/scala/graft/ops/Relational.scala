@@ -513,6 +513,35 @@ object Relational {
       df.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c")),
       df.select(value.as("v")).schema.head.dataType)
 
+  /** `globalValueCumCounts` that ALSO carries the grand total as a column
+    * `n` on every row — `(v, c, hi, n)`. The total falls out of the same
+    * tiny per-bucket aggregate the offsets come from (one extra broadcast
+    * of ONE row), so a consumer that needs ranks against n (percentiles,
+    * equi-depth buckets, rank normalization) no longer re-aggregates the
+    * cumulative frame — which, pre-r15, re-ran the whole upstream subtree
+    * per reference (or raced a MEMORY_ONLY cache materialization between
+    * parallel AQE stages, measured SLOWER than the recompute).
+    */
+  def globalValueCumCountsWithTotal(df: DataFrame, value: Column): DataFrame =
+    cumFromFreqMulti(
+      df.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c")),
+      df.select(value.as("v")).schema.head.dataType, Seq("c"))
+      .select(col("v"), col("c"), col("cum_c").as("hi"), col("tot_c").as("n"))
+
+  /** Multi-weight cumulative sums over an ALREADY per-key-unique frame
+    * `(v, w1, …, wk)` — one row per key, caller's contract (a full-outer
+    * join on a distinct key, or a groupBy output). Skips the redundant
+    * keyed regroup a `globalKeyedCumSum` round-trip would pay, runs ONE
+    * two-level range-partitioned pass, and returns every weight's running
+    * sum `cum_wi` (≤ v, v-ordered) AND grand total `tot_wi` as columns.
+    * This is the one-pass backbone for KS / Mann-Whitney style statistics:
+    * both empirical CDFs and both sample sizes in a single linear shape,
+    * no join-back, no totals broadcast subtree.
+    */
+  def globalCumSumsPreAgg(freq: DataFrame, weights: Seq[String]): DataFrame =
+    cumFromFreqMulti(freq,
+      freq.select(col("v")).schema.head.dataType, weights)
+
   /** Weighted sibling of `globalValueCumCounts`: per distinct key,
     * `(v, c, hi)` where `c` is the key's total WEIGHT and `hi` the exact
     * global running weight over keys ≤ v — same range-partitioned
@@ -527,7 +556,21 @@ object Relational {
       df.select(key.as("v")).schema.head.dataType)
 
   private def cumFromFreq(freq0: DataFrame,
-                          vType: org.apache.spark.sql.types.DataType): DataFrame = {
+                          vType: org.apache.spark.sql.types.DataType): DataFrame =
+    cumFromFreqMulti(freq0, vType, Seq("c"), withTotals = false)
+      .select(col("v"), col("c"), col("cum_c").as("hi"))
+
+  /** The two-level range-partitioned cumulative-sum core (doc above), for
+    * ANY number of weight columns at once: input `(v, w1, …, wk)` — one
+    * row per v — output `(v, w1…wk, cum_w1…cum_wk, tot_w1…tot_wk)` where
+    * `cum_wi` = Σ wi over keys ≤ v and `tot_wi` the grand total, carried
+    * on every row from the same bucket-sized aggregate the offsets come
+    * from (one extra 1-row broadcast — never a second pass or a cache).
+    */
+  private def cumFromFreqMulti(freq0: DataFrame,
+                               vType: org.apache.spark.sql.types.DataType,
+                               weights: Seq[String],
+                               withTotals: Boolean = true): DataFrame = {
     val spark = freq0.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val freq = freq0
@@ -555,18 +598,44 @@ object Relational {
       .as("pid")
     val bucketed = freq
       .withColumn("vd", col("v").cast("double"))
-      .select(col("v"), col("c"), pidExpr)
-    val inner = bucketed.withColumn("cum", sum(col("c")).over(
-      Window.partitionBy(col("pid")).orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = bucketed.groupBy(col("pid")).agg(sum(col("c")).as("tc"))
+      .select(col("v") +: weights.map(col) :+ pidExpr: _*)
+    val win = Window.partitionBy(col("pid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = bucketed.select(
+      col("v") +: col("pid") +: weights.map(col) ++:
+        weights.map(w => sum(col(w)).over(win).as(s"cum_$w")): _*)
+    val totals = bucketed.groupBy(col("pid"))
+      .agg(sum(col(weights.head)).as(s"tc_${weights.head}"),
+        weights.tail.map(w => sum(col(w)).as(s"tc_$w")): _*)
     val offs = totals.as("a")
       .join(broadcast(totals.as("b")), col("b.pid") < col("a.pid"), "left")
       .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.tc")), lit(0L)).as("off"))
-    inner.join(broadcast(offs), "pid")
-      .withColumn("hi", col("cum") + col("off"))
-      .select(col("v"), col("c"), col("hi"))
+      .agg(coalesce(sum(col(s"b.tc_${weights.head}")), lit(0L))
+          .as(s"off_${weights.head}"),
+        weights.tail.map(w =>
+          coalesce(sum(col(s"b.tc_$w")), lit(0L)).as(s"off_$w")): _*)
+    val joined = inner.join(broadcast(offs), "pid")
+    if (!withTotals)
+      joined.select(col("v") +: weights.map(col) ++:
+        weights.map(w => (col(s"cum_$w") + col(s"off_$w")).as(s"cum_$w")): _*)
+    else {
+      // Grand totals: one row summed from the ≤ #buckets totals frame —
+      // the "no extra count job" rule extended to every consumer that
+      // needs n (percentile ranks, equi-depth bucket bounds, CDF
+      // denominators). Opt-in: callers that don't need n (plain
+      // globalKeyedCumSum — e.g. sequence packing) skip the extra
+      // broadcast stage entirely.
+      val grand = totals
+        .agg(coalesce(sum(col(s"tc_${weights.head}")), lit(0L))
+            .as(s"tot_${weights.head}"),
+          weights.tail.map(w =>
+            coalesce(sum(col(s"tc_$w")), lit(0L)).as(s"tot_$w")): _*)
+      joined
+        .crossJoin(broadcast(grand))
+        .select(col("v") +: weights.map(col) ++:
+          weights.map(w => (col(s"cum_$w") + col(s"off_$w")).as(s"cum_$w")) ++:
+          weights.map(w => col(s"tot_$w")): _*)
+    }
   }
 
   /** Percentile-rank normalization in basis points — the rank-based
@@ -586,10 +655,11 @@ object Relational {
                       out: String = "rank_bp"): DataFrame = {
     // NULLs are excluded from the rank space (they'd otherwise form a
     // cumulative-count group and shift every bp); they rejoin as NULL bp.
-    val cum = globalValueCumCounts(df.where(value.isNotNull), value)
-    val map = cum.crossJoin(broadcast(cum.agg(sum(col("c")).as("_n"))))
+    // n rides the cumulative frame (globalValueCumCountsWithTotal) — ONE
+    // consumer, no totals branch re-running the cumulative subtree (r15).
+    val map = globalValueCumCountsWithTotal(df.where(value.isNotNull), value)
       .select(col("v").as("_v"),
-        expr("((hi - c) * 10000) div _n").as(out))
+        expr("((hi - c) * 10000) div n").as(out))
     df.join(map, value === col("_v"), "left").drop("_v")
   }
 
@@ -621,13 +691,15 @@ object Relational {
                              quantiles: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cum = globalValueCumCounts(df, value)
-    val ranks = quantiles.toDF("quantile")
-      .crossJoin(cum.agg(sum(col("c")).as("n")))
-      .select(col("quantile"),
-        (floor(col("quantile") * (col("n") - 1)) + 1L).as("rk"))
-    cum.join(broadcast(ranks),
-        col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
+    // n rides the cumulative frame itself (globalValueCumCountsWithTotal),
+    // so the frame has exactly ONE consumer — pre-r15 the separate
+    // `cum.agg(n)` branch re-ran the whole cumulative subtree a second
+    // time (the rank arithmetic is unchanged: floor(q·(n−1))+1 against
+    // the [hi−c, hi] bracket, nearestRankPercentilesFromCounts' shape).
+    val cum = globalValueCumCountsWithTotal(df, value)
+    cum.crossJoin(broadcast(quantiles.toDF("quantile")))
+      .withColumn("rk", floor(col("quantile") * (col("n") - 1)) + 1L)
+      .filter(col("hi") >= col("rk") && (col("hi") - col("c")) < col("rk"))
       .select(col("quantile"), col("v").as("value"))
       .orderBy(col("quantile"))
   }
@@ -644,8 +716,10 @@ object Relational {
     */
   def equiDepthHistogram(df: DataFrame, value: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val cum = globalValueCumCounts(df, value)
-    cum.crossJoin(broadcast(cum.agg(sum(col("c")).as("n"))))
+    // n rides the cumulative frame (globalValueCumCountsWithTotal) — ONE
+    // consumer, no totals branch re-running the cumulative subtree (r15).
+    val cum = globalValueCumCountsWithTotal(df, value)
+    cum
       .withColumn("_lo", col("hi") - col("c"))
       // first/last bucket this value's rank interval touches
       .select(col("v"), col("_lo"), col("hi"), col("n"),

@@ -229,8 +229,10 @@ object Text {
     * tokenized exactly once), each iteration is one map-side pair explode
     * + keyed sum, and the only driver synchronization is a ONE-ROW collect
     * of the argmax pair (K rows total — bounded by the merge budget, not
-    * the data). State is re-persisted per iteration and the predecessor
-    * unpersisted, so lineage and cache stay O(1) across iterations.
+    * the data). State rides a lazy localCheckpoint per iteration, so BOTH
+    * the recompute depth AND the logical plan stay O(1) across iterations
+    * (each round's argmax job materializes the previous round's frame as a
+    * side effect — one job per merge round).
     *
     * Ties break (count DESC, pair ASC) — a deterministic total order, so
     * the whole merge trajectory replays bit-identically in the oracle's
@@ -243,8 +245,9 @@ object Text {
     */
   def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val (merges, vocab) = bpeTrainState(docs, k, textCol)
-    vocab.unpersist()
+    // The final vocabulary is a LAZY localCheckpoint (see bpeTrainState);
+    // unused here, it is simply never materialized — nothing to unpersist.
+    val (merges, _) = bpeTrainState(docs, k, textCol)
     spark.createDataFrame(
       new java.util.ArrayList[Row](java.util.Arrays.asList(
         merges.map(m => Row(m._1, m._2, m._3)): _*)),
@@ -278,6 +281,17 @@ object Text {
     // empty-token guard: Spark's sequence(1, 0) is a DESCENDING [1, 0],
     // not empty (the bpePairCounts gotcha) — an empty word must char-split
     // to [""] on both engines, not a phantom 2-symbol sequence
+    //
+    // Iteration state rides LAZY localCheckpoints, not persist(): each
+    // round's frame is materialized AS A SIDE EFFECT of the next round's
+    // argmax job (one job per merge round, not two), and the checkpoint
+    // truncates the LOGICAL plan to a LogicalRDD — with persist() the
+    // analyzed plan still chained every previous round's merge lambda, so
+    // driver-side analysis cost grew O(k²) across the loop (r15 measured
+    // the inter-job gaps growing 0.06 s → 0.4 s over 10 rounds, ~3 s of a
+    // 7.6 s wall, and a 1.4 MB formatted plan on the apply path).
+    // Dead rounds' blocks are vocabulary-sized and reclaimed by the
+    // ContextCleaner once the loop drops the reference.
     var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("w"), col("n"),
@@ -285,7 +299,7 @@ object Text {
           .otherwise(concat_ws(" ",
             transform(sequence(lit(1), length(col("w"))),
               i => col("w").substr(i, lit(1))))).as("seq"))
-      .persist()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (it <- 1 to k) {
       // zip_with(slice, slice) — not transform(sequence, element_at):
@@ -316,10 +330,11 @@ object Text {
           val pair = top.getString(0)
           merges += ((it.toLong, pair, top.getLong(1)))
           val Array(a, b) = pair.split(" ", 2)
-          val next = vocab.select(col("w"), col("n"),
-            bpeMergeExpr(col("seq"), a, b).as("seq")).persist()
-          next.count() // materialize before releasing the parent cache
-          vocab.unpersist(); vocab = next
+          // Lazy checkpoint: NO materialization job here — the next
+          // round's argmax (or the apply-path consumer) computes it from
+          // the parent's already-materialized blocks and stores it.
+          vocab = vocab.select(col("w"), col("n"),
+            bpeMergeExpr(col("seq"), a, b).as("seq")).localCheckpoint(false)
         }
     }
     (merges.toSeq, vocab)
