@@ -41,7 +41,9 @@ object JobProbe {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         val nt = js.stageInfos.map(_.numTasks).sum
-        jobs.put(js.jobId, (System.nanoTime(), nt, desc))
+        val names = js.stageInfos.map(_.name.takeWhile(_ != '(')).distinct
+          .mkString("|")
+        jobs.put(js.jobId, (System.nanoTime(), nt, s"$desc [$names]"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.get(je.jobId)).foreach { case (s, nt, d) =>
@@ -74,11 +76,13 @@ object JobProbe {
         lines.clear(); jobs.clear()
         t0 = System.nanoTime()
         val t = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val tb = (System.nanoTime() - t) / 1e9
+        df.count()
         val dt = (System.nanoTime() - t) / 1e9
         try org.apache.spark.sql.graftbridge.ColumnBridge.drainListenerBus(spark)
         catch { case _: Throwable => }
-        println(f"== $name run $r: $dt%.3f s, ${lines.size} jobs")
+        println(f"== $name run $r: $dt%.3f s (construct $tb%.3f s), ${lines.size} jobs")
         import scala.jdk.CollectionConverters._
         lines.asScala.toSeq.sortBy(_._1).foreach(l => println(l._2))
       }

@@ -1097,8 +1097,13 @@ object VectorQueries extends Catalog {
         val qd = d.filter(col("doc_id") % 100 === 0)
           .orderBy(col("doc_id")).limit(40)
           .select(col("doc_id").as("qid"), col("ts").as("qts"))
+        // Fan the streamed doc side by config, not input splits (r15 —
+        // the 0.6 MB documents file is ONE split, so the 40×500 jaccard
+        // scoring loop ran single-task, 1.6 s of this query's 2.0 s).
+        val fanned = d.repartition(
+          s.sessionState.conf.numShufflePartitions, col("doc_id"))
         val lex = graft.ops.Relational.topKPerGroup(
-          d.join(broadcast(qd), col("qid") =!= col("doc_id"))
+          fanned.join(broadcast(qd), col("qid") =!= col("doc_id"))
             .select(col("qid"), col("doc_id").as("id"),
               round(graft.ops.Dedup.jaccard(col("qts"), col("ts")), 4)
                 .as("jac")),

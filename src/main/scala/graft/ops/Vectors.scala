@@ -40,6 +40,12 @@ object Vectors {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // NOT fanned by an explicit repartition (r15 A/B): the per-pair dot
+    // product is cheap enough that one-task scoring of a sub-split corpus
+    // file beats paying an extra exchange + stage — the fan was measured
+    // a 1.3–2× REGRESSION on this scorer's consumers (sim_cosine_topk,
+    // sim_ann_recall_report), while the expensive-per-pair jaccard scorer
+    // in retrieval_hybrid_rrf keeps its fan (×0.53 there).
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
