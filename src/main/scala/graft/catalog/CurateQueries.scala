@@ -697,11 +697,19 @@ object CurateQueries extends Catalog {
           when(instr(col("url"), "?") > 0, lit("&")).otherwise(lit("?")),
           lit("utm_source=s"), (hx16 % 10).cast("string"),
           lit("&gclid=g&fbclid"), lit("#frag")))
+        // Stage the junked URL as a NAMED column before normalize (the
+        // curate_url_normalize discipline, r15): Url.normalize references
+        // its input ~10× (scheme/auth/rest/query branches), so passing the
+        // junk expression tree in directly clones it ~10× at Column-
+        // composition time — ~10× the analyzed-plan nodes on every
+        // downstream Dataset construction for zero runtime difference
+        // (multi-referenced non-cheap columns don't CollapseProject).
         urlDocs(s, dir, seedExpr = "doc_id % 250")
           .withColumn("hj", md5(concat(lit("junk:"),
             col("doc_id").cast("string")).cast("binary")))
+          .select(col("doc_id"), junked.as("url_in"))
           .select(col("doc_id"),
-            graft.ops.Url.normalize(junked).as("url_norm"))
+            graft.ops.Url.normalize(col("url_in")).as("url_norm"))
           .groupBy(col("url_norm"))
           .agg(min(col("doc_id")).as("survivor"),
             count(lit(1)).as("n_copies"))
@@ -899,8 +907,15 @@ object CurateQueries extends Catalog {
       when(instr(col("url"), "?") > 0, lit("&")).otherwise(lit("?")),
       lit("utm_source=s"), (hxj % 10).cast("string"),
       lit("&gclid=g&fbclid#frag")))
-    val normed = withUrl.select(col("doc_id"), col("text"),
-      graft.ops.Url.normalize(junked).as("url_norm"))
+    // junked staged as a named column first — normalize references its
+    // input ~10×, and inlining the junk tree multiplies the analyzed plan
+    // every downstream stage re-walks (the ingest pays construction-time
+    // analysis ~7× over this subtree in the minhash probe builds; r15
+    // measured ~1.5–2 s of pure driver construction per run).
+    val normed = withUrl
+      .select(col("doc_id"), col("text"), junked.as("url_in"))
+      .select(col("doc_id"), col("text"),
+        graft.ops.Url.normalize(col("url_in")).as("url_norm"))
     // The batch-stage outputs are BATCH-sized (the small side of every
     // downstream join) and each is referenced by 2-3 consumers — persist
     // them so one ingest runs the URL-dedup window and the digest
