@@ -891,6 +891,53 @@ object CurateQueries extends Catalog {
   private def ingestPipeline(s: org.apache.spark.sql.SparkSession,
                              dir: String, m: Int,
                              stored: Boolean): org.apache.spark.sql.DataFrame = {
+    // The stage-1/2 batch output rides a LAZY localCheckpoint: stage 3
+    // builds ~7 plan references over it (nToks/nBand/two band joins/two
+    // verifies/union) and each re-analyzed the whole url-normalize +
+    // window + bloom subtree — r15/r16 JobProbe measured ~1–1.8 s of PURE
+    // driver-side plan analysis per run (guide §5: the driver should do
+    // almost no data work; §7.3 planning-time bottleneck). The checkpoint
+    // truncates every downstream reference to a LogicalRDD; the frame is
+    // materialized INSIDE the query's own first action (no precompute),
+    // and the blocks are batch-sized. Execution-mode trade (same as the
+    // BPE/graph loops): checkpoint blocks are executor-local, so on a
+    // real cluster an executor loss mid-query fails the job loudly and
+    // the ingest re-runs from parquet — acceptable for a per-batch ingest
+    // whose state is rebuilt per run. PlanContractSpec proves the
+    // one-documents-scan contract on the UNtruncated stage plan (via
+    // `ingestBatchStage`) plus zero documents scans after the truncation
+    // point in the final plan.
+    val b = ingestBatchStage(s, dir, m, stored).localCheckpoint(false)
+    val docs = load(s, dir, "documents")
+    // stage 3: MinHash incremental probe (flag rows → anti-join)
+    val flags =
+      if (stored) {
+        val (cToks, cBand) = StoredIndexes.minHash(s, dir)
+        graft.ops.Dedup.minHashIncrementalIndexed(b, cToks, cBand, 0.5)
+      } else graft.ops.Dedup.minHashIncremental(b,
+        docs.filter(col("doc_id") % m =!= 0), 0.5)
+    val c = b.join(flags.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // stage 4: quality gate (integer token rules — no floats, no ties)
+    val toks = split(col("text"), " ")
+    val d = c.filter(size(toks).cast("long") >= 30 &&
+      graft.ops.Exact.ratioBp(size(array_distinct(toks)).cast("long"),
+        size(toks).cast("long")) >= 4000)
+    // stage 5: reproducible shard assignment over the final survivors
+    Curate.shardAssign(d, col("doc_id"), nShards = 16)
+      .select(col("doc_id"), col("url_norm"), col("content_md5"),
+        col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stages 1–2 of the ingest (URL canonicalize + fetch-list dedup +
+    * Bloom-prefiltered exact dedup), UNtruncated — `ingestPipeline`
+    * checkpoints this frame before stage 3, and PlanContractSpec proves
+    * the one-documents-scan contract on THIS plan (the final plan only
+    * shows the checkpoint's LogicalRDD).
+    */
+  private[graft] def ingestBatchStage(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, m: Int,
+                                      stored: Boolean): org.apache.spark.sql.DataFrame = {
     val docs = load(s, dir, "documents")
     // stage 1: URL canonicalize + fetch-list dedup. Base URL seeded on
     // doc_id % 250 (pairs of batch docs share a base), junk keyed on the
@@ -916,11 +963,11 @@ object CurateQueries extends Catalog {
       .select(col("doc_id"), col("text"), junked.as("url_in"))
       .select(col("doc_id"), col("text"),
         graft.ops.Url.normalize(col("url_in")).as("url_norm"))
-    // The batch-stage outputs are BATCH-sized (the small side of every
-    // downstream join) and each is referenced by 2-3 consumers — persist
-    // them so one ingest runs the URL-dedup window and the digest
-    // split ONCE instead of once per consumer (the plan contract pins a
-    // single documents scan; MEMORY_ONLY self-evicts, the
+    // The stage-1 output is BATCH-sized and referenced 2-3 times within
+    // this stage's one computation (the digest split + confirm joins) —
+    // persist it so the URL-dedup window runs once per materialization.
+    // The cross-STAGE reuse is the caller's localCheckpoint; this cache
+    // only dedups work inside it (MEMORY_ONLY self-evicts, the
     // minHashIncremental cache policy).
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val a = graft.ops.Relational.firstPerKey(normed, Seq("url_norm"),
@@ -933,26 +980,7 @@ object CurateQueries extends Catalog {
           docs.filter(col("doc_id") % m =!= 0))
         (cd, graft.ops.Dedup.digestBloom(cd, 1L << 17, 1L << 21))
       }
-    val b = graft.ops.Dedup.exactIncrementalBloom(a, corpusDig, bloom)
-      .persist(mem)
-    // stage 3: MinHash incremental probe (flag rows → anti-join)
-    val flags =
-      if (stored) {
-        val (cToks, cBand) = StoredIndexes.minHash(s, dir)
-        graft.ops.Dedup.minHashIncrementalIndexed(b, cToks, cBand, 0.5)
-      } else graft.ops.Dedup.minHashIncremental(b,
-        docs.filter(col("doc_id") % m =!= 0), 0.5)
-    val c = b.join(flags.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    // stage 4: quality gate (integer token rules — no floats, no ties)
-    val toks = split(col("text"), " ")
-    val d = c.filter(size(toks).cast("long") >= 30 &&
-      graft.ops.Exact.ratioBp(size(array_distinct(toks)).cast("long"),
-        size(toks).cast("long")) >= 4000)
-    // stage 5: reproducible shard assignment over the final survivors
-    Curate.shardAssign(d, col("doc_id"), nShards = 16)
-      .select(col("doc_id"), col("url_norm"), col("content_md5"),
-        col("shard"), col("pos"))
-      .orderBy(col("doc_id"))
+    graft.ops.Dedup.exactIncrementalBloom(a, corpusDig, bloom)
   }
 
   /** DuckDB replay of the FULL ingest closure at batch modulus `m` —

@@ -255,6 +255,7 @@ class PlanContractSpec extends SparkSpec {
       "state arrives only through the stored frames") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.RDDScanExec
     // the pipeline persists its batch-stage outputs, so the one real
     // documents scan lives inside a cached plan — walk those too
     // (cachedPlan is an AQE wrapper with NO children; unwrap via
@@ -274,14 +275,44 @@ class PlanContractSpec extends SparkSpec {
           .filter(im => seen.add(im.relation.cacheBuilder))
           .flatMap(im => allScans(im.relation.cachedPlan))
     }
-    val docScans = allScans(q("pipeline_ingest_incremental_indexed"))
+    // Since r16 the batch stage rides a lazy localCheckpoint (the stage-3
+    // MinHash probe plans re-analyzed its whole subtree ~7× — a measured
+    // ~1–1.8 s of pure driver work per run), so the one real documents
+    // scan is invisible in the FINAL plan. The contract is therefore
+    // proven in three parts — together they pin "corpus scanned exactly
+    // once" at least as tightly as the old single-plan walk, because the
+    // checkpoint guarantees the stage subtree executes once:
+    // (1) the UNtruncated stage-1/2 plan scans documents EXACTLY once,
+    //     with the batch-modulus filter pushed into that scan;
+    spark.catalog.clearCache()
+    val stage = catalog.CurateQueries.ingestBatchStage(
+      spark, dir, catalog.StoredIndexes.DocMod, stored = true)
+    val stageScans = allScans(stage.queryExecution.sparkPlan)
       .filter(_.relation.location.inputFiles.exists(_.contains("documents")))
-    assert(docScans.size == 1,
-      s"expected exactly 1 documents scan (the batch side), got " +
-        s"${docScans.size} — a stage is re-scanning the corpus")
-    assert(docScans.head.dataFilters.mkString.contains("% 50"),
+    assert(stageScans.size == 1,
+      s"expected exactly 1 documents scan in the batch stage, got " +
+        s"${stageScans.size} — a stage-1/2 branch is re-scanning the corpus")
+    assert(stageScans.head.dataFilters.mkString.contains("% 50"),
       s"batch modulus filter not pushed into the scan: " +
-        s"${docScans.head.dataFilters.mkString("; ")}")
+        s"${stageScans.head.dataFilters.mkString("; ")}")
+    // (2) the final plan scans documents ZERO times — the batch side
+    //     arrives only through the checkpoint, corpus state only through
+    //     the stored frames (an injected re-scan anywhere in stages 3-5
+    //     shows up here as a FileSourceScanExec);
+    val finalPlan = q("pipeline_ingest_incremental_indexed")
+    seen.clear()
+    val docScans = allScans(finalPlan)
+      .filter(_.relation.location.inputFiles.exists(_.contains("documents")))
+    assert(docScans.isEmpty,
+      s"expected 0 documents scans in the final plan (batch side is " +
+        s"checkpointed), got ${docScans.size} — a stage is re-scanning " +
+        "the corpus")
+    // (3) the truncation point is really there: the final plan reads the
+    //     batch stage through at least one ExistingRDD scan, so part (1)'s
+    //     subtree is what actually feeds stages 3-5.
+    assert(finalPlan.collect { case r: RDDScanExec => r }.nonEmpty,
+      "expected the checkpointed batch stage to appear as a Scan " +
+        "ExistingRDD in the final plan")
   }
 
   test("round-6 additions: keyed joins only, pushed top-k, no global windows") {
