@@ -94,9 +94,11 @@ object Quality {
     * an empty side yields a null ks_bp rather than a divide-by-zero.
     */
   def ksDrift(ref: DataFrame, cur: DataFrame, value: Column): DataFrame =
+    // weight-1 raw rows, NOT a pre-groupBy: ksDriftFromCounts' single
+    // keyed sum aggregates both sides at once (sum of 1s ≡ count), so the
+    // ref side's separate exchange disappears (r16, guide §2.4)
     ksDriftFromCounts(
-      ref.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c")),
-      cur, value)
+      ref.select(value.as("v"), lit(1L).as("c")), cur, value)
 
   /** `ksDrift` against a PRE-AGGREGATED reference `(v, c)` frequency table
     * — the steady-state drift monitor (the `psiDriftFromCounts` stance,
@@ -106,16 +108,30 @@ object Quality {
     * separate reference batches merge by SUMMING (plain keyed counts), so
     * an accumulating reference is one keyed sum away and merge ≡ rebuild
     * exactly — which the incremental oracle pins.
+    *
+    * `refCounts` may carry duplicate rows per v (e.g. an un-summed union
+    * of batch states): the keyed sum below merges them — merge-by-summing
+    * is the operator's own first step, not a caller precondition.
     */
   def ksDriftFromCounts(refCounts: DataFrame, cur: DataFrame,
                         value: Column): DataFrame = {
-    val a = refCounts.select(col("v"), col("c").as("c1"))
-    val b = cur.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("c2"))
-    // One row per v by construction (full-outer join on the two groupBy
-    // keys) — the globalCumSumsPreAgg contract.
-    val u = a.join(b, Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
-        coalesce(col("c2"), lit(0L)).as("c2"))
+    // One row per v via UNION + one keyed sum — NOT a full-outer join
+    // (r16). The r15 shape joined the two per-side groupBys on v, which
+    // (a) never MATCHES null keys, so a ref-null and a cur-null row both
+    // survived as two v=NULL rows and the cumsum emitted a spurious
+    // partial-CDF point (ADVICE r15), and (b) cost a second exchange +
+    // two SMJ sorts (the null-safe <=> key variant measured ×2 WORSE —
+    // its derived join keys defeat exchange reuse under the groupBys).
+    // The union shape is one exchange total: the current batch's RAW rows
+    // partial-aggregate map-side (guide §2.3) into the same keyed sum
+    // that merges the reference counts, groupBy treats NULL as an
+    // ordinary key (one row, sorting first = "count ≤ v" with NULL as
+    // the smallest value), and duplicate-v reference rows merge for free.
+    val u = refCounts
+      .select(col("v"), col("c").cast("long").as("c1"), lit(0L).as("c2"))
+      .unionByName(cur.select(value.as("v"), lit(0L).as("c1"),
+        lit(1L).as("c2")))
+      .groupBy("v").agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
     // ONE linear pass (r15): both running counts (cum_c1 = a(v), cum_c2 =
     // b(v)) and both sample sizes ride the same two-level cumsum, and the
     // CDF gap is formed AFTER it by linearity — a(v)·n₂ − b(v)·n₁ =
@@ -206,16 +222,18 @@ object Quality {
     * n_pos·n_neg < 2⁶² (the u2 long); empty side → null auc_bp.
     */
   def rankSumU2(pos: DataFrame, neg: DataFrame, value: Column): DataFrame = {
-    val a = pos.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("ca"))
-    val b = neg.select(value.as("v")).groupBy("v").agg(count(lit(1)).as("cb"))
-    // One row per v by construction; the positive-side counts ride the
-    // SAME two-level cumsum pass as the negative CDF (r15) — pre-r15 the
-    // per-value frame was consumed twice (the cumsum's regroup AND a
-    // data-sized join-back on v), re-running the full-outer join and both
-    // groupBy scans per consumer.
-    val u = a.join(b, Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
-        coalesce(col("cb"), lit(0L)).as("cb"))
+    // One row per v via UNION + one keyed sum (r16) — same rewrite as
+    // ksDriftFromCounts: both sides' raw rows partial-aggregate map-side
+    // into ONE exchange (the r15 full-outer join cost a second exchange +
+    // two SMJ sorts and never matched null keys, leaving pos-null and
+    // neg-null as two v=NULL rows with an ordering-dependent u2; groupBy
+    // treats NULL as one ordinary key). The positive-side counts still
+    // ride the SAME two-level cumsum pass as the negative CDF (r15) —
+    // the per-value frame has exactly one consumer.
+    val u = pos.select(value.as("v"), lit(1L).as("ca"), lit(0L).as("cb"))
+      .unionByName(neg.select(value.as("v"), lit(0L).as("ca"),
+        lit(1L).as("cb")))
+      .groupBy("v").agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     graft.ops.Relational.globalCumSumsPreAgg(u, Seq("ca", "cb"))
       .select(col("ca"), col("cb"), (col("cum_cb") - col("cb")).as("below"))
       .agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),

@@ -148,6 +148,31 @@ class QualitySpec extends SparkSpec {
     assert(run(indep) == ((0L, 1L, 45L)))
   }
 
+  test("ksDrift / rankSumU2: NULL values merge into ONE per-value row " +
+      "(null-safe join), never a spurious CDF point") {
+    // identical samples incl. nulls → D must be 0. Pre-r16 the plain
+    // full_outer on Seq("v") never matched null keys, so ref-null and
+    // cur-null survived as TWO v=NULL rows and the cumsum emitted a
+    // spurious partial-CDF point (this read ks_bp=5000 here, not 0).
+    val withNulls = Seq[java.lang.Long](null, null, 1L, 2L).toDF("v")
+    val same = Quality.ksDrift(withNulls, withNulls, col("v"))
+      .select(col("n_ref"), col("n_cur"), col("ks_bp"))
+      .as[(Long, Long, Long)].collect().head
+    assert(same == ((4L, 4L, 0L)))
+    // NULL ranks as the smallest value (nulls-first ordering, bucket 0):
+    // ref {null,null,2} vs cur {2} → D = 2/3 attained AT v=NULL
+    val ks = Quality.ksDrift(Seq[java.lang.Long](null, null, 2L).toDF("v"),
+      Seq[java.lang.Long](2L).toDF("v"), col("v")).collect().head
+    assert(ks.getLong(2) == 6666L && ks.isNullAt(3))
+    // rankSumU2: one shared NULL key → the exact ½-tie credit, not an
+    // ordering-dependent u2. pos {null,3} vs neg {null,1}: (null,null)=½,
+    // (null,1)=0, (3,null)=1, (3,1)=1 → U=2.5, u2=5, auc 6250 bp
+    val u = Quality.rankSumU2(Seq[java.lang.Long](null, 3L).toDF("v"),
+      Seq[java.lang.Long](null, 1L).toDF("v"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(u == ((2L, 2L, 5L, 6250L)))
+  }
+
   test("ksDriftFromCounts: summed per-batch reference states equal the " +
       "full rebuild row-for-row") {
     val ref = Seq(1L, 1L, 2L, 3L, 5L, 5L).toDF("v")
