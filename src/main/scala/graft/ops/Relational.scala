@@ -478,12 +478,13 @@ object Relational {
     *      WITHIN each bucket (a window partitioned by pid — every task
     *      sums only its own slice, no global window);
     *   3. per-bucket totals (one tiny row per bucket, ≤ shuffle-partition
-    *      count) → exclusive prefix offsets via a broadcast triangular
-    *      self-join over #buckets² rows — bounded by config, never by
-    *      data — broadcast back;
-    *   4. global rank = within-bucket cumsum + bucket offset; the row
-    *      total n falls out of the same tiny aggregate, so the ranks join
-    *      needs no separate `df.count()` job.
+    *      count — bounded by config, never by data) collected once on the
+    *      driver and folded into literal prefix-offset arrays (r16; the
+    *      r15 triangular broadcast self-join made the cached frame a
+    *      racing multi-consumer — see `cumFromFreqMulti`);
+    *   4. global rank = within-bucket cumsum + literal bucket offset; the
+    *      row total n falls out of the same tiny aggregate, so the ranks
+    *      join needs no separate `df.count()` job.
     * Exactness: counts are integers and pid is literal-derived, so every
     * branch — even one recomputed after cache eviction — assigns the
     * identical bucket to a value (the earlier shape keyed offsets off
@@ -563,9 +564,23 @@ object Relational {
   /** The two-level range-partitioned cumulative-sum core (doc above), for
     * ANY number of weight columns at once: input `(v, w1, …, wk)` — one
     * row per v — output `(v, w1…wk, cum_w1…cum_wk, tot_w1…tot_wk)` where
-    * `cum_wi` = Σ wi over keys ≤ v and `tot_wi` the grand total, carried
-    * on every row from the same bucket-sized aggregate the offsets come
-    * from (one extra 1-row broadcast — never a second pass or a cache).
+    * `cum_wi` = Σ wi over keys ≤ v and `tot_wi` the grand total.
+    *
+    * Offsets and totals are LITERALS since r16: the per-bucket totals
+    * aggregate (≤ #buckets rows, #buckets ≤ the shuffle-partition config
+    * — bounded by config, never by data, the same class as the `bounds`
+    * collect above it) is collected once on the driver and folded into
+    * per-weight prefix-offset arrays + grand totals. The r15 shape kept
+    * totals distributed — a triangular broadcast self-join for offsets
+    * plus a second 1-row broadcast for grand totals — which made the
+    * cached freq frame a FOUR-way parallel AQE consumer (window map,
+    * offs stream side, offs broadcast side, grand broadcast): JobProbe
+    * r16 measured the four stage jobs racing the cache materialization at
+    * 2.6 s each on a frame whose sequential read costs 0.1 s (the r15
+    * "racing cache" lesson, now in the cumsum core itself). Sequential
+    * driver steps — bounds job, totals job, ONE window consumer — leave
+    * nothing to race, and recompute determinism strengthens: offsets are
+    * frozen literals, not re-derivable broadcast state.
     */
   private def cumFromFreqMulti(freq0: DataFrame,
                                vType: org.apache.spark.sql.types.DataType,
@@ -604,38 +619,48 @@ object Relational {
     val inner = bucketed.select(
       col("v") +: col("pid") +: weights.map(col) ++:
         weights.map(w => sum(col(w)).over(win).as(s"cum_$w")): _*)
-    val totals = bucketed.groupBy(col("pid"))
+    // Per-bucket totals, ≤ #buckets rows (config-bounded), collected once
+    // — this SEQUENTIAL job also reads the freq cache the bounds job just
+    // materialized, so the final action's window stage is the cache's
+    // only remaining consumer (nothing left to race).
+    val nb = bounds.size + 1
+    val totRows = bucketed.groupBy(col("pid"))
       .agg(sum(col(weights.head)).as(s"tc_${weights.head}"),
         weights.tail.map(w => sum(col(w)).as(s"tc_$w")): _*)
-    val offs = totals.as("a")
-      .join(broadcast(totals.as("b")), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col(s"b.tc_${weights.head}")), lit(0L))
-          .as(s"off_${weights.head}"),
-        weights.tail.map(w =>
-          coalesce(sum(col(s"b.tc_$w")), lit(0L)).as(s"off_$w")): _*)
-    val joined = inner.join(broadcast(offs), "pid")
-    if (!withTotals)
-      joined.select(col("v") +: weights.map(col) ++:
-        weights.map(w => (col(s"cum_$w") + col(s"off_$w")).as(s"cum_$w")): _*)
-    else {
-      // Grand totals: one row summed from the ≤ #buckets totals frame —
-      // the "no extra count job" rule extended to every consumer that
-      // needs n (percentile ranks, equi-depth bucket bounds, CDF
-      // denominators). Opt-in: callers that don't need n (plain
-      // globalKeyedCumSum — e.g. sequence packing) skip the extra
-      // broadcast stage entirely.
-      val grand = totals
-        .agg(coalesce(sum(col(s"tc_${weights.head}")), lit(0L))
-            .as(s"tot_${weights.head}"),
-          weights.tail.map(w =>
-            coalesce(sum(col(s"tc_$w")), lit(0L)).as(s"tot_$w")): _*)
-      joined
-        .crossJoin(broadcast(grand))
-        .select(col("v") +: weights.map(col) ++:
-          weights.map(w => (col(s"cum_$w") + col(s"off_$w")).as(s"cum_$w")) ++:
-          weights.map(w => col(s"tot_$w")): _*)
+      .collect()
+    val perPid = Array.fill(nb, weights.size)(0L)
+    totRows.foreach { r =>
+      val p = r.getInt(0)
+      weights.indices.foreach { i =>
+        perPid(p)(i) = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+      }
     }
+    // exclusive prefix offsets per weight + grand totals, as literals
+    val offArr = Array.fill(weights.size)(new Array[Long](nb))
+    val grand = new Array[Long](weights.size)
+    weights.indices.foreach { i =>
+      var acc = 0L
+      var p = 0
+      while (p < nb) { offArr(i)(p) = acc; acc += perPid(p)(i); p += 1 }
+      grand(i) = acc
+    }
+    def offCol(i: Int): Column =
+      element_at(typedLit(offArr(i).toSeq), col("pid") + 1)
+    if (!withTotals)
+      inner.select(col("v") +: weights.map(col) ++:
+        weights.zipWithIndex.map { case (w, i) =>
+          (col(s"cum_$w") + offCol(i)).as(s"cum_$w") }: _*)
+    else
+      // Grand totals ride as literals on every row — the "no extra count
+      // job" rule extended to every consumer that needs n (percentile
+      // ranks, equi-depth bucket bounds, CDF denominators). Opt-in:
+      // callers that don't need n (plain globalKeyedCumSum — e.g.
+      // sequence packing) skip the extra columns entirely.
+      inner.select(col("v") +: weights.map(col) ++:
+        weights.zipWithIndex.map { case (w, i) =>
+          (col(s"cum_$w") + offCol(i)).as(s"cum_$w") } ++:
+        weights.zipWithIndex.map { case (w, i) =>
+          lit(grand(i)).as(s"tot_$w") }: _*)
   }
 
   /** Percentile-rank normalization in basis points — the rank-based
@@ -1436,14 +1461,30 @@ object Relational {
                            broadcastRowLimit: Long = 10000L,
                            skewShareBpLimit: Long = 2000L,
                            salts: Int = 8): (DataFrame, String) = {
+    require(buckets >= 1, "buckets must be >= 1")
+    routeWithStats(left, right, keys,
+      histStats(left, right, keys, buckets),
+      broadcastRowLimit, skewShareBpLimit, salts)
+  }
+
+  /** Routing decision against ALREADY-measured histogram stats — split
+    * out (r16) so `autoJoin3WithOrder` reuses the stats its order
+    * decision just collected instead of re-running the chosen pair's
+    * two-sided histogram pass (3 estimation collects → 2; guide §2.4,
+    * don't compute things twice).
+    */
+  private def routeWithStats(left: DataFrame, right: DataFrame,
+                             keys: Seq[String], hs: HistStats,
+                             broadcastRowLimit: Long,
+                             skewShareBpLimit: Long,
+                             salts: Int): (DataFrame, String) = {
     require(keys.nonEmpty, "autoJoin needs at least one key")
-    require(buckets >= 1 && salts >= 1, "buckets and salts must be >= 1")
+    require(salts >= 1, "salts must be >= 1")
     require((left.columns.toSet -- keys).intersect(
         right.columns.toSet -- keys).isEmpty,
       "autoJoin needs disjoint non-key column names (the salted routing " +
         "re-selects by name to restore plain-join column order)")
-    val HistStats(lr, rr, est, mx, mba, mbb) =
-      histStats(left, right, keys, buckets)
+    val HistStats(lr, rr, est, mx, mba, mbb) = hs
     if (lr <= broadcastRowLimit || rr <= broadcastRowLimit) {
       val joined =
         if (rr <= lr) left.join(broadcast(right), keys)
@@ -1508,14 +1549,19 @@ object Relational {
       "keysBC must be columns of b (chain shape a–b–c)")
     // the plain chain's column order, derived from schemas alone
     val plainCols = a.join(b, keysAB).join(c, keysBC).columns.toSeq
-    val estAB = histStats(a, b, keysAB, buckets).est
-    val estBC = histStats(b, c, keysBC, buckets).est
-    if (estBC < estAB) {
-      val (bc, s1) = autoJoinWithStrategy(b, c, keysBC, buckets,
+    // The order decision's two histogram passes are ALSO the routing
+    // stats for whichever pair wins — reuse them instead of re-running
+    // the chosen pair's two-sided pass inside autoJoinWithStrategy
+    // (r16: 3 estimation collects → 2, same decisions from the same
+    // numbers; guide §2.4).
+    val statsAB = histStats(a, b, keysAB, buckets)
+    val statsBC = histStats(b, c, keysBC, buckets)
+    if (statsBC.est < statsAB.est) {
+      val (bc, s1) = routeWithStats(b, c, keysBC, statsBC,
         broadcastRowLimit, skewShareBpLimit, salts)
       (a.join(bc, keysAB).select(plainCols.map(col): _*), s"bc_first:$s1")
     } else {
-      val (ab, s1) = autoJoinWithStrategy(a, b, keysAB, buckets,
+      val (ab, s1) = routeWithStats(a, b, keysAB, statsAB,
         broadcastRowLimit, skewShareBpLimit, salts)
       (ab.join(c, keysBC).select(plainCols.map(col): _*), s"ab_first:$s1")
     }
