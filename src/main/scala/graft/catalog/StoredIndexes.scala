@@ -369,10 +369,13 @@ object StoredIndexes {
   def bpeVocab(s: SparkSession, dir: String): DataFrame =
     cacheFor(s).computeIfAbsent(s"$dir|bpe_vocab", _ => {
       val d = newTempDir("graft-bpevocab-")
+      // bpeVocabulary returns a lazy localCheckpoint, not a CacheManager
+      // entry — there is nothing to unpersist (the r15 `v.unpersist()`
+      // here was a no-op); the write materializes it and dropping the
+      // reference lets the ContextCleaner reclaim the blocks.
       val v = graft.ops.Text.bpeVocabulary(
         load(s, dir, "documents"), TextQueries.BpeK)
       v.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(d)
-      v.unpersist()
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
       Seq(s.read.parquet(d).persist(mem))
     }).head

@@ -271,8 +271,19 @@ object Text {
   }
 
   /** The trainer's engine: returns the merge table AND the final
-    * segmented vocabulary `(w, n, seq)` — still persisted; the caller
-    * owns the unpersist (or keeps it as the tokenizer's apply table).
+    * segmented vocabulary `(w, n, seq)`. The returned frame is a LAZY
+    * `localCheckpoint` (NOT a CacheManager persist — `unpersist()` on it
+    * is a no-op; checkpoint blocks are RDD-level and reclaimed by the
+    * ContextCleaner once the frame is dropped, or eagerly by the loop's
+    * own round-over-round cleanup below). Execution-mode assumption:
+    * localCheckpoint blocks live on executors and are NOT recoverable —
+    * an executor loss mid-train fails the job loudly and the caller
+    * re-runs the k rounds from source. That is the standard trade for
+    * iterative Spark in `local[n]` / non-preemptible clusters; a 100 TB
+    * deployment on spot/preemptible executors should periodically write
+    * the vocabulary frame to reliable storage instead (it is the ONLY
+    * loop state, so recovery = re-read + resume — documented contract,
+    * deliberately not code the bench would never exercise).
     */
   private def bpeTrainState(docs: DataFrame, k: Int, textCol: String)
       : (Seq[(Long, String, Long)], DataFrame) = {
@@ -290,8 +301,11 @@ object Text {
     // driver-side analysis cost grew O(k²) across the loop (r15 measured
     // the inter-job gaps growing 0.06 s → 0.4 s over 10 rounds, ~3 s of a
     // 7.6 s wall, and a 1.4 MB formatted plan on the apply path).
-    // Dead rounds' blocks are vocabulary-sized and reclaimed by the
-    // ContextCleaner once the loop drops the reference.
+    // Dead rounds' blocks are dropped EXPLICITLY once the next round's
+    // argmax has materialized their child (r16, ADVICE): the
+    // ContextCleaner only reclaims after a driver GC, so k rounds of
+    // MEMORY_AND_DISK vocabulary blocks could otherwise accumulate and
+    // pressure the MEMORY_ONLY session caches.
     var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(col("w"), col("n"),
@@ -301,6 +315,20 @@ object Text {
               i => col("w").substr(i, lit(1))))).as("seq"))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    // `parent` = the PREVIOUS round's frame: its blocks become dead the
+    // moment the current round's argmax job has materialized `vocab`
+    // (the aggregation reads every vocab partition, and storing the
+    // checkpoint block is a side effect of computing it), so they can be
+    // dropped deterministically instead of waiting for a driver GC. The
+    // final round's parent is left alone — the returned frame is still
+    // LAZY and needs it to materialize.
+    var parent: Option[DataFrame] = None
+    def dropCheckpointBlocks(ds: DataFrame): Unit =
+      ds.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false); ()
+        case _ => ()
+      }
     for (it <- 1 to k) {
       // zip_with(slice, slice) — not transform(sequence, element_at):
       // see `bigrams` (captures re-evaluate per element)
@@ -315,6 +343,10 @@ object Text {
       // the iteration's sync barrier: ONE bounded row (the argmax pair)
       val topOpt = counts.orderBy(col("n_pairs").desc, col("pair").asc)
         .limit(1).collect().headOption
+      // this round's argmax just materialized `vocab` — its parent's
+      // blocks are dead; reclaim them now (GC-independent)
+      parent.foreach(dropCheckpointBlocks)
+      parent = Some(vocab)
       // Fail FAST if the corpus runs out of mergeable pairs before k
       // rounds: a silent stop here would diverge from the unrolled
       // oracle twin, whose stage v_i cross-joins a then-EMPTY t_i and
@@ -359,7 +391,9 @@ object Text {
   /** The trainer's final segmented vocabulary `(w, n, seq)` — the apply
     * table a production tokenizer pipeline trains ONCE and stores (see
     * `StoredIndexes.bpeVocab`); `bpeTokenCountsIndexed` consumes it.
-    * Returned persisted; the caller owns the unpersist / storage.
+    * Returned as a lazy localCheckpoint (see `bpeTrainState`): not a
+    * CacheManager entry, so there is nothing to unpersist — materialize
+    * it (e.g. write it out) and drop the reference.
     */
   def bpeVocabulary(docs: DataFrame, k: Int,
                     textCol: String = "text"): DataFrame =
