@@ -896,14 +896,22 @@ object VectorQueries extends Catalog {
     Q("sim_knn_triangles",
       (s, dir) => {
         val knn = Vectors.knnGraph(load(s, dir, "embeddings"), 0.4, 5)
-        // Persisted: trianglesPerNode references its edge input three
-        // times (both symmetrization branches + the orientation build);
-        // un-cached, each reference replays the whole kNN construction —
-        // banded join, verify, per-node window — which tripled this
-        // query's cost. Edge-list-sized, MEMORY_ONLY.
+        // EAGER localCheckpoint, not persist (r16): trianglesPerNode
+        // references its edge input three times (both symmetrization
+        // branches + the orientation build). The r15 MEMORY_ONLY persist
+        // kept the kNN construction from replaying per reference, but
+        // (a) every downstream plan still re-ANALYZED the whole banded
+        // join + verify + window subtree (JobProbe r16: 1.6 s of pure
+        // driver construct), and (b) the parallel AQE stage jobs raced
+        // the cold cache, computing the kNN pipeline 2x (duplicate
+        // 0.45/1.0 s job pairs in the ledger — the racing-cache lesson).
+        // The eager checkpoint materializes the edge list ONCE inside
+        // the query (sequential, still timed), truncates every
+        // downstream plan to a LogicalRDD, and the three references read
+        // stored blocks. Edge-list-sized.
         val und = knn.select(least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .localCheckpoint(true)
         graft.ops.Graph.trianglesPerNode(und)
           .select(col("node").as("vec_id"), col("triangles"))
           .orderBy(col("vec_id"))

@@ -264,12 +264,20 @@ object Quality {
   def psiDriftFromCounts(refCounts: DataFrame, cur: DataFrame,
                          bucket: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val joined = refCounts.select(col("bucket"), col("n").as("ref_n"))
-      .join(histogram(cur, bucket).select(col("bucket"),
-          col("n").as("cur_n")),
-        Seq("bucket"), "full_outer")
-      .select(col("bucket"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
-        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    // UNION + one keyed sum, not a full-outer join (r16) — the same
+    // rewrite and the same two bugs as ksDriftFromCounts: a plain join
+    // on Seq("bucket") never matches NULL bucket keys (a null-bucket
+    // ref and a null-bucket cur row would BOTH survive and each collect
+    // its own Laplace term), and the current batch's raw rows now
+    // partial-aggregate map-side into the same single exchange that
+    // merges the reference counts (one exchange, no SMJ sorts).
+    val joined = refCounts
+      .select(col("bucket"), col("n").cast("long").as("ref_n"),
+        lit(0L).as("cur_n"))
+      .unionByName(cur.select(bucket.cast("long").as("bucket"),
+        lit(0L).as("ref_n"), lit(1L).as("cur_n")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("ref_n")).as("ref_n"), sum(col("cur_n")).as("cur_n"))
     val totals = joined.agg(sum(col("ref_n")).as("_rt"),
       sum(col("cur_n")).as("_ct"))
     val refP = (col("ref_n") + 1).cast("double") / (col("_rt") + nBuckets)
